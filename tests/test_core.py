@@ -1,0 +1,146 @@
+"""Core substrate tests: georef math, interpolation, raster ops, examples."""
+
+import numpy as np
+import pytest
+
+from xdem_tpu.georef import CRS, Affine, transform_points
+from xdem_tpu.ops.interp import interp_rowcol
+from xdem_tpu.raster import Raster
+from xdem_tpu import examples
+
+
+class TestAffine:
+    def test_roundtrip(self):
+        t = Affine.from_origin(5000.0, 90000.0, 20.0, 20.0)
+        x, y = t.xy(3, 7)
+        r, c = t.rowcol(x, y)
+        assert r == pytest.approx(3) and c == pytest.approx(7)
+
+    def test_compose_invert(self):
+        t = Affine(2, 0.1, 5, -0.1, -2, 9)
+        ident = t * t.invert()
+        assert ident.almost_equals(Affine.identity(), precision=1e-9)
+
+
+class TestCRS:
+    def test_utm_roundtrip(self):
+        crs = CRS(32633)
+        lon = np.array([14.0, 15.0, 16.5, 13.2])
+        lat = np.array([77.0, 78.0, 78.5, 79.9])
+        x, y = transform_points(4326, crs, lon, lat)
+        lon2, lat2 = transform_points(crs, 4326, x, y)
+        assert np.allclose(lon, lon2, atol=1e-9)
+        assert np.allclose(lat, lat2, atol=1e-9)
+
+    def test_utm_central_meridian(self):
+        # Points on the central meridian of zone 33 (15 deg E) have easting exactly 500000
+        x, y = transform_points(4326, 32633, np.array([15.0]), np.array([70.0]))
+        assert x[0] == pytest.approx(500000.0, abs=1e-6)
+
+    def test_utm_known_point(self):
+        # Equator at lon0: northing 0 (north) / 10,000,000 (south)
+        x, y = transform_points(4326, 32633, np.array([15.0]), np.array([0.0]))
+        assert y[0] == pytest.approx(0.0, abs=1e-6)
+        xs, ys = transform_points(4326, 32733, np.array([15.0]), np.array([0.0]))
+        assert ys[0] == pytest.approx(1e7, abs=1e-6)
+
+    def test_polar_stereo_roundtrip(self):
+        lon = np.array([-40.0, 10.0, 100.0])
+        lat = np.array([70.0, 80.0, 85.0])
+        x, y = transform_points(4326, 3413, lon, lat)
+        lon2, lat2 = transform_points(3413, 4326, x, y)
+        assert np.allclose(lon, lon2, atol=1e-8)
+        assert np.allclose(lat, lat2, atol=1e-8)
+
+    def test_properties(self):
+        assert CRS(4326).is_geographic
+        assert CRS(32633).is_projected
+        assert CRS("EPSG:32633") == CRS(32633)
+
+
+class TestInterp:
+    def test_bilinear_vs_scipy(self):
+        from scipy.ndimage import map_coordinates
+
+        rng = np.random.default_rng(0)
+        data = rng.normal(size=(30, 40)).astype(np.float32)
+        rows = rng.uniform(0, 29, 200)
+        cols = rng.uniform(0, 39, 200)
+        got = np.asarray(interp_rowcol(data, rows, cols, method="linear"))
+        want = map_coordinates(data.astype(np.float64), [rows, cols], order=1)
+        assert np.allclose(got, want, atol=1e-5)
+
+    def test_nan_and_oob(self):
+        data = np.ones((10, 10), dtype=np.float32)
+        data[5, 5] = np.nan
+        got = np.asarray(interp_rowcol(data, np.array([4.5, -1.0, 9.5]), np.array([5.2, 3.0, 3.0])))
+        assert np.isnan(got[0])  # touches NaN neighbor
+        assert np.isnan(got[1])  # out of bounds
+        assert np.isnan(got[2])  # out of bounds (row > H-1)
+
+    def test_nearest_cubic(self):
+        rng = np.random.default_rng(1)
+        data = rng.normal(size=(20, 20)).astype(np.float32)
+        got = np.asarray(interp_rowcol(data, np.array([3.0]), np.array([4.0]), method="nearest"))
+        assert got[0] == pytest.approx(data[3, 4])
+        got_c = np.asarray(interp_rowcol(data, np.array([3.0]), np.array([4.0]), method="cubic"))
+        assert got_c[0] == pytest.approx(data[3, 4], abs=1e-5)
+
+
+class TestRaster:
+    def test_reproject_to_self_grid(self, ref_dem_test):
+        back = ref_dem_test.reproject(ref_dem_test)
+        a = np.asarray(ref_dem_test.data)
+        b = np.asarray(back.data)
+        both = np.isfinite(a) & np.isfinite(b)
+        assert np.allclose(a[both], b[both], atol=1e-3)
+
+    def test_translate_roundtrip(self, ref_dem_test):
+        shifted = ref_dem_test.translate(35.0, -12.0)
+        assert shifted.bounds.left == pytest.approx(ref_dem_test.bounds.left + 35.0)
+        # Regridding the shifted raster back onto the original grid undoes the shift (interior)
+        back = shifted.reproject(ref_dem_test)
+        a = np.asarray(ref_dem_test.data)
+        b = np.asarray(back.data)
+        # interior only (edges lose data)
+        interior = np.zeros(a.shape, bool)
+        interior[5:-5, 5:-5] = True
+        both = np.isfinite(a) & np.isfinite(b) & interior
+        # values at shifted positions differ, but the grid georeferencing should be exact:
+        assert back.transform.almost_equals(ref_dem_test.transform)
+        assert both.sum() > 0
+
+    def test_crop(self, ref_dem_full):
+        b = ref_dem_full.bounds
+        sub = ref_dem_full.crop((b.left + 2000, b.bottom + 2000, b.left + 6000, b.bottom + 6000))
+        assert sub.width < ref_dem_full.width
+        assert sub.res == ref_dem_full.res
+
+    def test_arithmetic(self, ref_dem_test):
+        dd = ref_dem_test - ref_dem_test
+        assert np.nanmax(np.abs(np.asarray(dd.data))) == 0
+
+    def test_to_pointcloud(self, ref_dem_test):
+        pc = ref_dem_test.to_pointcloud(subsample=1000, random_state=42)
+        assert len(pc) == 1000
+        assert pc.crs == ref_dem_test.crs
+
+
+class TestExamples:
+    def test_shapes_and_shift(self):
+        ref = examples.get_ref_dem_test()
+        tba = examples.get_tba_dem_test()
+        assert ref.shape == tba.shape
+        assert ref.crs == CRS(32633)
+
+    def test_mask(self):
+        mask = examples.get_glacier_mask()
+        assert mask.dtype == bool and mask.any() and not mask.all()
+
+    def test_vector_mask_rasterization(self):
+        ref = examples.get_ref_dem()
+        outlines = examples.get_glacier_outlines()
+        mask = outlines.create_mask(ref)
+        true_mask = examples.get_glacier_mask()
+        # Convex hulls cover the blobs: vast majority of true pixels inside
+        assert (mask & true_mask).sum() / true_mask.sum() > 0.95

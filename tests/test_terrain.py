@@ -1,0 +1,248 @@
+"""Terrain attribute tests: analytic cases, independent oracles, NaN semantics, sharding."""
+
+import numpy as np
+import pytest
+
+import oracles
+from xdem_tpu import examples, terrain
+from xdem_tpu.dem import DEM
+
+
+@pytest.fixture(scope="module")
+def smooth_dem(rng=None):
+    """A smooth synthetic DEM (f32) with ~1000 m relief at 20 m resolution."""
+    return examples.synthetic_dem_array(shape=(80, 100), resolution=20.0, seed=3), 20.0
+
+
+def _reltol(oracle_vals: np.ndarray, got: np.ndarray, tol_factor: float = 1e-3) -> None:
+    """Assert max |diff| <= tol_factor * mean |oracle| over jointly-finite pixels
+    (the reference's GDAL-comparison criterion, tests/test_terrain/test_terrain.py:90-102)."""
+    both = np.isfinite(oracle_vals) & np.isfinite(got)
+    assert both.sum() > 0
+    magn = np.nanmean(np.abs(oracle_vals[both]))
+    diff = np.abs(oracle_vals[both] - got[both])
+    assert np.max(diff) <= tol_factor * max(magn, 1e-6), f"max diff {np.max(diff)} vs magn {magn}"
+
+
+class TestAnalytic:
+    def test_slope_aspect_plane_zt(self):
+        # North-down unit ramp: slope 45 deg, aspect 180 (south-facing)
+        dem = np.repeat(np.arange(3), 3)[::-1].reshape(3, 3).astype(np.float32)
+        s, a = terrain.get_terrain_attribute(dem, ["slope", "aspect"], resolution=1, surface_fit="ZevenbergThorne")
+        assert np.asarray(s)[1, 1] == pytest.approx(45.0, abs=1e-4)
+        assert np.asarray(a)[1, 1] == pytest.approx(180.0, abs=1e-4)
+
+    @pytest.mark.parametrize("fit", ["Horn", "ZevenbergThorne", "Florinsky"])
+    def test_tilted_plane_all_methods(self, fit):
+        # z = 0.2*x + 0.1*y on a 20 m grid; slope/aspect analytic, curvatures zero
+        res = 20.0
+        yy, xx = np.mgrid[0:30, 0:40].astype(np.float64)
+        x = xx * res
+        y = -(yy * res)  # y decreases with row
+        dem = (0.2 * x + 0.1 * y).astype(np.float32)
+        out = terrain.get_terrain_attribute(dem, ["slope", "aspect"], resolution=res, surface_fit=fit)
+        slope_exp = np.rad2deg(np.arctan(np.hypot(0.2, 0.1)))
+        # Aspect faces downslope (GDAL convention): the up-gradient (0.2 E, 0.1 N) + 180 deg
+        aspect_exp = np.rad2deg((np.arctan2(0.2, 0.1) + np.pi) % (2 * np.pi))
+        interior = np.asarray(out[0])[3:-3, 3:-3]
+        assert np.allclose(interior, slope_exp, atol=1e-2)
+        assert np.allclose(np.asarray(out[1])[3:-3, 3:-3], aspect_exp, atol=1e-2)
+        if fit != "Horn":
+            curv = terrain.get_terrain_attribute(dem, "profile_curvature", resolution=res, surface_fit=fit)
+            assert np.allclose(np.asarray(curv)[3:-3, 3:-3], 0.0, atol=1e-4)
+
+    def test_quadratic_curvature_zt(self):
+        # z = 0.5*c*(x^2 + y^2): at any point z_xx = z_yy = c exactly under ZT stencils
+        res = 10.0
+        c = 1e-3
+        yy, xx = np.mgrid[0:21, 0:21].astype(np.float64)
+        x = (xx - 10) * res
+        y = (10 - yy) * res
+        dem = (0.5 * c * (x**2 + y**2)).astype(np.float32)
+        curv = terrain.get_terrain_attribute(dem, "curvature", resolution=res, surface_fit="ZevenbergThorne")
+        # curvature = -2(z_xx + z_yy)*100 = -2*(2c)*100
+        assert np.asarray(curv)[10, 10] == pytest.approx(-2 * 2 * c * 100, rel=1e-3)
+
+
+class TestOracleComparison:
+    @pytest.mark.parametrize("fit", ["Horn", "ZevenbergThorne", "Florinsky"])
+    @pytest.mark.parametrize("attr", ["slope", "aspect", "hillshade"])
+    def test_slope_aspect_hillshade(self, smooth_dem, fit, attr):
+        dem, res = smooth_dem
+        got = np.asarray(terrain.get_terrain_attribute(dem, attr, resolution=res, surface_fit=fit))
+        want = oracles.oracle_surface(dem, res, attr, fit=fit)
+        if attr == "aspect":
+            # Compare modulo 360
+            both = np.isfinite(got) & np.isfinite(want)
+            d = np.abs(got[both] - want[both])
+            d = np.minimum(d, 360 - d)
+            assert np.max(d) < 1e-2
+        else:
+            _reltol(want, got)
+
+    @pytest.mark.parametrize("fit", ["ZevenbergThorne", "Florinsky"])
+    @pytest.mark.parametrize("curv_method", ["geometric", "directional"])
+    @pytest.mark.parametrize(
+        "attr",
+        ["profile_curvature", "tangential_curvature", "planform_curvature",
+         "flowline_curvature", "max_curvature", "min_curvature"],
+    )
+    def test_curvatures(self, smooth_dem, fit, curv_method, attr):
+        dem, res = smooth_dem
+        got = np.asarray(
+            terrain.get_terrain_attribute(dem, attr, resolution=res, surface_fit=fit, curv_method=curv_method)
+        )
+        want = oracles.oracle_surface(dem, res, attr, fit=fit, curv_method=curv_method)
+        _reltol(want, got, tol_factor=2e-3)
+
+    def test_legacy_curvature(self, smooth_dem):
+        dem, res = smooth_dem
+        got = np.asarray(terrain.get_terrain_attribute(dem, "curvature", resolution=res, surface_fit="ZevenbergThorne"))
+        want = oracles.oracle_surface(dem, res, "curvature", fit="ZevenbergThorne")
+        _reltol(want, got)
+
+    @pytest.mark.parametrize("attr", ["topographic_position_index", "terrain_ruggedness_index", "roughness"])
+    @pytest.mark.parametrize("window", [3, 5])
+    def test_windowed(self, smooth_dem, attr, window):
+        dem, res = smooth_dem
+        got = np.asarray(terrain.get_terrain_attribute(dem, attr, resolution=res, window_size=window))
+        want = oracles.oracle_windowed(dem, attr, window=window)
+        _reltol(want, got)
+
+    def test_tri_wilson(self, smooth_dem):
+        dem, res = smooth_dem
+        got = np.asarray(terrain.get_terrain_attribute(dem, "terrain_ruggedness_index", resolution=res,
+                                                       tri_method="Wilson"))
+        want = oracles.oracle_windowed(dem, "terrain_ruggedness_index", tri_method="Wilson")
+        _reltol(want, got)
+
+    def test_rugosity(self, smooth_dem):
+        dem, res = smooth_dem
+        got = np.asarray(terrain.get_terrain_attribute(dem[:30, :30], "rugosity", resolution=res))
+        want = oracles.oracle_rugosity(dem[:30, :30], res)
+        _reltol(want, got)
+
+    def test_fractal_roughness(self):
+        dem = examples.synthetic_dem_array(shape=(40, 40), seed=5, relief=100.0)
+        got = np.asarray(terrain.get_terrain_attribute(dem, "fractal_roughness", resolution=10.0))
+        want = oracles.oracle_fractal(dem, window=13)
+        both = np.isfinite(got) & np.isfinite(want)
+        assert both.sum() > 100
+        assert np.max(np.abs(got[both] - want[both])) < 5e-3
+
+    def test_texture_shading(self, smooth_dem):
+        dem, res = smooth_dem
+        got = np.asarray(terrain.get_terrain_attribute(dem, "texture_shading", resolution=res))
+        # Oracle via scipy rfft2 with the same padding scheme
+        import scipy.fft as fft
+
+        from xdem_tpu.terrain.freq import next_fast_fft_size
+
+        rows, cols = dem.shape
+        fr, fc = next_fast_fft_size(rows), next_fast_fft_size(cols)
+        pr, pc = (fr - rows) // 2, (fc - cols) // 2
+        arr = np.pad(dem.astype(np.float64), ((pr, fr - rows - pr), (pc, fc - cols - pc)), mode="symmetric")
+        fy = fft.fftfreq(fr)[:, None]
+        fx = fft.rfftfreq(fc)[None, :]
+        mag = np.hypot(fx, fy)
+        mag[0, 0] = 1.0
+        filt = mag**0.8
+        filt[0, 0] = 0.0
+        want = fft.irfft2(fft.rfft2(arr) * filt, s=(fr, fc))[pr : pr + rows, pc : pc + cols]
+        assert np.nanmax(np.abs(got - want)) < 1e-2 * np.nanstd(want) + 1e-3
+
+
+class TestNaNSemantics:
+    def test_nan_poisoning_3x3(self, smooth_dem):
+        dem, res = smooth_dem
+        dem = dem.copy()
+        dem[20, 30] = np.nan
+        got = np.asarray(terrain.get_terrain_attribute(dem, "slope", resolution=res, surface_fit="Horn"))
+        assert np.all(~np.isfinite(got[19:22, 29:32]))
+        assert np.isfinite(got[18, 30]) and np.isfinite(got[23, 30])
+
+    def test_nan_poisoning_5x5_florinsky(self, smooth_dem):
+        dem, res = smooth_dem
+        dem = dem.copy()
+        dem[20, 30] = np.nan
+        got = np.asarray(terrain.get_terrain_attribute(dem, "slope", resolution=res, surface_fit="Florinsky"))
+        assert np.all(~np.isfinite(got[18:23, 28:33]))
+        assert np.isfinite(got[17, 30])
+
+    def test_edges_nan(self, smooth_dem):
+        dem, res = smooth_dem
+        got = np.asarray(terrain.get_terrain_attribute(dem, "slope", resolution=res, surface_fit="Horn"))
+        assert np.all(~np.isfinite(got[0, :])) and np.all(~np.isfinite(got[:, -1]))
+
+    def test_hillshade_range(self, smooth_dem):
+        dem, res = smooth_dem
+        hs = np.asarray(terrain.get_terrain_attribute(dem, "hillshade", resolution=res))
+        finite = hs[np.isfinite(hs)]
+        assert finite.min() >= 0 and finite.max() <= 255
+
+
+class TestDispatcher:
+    def test_multi_attribute_order(self, smooth_dem):
+        dem, res = smooth_dem
+        attrs = ["roughness", "slope", "texture_shading", "hillshade"]
+        outs = terrain.get_terrain_attribute(dem, attrs, resolution=res)
+        assert len(outs) == 4
+        s = np.asarray(terrain.get_terrain_attribute(dem, "slope", resolution=res))
+        both = np.isfinite(s) & np.isfinite(np.asarray(outs[1]))
+        assert np.allclose(np.asarray(outs[1])[both], s[both])
+
+    def test_horn_curvature_error(self, smooth_dem):
+        dem, res = smooth_dem
+        with pytest.raises(ValueError, match="'Horn' surface fit method cannot"):
+            terrain.get_terrain_attribute(dem, "profile_curvature", resolution=res, surface_fit="Horn")
+
+    def test_missing_resolution_error(self, smooth_dem):
+        dem, _ = smooth_dem
+        with pytest.raises(ValueError, match="resolution"):
+            terrain.get_terrain_attribute(dem, "slope")
+
+    def test_unknown_attribute_error(self, smooth_dem):
+        dem, res = smooth_dem
+        with pytest.raises(ValueError, match="not supported"):
+            terrain.get_terrain_attribute(dem, "bogus", resolution=res)
+
+    def test_raster_io(self, ref_dem_test):
+        out = ref_dem_test.slope()
+        assert isinstance(out, DEM.__mro__[1])  # a Raster
+        assert out.transform.almost_equals(ref_dem_test.transform)
+        assert out.crs == ref_dem_test.crs
+
+    def test_dem_methods(self, ref_dem_test):
+        for name in ["slope", "aspect", "hillshade", "profile_curvature", "topographic_position_index",
+                     "terrain_ruggedness_index", "roughness", "rugosity"]:
+            out = getattr(ref_dem_test, name)()
+            arr = np.asarray(out.data)
+            assert np.isfinite(arr).sum() > 0.5 * arr.size
+
+    def test_degrees_radians(self, smooth_dem):
+        dem, res = smooth_dem
+        deg = np.asarray(terrain.get_terrain_attribute(dem, "slope", resolution=res, degrees=True))
+        rad = np.asarray(terrain.get_terrain_attribute(dem, "slope", resolution=res, degrees=False))
+        both = np.isfinite(deg) & np.isfinite(rad)
+        assert np.allclose(deg[both], np.rad2deg(rad[both]), atol=1e-4)
+
+
+class TestSharded:
+    def test_sharded_matches_single_device(self, smooth_dem):
+        import jax
+
+        from xdem_tpu.parallel import make_mesh
+        from xdem_tpu.parallel.halo import sharded_surface_attributes
+        from xdem_tpu.terrain.surfit import surface_attributes
+
+        dem, res = smooth_dem
+        dem = dem.copy()
+        dem[10, 13] = np.nan  # exercise NaN halos across shard boundaries
+        mesh = make_mesh(8, shape=(4, 2))
+        attrs = ("slope", "aspect", "hillshade")
+        single = np.asarray(surface_attributes(dem, res, attrs=attrs, surface_fit="Florinsky"))
+        sharded = np.asarray(sharded_surface_attributes(dem, res, mesh=mesh, attrs=attrs, surface_fit="Florinsky"))
+        both = np.isfinite(single) & np.isfinite(sharded)
+        assert (np.isfinite(single) == np.isfinite(sharded)).all()
+        assert np.allclose(single[both], sharded[both], atol=1e-4)
+        assert jax.devices()[0].platform == "cpu"

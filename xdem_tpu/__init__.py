@@ -1,0 +1,53 @@
+"""xdem_tpu: a TPU-native (JAX/XLA/Pallas) framework for DEM and elevation point-cloud analysis.
+
+Re-designed from scratch with the capability surface of GlacioHack/xdem: elevation objects
+(DEM/EPC), terrain attributes as fused stencil kernels, 3-D coregistration as jit-compiled
+iterative solvers, uncertainty analysis (heteroscedasticity, variograms, error propagation) as
+sharded pairwise kernels, and volume change / workflows / CLI on top.
+"""
+
+from __future__ import annotations
+
+__version__ = "0.1.0"
+
+from xdem_tpu import examples, fit, georef, ops, spatialstats, terrain, vcrs, volume  # noqa: F401
+from xdem_tpu.ddem import dDEM  # noqa: F401
+from xdem_tpu.dem import DEM  # noqa: F401
+from xdem_tpu.demcollection import DEMCollection  # noqa: F401
+from xdem_tpu.epc import EPC  # noqa: F401
+from xdem_tpu.georef import CRS, Affine  # noqa: F401
+from xdem_tpu.pointcloud import PointCloud  # noqa: F401
+from xdem_tpu.raster import Raster  # noqa: F401
+from xdem_tpu.vector import Vector  # noqa: F401
+
+def __getattr__(name: str):
+    # Lazy submodule imports (coreg pulls in the full solver stack; workflows pulls in reporting)
+    if name in ("coreg", "workflows", "uncertainty", "parallel", "io"):
+        import importlib
+
+        mod = importlib.import_module(f"xdem_tpu.{name}")
+        globals()[name] = mod
+        return mod
+    raise AttributeError(f"module 'xdem_tpu' has no attribute {name!r}")
+
+
+__all__ = [
+    "DEM",
+    "dDEM",
+    "DEMCollection",
+    "EPC",
+    "Raster",
+    "PointCloud",
+    "Vector",
+    "CRS",
+    "Affine",
+    "coreg",
+    "terrain",
+    "spatialstats",
+    "volume",
+    "fit",
+    "examples",
+    "georef",
+    "vcrs",
+    "ops",
+]

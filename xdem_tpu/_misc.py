@@ -1,0 +1,74 @@
+"""Small shared utilities: optional imports, deprecation, doc copying, progress.
+
+Role parity with the reference's misc module (/root/reference/xdem/_misc.py): tqdm-or-noop
+progress, `import_optional`, `deprecate`, `copy_doc`.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import warnings
+from typing import Any, Callable, Iterable, Iterator, TypeVar
+
+T = TypeVar("T")
+
+
+def import_optional(name: str, package_name: str | None = None) -> Any:
+    """Import an optional dependency, raising an informative error when absent."""
+    import importlib
+
+    try:
+        return importlib.import_module(name)
+    except ImportError as err:
+        raise ImportError(
+            f"Optional dependency '{package_name or name}' is required for this functionality. "
+            f"Install it to proceed."
+        ) from err
+
+
+def get_progress(iterable: Iterable[T], total: int | None = None, desc: str | None = None) -> Iterator[T]:
+    """Return a tqdm progress iterator at INFO logging level and below, else the bare iterable."""
+    if logging.getLogger().getEffectiveLevel() <= logging.INFO:
+        try:
+            from tqdm import tqdm
+
+            return iter(tqdm(iterable, total=total, desc=desc))
+        except ImportError:
+            pass
+    return iter(iterable)
+
+
+class DeprecationError(Exception):
+    """Raised when calling functionality past its removal version."""
+
+
+def deprecate(removal_version: str | None = None, details: str | None = None) -> Callable[[Callable[..., T]], Callable[..., T]]:
+    """Mark a function as deprecated: warns on call, mentioning the removal version."""
+
+    def decorator(func: Callable[..., T]) -> Callable[..., T]:
+        @functools.wraps(func)
+        def wrapper(*args: Any, **kwargs: Any) -> T:
+            msg = f"Call to deprecated function '{func.__name__}'."
+            if removal_version is not None:
+                msg += f" This functionality will be removed in version {removal_version}."
+            if details is not None:
+                msg += f" {details}"
+            warnings.warn(msg, DeprecationWarning, stacklevel=2)
+            return func(*args, **kwargs)
+
+        return wrapper
+
+    return decorator
+
+
+def copy_doc(module: Any, name: str | None = None) -> Callable[[Callable[..., T]], Callable[..., T]]:
+    """Copy the docstring of `module.<name>` onto the decorated function/method."""
+
+    def decorator(func: Callable[..., T]) -> Callable[..., T]:
+        source = getattr(module, name or func.__name__, None)
+        if source is not None and source.__doc__:
+            func.__doc__ = source.__doc__
+        return func
+
+    return decorator

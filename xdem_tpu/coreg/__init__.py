@@ -1,0 +1,33 @@
+"""3-D coregistration: affine methods, bias corrections, pipelines, and blockwise tiling."""
+
+from xdem_tpu.coreg.base import Coreg, CoregPipeline, apply_matrix, invert_matrix
+from xdem_tpu.coreg.affine import (
+    CPD,
+    ICP,
+    LZD,
+    AffineCoreg,
+    DhMinimize,
+    NuthKaab,
+    VerticalShift,
+)
+from xdem_tpu.coreg.biascorr import BiasCorr, Deramp, DirectionalBias, TerrainBias
+from xdem_tpu.coreg.blockwise import BlockwiseCoreg
+
+__all__ = [
+    "Coreg",
+    "CoregPipeline",
+    "AffineCoreg",
+    "VerticalShift",
+    "NuthKaab",
+    "DhMinimize",
+    "ICP",
+    "CPD",
+    "LZD",
+    "BiasCorr",
+    "Deramp",
+    "DirectionalBias",
+    "TerrainBias",
+    "BlockwiseCoreg",
+    "apply_matrix",
+    "invert_matrix",
+]

@@ -1,0 +1,76 @@
+"""dDEM: a difference-of-DEMs raster carrying its time interval and gap-filling methods.
+
+Reference parity: /root/reference/xdem/ddem.py (dDEM class :81, interpolate :184).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+from typing import Any, Literal
+
+import numpy as np
+
+from xdem_tpu.raster import Raster
+from xdem_tpu import volume as _volume
+
+
+class dDEM(Raster):
+    """A difference-DEM between two acquisition times."""
+
+    def __init__(self, raster: Raster | Any, start_time: Any = None, end_time: Any = None, error: Any = None,
+                 **kwargs: Any):
+        if isinstance(raster, Raster):
+            super().__init__(raster.data, raster.transform, raster.crs, nodata=raster.nodata,
+                             area_or_point=raster.area_or_point)
+        else:
+            super().__init__(raster, **kwargs)
+        self.start_time = start_time
+        self.end_time = end_time
+        self.error = error
+        self.filled_data: np.ndarray | None = None
+        self._fill_method = ""
+
+    @property
+    def time(self) -> Any:
+        """The time interval of the dDEM."""
+        if self.start_time is None or self.end_time is None:
+            return None
+        return self.end_time - self.start_time
+
+    def from_array(cls, *args: Any, **kwargs: Any):  # pragma: no cover - parity shim
+        raise NotImplementedError("Construct a dDEM from a Raster: dDEM(raster, start_time, end_time)")
+
+    def interpolate(
+        self,
+        method: Literal["idw", "local_hypsometric", "regional_hypsometric"] = "idw",
+        reference_elevation: Any = None,
+        mask: Any = None,
+    ) -> np.ndarray | None:
+        """Fill nodata gaps; stores and returns `filled_data` (reference ddem.py:184)."""
+        arr = self.get_nanarray()
+        if method == "idw":
+            self.filled_data = _volume.idw_interpolation(arr)
+        elif method in ("local_hypsometric", "regional_hypsometric"):
+            if reference_elevation is None:
+                raise ValueError(f"'reference_elevation' must be given for method '{method}'.")
+            ref_arr = reference_elevation.get_nanarray() if isinstance(reference_elevation, Raster) else np.asarray(reference_elevation)
+            if mask is None:
+                raise ValueError(f"'mask' must be given for method '{method}'.")
+            from xdem_tpu.vector import Vector
+
+            if isinstance(mask, Vector):
+                mask_arr = mask.create_mask(self)
+            else:
+                mask_arr = np.asarray(mask, dtype=bool)
+            if method == "local_hypsometric":
+                filled = _volume.local_hypsometric_interpolation(arr, ref_arr, mask_arr)
+            else:
+                from scipy import ndimage
+
+                labels, _ = ndimage.label(mask_arr)
+                filled = _volume.norm_regional_hypsometric_interpolation(arr, ref_arr, labels)
+            self.filled_data = np.where(np.isfinite(arr), arr, filled.filled(np.nan))
+        else:
+            raise ValueError(f"Unknown interpolation method: {method}")
+        self._fill_method = method
+        return self.filled_data

@@ -1,0 +1,206 @@
+"""The DEM elevation object: Raster subclass with vertical CRS and terrain/coreg/uncertainty API.
+
+Reference parity: /root/reference/xdem/dem.py (DEM class, terrain-attribute methods
+dem.py:429-619, coregister_3d :622, estimate_uncertainty :667, to_pointcloud :781).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Literal, Sequence
+
+from xdem_tpu import terrain as _terrain
+from xdem_tpu._misc import copy_doc
+from xdem_tpu.raster import Raster
+from xdem_tpu.vcrs import _parse_vcrs_from_product, _vcrs_from_user_input, _transform_zz
+
+# Product tags with known vertical reference — reference vcrs.py:48-58
+_VCRS_FROM_PRODUCT = {
+    "ArcticDEM": "Ellipsoid",
+    "REMA": "Ellipsoid",
+    "EarthDEM": "Ellipsoid",
+    "TDM1": "Ellipsoid",
+    "NASADEM-HGTS": "Ellipsoid",
+    "AW3D30": "EGM96",
+    "SRTMv4.1": "EGM96",
+    "SRTMGL1": "EGM96",
+    "ASTGTM2": "EGM96",
+    "NASADEM-HGT": "EGM96",
+    "COPDEM": "EGM08",
+}
+
+
+class DEM(Raster):
+    """A single-band digital elevation model with vertical CRS handling."""
+
+    def __init__(self, *args: Any, vcrs: Any = None, **kwargs: Any):
+        super().__init__(*args, **kwargs)
+        self._vcrs = None
+        # Parse vcrs priority: user input > product tag (reference dem.py:150-173)
+        if vcrs is None:
+            product = self.tags.get("PRODUCT")
+            if product is not None:
+                vcrs = _parse_vcrs_from_product(product)
+        if vcrs is not None:
+            self.set_vcrs(vcrs)
+
+    # ------------------------------------------------------------------ vertical CRS
+
+    @property
+    def vcrs(self) -> Any:
+        return self._vcrs
+
+    @property
+    def vcrs_name(self) -> str | None:
+        return None if self._vcrs is None else str(self._vcrs)
+
+    def set_vcrs(self, new_vcrs: Any) -> None:
+        """Set the vertical CRS ('Ellipsoid', 'EGM96', 'EGM08', EPSG code, or grid name)."""
+        self._vcrs = _vcrs_from_user_input(new_vcrs)
+
+    def to_vcrs(self, vcrs: Any, force_source_vcrs: Any = None) -> "DEM":
+        """Transform elevations to another vertical CRS (reference dem.py:357)."""
+        src = self._vcrs if force_source_vcrs is None else _vcrs_from_user_input(force_source_vcrs)
+        if src is None:
+            raise ValueError(
+                "The DEM has no vertical CRS defined; set one with set_vcrs() or pass force_source_vcrs."
+            )
+        dst = _vcrs_from_user_input(vcrs)
+        import numpy as np
+
+        x, y = self.coords(grid=True)
+        zz = _transform_zz(src, dst, self.crs, np.asarray(x), np.asarray(y), self.get_nanarray())
+        out = self.copy(new_array=zz)
+        out._vcrs = dst
+        return out
+
+    @property
+    def ccrs(self):
+        """Compound (horizontal + vertical) CRS description string."""
+        if self._vcrs is None:
+            return None
+        return f"{self.crs!r} + {self._vcrs}"
+
+    # ------------------------------------------------------------------ terrain attributes
+
+    @copy_doc(_terrain, "slope")
+    def slope(self, **kwargs: Any) -> Raster:
+        return _terrain.slope(self, **kwargs)
+
+    @copy_doc(_terrain, "aspect")
+    def aspect(self, **kwargs: Any) -> Raster:
+        return _terrain.aspect(self, **kwargs)
+
+    @copy_doc(_terrain, "hillshade")
+    def hillshade(self, **kwargs: Any) -> Raster:
+        return _terrain.hillshade(self, **kwargs)
+
+    @copy_doc(_terrain, "curvature")
+    def curvature(self, **kwargs: Any) -> Raster:
+        return _terrain.curvature(self, **kwargs)
+
+    @copy_doc(_terrain, "profile_curvature")
+    def profile_curvature(self, **kwargs: Any) -> Raster:
+        return _terrain.profile_curvature(self, **kwargs)
+
+    @copy_doc(_terrain, "tangential_curvature")
+    def tangential_curvature(self, **kwargs: Any) -> Raster:
+        return _terrain.tangential_curvature(self, **kwargs)
+
+    @copy_doc(_terrain, "planform_curvature")
+    def planform_curvature(self, **kwargs: Any) -> Raster:
+        return _terrain.planform_curvature(self, **kwargs)
+
+    @copy_doc(_terrain, "flowline_curvature")
+    def flowline_curvature(self, **kwargs: Any) -> Raster:
+        return _terrain.flowline_curvature(self, **kwargs)
+
+    @copy_doc(_terrain, "max_curvature")
+    def max_curvature(self, **kwargs: Any) -> Raster:
+        return _terrain.max_curvature(self, **kwargs)
+
+    @copy_doc(_terrain, "min_curvature")
+    def min_curvature(self, **kwargs: Any) -> Raster:
+        return _terrain.min_curvature(self, **kwargs)
+
+    @copy_doc(_terrain, "topographic_position_index")
+    def topographic_position_index(self, **kwargs: Any) -> Raster:
+        return _terrain.topographic_position_index(self, **kwargs)
+
+    @copy_doc(_terrain, "terrain_ruggedness_index")
+    def terrain_ruggedness_index(self, **kwargs: Any) -> Raster:
+        return _terrain.terrain_ruggedness_index(self, **kwargs)
+
+    @copy_doc(_terrain, "roughness")
+    def roughness(self, **kwargs: Any) -> Raster:
+        return _terrain.roughness(self, **kwargs)
+
+    @copy_doc(_terrain, "rugosity")
+    def rugosity(self, **kwargs: Any) -> Raster:
+        return _terrain.rugosity(self, **kwargs)
+
+    @copy_doc(_terrain, "fractal_roughness")
+    def fractal_roughness(self, **kwargs: Any) -> Raster:
+        return _terrain.fractal_roughness(self, **kwargs)
+
+    @copy_doc(_terrain, "texture_shading")
+    def texture_shading(self, **kwargs: Any) -> Raster:
+        return _terrain.texture_shading(self, **kwargs)
+
+    def get_terrain_attribute(self, attribute: str | Sequence[str], **kwargs: Any) -> Any:
+        return _terrain.get_terrain_attribute(self, attribute, **kwargs)
+
+    # ------------------------------------------------------------------ coreg / uncertainty
+
+    def coregister_3d(
+        self,
+        src_elev: Any,
+        coreg_method: Any = None,
+        inlier_mask: Any = None,
+        bias_vars: dict[str, Any] | None = None,
+        **kwargs: Any,
+    ) -> "DEM":
+        """Coregister another elevation dataset to this DEM (reference dem.py:622)."""
+        if coreg_method is None:
+            from xdem_tpu.coreg import NuthKaab
+
+            coreg_method = NuthKaab()
+        return coreg_method.fit_and_apply(self, src_elev, inlier_mask=inlier_mask, bias_vars=bias_vars, **kwargs)
+
+    def estimate_uncertainty(
+        self,
+        other_elev: Any,
+        stable_terrain: Any = None,
+        approach: Literal["H2022", "R2009", "Basic"] = "H2022",
+        precision_of_other: Literal["finer", "same"] = "finer",
+        list_vars: tuple = ("slope", "max_curvature"),
+        list_vario_models: tuple = ("gaussian", "spherical"),
+        z_name: str = "z",
+        random_state: int | None = None,
+    ) -> tuple:
+        """Estimate uncertainty of the elevation difference to another elevation dataset.
+
+        Returns (error raster sigma(x, y), correlation function rho(lag)).
+        Reference dem.py:667 (H2022 = heteroscedasticity + multi-range variogram;
+        R2009 = constant error + multi-range; Basic = NMAD + single-range).
+        """
+        from xdem_tpu import uncertainty as _unc
+
+        return _unc.estimate_uncertainty(
+            self,
+            other_elev,
+            stable_terrain=stable_terrain,
+            approach=approach,
+            precision_of_other=precision_of_other,
+            list_vars=list_vars,
+            list_vario_models=list_vario_models,
+            random_state=random_state,
+        )
+
+    def to_pointcloud(self, data_column_name: str = "z", subsample: int | float = 1, random_state: int | None = None):
+        """Convert valid pixels to an elevation point cloud (EPC)."""
+        from xdem_tpu.epc import EPC
+
+        pc = super().to_pointcloud(data_column_name=data_column_name, subsample=subsample, random_state=random_state)
+        epc = EPC(x=pc.x, y=pc.y, z=pc.z, crs=pc.crs, data_column=pc.data_column)
+        epc._vcrs = self._vcrs
+        return epc

@@ -1,0 +1,187 @@
+"""Deterministic synthetic example datasets.
+
+The reference downloads the Longyearbyen 1990/2009 DEM pair, glacier outlines, and an ICESat-2
+point cloud from the pinned xdem-data repository (/root/reference/xdem/examples.py:33-48). This
+environment has no network access, so the example datasets are generated: spectral-synthesis
+fractal terrain with the same grid characteristics (UTM 33N, 20 m resolution, ~1000 m relief),
+a "later" DEM derived from the reference DEM by a known shift + elevation-dependent change +
+noise, glacier-outline-like polygons, and a sparse elevation point cloud. All seeded.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from xdem_tpu.georef import CRS, Affine
+from xdem_tpu.vector import Vector
+
+_CRS = 32633  # UTM 33N, like the Longyearbyen data
+_RES = 20.0
+_ORIGIN = (502810.0, 8674030.0)  # upper-left (west, north)
+_SHAPE = (985, 1332)
+
+# True offsets used to derive the "to-be-aligned" 1990-like DEM from the 2009-like reference
+# DEM (what NuthKaab should recover, with opposite sign).
+TBA_SHIFT = (-9.2, 4.6, -2.35)  # (east, north, up) metres applied to the tba DEM grid
+
+
+def synthetic_dem_array(
+    shape: tuple[int, int] = _SHAPE,
+    resolution: float = _RES,
+    seed: int = 42,
+    relief: float = 1000.0,
+    beta: float = 1.8,
+) -> np.ndarray:
+    """Spectral-synthesis fractal terrain: power-law |f|^-beta noise, normalized to [0, relief]."""
+    rng = np.random.default_rng(seed)
+    h, w = shape
+    # Generate on a padded power-of-two grid for clean spectra
+    n = int(2 ** np.ceil(np.log2(max(h, w))))
+    fy = np.fft.fftfreq(n)[:, None]
+    fx = np.fft.rfftfreq(n)[None, :]
+    f = np.hypot(fx, fy)
+    f[0, 0] = 1.0
+    amp = f ** (-beta)
+    amp[0, 0] = 0.0
+    phase = rng.uniform(0, 2 * np.pi, size=amp.shape)
+    spec = amp * np.exp(1j * phase)
+    field = np.fft.irfft2(spec, s=(n, n))[:h, :w]
+    field = field - field.min()
+    field = field / field.max() * relief
+    return field.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _base_arrays() -> dict[str, np.ndarray]:
+    ref = synthetic_dem_array()
+    rng = np.random.default_rng(1990)
+    h, w = ref.shape
+
+    # Glacier-like mask: a few smooth blobs in low-curvature areas
+    yy, xx = np.mgrid[0:h, 0:w]
+    mask = np.zeros((h, w), dtype=bool)
+    for (cy, cx, ry, rx, ang) in [
+        (300, 420, 90, 60, 0.4),
+        (620, 900, 130, 80, -0.8),
+        (180, 1000, 70, 110, 1.1),
+        (760, 300, 100, 70, 0.2),
+    ]:
+        ca, sa = np.cos(ang), np.sin(ang)
+        u = (xx - cx) * ca - (yy - cy) * sa
+        v = (xx - cx) * sa + (yy - cy) * ca
+        mask |= (u / rx) ** 2 + (v / ry) ** 2 < 1.0
+
+    # The "to-be-aligned" DEM: reference shifted by TBA_SHIFT, glacier thinning, small noise.
+    dx, dy, dz = TBA_SHIFT
+    transform = Affine.from_origin(_ORIGIN[0], _ORIGIN[1], _RES, _RES)
+    # Sample ref at (x - dx, y - dy): equivalent to shifting the terrain by (+dx, +dy).
+    cols = (np.arange(w) + 0.5) - dx / _RES
+    rows = (np.arange(h) + 0.5) + dy / _RES  # north shift decreases row index
+    from scipy.ndimage import map_coordinates
+
+    cgrid, rgrid = np.meshgrid(cols - 0.5, rows - 0.5)
+    tba = map_coordinates(ref.astype(np.float64), [rgrid, cgrid], order=1, mode="constant", cval=np.nan)
+    tba = tba + dz
+    tba = tba - mask * (15.0 + 10.0 * np.sin(xx / 120.0) * np.cos(yy / 90.0))  # glacier elevation change
+    tba = tba + rng.normal(0, 0.4, size=tba.shape)  # instrument noise
+    tba = tba.astype(np.float32)
+
+    return {"ref": ref, "tba": tba, "mask": mask, "transform": tuple(transform)}
+
+
+def _transform() -> Affine:
+    return Affine.from_origin(_ORIGIN[0], _ORIGIN[1], _RES, _RES)
+
+
+def get_ref_dem():
+    """Reference (later-date) synthetic DEM as a DEM object."""
+    from xdem_tpu.dem import DEM
+
+    base = _base_arrays()
+    return DEM.from_array(base["ref"].copy(), transform=_transform(), crs=_CRS)
+
+
+def get_tba_dem():
+    """To-be-aligned (earlier-date) synthetic DEM, offset by TBA_SHIFT from the reference."""
+    from xdem_tpu.dem import DEM
+
+    base = _base_arrays()
+    return DEM.from_array(base["tba"].copy(), transform=_transform(), crs=_CRS)
+
+
+def get_glacier_mask() -> np.ndarray:
+    """Boolean unstable-terrain (glacier) mask on the example grid."""
+    return _base_arrays()["mask"].copy()
+
+
+def get_glacier_outlines() -> Vector:
+    """Glacier-like outlines as a Vector (coarse polygonization of the mask)."""
+    mask = _base_arrays()["mask"]
+    transform = _transform()
+    polys = []
+    # Trace each blob's convex outline from mask points (coarse but sufficient for masking tests)
+    from scipy import ndimage
+
+    labels, n = ndimage.label(mask)
+    for i in range(1, n + 1):
+        rr, cc = np.nonzero(labels == i)
+        x, y = transform.xy(rr, cc)
+        pts = np.column_stack([x, y])
+        hull = _convex_hull(pts)
+        polys.append([hull])
+    return Vector(polys, crs=_CRS)
+
+
+def _convex_hull(pts: np.ndarray) -> np.ndarray:
+    """Monotone-chain convex hull (closed ring)."""
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    lower: list[np.ndarray] = []
+    for p in pts:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper: list[np.ndarray] = []
+    for p in pts[::-1]:
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    ring = np.array(lower[:-1] + upper[:-1] + [lower[0]])
+    return ring
+
+
+def get_epc(n_points: int = 50_000, seed: int = 7):
+    """Sparse elevation point cloud sampled from the reference DEM (ICESat-2-like)."""
+    from xdem_tpu.epc import EPC
+
+    base = _base_arrays()
+    ref = base["ref"]
+    transform = _transform()
+    rng = np.random.default_rng(seed)
+    h, w = ref.shape
+    rr = rng.uniform(0, h - 1, n_points)
+    cc = rng.uniform(0, w - 1, n_points)
+    from scipy.ndimage import map_coordinates
+
+    z = map_coordinates(ref.astype(np.float64), [rr, cc], order=1)
+    x, y = transform.xy(rr, cc)
+    return EPC(x=x, y=y, z=z + rng.normal(0, 0.1, n_points), crs=_CRS)
+
+
+_TEST_ICROP = (475, 600, 545, 654)  # (r0, r1, c0, c1) like the reference's test crop bounds
+
+
+def get_ref_dem_test():
+    """Small cropped variant of the reference DEM for fast tests."""
+    r0, r1, c0, c1 = _TEST_ICROP
+    return get_ref_dem().icrop((r0, r1), (c0, c1))
+
+
+def get_tba_dem_test():
+    r0, r1, c0, c1 = _TEST_ICROP
+    return get_tba_dem().icrop((r0, r1), (c0, c1))

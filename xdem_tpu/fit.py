@@ -1,0 +1,334 @@
+"""Robust functional fitting: model functions, losses, and TPU-friendly optimizers.
+
+Reference parity (/root/reference/xdem/fit.py): losses (rmse :42, huber_loss :54, soft_loss :69),
+models (sumsin_1d :87, polynomial_1d :115, polynomial_2d :127), anti-overfit order selection
+(_choice_best_order :157), robust_norder_polynomial_fit (:347), robust_nfreq_sumsin_fit (:463).
+
+TPU-first re-design: scipy's curve_fit/least_squares are replaced by a jit-compiled
+Levenberg-Marquardt solver (`levenberg_marquardt`) on fixed-size problems; IRLS with robust
+weights solves the (linear) polynomial fits in closed form; basin-hopping for the sum-of-sines
+stays a host loop driving jitted residual evaluations.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Literal, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# --------------------------------------------------------------------------- losses
+
+
+def rmse(z: np.ndarray) -> float:
+    """Root mean square of residuals."""
+    return float(np.sqrt(np.nanmean(np.square(np.asarray(z)))))
+
+
+def huber_loss(z: np.ndarray) -> float:
+    """Huber loss: L2 near zero, L1 in the tails (delta = 1)."""
+    z = np.asarray(z)
+    out = np.where(np.abs(z) < 1, 0.5 * np.square(z), np.abs(z) - 0.5)
+    return float(out.sum())
+
+
+def soft_loss(z: np.ndarray, scale: float = 0.5) -> float:
+    """Smooth approximation of the L1 loss (as in scipy least_squares 'soft_l1')."""
+    z = np.asarray(z)
+    return float(np.sum(np.square(scale) * 2 * (np.sqrt(1 + np.square(z / scale)) - 1)))
+
+
+# --------------------------------------------------------------------------- models
+
+
+def sumsin_1d(xx: Any, *params: float) -> Any:
+    """Sum of N sinusoids: params are 3N values (amplitude, wavelength, phase) per frequency."""
+    xp = jnp if isinstance(xx, jnp.ndarray) else np
+    p = xp.asarray(params).reshape((len(params) // 3, 3))
+    aix = xp.arange(0, p.shape[0])
+    return xp.sum(p[aix, 0][None, :] * xp.sin(2 * xp.pi / p[aix, 1][None, :] * xp.asarray(xx)[:, None]
+                                              + p[aix, 2][None, :]), axis=1)
+
+
+def polynomial_1d(xx: Any, *params: float) -> Any:
+    """1-D polynomial sum(p[i] * x**i)."""
+    xp = jnp if isinstance(xx, jnp.ndarray) else np
+    return sum(p * xp.asarray(xx) ** i for i, p in enumerate(params))
+
+
+def polynomial_2d(xx: tuple[Any, Any], *params: float) -> Any:
+    """2-D polynomial of degree p with p^2 coefficients, evaluated as polyval2d."""
+    x, y = xx
+    p = int(np.sqrt(len(params)))
+    if p**2 != len(params):
+        raise ValueError("The number of parameters of the 2D polynomial must be a perfect square.")
+    xp = jnp if isinstance(x, jnp.ndarray) else np
+    c = xp.asarray(params).reshape((p, p))
+    out = 0.0
+    for i in range(p):
+        for j in range(p):
+            out = out + c[i, j] * xp.asarray(x) ** i * xp.asarray(y) ** j
+    return out
+
+
+# --------------------------------------------------------------------------- LM solver (device)
+
+
+@partial(jax.jit, static_argnames=("residual_fn", "max_iter"))
+def levenberg_marquardt(
+    residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    p0: jnp.ndarray,
+    max_iter: int = 50,
+    tol: float = 1e-10,
+    lam0: float = 1e-3,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Levenberg-Marquardt on a fixed-size residual function, as a lax.while_loop.
+
+    Replaces scipy.optimize.curve_fit/least_squares for the framework's small dense problems
+    (NuthKaab cosine fit, variogram sum-of-models fit, deramp). Returns (params, final cost).
+    """
+
+    def cost(p):
+        r = residual_fn(p)
+        return 0.5 * jnp.sum(r * r)
+
+    def body(state):
+        p, lam, c, it, _ = state
+        r = residual_fn(p)
+        J = jax.jacfwd(residual_fn)(p)
+        JTJ = J.T @ J
+        g = J.T @ r
+        A = JTJ + lam * jnp.diag(jnp.maximum(jnp.diag(JTJ), 1e-12))
+        step = jnp.linalg.solve(A, g)
+        p_new = p - step
+        c_new = cost(p_new)
+        accept = c_new < c
+        p = jnp.where(accept, p_new, p)
+        lam = jnp.where(accept, lam * 0.3, lam * 3.0)
+        improved = jnp.abs(c - c_new) > tol * jnp.maximum(c, 1e-30)
+        c = jnp.where(accept, c_new, c)
+        return p, lam, c, it + 1, improved | ~accept
+
+    def cond(state):
+        _, lam, _, it, keep_going = state
+        return (it < max_iter) & keep_going & (lam < 1e12)
+
+    p0 = jnp.asarray(p0, dtype=jnp.float32)
+    state = (p0, jnp.asarray(lam0, p0.dtype), cost(p0), jnp.asarray(0), jnp.asarray(True))
+    p, _, c, _, _ = jax.lax.while_loop(cond, body, state)
+    return p, c
+
+
+def curve_fit_lm(
+    func: Callable[..., jnp.ndarray],
+    xdata: jnp.ndarray,
+    ydata: jnp.ndarray,
+    p0: Sequence[float],
+    sigma: jnp.ndarray | None = None,
+    max_iter: int = 50,
+) -> np.ndarray:
+    """curve_fit-compatible wrapper over the jitted LM solver (NaN-masked, weighted)."""
+    x = jnp.asarray(xdata)
+    y = jnp.asarray(ydata)
+    w = jnp.where(jnp.isfinite(y), 1.0, 0.0)
+    if sigma is not None:
+        w = w / jnp.where(jnp.asarray(sigma) > 0, jnp.asarray(sigma), jnp.inf)
+    y0 = jnp.where(jnp.isfinite(y), y, 0.0)
+
+    def residual(p):
+        return (func(x, *tuple(p)) - y0) * w
+
+    p, _ = levenberg_marquardt(residual, jnp.asarray(p0, dtype=jnp.float32), max_iter=max_iter)
+    return np.asarray(p, dtype=np.float64)
+
+
+# --------------------------------------------------------------------------- IRLS polynomial
+
+
+def _irls_polyfit(x: np.ndarray, y: np.ndarray, degree: int,
+                  loss: Literal["linear", "huber", "soft_l1"] = "huber",
+                  f_scale: float = 0.1, n_iter: int = 20) -> np.ndarray:
+    """Iteratively-reweighted least squares for robust polynomial fitting (linear problem)."""
+    V = np.vander(x, degree + 1, increasing=True)
+    w = np.ones_like(y)
+    coefs = None
+    for _ in range(n_iter if loss != "linear" else 1):
+        Vw = V * w[:, None]
+        coefs, *_ = np.linalg.lstsq(Vw, y * w, rcond=None)
+        r = (V @ coefs - y) / f_scale
+        if loss == "huber":
+            w = np.where(np.abs(r) <= 1, 1.0, 1.0 / np.sqrt(np.abs(r)))
+        elif loss == "soft_l1":
+            w = (1 + r**2) ** -0.25
+        else:
+            break
+    return coefs
+
+
+def _choice_best_order(cost: np.ndarray, margin_improvement: float = 20.0) -> int:
+    """Lowest order whose cost is within `margin_improvement` % of the minimum cost
+    (anti-overfitting margin; reference fit.py:157)."""
+    ind_min = int(np.argmin(cost))
+    min_cost = cost[ind_min]
+    ind = [i for i in range(len(cost)) if cost[i] < min_cost + margin_improvement / 100.0 * min_cost]
+    return int(min(ind))
+
+
+def robust_norder_polynomial_fit(
+    xdata: np.ndarray,
+    ydata: np.ndarray,
+    sigma: np.ndarray | None = None,
+    max_order: int = 6,
+    estimator_name: Literal["Linear", "Theil-Sen", "RANSAC", "Huber"] | None = None,
+    cost_func: Callable[[np.ndarray], float] = soft_loss,
+    margin_improvement: float = 20.0,
+    subsample: float | int = 1,
+    linear_pkg: Literal["scipy", "sklearn"] = "scipy",
+    random_state: int | None = None,
+    **kwargs: Any,
+) -> tuple[np.ndarray, int]:
+    """Fit polynomials of order 1..max_order robustly and pick the best order.
+
+    Returns (coefficients, degree). Reference fit.py:347 (scipy path = robust IRLS here;
+    sklearn path uses the same estimator names when requested).
+    """
+    x = np.asarray(xdata, dtype=np.float64).ravel()
+    y = np.asarray(ydata, dtype=np.float64).ravel()
+    valid = np.isfinite(x) & np.isfinite(y)
+    x, y = x[valid], y[valid]
+    if subsample != 1 and len(x) > 0:
+        n = len(x)
+        count = int(subsample * n) if isinstance(subsample, float) and subsample <= 1 else int(subsample)
+        rng = np.random.default_rng(random_state)
+        idx = rng.choice(n, min(count, n), replace=False)
+        x, y = x[idx], y[idx]
+
+    costs = np.empty(max_order)
+    coefs_list: list[np.ndarray] = []
+    for deg in range(1, max_order + 1):
+        if estimator_name is not None and linear_pkg == "sklearn":
+            c = _sklearn_polyfit(x, y, deg, estimator_name, random_state=random_state, **kwargs)
+        else:
+            c = _irls_polyfit(x, y, deg, loss="huber")
+        resid = polynomial_1d(x, *c) - y
+        costs[deg - 1] = cost_func(resid)
+        coefs_list.append(c)
+
+    best = _choice_best_order(costs, margin_improvement=margin_improvement)
+    # Round to 5 decimals for cross-platform determinism (reference fit.py:234-235)
+    out = np.zeros(max_order + 1)
+    out[: best + 2] = np.round(coefs_list[best], 5)
+    return out, best + 1
+
+
+def _sklearn_polyfit(x: np.ndarray, y: np.ndarray, degree: int, estimator_name: str,
+                     random_state: int | None = None, **kwargs: Any) -> np.ndarray:
+    """Robust linear estimators from sklearn over a polynomial feature expansion
+    (reference fit.py:255)."""
+    from sklearn.linear_model import HuberRegressor, LinearRegression, RANSACRegressor, TheilSenRegressor
+
+    est_map = {
+        "Linear": LinearRegression(),
+        "Theil-Sen": TheilSenRegressor(random_state=random_state),
+        "RANSAC": RANSACRegressor(random_state=random_state),
+        "Huber": HuberRegressor(),
+    }
+    if estimator_name not in est_map:
+        raise ValueError(f"Attribute estimator must be one of {list(est_map)}, not {estimator_name}.")
+    est = est_map[estimator_name]
+    V = np.vander(x, degree + 1, increasing=True)[:, 1:]  # skip constant; estimator fits intercept
+    est.fit(V, y)
+    if estimator_name == "RANSAC":
+        inner = est.estimator_
+        return np.r_[inner.intercept_, inner.coef_]
+    return np.r_[est.intercept_, est.coef_]
+
+
+# --------------------------------------------------------------------------- sum of sines
+
+
+def robust_nfreq_sumsin_fit(
+    xdata: np.ndarray,
+    ydata: np.ndarray,
+    sigma: np.ndarray | None = None,
+    max_nb_frequency: int = 3,
+    bounds_amp_wave_phase: Sequence[tuple[float, float]] | None = None,
+    cost_func: Callable[[np.ndarray], float] = soft_loss,
+    subsample: float | int = 1,
+    hop_length: float | None = None,
+    random_state: int | None = None,
+    niter_basinhopping: int = 50,
+    **kwargs: Any,
+) -> tuple[np.ndarray, int]:
+    """Fit a sum of up to N sinusoids with basin-hopping over jitted residuals.
+
+    Returns (3N coefficients [amp, wavelength, phase]*N, N). Reference fit.py:463: bounds from
+    data extent/resolution, hop temperature = hop_length, amplitudes near zero dropped, sorted
+    by amplitude.
+    """
+    from scipy.optimize import basinhopping
+
+    x = np.asarray(xdata, dtype=np.float64).ravel()
+    y = np.asarray(ydata, dtype=np.float64).ravel()
+    valid = np.isfinite(x) & np.isfinite(y)
+    x, y = x[valid], y[valid]
+    rng = np.random.default_rng(random_state)
+    if subsample != 1 and len(x) > 0:
+        n = len(x)
+        count = int(subsample * n) if isinstance(subsample, float) and subsample <= 1 else int(subsample)
+        idx = rng.choice(n, min(count, n), replace=False)
+        x, y = x[idx], y[idx]
+
+    # Bounds from data extent: wavelengths between ~3x sample spacing and the data span
+    span = np.max(x) - np.min(x)
+    if hop_length is None:
+        hop_length = span / max(len(x), 1)
+    res_x = max(hop_length, span / max(len(x) - 1, 1))
+    y_amp = (np.nanmax(y) - np.nanmin(y)) / 2 if len(y) else 1.0
+
+    xj = jnp.asarray(x, dtype=jnp.float32)
+    yj = jnp.asarray(y, dtype=jnp.float32)
+
+    costs = np.full(max_nb_frequency, np.inf)
+    params_list: list[np.ndarray] = []
+    for nfreq in range(1, max_nb_frequency + 1):
+        if bounds_amp_wave_phase is None:
+            b = [(0, 2 * y_amp), (3 * res_x, span), (0, 2 * np.pi)] * nfreq
+        else:
+            b = list(bounds_amp_wave_phase)[: 3 * nfreq]
+            while len(b) < 3 * nfreq:
+                b += [(0, 2 * y_amp), (3 * res_x, span), (0, 2 * np.pi)]
+        lb = np.array([bb[0] for bb in b])
+        ub = np.array([bb[1] for bb in b])
+
+        @jax.jit
+        def _cost(p, _n=nfreq):
+            pred = sumsin_1d(xj, *tuple(p))
+            r = pred - yj
+            return jnp.sum(2 * (0.5**2) * (jnp.sqrt(1 + (r / 0.5) ** 2) - 1))
+
+        def cost_np(p):
+            return float(_cost(jnp.asarray(np.clip(p, lb, ub), dtype=jnp.float32)))
+
+        p0 = (lb + ub) / 2
+        result = basinhopping(
+            cost_np,
+            p0,
+            T=hop_length,
+            niter=niter_basinhopping,
+            niter_success=40,
+            seed=int(rng.integers(0, 2**31 - 1)),
+            minimizer_kwargs={"method": "L-BFGS-B", "bounds": list(zip(lb, ub))},
+        )
+        p = np.clip(result.x, lb, ub)
+        costs[nfreq - 1] = cost_func(np.asarray(sumsin_1d(x, *p)) - y)
+        params_list.append(p)
+
+    best = _choice_best_order(costs)
+    p = params_list[best].reshape(-1, 3)
+    # Drop near-zero amplitudes, sort by decreasing amplitude (reference behavior)
+    p = p[p[:, 0] > 0.01 * y_amp] if np.any(p[:, 0] > 0.01 * y_amp) else p
+    p = p[np.argsort(-p[:, 0])]
+    return np.round(p.ravel(), 5), p.shape[0]

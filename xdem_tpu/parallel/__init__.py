@@ -1,0 +1,12 @@
+"""Multi-chip parallelism: device meshes and halo-exchange sharded stencils.
+
+The reference scales raster size via tiled map-overlap multiprocessing with halo depth derived
+from the stencil radius (/root/reference/xdem/terrain/terrain.py:412-463) and per-tile writes.
+The TPU-native equivalent here is spatial domain decomposition over a jax.sharding.Mesh with
+shard_map + ppermute halo exchange over ICI.
+"""
+
+from xdem_tpu.parallel.mesh import make_mesh
+from xdem_tpu.parallel.halo import sharded_stencil, sharded_surface_attributes
+
+__all__ = ["make_mesh", "sharded_stencil", "sharded_surface_attributes"]

@@ -1,0 +1,227 @@
+"""Terrain attribute dispatcher: validation, family split, device dispatch, raster wrapping.
+
+Mirrors the reference dispatcher (/root/reference/xdem/terrain/terrain.py:176-666): splits the
+requested attributes into surface-fit / windowed / windowed-fractal / frequency families,
+validates inputs identically (Horn-curvature error, resolution requirements, hillshade ranges),
+converts slope/aspect to degrees, clips hillshade to [0, 255], and restores request order.
+
+Instead of the reference's tiled multiprocessing (terrain.py:412-466), large rasters can be
+sharded across a device mesh via `xdem_tpu.parallel` halo-exchange stencils.
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Any, Literal, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from xdem_tpu.raster import Raster
+from xdem_tpu.terrain.freq import texture_shading as _texture_shading_fn
+from xdem_tpu.terrain.surfit import SURFACE_FIT_ATTRS, surface_attributes
+from xdem_tpu.terrain.window import FRACTAL_ATTRS, WINDOWED_ATTRS, windowed_indexes
+from xdem_tpu.terrain.window import fractal_roughness as _fractal_roughness_fn
+
+FREQUENCY_ATTRS = ("texture_shading",)
+
+ALL_ATTRS = tuple(SURFACE_FIT_ATTRS) + WINDOWED_ATTRS + FRACTAL_ATTRS + FREQUENCY_ATTRS
+
+_CURVATURES = (
+    "curvature",
+    "profile_curvature",
+    "tangential_curvature",
+    "planform_curvature",
+    "flowline_curvature",
+    "max_curvature",
+    "min_curvature",
+)
+
+
+def get_terrain_attribute(
+    dem: Any,
+    attribute: str | Sequence[str],
+    resolution: float | tuple[float, float] | None = None,
+    degrees: bool = True,
+    hillshade_altitude: float = 45.0,
+    hillshade_azimuth: float = 315.0,
+    hillshade_z_factor: float = 1.0,
+    slope_method: Literal["Horn", "ZevenbergThorne"] | None = None,
+    surface_fit: Literal["Horn", "ZevenbergThorne", "Florinsky"] = "Florinsky",
+    curv_method: Literal["geometric", "directional"] = "geometric",
+    tri_method: Literal["Riley", "Wilson"] = "Riley",
+    window_size: int = 3,
+    window_size_fractal: int = 13,
+    texture_alpha: float = 0.8,
+    out_dtype: Any = None,
+    mesh: Any = None,
+) -> Any:
+    """Derive one or multiple terrain attributes from a DEM (array or Raster).
+
+    See the reference docstring (terrain.py:195-281) for attribute definitions; numerics and
+    defaults are identical. `mesh` optionally shards the stencil computation over a JAX device
+    mesh with halo exchange instead of the reference's tiled multiprocessing.
+    """
+    # Deprecated alias
+    if slope_method is not None:
+        warnings.warn("'slope_method' is deprecated, use 'surface_fit' instead.", DeprecationWarning, stacklevel=2)
+        surface_fit = slope_method
+
+    single = isinstance(attribute, str)
+    attrs = [attribute] if single else list(attribute)
+
+    # --- validation, matching reference terrain.py:283-409
+    if surface_fit == "Horn" and any(a in _CURVATURES for a in attrs):
+        raise ValueError(
+            "'Horn' surface fit method cannot be used for to calculate curvatures. "
+            "Use 'ZevenbergThorne' or 'Florinsky' instead."
+        )
+    for a in attrs:
+        if a not in ALL_ATTRS:
+            raise ValueError(f"Attribute '{a}' is not supported. Choices: {list(ALL_ATTRS)}")
+    if surface_fit.lower() not in ("horn", "zevenbergthorne", "florinsky"):
+        raise ValueError(f"Surface fit '{surface_fit}' is not supported.")
+    if curv_method.lower() not in ("geometric", "directional"):
+        raise ValueError(f"Curvature method '{curv_method}' is not supported.")
+    if tri_method.lower() not in ("riley", "wilson"):
+        raise ValueError(f"TRI method '{tri_method}' is not supported.")
+    if not 0.0 <= hillshade_azimuth <= 360.0:
+        raise ValueError(f"Azimuth must be a value between 0 and 360 degrees (given value: {hillshade_azimuth})")
+    if not 0.0 <= hillshade_altitude <= 90.0:
+        raise ValueError(f"Altitude must be a value between 0 and 90 degrees (given value: {hillshade_altitude})")
+    if hillshade_z_factor < 0 or not np.isfinite(hillshade_z_factor):
+        raise ValueError(f"z_factor must be a non-negative finite value (given value: {hillshade_z_factor})")
+    if "fractal_roughness" in attrs:
+        if window_size_fractal < 5:
+            warnings.warn("Fractal roughness can only be computed on window sizes larger or equal to 5.", UserWarning)
+        elif window_size_fractal < 13:
+            warnings.warn("Fractal roughness results with window size of less than 13 can be inaccurate.", UserWarning)
+
+    is_raster = isinstance(dem, Raster)
+    if is_raster and resolution is None:
+        resolution = dem.res
+
+    sf_attrs = [a for a in attrs if a in SURFACE_FIT_ATTRS]
+    win_attrs = [a for a in attrs if a in WINDOWED_ATTRS]
+    frac_attrs = [a for a in attrs if a in FRACTAL_ATTRS]
+    freq_attrs = [a for a in attrs if a in FREQUENCY_ATTRS]
+
+    needing_res = sf_attrs + (["rugosity"] if "rugosity" in attrs else [])
+    if needing_res:
+        if resolution is None:
+            raise ValueError(f"'resolution' must be provided as an argument for attributes: {needing_res}")
+        if isinstance(resolution, (tuple, list)):
+            if resolution[0] != resolution[1]:
+                raise ValueError(
+                    f"Surface fit and rugosity require the same X and Y resolution ({resolution} was given). "
+                    f"This was required by: {needing_res}."
+                )
+    if resolution is None:
+        resolution = 1.0
+    if isinstance(resolution, (tuple, list)):
+        resolution = float(resolution[0])
+
+    if is_raster and not dem.crs.is_projected and sf_attrs:
+        warnings.warn(
+            f"DEM is not in a projected CRS, the following surface fit attributes might be wrong: {sf_attrs}. "
+            f"Use DEM.reproject(crs=DEM.get_metric_crs()) to reproject in a projected CRS.",
+            UserWarning,
+        )
+
+    arr = dem.data if is_raster else jnp.asarray(dem)
+    if not jnp.issubdtype(arr.dtype, jnp.floating):
+        arr = arr.astype(jnp.float32)
+    if out_dtype is None:
+        out_dtype = arr.dtype
+
+    results: dict[str, jnp.ndarray] = {}
+
+    if sf_attrs:
+        kwargs = dict(
+            attrs=tuple(sf_attrs),
+            surface_fit=surface_fit,
+            curv_method=curv_method,
+            hillshade_altitude=float(hillshade_altitude),
+            hillshade_azimuth=float(hillshade_azimuth),
+            hillshade_z_factor=float(hillshade_z_factor),
+        )
+        if mesh is not None:
+            from xdem_tpu.parallel.halo import sharded_surface_attributes
+
+            stack = sharded_surface_attributes(arr, resolution, mesh=mesh, **kwargs)
+        else:
+            stack = surface_attributes(arr, resolution, **kwargs)
+        for i, a in enumerate(sf_attrs):
+            val = stack[i]
+            if degrees and a in ("slope", "aspect"):
+                val = jnp.rad2deg(val)
+            if a == "hillshade":
+                val = jnp.clip(val, 0, 255)
+            results[a] = val
+
+    if win_attrs:
+        stack = windowed_indexes(arr, resolution, tuple(win_attrs), window_size=window_size, tri_method=tri_method)
+        for i, a in enumerate(win_attrs):
+            results[a] = stack[i]
+
+    if frac_attrs:
+        results["fractal_roughness"] = _fractal_roughness_fn(arr, window_size=window_size_fractal)
+
+    for a in freq_attrs:
+        results[a] = _texture_shading_fn(arr, alpha=texture_alpha)
+
+    ordered = [results[a].astype(out_dtype) for a in attrs]
+
+    if is_raster:
+        ordered = [
+            Raster(o, transform=dem.transform, crs=dem.crs, nodata=-99999, area_or_point=dem.area_or_point)
+            for o in ordered
+        ]
+    return ordered[0] if single else ordered
+
+
+def _wrapper(attr: str, doc: str, **fixed: Any):
+    def fn(dem: Any, **kwargs: Any) -> Any:
+        method = kwargs.pop("method", None)
+        if method is not None:
+            warnings.warn("'method' is deprecated, use 'surface_fit' instead.", DeprecationWarning, stacklevel=2)
+            kwargs["surface_fit"] = method
+        return get_terrain_attribute(dem, attribute=attr, **{**fixed, **kwargs})
+
+    fn.__name__ = attr
+    fn.__qualname__ = attr
+    fn.__doc__ = doc
+    return fn
+
+
+slope = _wrapper("slope", "Slope in degrees (default) or radians. Reference terrain.py:694.")
+aspect = _wrapper("aspect", "Aspect (0=N, 90=E, clockwise) in degrees or radians. Reference terrain.py:773.")
+hillshade = _wrapper("hillshade", "GDAL-matching hillshade in [0, 255]. Reference terrain.py:867.")
+profile_curvature = _wrapper("profile_curvature", "Profile curvature (100 m-1). Reference terrain.py:1016.")
+tangential_curvature = _wrapper("tangential_curvature", "Tangential curvature (100 m-1). Reference terrain.py:1092.")
+planform_curvature = _wrapper("planform_curvature", "Planform curvature (100 m-1). Reference terrain.py:1169.")
+flowline_curvature = _wrapper("flowline_curvature", "Flowline curvature (100 m-1). Reference terrain.py:1244.")
+max_curvature = _wrapper("max_curvature", "Maximal curvature (100 m-1). Reference terrain.py:1320.")
+min_curvature = _wrapper("min_curvature", "Minimal curvature (100 m-1). Reference terrain.py:1396.")
+topographic_position_index = _wrapper(
+    "topographic_position_index", "TPI (Weiss 2001). Reference terrain.py:1468."
+)
+terrain_ruggedness_index = _wrapper(
+    "terrain_ruggedness_index", "TRI (Riley 1999 / Wilson 2007). Reference terrain.py:1531."
+)
+roughness = _wrapper("roughness", "Roughness (Dartnell 2000): window max - min. Reference terrain.py:1600.")
+rugosity = _wrapper("rugosity", "Rugosity (Jenness 2004), 3x3 only. Reference terrain.py:1661.")
+fractal_roughness = _wrapper("fractal_roughness", "Fractal roughness (Taud & Parrot 2005). Reference terrain.py:1722.")
+texture_shading = _wrapper("texture_shading", "Texture shading (Brown 2010). Reference terrain.py:1783.")
+
+
+def curvature(dem: Any, **kwargs: Any) -> Any:
+    """Legacy total curvature -2(D+E)*100 (Moore et al. 1991). Deprecated in the reference
+    (terrain.py:944); kept for parity."""
+    warnings.warn(
+        "'curvature' is deprecated and will be removed; use profile/tangential/max/min curvatures.",
+        DeprecationWarning,
+        stacklevel=2,
+    )
+    kwargs.setdefault("surface_fit", "ZevenbergThorne")
+    return get_terrain_attribute(dem, attribute="curvature", **kwargs)

@@ -1,0 +1,128 @@
+"""Vertical CRS handling: parsing, compound CRS semantics, and z transforms.
+
+Reference parity: /root/reference/xdem/vcrs.py — product->vcrs table (vcrs.py:48-58), vcrs from
+user input (name / EPSG / grid / VerticalCRS), point-wise `_transform_zz`.
+
+PROJ and its geoid grids are unavailable in this environment, so geoid transforms use
+*registered* geoid-undulation grids: `register_geoid_grid(name, lons, lats, undulations)` makes
+'name' transformable. 'Ellipsoid' is always available. Unregistered geoids raise an informative
+error at transform time (parsing and metadata round-trip still work).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict
+
+import numpy as np
+
+from xdem_tpu.georef import CRS, transform_points
+
+# EPSG codes for common vertical CRSs
+_VCRS_EPSG = {5773: "EGM96", 3855: "EGM08", 4979: "Ellipsoid", 5703: "NAVD88"}
+_VCRS_GRIDS = {"us_nga_egm96_15.tif": "EGM96", "us_nga_egm08_25.tif": "EGM08"}
+
+_PRODUCT_VCRS = {
+    "ArcticDEM": "Ellipsoid",
+    "REMA": "Ellipsoid",
+    "EarthDEM": "Ellipsoid",
+    "TDM1": "Ellipsoid",
+    "NASADEM-HGTS": "Ellipsoid",
+    "AW3D30": "EGM96",
+    "SRTMv4.1": "EGM96",
+    "SRTMGL1": "EGM96",
+    "ASTGTM2": "EGM96",
+    "NASADEM-HGT": "EGM96",
+    "COPDEM": "EGM08",
+}
+
+
+@dataclass(frozen=True)
+class VerticalCRS:
+    """A vertical reference: 'Ellipsoid' or a named geoid (e.g. 'EGM96')."""
+
+    name: str
+
+    def __str__(self) -> str:
+        return self.name
+
+    @property
+    def is_ellipsoid(self) -> bool:
+        return self.name.lower() == "ellipsoid"
+
+
+_GEOID_GRIDS: Dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+
+
+def register_geoid_grid(name: str, lons: np.ndarray, lats: np.ndarray, undulations: np.ndarray) -> None:
+    """Register a geoid undulation grid (meters above the ellipsoid) usable in to_vcrs.
+
+    :param name: Geoid name (e.g. 'EGM96').
+    :param lons: 1-D ascending longitudes (degrees).
+    :param lats: 1-D ascending latitudes (degrees).
+    :param undulations: (len(lats), len(lons)) geoid heights above the ellipsoid.
+    """
+    _GEOID_GRIDS[name.upper()] = (np.asarray(lons, float), np.asarray(lats, float), np.asarray(undulations, float))
+
+
+def _parse_vcrs_from_product(product: str) -> str | None:
+    return _PRODUCT_VCRS.get(product)
+
+
+def _vcrs_from_user_input(value: Any) -> VerticalCRS:
+    """Parse a vertical CRS from a name, EPSG code, grid filename, or VerticalCRS."""
+    if isinstance(value, VerticalCRS):
+        return value
+    if isinstance(value, int):
+        if value in _VCRS_EPSG:
+            return VerticalCRS(_VCRS_EPSG[value])
+        return VerticalCRS(f"EPSG:{value}")
+    if isinstance(value, str):
+        if value in _VCRS_GRIDS:
+            return VerticalCRS(_VCRS_GRIDS[value])
+        low = value.lower()
+        if low == "ellipsoid":
+            return VerticalCRS("Ellipsoid")
+        if low in ("egm96", "egm08", "navd88"):
+            return VerticalCRS(value.upper())
+        if value.endswith((".tif", ".gtx")):
+            return VerticalCRS(value)  # unknown grid, transform gated until registered
+        return VerticalCRS(value)
+    raise ValueError(f"Cannot parse vertical CRS from {value!r}.")
+
+
+def _geoid_undulation(name: str, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
+    key = name.upper()
+    if key not in _GEOID_GRIDS:
+        raise ValueError(
+            f"Geoid '{name}' has no registered undulation grid. PROJ grids are unavailable in "
+            f"this environment; load one with xdem_tpu.vcrs.register_geoid_grid()."
+        )
+    lons, lats, und = _GEOID_GRIDS[key]
+    # Bilinear interpolation on the registered grid
+    ci = np.clip(np.searchsorted(lons, lon) - 1, 0, len(lons) - 2)
+    ri = np.clip(np.searchsorted(lats, lat) - 1, 0, len(lats) - 2)
+    fx = np.clip((lon - lons[ci]) / (lons[ci + 1] - lons[ci]), 0, 1)
+    fy = np.clip((lat - lats[ri]) / (lats[ri + 1] - lats[ri]), 0, 1)
+    v00 = und[ri, ci]
+    v01 = und[ri, ci + 1]
+    v10 = und[ri + 1, ci]
+    v11 = und[ri + 1, ci + 1]
+    return (v00 * (1 - fx) + v01 * fx) * (1 - fy) + (v10 * (1 - fx) + v11 * fx) * fy
+
+
+def _transform_zz(
+    src: VerticalCRS,
+    dst: VerticalCRS,
+    crs_horizontal: CRS,
+    x: np.ndarray,
+    y: np.ndarray,
+    z: np.ndarray,
+) -> np.ndarray:
+    """Transform elevations from one vertical CRS to another at locations (x, y)."""
+    if src == dst:
+        return z
+    lon, lat = transform_points(crs_horizontal, 4326, x, y)
+    # h (ellipsoid) = H (geoid) + N  =>  convert src to ellipsoidal, then to dst
+    z_ell = z if src.is_ellipsoid else z + _geoid_undulation(src.name, lon, lat)
+    return z_ell if dst.is_ellipsoid else z_ell - _geoid_undulation(dst.name, lon, lat)

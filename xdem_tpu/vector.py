@@ -1,0 +1,123 @@
+"""Host-side vector (polygon) container with rasterization — substitute for geoutils.Vector.
+
+Supports polygons with holes, GeoJSON round-tripping, and mask rasterization via a vectorized
+crossing-number (even-odd) point-in-polygon test. Used for inlier/stable-terrain masks, like the
+reference's use of geopandas vectors in coreg and spatialstats.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, List, Sequence, Tuple
+
+import numpy as np
+
+from xdem_tpu.georef import CRS, Affine, transform_points
+
+
+class Vector:
+    """A collection of polygons (each: list of rings; first exterior, rest holes)."""
+
+    def __init__(self, polygons: Sequence[Sequence[np.ndarray]], crs: CRS | int | str = 4326):
+        # polygons: list of list-of-rings; each ring an (N, 2) array of (x, y)
+        self.polygons: List[List[np.ndarray]] = [
+            [np.asarray(ring, dtype=np.float64).reshape(-1, 2) for ring in poly] for poly in polygons
+        ]
+        self.crs = CRS(crs)
+
+    def __len__(self) -> int:
+        return len(self.polygons)
+
+    @classmethod
+    def from_geojson(cls, obj: str | dict) -> "Vector":
+        if isinstance(obj, str):
+            with open(obj) as f:
+                obj = json.load(f)
+        feats = obj["features"] if obj.get("type") == "FeatureCollection" else [obj]
+        polys: list[list[np.ndarray]] = []
+        for feat in feats:
+            geom = feat.get("geometry", feat)
+            gtype = geom["type"]
+            if gtype == "Polygon":
+                polys.append([np.asarray(r) for r in geom["coordinates"]])
+            elif gtype == "MultiPolygon":
+                for p in geom["coordinates"]:
+                    polys.append([np.asarray(r) for r in p])
+        crs = 4326
+        return cls(polys, crs=crs)
+
+    def to_geojson(self) -> dict:
+        return {
+            "type": "FeatureCollection",
+            "features": [
+                {
+                    "type": "Feature",
+                    "properties": {},
+                    "geometry": {"type": "Polygon", "coordinates": [r.tolist() for r in poly]},
+                }
+                for poly in self.polygons
+            ],
+        }
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(self.to_geojson(), f)
+
+    @property
+    def bounds(self) -> Tuple[float, float, float, float]:
+        all_pts = np.vstack([ring for poly in self.polygons for ring in poly])
+        return (all_pts[:, 0].min(), all_pts[:, 1].min(), all_pts[:, 0].max(), all_pts[:, 1].max())
+
+    def to_crs(self, crs: CRS | int | str) -> "Vector":
+        crs = CRS(crs)
+        out_polys = []
+        for poly in self.polygons:
+            rings = []
+            for ring in poly:
+                x, y = transform_points(self.crs, crs, ring[:, 0], ring[:, 1])
+                rings.append(np.column_stack([x, y]))
+            out_polys.append(rings)
+        return Vector(out_polys, crs=crs)
+
+    def create_mask(self, ref: Any = None, transform: Affine | None = None, shape: Tuple[int, int] | None = None,
+                    crs: CRS | int | str | None = None) -> np.ndarray:
+        """Rasterize to a boolean mask (True inside polygons) on a reference grid."""
+        if ref is not None:
+            transform, shape, crs = ref.transform, ref.shape, ref.crs
+        assert transform is not None and shape is not None
+        vec = self if crs is None or CRS(crs) == self.crs else self.to_crs(crs)
+        h, w = shape
+        rows = np.arange(h)
+        cols = np.arange(w)
+        cgrid, rgrid = np.meshgrid(cols, rows)
+        px, py = transform.xy(rgrid, cgrid)
+        px = px.ravel()
+        py = py.ravel()
+        inside = np.zeros(px.shape, dtype=bool)
+        for poly in vec.polygons:
+            poly_inside = np.zeros(px.shape, dtype=bool)
+            for ring in poly:
+                poly_inside ^= _points_in_ring(px, py, ring)
+            inside |= poly_inside
+        return inside.reshape(h, w)
+
+
+def _points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd crossing-number point-in-polygon test for one ring."""
+    x0 = ring[:-1, 0] if np.allclose(ring[0], ring[-1]) else ring[:, 0]
+    y0 = ring[:-1, 1] if np.allclose(ring[0], ring[-1]) else ring[:, 1]
+    x1 = np.roll(x0, -1)
+    y1 = np.roll(y0, -1)
+    inside = np.zeros(px.shape, dtype=bool)
+    # Process edges in chunks to bound memory: (n_edges, n_points) intermediate
+    n_edges = len(x0)
+    chunk = max(1, int(4e7 // max(px.size, 1)))
+    for s in range(0, n_edges, chunk):
+        e = slice(s, min(s + chunk, n_edges))
+        ex0, ey0, ex1, ey1 = x0[e][:, None], y0[e][:, None], x1[e][:, None], y1[e][:, None]
+        cond = (ey0 > py[None, :]) != (ey1 > py[None, :])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = ex0 + (py[None, :] - ey0) / (ey1 - ey0) * (ex1 - ex0)
+        crossing = cond & (px[None, :] < xint)
+        inside ^= (np.sum(crossing, axis=0) % 2).astype(bool)
+    return inside
