@@ -1,0 +1,265 @@
+"""Coregistration tests: matrix toolbox, apply_matrix tiers, synthetic-shift recovery.
+
+Test strategy mirrors the reference (tests/test_coreg/test_affine.py): synthetic transforms of
+the reference DEM itself must be recovered within 1% of the shift and remove >99% of the dh
+variance (reference :163-200).
+"""
+
+import numpy as np
+import pytest
+
+from xdem_tpu import coreg, examples
+from xdem_tpu.coreg.base import (
+    apply_matrix,
+    invert_matrix,
+    matrix_from_translations_rotations,
+    translations_rotations_from_matrix,
+)
+
+
+@pytest.fixture(scope="module")
+def ref_tba():
+    ref = examples.get_ref_dem()
+    # Work on a moderate crop for speed
+    ref = ref.icrop((100, 612), (200, 712))
+    return ref
+
+
+def _shifted(dem, sx, sy, sz):
+    """Create a synthetic to-be-aligned DEM: terrain translated by (+sx, +sy, +sz)."""
+    shifted = dem.translate(sx, sy, sz)
+    return dem.copy(new_array=shifted.reproject(dem).data)
+
+
+class TestMatrixToolbox:
+    def test_roundtrip_translations_rotations(self):
+        m = matrix_from_translations_rotations(1.5, -2.0, 3.0, 2.0, -1.0, 0.5)
+        tx, ty, tz, a, b, g = translations_rotations_from_matrix(m)
+        assert (tx, ty, tz) == pytest.approx((1.5, -2.0, 3.0))
+        assert (a, b, g) == pytest.approx((2.0, -1.0, 0.5))
+
+    def test_invert(self):
+        m = matrix_from_translations_rotations(5, 3, -2, 1, 2, 3)
+        ident = invert_matrix(m) @ m
+        assert np.allclose(ident, np.eye(4), atol=1e-10)
+
+    def test_invalid_matrix_raises(self):
+        bad = np.eye(4)
+        bad[0, 0] = 2.0
+        with pytest.raises(ValueError, match="orthogonal"):
+            from xdem_tpu.coreg.base import _check_matrix
+
+            _check_matrix(bad)
+
+
+class TestApplyMatrix:
+    def test_zshift_only(self, ref_tba):
+        m = matrix_from_translations_rotations(t_z=5.0)
+        out = apply_matrix(ref_tba, m)
+        diff = np.asarray(out.data) - np.asarray(ref_tba.data)
+        assert np.nanmax(np.abs(diff - 5.0)) < 1e-4  # f32 rounding
+
+    def test_translation_updates_transform(self, ref_tba):
+        m = matrix_from_translations_rotations(t_x=40.0, t_y=-20.0, t_z=2.0)
+        out = apply_matrix(ref_tba, m)
+        assert out.transform.c == pytest.approx(ref_tba.transform.c + 40.0)
+        assert out.transform.f == pytest.approx(ref_tba.transform.f - 20.0)
+
+    def test_small_rotation_regrid(self, ref_tba):
+        # A small rotation applied then inverted should approximately restore the DEM
+        small = ref_tba.icrop((0, 160), (0, 160))
+        b = small.bounds
+        centroid = ((b.left + b.right) / 2, (b.bottom + b.top) / 2, float(np.nanmean(np.asarray(small.data))))
+        m = matrix_from_translations_rotations(alpha=0.02)  # 0.02 degrees
+        fwd = apply_matrix(small, m, centroid=centroid)
+        back = apply_matrix(fwd, invert_matrix(m), centroid=centroid)
+        a = np.asarray(small.data)
+        c = np.asarray(back.data)
+        both = np.isfinite(a) & np.isfinite(c)
+        interior = np.zeros_like(both)
+        interior[5:-5, 5:-5] = True
+        both &= interior
+        # Two bilinear regrids of rough terrain cost ~0.05 m median; the check is that the
+        # fixed-point regrid is consistent (no systematic drift), not interpolation-lossless.
+        assert np.nanmedian(np.abs(a[both] - c[both])) < 0.1
+        assert abs(np.nanmedian(a[both] - c[both])) < 0.02
+
+    def test_pointcloud_exact(self):
+        epc = examples.get_epc(n_points=1000)
+        m = matrix_from_translations_rotations(3, -4, 5, 0.1, -0.2, 0.3)
+        out = apply_matrix(epc, m)
+        back = apply_matrix(out, m, invert=True)
+        assert np.allclose(back.x, epc.x, atol=1e-8)
+        assert np.allclose(back.z, epc.z, atol=1e-8)
+
+
+SHIFTS = (-9.2, 4.6, -2.35)
+
+
+class TestAffineMethods:
+    @pytest.mark.parametrize("method_cls,kwargs,tol_frac,var_frac", [
+        (coreg.NuthKaab, {}, 0.03, 0.01),
+        (coreg.DhMinimize, {"subsample": 50000}, 0.03, 0.01),
+        # ICP matches gridded nearest neighbors, slightly biased on subpixel shifts
+        (coreg.ICP, {"subsample": 50000}, 0.06, 0.02),
+        (coreg.LZD, {"subsample": 50000}, 0.03, 0.01),
+    ])
+    def test_synthetic_shift_recovery(self, ref_tba, method_cls, kwargs, tol_frac, var_frac):
+        sx, sy, sz = SHIFTS
+        tba = _shifted(ref_tba, sx, sy, sz)
+        c = method_cls(**kwargs)
+        c.fit(ref_tba, tba, random_state=42)
+        tx, ty, tz = c.to_translations()
+        # Recover the inverse shift (reference criterion: 1% on full-res Longyearbyen;
+        # synthetic fractal terrain at 20 m is rougher)
+        mag = np.sqrt(sx**2 + sy**2)
+        assert tx == pytest.approx(-sx, abs=tol_frac * mag)
+        assert ty == pytest.approx(-sy, abs=tol_frac * mag)
+        assert tz == pytest.approx(-sz, abs=0.15)
+
+        # Applying must remove the bulk (>=98-99%) of dh variance
+        aligned = c.apply(tba)
+        dh_before = np.asarray((ref_tba - tba).data)
+        dh_after = np.asarray((ref_tba - aligned).data)
+        var_before = np.nanvar(dh_before)
+        var_after = np.nanvar(dh_after)
+        assert var_after < var_frac * var_before
+
+    def test_vertical_shift(self, ref_tba):
+        tba = ref_tba + (-4.25)
+        c = coreg.VerticalShift()
+        c.fit(ref_tba, tba, random_state=42)
+        assert c.meta["outputs"]["affine"]["shift_z"] == pytest.approx(4.25, abs=1e-3)
+        aligned = c.apply(tba)
+        assert np.nanmax(np.abs(np.asarray((ref_tba - aligned).data))) < 1e-2
+
+    def test_cpd_runs_and_estimates_vertical(self, ref_tba):
+        # CPD cannot resolve horizontal shifts on same-grid samples — documented reference
+        # behavior (reference tests/test_coreg/test_affine.py:445-446: "only 10% of variance
+        # ... for CPD that can't resolve shifts at all"). Check it runs and that the estimated
+        # transform stays bounded with a sensible vertical component.
+        small = ref_tba.icrop((0, 200), (0, 200))
+        tba = _shifted(small, -6.0, 3.0, 1.0)
+        c = coreg.CPD(subsample=500, max_iterations=50)
+        c.fit(small, tba, random_state=42)
+        tx, ty, tz = c.to_translations()
+        assert abs(tx) < 10 and abs(ty) < 10
+        assert tz == pytest.approx(-1.0, abs=1.5)
+
+    def test_nuth_kaab_point_raster(self, ref_tba):
+        sx, sy, sz = SHIFTS
+        tba = _shifted(ref_tba, sx, sy, sz)
+        # Reference as sparse points, tba raster
+        ref_pts = ref_tba.to_pointcloud(subsample=40000, random_state=0)
+        c = coreg.NuthKaab()
+        c.fit(ref_pts, tba, random_state=42)
+        tx, ty, tz = c.to_translations()
+        mag = np.hypot(sx, sy)
+        assert tx == pytest.approx(-sx, abs=0.05 * mag)
+        assert ty == pytest.approx(-sy, abs=0.05 * mag)
+
+    def test_nuth_kaab_geographic_crs_raises(self, ref_tba):
+        from xdem_tpu.dem import DEM
+
+        geo = DEM(ref_tba.data, ref_tba.transform, crs=4326)
+        with pytest.raises(NotImplementedError, match="projected CRS"):
+            coreg.NuthKaab().fit(geo, geo)
+
+    def test_inlier_mask(self, ref_tba):
+        sx, sy, sz = SHIFTS
+        tba = _shifted(ref_tba, sx, sy, sz)
+        # Corrupt a region, mask it out
+        arr = np.asarray(tba.data).copy()
+        arr[:100, :100] += 50.0
+        tba_corrupt = tba.copy(new_array=arr)
+        mask = np.ones(tba.shape, dtype=bool)
+        mask[:120, :120] = False
+        c = coreg.NuthKaab()
+        c.fit(ref_tba, tba_corrupt, inlier_mask=mask, random_state=42)
+        tx, ty, _ = c.to_translations()
+        mag = np.hypot(sx, sy)
+        assert tx == pytest.approx(-sx, abs=0.05 * mag)
+        assert ty == pytest.approx(-sy, abs=0.05 * mag)
+
+
+class TestPipelines:
+    def test_add_operator(self):
+        pipe = coreg.NuthKaab() + coreg.VerticalShift()
+        assert isinstance(pipe, coreg.CoregPipeline)
+        assert len(pipe.pipeline) == 2
+
+    def test_pipeline_recovery(self, ref_tba):
+        sx, sy, sz = SHIFTS
+        tba = _shifted(ref_tba, sx, sy, sz)
+        pipe = coreg.NuthKaab() + coreg.VerticalShift()
+        aligned = pipe.fit_and_apply(ref_tba, tba, random_state=42)
+        dh_after = np.asarray((ref_tba - aligned).data)
+        assert np.nanvar(dh_after) < 0.01 * np.nanvar(np.asarray((ref_tba - tba).data))
+        # Combined matrix close to the inverse translation
+        tx, ty, tz, *_ = translations_rotations_from_matrix(pipe.to_matrix())
+        assert tx == pytest.approx(-sx, abs=0.5)
+        assert ty == pytest.approx(-sy, abs=0.5)
+        assert tz == pytest.approx(-sz, abs=0.2)
+
+
+class TestBiasCorr:
+    def test_deramp(self, ref_tba):
+        # Add a synthetic 2-D polynomial ramp, recover it
+        h, w = ref_tba.shape
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        ramp = 1e-5 * xx**2 - 2e-5 * xx * yy + 3.0 + 0.001 * yy
+        tba = ref_tba + (-ramp)
+        c = coreg.Deramp(poly_order=2)
+        aligned = c.fit_and_apply(ref_tba, tba, random_state=42)
+        dh = np.asarray((ref_tba - aligned).data)
+        assert np.nanstd(dh) < 0.05
+
+    def test_terrain_bias(self, ref_tba):
+        # Add a bias proportional to max_curvature, recover with binning
+        from xdem_tpu import terrain
+
+        curv = np.asarray(terrain.get_terrain_attribute(
+            np.asarray(ref_tba.data), "max_curvature", resolution=ref_tba.res[0]))
+        bias = np.clip(curv, -2, 2) * 3.0
+        tba = ref_tba + (-bias)
+        c = coreg.TerrainBias(terrain_attribute="max_curvature", bin_sizes=50)
+        aligned = c.fit_and_apply(ref_tba, tba, random_state=42)
+        dh = np.asarray((ref_tba - aligned).data)
+        before = np.asarray((ref_tba - tba).data)
+        assert np.nanstd(dh) < 0.5 * np.nanstd(before)
+
+    def test_directional_bias(self, ref_tba):
+        # Sinusoidal undulation along an angle
+        h, w = ref_tba.shape
+        x, _ = np.meshgrid(np.arange(w), np.arange(h))
+        res = ref_tba.res[0]
+        und = 2.0 * np.sin(2 * np.pi * (x * res) / 2000.0)
+        tba = ref_tba + (-und)
+        c = coreg.DirectionalBias(angle=0, subsample=30000)
+        aligned = c.fit_and_apply(ref_tba, tba, random_state=42)
+        dh = np.asarray((ref_tba - aligned).data)
+        before = np.asarray((ref_tba - tba).data)
+        assert np.nanstd(dh) < 0.5 * np.nanstd(before)
+
+    def test_biascorr_missing_vars_raises(self, ref_tba):
+        c = coreg.BiasCorr(bias_var_names=["slope"])
+        with pytest.raises(ValueError, match="bias_var"):
+            c.fit(ref_tba, ref_tba)
+
+
+class TestBlockwise:
+    def test_blockwise_recovery(self, ref_tba):
+        sx, sy, sz = (-8.0, 6.0, 1.5)
+        tba = _shifted(ref_tba, sx, sy, sz)
+        bw = coreg.BlockwiseCoreg(coreg.NuthKaab(), block_size_fit=256)
+        aligned = bw.fit_and_apply(ref_tba, tba)
+        dh_after = np.asarray((ref_tba - aligned).data)
+        dh_before = np.asarray((ref_tba - tba).data)
+        assert np.nanvar(dh_after) < 0.05 * np.nanvar(dh_before)
+        # All tiles should have estimated similar shifts
+        assert np.nanmedian(bw.shifts_x) == pytest.approx(-sx, abs=1.0)
+        assert np.nanmedian(bw.shifts_y) == pytest.approx(-sy, abs=1.0)
+
+    def test_uninstantiated_raises(self):
+        with pytest.raises(ValueError, match="instantiated"):
+            coreg.BlockwiseCoreg(coreg.NuthKaab)

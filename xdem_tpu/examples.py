@@ -32,7 +32,7 @@ def synthetic_dem_array(
     resolution: float = _RES,
     seed: int = 42,
     relief: float = 1000.0,
-    beta: float = 1.8,
+    beta: float = 2.7,
 ) -> np.ndarray:
     """Spectral-synthesis fractal terrain: power-law |f|^-beta noise, normalized to [0, relief]."""
     rng = np.random.default_rng(seed)

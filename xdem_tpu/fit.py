@@ -47,9 +47,11 @@ def sumsin_1d(xx: Any, *params: float) -> Any:
     """Sum of N sinusoids: params are 3N values (amplitude, wavelength, phase) per frequency."""
     xp = jnp if isinstance(xx, jnp.ndarray) else np
     p = xp.asarray(params).reshape((len(params) // 3, 3))
-    aix = xp.arange(0, p.shape[0])
-    return xp.sum(p[aix, 0][None, :] * xp.sin(2 * xp.pi / p[aix, 1][None, :] * xp.asarray(xx)[:, None]
-                                              + p[aix, 2][None, :]), axis=1)
+    x = xp.asarray(xx)
+    shape = x.shape
+    xf = x.ravel()
+    out = xp.sum(p[:, 0][None, :] * xp.sin(2 * xp.pi / p[:, 1][None, :] * xf[:, None] + p[:, 2][None, :]), axis=1)
+    return out.reshape(shape)
 
 
 def polynomial_1d(xx: Any, *params: float) -> Any:
@@ -249,6 +251,28 @@ def _sklearn_polyfit(x: np.ndarray, y: np.ndarray, degree: int, estimator_name: 
 # --------------------------------------------------------------------------- sum of sines
 
 
+def _periodogram_best_wavelength(x: np.ndarray, y: np.ndarray, wavelengths: np.ndarray):
+    """For each candidate wavelength, solve the LINEAR least squares
+    y ~ A sin(2 pi x / L) + B cos(2 pi x / L) + C and return per-candidate (rss, A, B, C).
+
+    The sum-of-sines model is linear for fixed wavelengths, so scanning a wavelength grid with
+    closed-form solves is a deterministic, parallelizable replacement for the reference's
+    basin-hopping (fit.py:463) — same model, far more reliable convergence.
+    """
+    w = 2 * np.pi / wavelengths[:, None]  # (L, 1)
+    S = np.sin(w * x[None, :])  # (L, N)
+    C = np.cos(w * x[None, :])
+    one = np.ones_like(x)
+    # Normal equations per candidate (3x3), batched
+    G = np.stack([S, C, np.broadcast_to(one, S.shape)], axis=1)  # (L, 3, N)
+    A = G @ G.transpose(0, 2, 1)  # (L, 3, 3)
+    b = G @ y  # (L, 3)
+    sol = np.linalg.solve(A + 1e-9 * np.eye(3)[None], b[..., None])[..., 0]  # (L, 3)
+    pred = np.einsum("lkn,lk->ln", G, sol)
+    rss = np.sum((pred - y[None, :]) ** 2, axis=1)
+    return rss, sol
+
+
 def robust_nfreq_sumsin_fit(
     xdata: np.ndarray,
     ydata: np.ndarray,
@@ -259,17 +283,15 @@ def robust_nfreq_sumsin_fit(
     subsample: float | int = 1,
     hop_length: float | None = None,
     random_state: int | None = None,
-    niter_basinhopping: int = 50,
     **kwargs: Any,
 ) -> tuple[np.ndarray, int]:
-    """Fit a sum of up to N sinusoids with basin-hopping over jitted residuals.
+    """Fit a sum of up to N sinusoids: greedy periodogram extraction + joint LM polish.
 
-    Returns (3N coefficients [amp, wavelength, phase]*N, N). Reference fit.py:463: bounds from
-    data extent/resolution, hop temperature = hop_length, amplitudes near zero dropped, sorted
-    by amplitude.
+    Returns (3N coefficients [amplitude, wavelength, phase]*N, N). Same model and outputs as
+    the reference (fit.py:463: wavelength bounds from data extent/resolution, near-zero
+    amplitudes dropped, sorted by decreasing amplitude); the optimizer is re-designed (see
+    `_periodogram_best_wavelength`).
     """
-    from scipy.optimize import basinhopping
-
     x = np.asarray(xdata, dtype=np.float64).ravel()
     y = np.asarray(ydata, dtype=np.float64).ravel()
     valid = np.isfinite(x) & np.isfinite(y)
@@ -280,55 +302,67 @@ def robust_nfreq_sumsin_fit(
         count = int(subsample * n) if isinstance(subsample, float) and subsample <= 1 else int(subsample)
         idx = rng.choice(n, min(count, n), replace=False)
         x, y = x[idx], y[idx]
+    if len(x) < 10:
+        raise ValueError("Too few valid points for sum-of-sinusoids fit.")
 
-    # Bounds from data extent: wavelengths between ~3x sample spacing and the data span
     span = np.max(x) - np.min(x)
     if hop_length is None:
         hop_length = span / max(len(x), 1)
     res_x = max(hop_length, span / max(len(x) - 1, 1))
     y_amp = (np.nanmax(y) - np.nanmin(y)) / 2 if len(y) else 1.0
+    lam_min, lam_max = 3 * res_x, span
+    if bounds_amp_wave_phase is not None and len(bounds_amp_wave_phase) >= 2:
+        lam_min, lam_max = bounds_amp_wave_phase[1]
 
+    # Candidate wavelengths: dense log grid
+    wavelengths = np.geomspace(max(lam_min, 1e-9), max(lam_max, lam_min * 1.01), 256)
+
+    # Greedy extraction of frequencies on residuals
+    resid = y - np.median(y)
+    extracted: list[tuple[float, float, float]] = []  # (amp, wavelength, phase)
+    costs = np.full(max_nb_frequency, np.inf)
+    params_per_n: list[np.ndarray] = []
+    offset = np.median(y)
+    for k in range(max_nb_frequency):
+        rss, sol = _periodogram_best_wavelength(x, resid, wavelengths)
+        best = int(np.argmin(rss))
+        A, B, C = sol[best]
+        lam = wavelengths[best]
+        amp = float(np.hypot(A, B))
+        # a sin(2 pi x / L + phi): A sin + B cos => phi = atan2(B, A)
+        phi = float(np.arctan2(B, A) % (2 * np.pi))
+        extracted.append((amp, float(lam), phi))
+        resid = resid - (A * np.sin(2 * np.pi * x / lam) + B * np.cos(2 * np.pi * x / lam) + C)
+        offset += C
+
+        # Joint LM polish of all k+1 frequencies (+ implicit offset handled by data median)
+        p_flat = np.asarray(extracted, dtype=np.float64).ravel()
+        p_polished = _polish_sumsin(x, y - offset, p_flat)
+        params_per_n.append(p_polished)
+        pred = np.asarray(sumsin_1d(x, *p_polished)) + offset
+        costs[k] = cost_func(pred - y)
+
+    best_n = _choice_best_order(costs)
+    p = params_per_n[best_n].reshape(-1, 3)
+    # Drop near-zero amplitudes, sort by decreasing amplitude (reference behavior)
+    keep = p[:, 0] > 0.01 * y_amp
+    if keep.any():
+        p = p[keep]
+    p = p[np.argsort(-p[:, 0])]
+    p[:, 2] = p[:, 2] % (2 * np.pi)
+    return np.round(p.ravel(), 5), p.shape[0]
+
+
+def _polish_sumsin(x: np.ndarray, y: np.ndarray, p0: np.ndarray, n_iter: int = 30) -> np.ndarray:
+    """Joint LM refinement of sum-of-sines parameters on device."""
     xj = jnp.asarray(x, dtype=jnp.float32)
     yj = jnp.asarray(y, dtype=jnp.float32)
 
-    costs = np.full(max_nb_frequency, np.inf)
-    params_list: list[np.ndarray] = []
-    for nfreq in range(1, max_nb_frequency + 1):
-        if bounds_amp_wave_phase is None:
-            b = [(0, 2 * y_amp), (3 * res_x, span), (0, 2 * np.pi)] * nfreq
-        else:
-            b = list(bounds_amp_wave_phase)[: 3 * nfreq]
-            while len(b) < 3 * nfreq:
-                b += [(0, 2 * y_amp), (3 * res_x, span), (0, 2 * np.pi)]
-        lb = np.array([bb[0] for bb in b])
-        ub = np.array([bb[1] for bb in b])
+    def residual(p):
+        return sumsin_1d(xj, *tuple(p)) - yj
 
-        @jax.jit
-        def _cost(p, _n=nfreq):
-            pred = sumsin_1d(xj, *tuple(p))
-            r = pred - yj
-            return jnp.sum(2 * (0.5**2) * (jnp.sqrt(1 + (r / 0.5) ** 2) - 1))
-
-        def cost_np(p):
-            return float(_cost(jnp.asarray(np.clip(p, lb, ub), dtype=jnp.float32)))
-
-        p0 = (lb + ub) / 2
-        result = basinhopping(
-            cost_np,
-            p0,
-            T=hop_length,
-            niter=niter_basinhopping,
-            niter_success=40,
-            seed=int(rng.integers(0, 2**31 - 1)),
-            minimizer_kwargs={"method": "L-BFGS-B", "bounds": list(zip(lb, ub))},
-        )
-        p = np.clip(result.x, lb, ub)
-        costs[nfreq - 1] = cost_func(np.asarray(sumsin_1d(x, *p)) - y)
-        params_list.append(p)
-
-    best = _choice_best_order(costs)
-    p = params_list[best].reshape(-1, 3)
-    # Drop near-zero amplitudes, sort by decreasing amplitude (reference behavior)
-    p = p[p[:, 0] > 0.01 * y_amp] if np.any(p[:, 0] > 0.01 * y_amp) else p
-    p = p[np.argsort(-p[:, 0])]
-    return np.round(p.ravel(), 5), p.shape[0]
+    p, _ = levenberg_marquardt(residual, jnp.asarray(p0, dtype=jnp.float32), max_iter=n_iter)
+    out = np.asarray(p, dtype=np.float64)
+    out[0::3] = np.abs(out[0::3])  # amplitudes positive
+    out[1::3] = np.abs(out[1::3])
+    return out
