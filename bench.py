@@ -1,0 +1,154 @@
+"""Benchmark: terrain-attribute throughput vs the reference's scipy engine.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Headline (BASELINE.json): terrain-attribute throughput in Mcells/s — Horn slope + aspect +
+hillshade on an 8192x8192 synthetic DEM, steady-state (best of N runs after compile) on the
+available accelerator. The baseline is the reference's own compute path: its scipy engine
+(_get_surface_attributes with stacked scipy.ndimage convolutions) loaded standalone from
+/root/reference with its geo-I/O dependencies stubbed, on a smaller grid and scaled by cell
+count (the scipy path is O(cells)).
+
+Extra diagnostics (NuthKaab wall time, per-run timings) go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BENCH_SIZE = int(os.environ.get("BENCH_SIZE", 8192))
+BASELINE_SIZE = int(os.environ.get("BENCH_BASELINE_SIZE", 2048))
+ATTRS = ["slope", "aspect", "hillshade"]
+RES = 20.0
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def synthetic_dem(n: int, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    m = 1 << int(np.ceil(np.log2(n)))
+    fy = np.fft.fftfreq(m)[:, None]
+    fx = np.fft.rfftfreq(m)[None, :]
+    f = np.hypot(fx, fy)
+    f[0, 0] = 1.0
+    amp = f**-2.7
+    amp[0, 0] = 0
+    spec = amp * np.exp(1j * rng.uniform(0, 2 * np.pi, amp.shape))
+    z = np.fft.irfft2(spec, s=(m, m))[:n, :n]
+    z = (z - z.min()) / (z.max() - z.min()) * 1000.0
+    return np.ascontiguousarray(z, dtype=np.float32)
+
+
+def bench_ours(dem_np: np.ndarray, n_warmup: int = 1, n_runs: int = 5) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from xdem_tpu.terrain.surfit import surface_attributes
+
+    dem = jnp.asarray(dem_np)
+    attrs = tuple(ATTRS)
+    K = int(os.environ.get("BENCH_INNER_ITERS", 10))
+
+    # Amortize the per-dispatch overhead (tens of ms through the remote-TPU tunnel) by looping
+    # K kernel invocations inside ONE jitted program; each iteration perturbs the input so XLA
+    # cannot hoist or reuse results.
+    @jax.jit
+    def run_k(d):
+        def body(i, acc):
+            out = surface_attributes(d + i.astype(d.dtype), RES, attrs=attrs, surface_fit="Horn")
+            return acc + out[0, 100, 100] + out[2, 200, 200]
+        return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
+
+    t0 = time.perf_counter()
+    _ = float(run_k(dem))  # value readback forces completion even on async tunnels
+    log(f"ours: first call (with compile): {time.perf_counter() - t0:.2f}s on {jax.devices()[0]}")
+    times = []
+    for _i in range(n_runs):
+        t0 = time.perf_counter()
+        _ = float(run_k(dem))
+        times.append((time.perf_counter() - t0) / K)
+    best = min(times)
+    log(f"ours: steady-state per-kernel times (K={K} amortized): {[f'{t*1000:.1f}ms' for t in times]}")
+    return best
+
+
+def bench_reference(dem_np: np.ndarray) -> float:
+    """Time the reference's scipy engine, loaded standalone with geo deps stubbed."""
+    import importlib.util
+    import types
+
+    import scipy.ndimage
+
+    xdem_pkg = types.ModuleType("xdem")
+    xdem_pkg.__path__ = ["/root/reference/xdem"]
+    sys.modules.setdefault("xdem", xdem_pkg)
+
+    def load(name, path):
+        if name in sys.modules:
+            return sys.modules[name]
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    load("xdem._typing", "/root/reference/xdem/_typing.py")
+    load("xdem._misc", "/root/reference/xdem/_misc.py")
+
+    # Faithful stand-in for the reference's spatialstats.convolution scipy path
+    # (/root/reference/xdem/spatialstats.py:2558-2597): loop of scipy.ndimage.convolve.
+    stats_stub = types.ModuleType("xdem.spatialstats")
+
+    def convolution(imgs, filters, method="scipy"):
+        n, h, w = imgs.shape
+        m = filters.shape[0]
+        out = np.empty((n, m, h, w), dtype=np.float64)
+        for i in range(n):
+            for j in range(m):
+                out[i, j] = scipy.ndimage.convolve(imgs[i].astype(np.float64), filters[j])
+        return out
+
+    stats_stub.convolution = convolution
+    sys.modules["xdem.spatialstats"] = stats_stub
+
+    surfit = load("xdem.terrain.surfit", "/root/reference/xdem/terrain/surfit.py")
+
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = surfit._get_surface_attributes(dem_np, RES, list(ATTRS), surface_fit="Horn")
+        times.append(time.perf_counter() - t0)
+    del out
+    best = min(times)
+    log(f"reference scipy engine on {dem_np.shape[0]}^2: {best:.2f}s")
+    return best
+
+
+def main() -> None:
+    dem = synthetic_dem(BENCH_SIZE)
+    t_ours = bench_ours(dem)
+    cells = dem.size
+    mcells_ours = cells / t_ours / 1e6
+
+    dem_base = dem[:BASELINE_SIZE, :BASELINE_SIZE]
+    t_ref = bench_reference(dem_base)
+    mcells_ref = dem_base.size / t_ref / 1e6
+
+    log(f"throughput: ours {mcells_ours:.1f} Mcells/s vs reference {mcells_ref:.1f} Mcells/s")
+    print(json.dumps({
+        "metric": f"terrain_horn_sah_{BENCH_SIZE}x{BENCH_SIZE}_Mcells_per_s",
+        "value": round(mcells_ours, 2),
+        "unit": "Mcells/s",
+        "vs_baseline": round(mcells_ours / mcells_ref, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
