@@ -1,0 +1,253 @@
+"""Spatial statistics tests: binning, heteroscedasticity, variograms, n_eff, patches.
+
+Mirrors the reference's statistical test strategy (tests/test_spatialstats.py): estimator
+behavior verified on simulated fields with known properties.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from scipy import ndimage
+
+from xdem_tpu import spatialstats as ss
+
+
+def _gaussian_field(shape=(200, 200), smooth_px=5.0, sigma=2.0, seed=0):
+    """White noise smoothed by a Gaussian kernel: known Gaussian covariance with
+    effective skgstat 'range' r = 4 * smooth_px * gsd and sill sigma^2."""
+    rng = np.random.default_rng(seed)
+    white = rng.normal(size=shape)
+    f = ndimage.gaussian_filter(white, smooth_px)
+    f = f / f.std() * sigma
+    return f.astype(np.float64)
+
+
+class TestNdBinning:
+    def test_1d_median(self, rng):
+        vals = rng.normal(size=2000)
+        var = rng.uniform(0, 10, 2000)
+        df = ss.nd_binning(vals, [var], ["v"], list_var_bins=5)
+        assert len(df[df["nd"] == 1]) == 5
+        # Manual check of one bin
+        row = df[df["nd"] == 1].iloc[2]
+        iv = row["v"]
+        sel = (var >= iv.left) & (var < iv.right)
+        assert row["count"] == sel.sum()
+        assert row["nanmedian"] == pytest.approx(np.median(vals[sel]), abs=1e-10)
+
+    def test_2d_combinations(self, rng):
+        vals = rng.normal(size=3000)
+        v1 = rng.uniform(0, 1, 3000)
+        v2 = rng.uniform(0, 1, 3000)
+        v3 = rng.uniform(0, 1, 3000)
+        df = ss.nd_binning(vals, [v1, v2, v3], ["a", "b", "c"], list_var_bins=3)
+        # 3x 1-D + 3x 2-D + 1x 3-D
+        assert set(df["nd"].unique()) == {1, 2, 3}
+        assert len(df[df["nd"] == 3]) == 27
+
+    def test_nan_values_excluded(self):
+        vals = np.array([1.0, np.nan, 3.0, 5.0])
+        var = np.array([0.1, 0.2, 0.3, np.nan])
+        df = ss.nd_binning(vals, [var], ["v"], list_var_bins=1)
+        assert df.iloc[0]["count"] == 2
+
+
+class TestInterpNdBinning:
+    def test_linear_interp_1d(self, rng):
+        vals = rng.normal(size=5000)
+        var = rng.uniform(0, 10, 5000)
+        vals = vals * (1 + var)  # spread grows linearly with var
+        df = ss.nd_binning(vals, [var], ["v"], list_var_bins=10)
+        fn = ss.interp_nd_binning(df, "v", statistic="nmad" if "nmad" in df.columns else ss._stat_nmad,
+                                  min_count=10)
+        # At bin midpoints the interpolator should match the binned statistic
+        sub = df[df["nd"] == 1]
+        mids = np.array([iv.mid for iv in sub["v"]])
+        got = fn(mids)
+        want = sub[ss._stat_nmad.__name__].values
+        ok = np.isfinite(want)
+        assert np.allclose(got[ok], want[ok], rtol=1e-6)
+
+    def test_extrapolation_nearest(self, rng):
+        vals = rng.normal(size=3000)
+        var = rng.uniform(2, 8, 3000)
+        df = ss.nd_binning(vals, [var], ["v"], list_var_bins=6)
+        fn = ss.interp_nd_binning(df, "v", min_count=10)
+        # Outside the hull: propagates edge values, no NaN
+        assert np.isfinite(fn(np.array([-100.0]))[0])
+        assert np.isfinite(fn(np.array([1000.0]))[0])
+
+
+class TestHeteroscedasticity:
+    def test_recover_linear_error_model(self, rng):
+        n = 400
+        var = np.tile(np.linspace(0, 10, n), (n, 1))
+        sigma_true = 0.5 + 0.3 * var
+        dh = rng.normal(size=(n, n)) * sigma_true
+        err, err_fun, df = ss.infer_heteroscedasticity_from_stable(dh, [var], list_var_names=["v"])
+        # Error function approximates the true sigma within 15% in the mid-range
+        test_v = np.array([2.0, 5.0, 8.0])
+        got = err_fun(test_v)
+        want = 0.5 + 0.3 * test_v
+        assert np.allclose(got, want, rtol=0.15)
+
+    def test_two_step_standardization(self, rng):
+        var = rng.uniform(0, 10, 50000)
+        sigma_true = 1 + var
+        dh = rng.normal(size=50000) * sigma_true
+        z, err_fun = ss.two_step_standardization(dh, [var], lambda v: 1 + v)
+        assert ss._stat_nmad(z) == pytest.approx(1.0, abs=0.01)
+
+
+class TestVariogramModels:
+    @pytest.mark.parametrize("model", ["spherical", "gaussian", "exponential", "cubic", "stable"])
+    def test_model_limits(self, model):
+        params = pd.DataFrame({"model": [model], "range": [100.0], "psill": [2.0], "smooth": [1.5]})
+        gamma = ss.get_variogram_model_func(params)
+        assert gamma(np.array([0.0]))[0] == pytest.approx(0.0, abs=1e-8)
+        assert gamma(np.array([1e6]))[0] == pytest.approx(2.0, rel=1e-3)
+        rho = ss.correlation_from_variogram(params)
+        assert rho(np.array([0.0]))[0] == pytest.approx(1.0)
+        assert rho(np.array([1e6]))[0] == pytest.approx(0.0, abs=1e-3)
+
+    def test_sum_of_models(self):
+        params = pd.DataFrame({"model": ["gaussian", "spherical"], "range": [10.0, 100.0],
+                               "psill": [1.0, 3.0]})
+        gamma = ss.get_variogram_model_func(params)
+        assert gamma(np.array([1e6]))[0] == pytest.approx(4.0, rel=1e-3)
+
+    def test_invalid_model_raises(self):
+        params = pd.DataFrame({"model": ["bogus"], "range": [1.0], "psill": [1.0]})
+        with pytest.raises(ValueError, match="not recognized"):
+            ss.get_variogram_model_func(params)
+
+
+class TestEmpiricalVariogram:
+    def test_recover_gaussian_range(self):
+        gsd = 10.0
+        smooth_px = 5.0
+        sigma = 2.0
+        field = _gaussian_field(shape=(300, 300), smooth_px=smooth_px, sigma=sigma, seed=1)
+        df = ss.sample_empirical_variogram(field, gsd=gsd, subsample=2000, random_state=42,
+                                           estimator="dowd", n_variograms=2)
+        assert {"exp", "lags", "count", "err_exp"} <= set(df.columns)
+        _, params = ss.fit_sum_model_variogram(["gaussian"], df)
+        # Expected effective range r = 4 * smooth_px * gsd = 200 m; sill = sigma^2 = 4
+        assert params["range"].iloc[0] == pytest.approx(4 * smooth_px * gsd, rel=0.35)
+        assert params["psill"].iloc[0] == pytest.approx(sigma**2, rel=0.35)
+
+    @pytest.mark.parametrize("estimator", ["matheron", "dowd", "cressie"])
+    def test_estimators_on_white_noise(self, estimator):
+        # White noise: variogram flat at sill = variance for all lags
+        rng = np.random.default_rng(3)
+        field = rng.normal(0, 1.5, size=(150, 150))
+        df = ss.sample_empirical_variogram(field, gsd=1.0, subsample=1500, random_state=42,
+                                           estimator=estimator)
+        valid = df[df["count"] > 200]
+        assert np.nanmedian(valid["exp"]) == pytest.approx(1.5**2, rel=0.2)
+
+    @pytest.mark.parametrize("method", ["pdist_point", "cdist_point", "pdist_disk", "pdist_ring"])
+    def test_other_subsample_methods(self, method):
+        field = _gaussian_field(shape=(150, 150), smooth_px=3, sigma=1.0, seed=2)
+        df = ss.sample_empirical_variogram(field, gsd=10.0, subsample=500, random_state=42,
+                                           subsample_method=method)
+        assert len(df) > 3
+        assert df["count"].sum() > 100
+
+    def test_speed_budget(self):
+        # Completes within a sane budget (analog of the reference's speed test)
+        import time
+
+        field = _gaussian_field(shape=(500, 500), smooth_px=4, sigma=1.0, seed=5)
+        t0 = time.time()
+        ss.sample_empirical_variogram(field, gsd=10.0, subsample=2000, random_state=42)
+        assert time.time() - t0 < 60
+
+
+class TestNeff:
+    @pytest.fixture(scope="class")
+    def params(self):
+        return pd.DataFrame({"model": ["spherical"], "range": [100.0], "psill": [1.0]})
+
+    def test_theoretical_vs_numerical(self, params):
+        for area in [1e4, 1e6, 1e8]:
+            t = ss.neff_circular_approx_theoretical(area, params)
+            n = ss.neff_circular_approx_numerical(area, params)
+            assert n == pytest.approx(t, rel=1e-3)
+
+    def test_exact_vs_hugonnet(self, params):
+        rng = np.random.default_rng(0)
+        coords = rng.uniform(0, 500, size=(400, 2))
+        errors = np.ones(400)
+        exact = ss.neff_exact(coords, errors, params)
+        approx = ss.neff_hugonnet_approx(coords, errors, params, subsample=300, random_state=42)
+        assert approx == pytest.approx(exact, rel=0.1)
+
+    def test_uncorrelated_limit(self):
+        # Tiny range: all samples independent -> neff ~ N
+        params = pd.DataFrame({"model": ["spherical"], "range": [1e-6], "psill": [1.0]})
+        rng = np.random.default_rng(1)
+        coords = rng.uniform(0, 1000, size=(300, 2))
+        errors = np.ones(300)
+        assert ss.neff_exact(coords, errors, params) == pytest.approx(300, rel=0.01)
+
+    def test_number_effective_samples_numeric(self, params):
+        n = ss.number_effective_samples(1e6, params)
+        assert n > 1
+
+
+class TestPatches:
+    def test_white_noise_se(self):
+        # White noise sigma: spread of patch means ~ sigma / sqrt(pixels per patch)
+        rng = np.random.default_rng(7)
+        sigma = 3.0
+        gsd = 10.0
+        field = rng.normal(0, sigma, size=(500, 500))
+        area = (10 * gsd) ** 2  # 10x10-pixel patches
+        stat, nb = ss.patches_method(field, gsd=gsd, area=area)
+        assert nb > 100
+        assert stat == pytest.approx(sigma / 10, rel=0.25)
+
+    def test_loop_variant(self):
+        rng = np.random.default_rng(8)
+        field = rng.normal(0, 1, size=(200, 200))
+        df = ss.patches_method(field, gsd=10.0, area=(50 * 10.0) ** 2 / 25, vectorized=False,
+                               n_patches=50, random_state=42)
+        assert isinstance(df, pd.DataFrame)
+        assert len(df) > 5
+
+
+class TestConvolutionUtils:
+    def test_convolution_vs_scipy(self, rng):
+        from scipy.ndimage import convolve
+
+        img = rng.normal(size=(60, 70)).astype(np.float32)
+        kern = rng.normal(size=(5, 5)).astype(np.float32)
+        ours = ss.convolution(img[None], kern[None])[0, 0]
+        want = convolve(img.astype(np.float64), kern.astype(np.float64), mode="constant")
+        interior = np.s_[3:-3, 3:-3]
+        assert np.allclose(ours[interior], want[interior], atol=1e-3)
+
+    def test_mean_filter_nan(self, rng):
+        img = rng.normal(size=(50, 50))
+        img[10, 10] = np.nan
+        mean, counts, nb = ss.mean_filter_nan(img, 5, kernel_shape="square")
+        assert nb == 25
+        assert np.isfinite(mean[10, 10])  # NaN-aware: uses the 24 valid neighbors
+        assert counts[10, 10] == 24
+
+
+class TestUncertaintyPipeline:
+    def test_estimate_uncertainty_end_to_end(self):
+        from xdem_tpu import examples
+
+        ref = examples.get_ref_dem().icrop((100, 400), (200, 500))
+        tba = examples.get_tba_dem().icrop((100, 400), (200, 500))
+        mask = examples.get_glacier_mask()[100:400, 200:500]
+        sig, rho = ref.estimate_uncertainty(tba, stable_terrain=~mask, random_state=42,
+                                            subsample=300)
+        arr = np.asarray(sig.data)
+        assert np.isfinite(arr).mean() > 0.9
+        assert np.nanmedian(arr) > 0  # positive errors
+        assert rho(np.array([0.0]))[0] == pytest.approx(1.0)
+        assert rho(np.array([1e7]))[0] == pytest.approx(0.0, abs=0.05)

@@ -176,6 +176,7 @@ class DEM(Raster):
         list_vario_models: tuple = ("gaussian", "spherical"),
         z_name: str = "z",
         random_state: int | None = None,
+        subsample: int = 1000,
     ) -> tuple:
         """Estimate uncertainty of the elevation difference to another elevation dataset.
 
@@ -194,6 +195,7 @@ class DEM(Raster):
             list_vars=list_vars,
             list_vario_models=list_vario_models,
             random_state=random_state,
+            subsample=subsample,
         )
 
     def to_pointcloud(self, data_column_name: str = "z", subsample: int | float = 1, random_state: int | None = None):

@@ -453,3 +453,793 @@ def mean_filter_nan(
         mean = np.asarray(sums) / np.asarray(cnts)
     nb_pixel_per_kernel = int(kernel.sum())
     return mean, np.asarray(cnts), nb_pixel_per_kernel
+
+
+# ---------------------------------------------------------------------- variogram models
+
+_VARIOGRAM_MODELS = ("spherical", "gaussian", "exponential", "cubic", "stable", "matern")
+
+
+def _get_variogram_model_name(model: Any) -> str:
+    """Normalize a model name ('Sph'/'Spherical'/'spherical') — reference :1583."""
+    if callable(model):
+        return model.__name__
+    if isinstance(model, str):
+        for supp in _VARIOGRAM_MODELS:
+            if model.lower() in (supp[:3], supp):
+                return supp
+    raise ValueError(
+        f"Variogram model name {model} not recognized. Supported models are: "
+        + ", ".join(_VARIOGRAM_MODELS) + "."
+    )
+
+
+def _model_gamma(h: Any, model: str, r: float, psill: float, smooth: float | None = None, xp: Any = np) -> Any:
+    """Variogram model forms with skgstat's effective-range conventions:
+    spherical (range = r), exponential (a = r/3), gaussian (a = r/2), cubic (range = r),
+    stable (a = r / 3^(1/s)), matern (a = r/2, Bessel-K form)."""
+    h = xp.asarray(h, dtype=np.float64 if xp is np else None)
+    if model == "spherical":
+        hr = xp.clip(h / r, 0, 1)
+        return psill * (1.5 * hr - 0.5 * hr**3)
+    if model == "exponential":
+        a = r / 3.0
+        return psill * (1 - xp.exp(-h / a))
+    if model == "gaussian":
+        a = r / 2.0
+        return psill * (1 - xp.exp(-(h**2) / a**2))
+    if model == "cubic":
+        hr = xp.clip(h / r, 0, 1)
+        return psill * (7 * hr**2 - 8.75 * hr**3 + 3.5 * hr**5 - 0.75 * hr**7)
+    if model == "stable":
+        s = smooth if smooth is not None else 1.0
+        a = r / (3 ** (1 / s))
+        return psill * (1 - xp.exp(-((h / a) ** s)))
+    if model == "matern":
+        from scipy.special import gamma as _gamma, kv as _kv
+
+        s = smooth if smooth is not None else 0.5
+        a = r / 2.0
+        hh = np.asarray(h, dtype=np.float64)
+        with np.errstate(invalid="ignore"):
+            val = psill * (1 - (2 / _gamma(s)) * ((hh * np.sqrt(s)) / a) ** s * _kv(s, 2 * ((hh * np.sqrt(s)) / a)))
+        return np.where(hh == 0, 0.0, val)
+    raise ValueError(f"Unknown variogram model: {model}")
+
+
+def _check_validity_params_variogram(params_variogram_model: pd.DataFrame) -> None:
+    """Validate a variogram-parameters dataframe (reference :1967)."""
+    expected = ["model", "range", "psill"]
+    for col in expected:
+        if col not in params_variogram_model.columns:
+            raise ValueError(
+                f'The dataframe with variogram parameters must contain the columns "model", "range" and "psill".'
+            )
+    for m in params_variogram_model["model"]:
+        _get_variogram_model_name(m)
+    if (params_variogram_model["range"] < 0).any() or (params_variogram_model["psill"] < 0).any():
+        raise ValueError("The variogram ranges and partial sills must have non-negative values.")
+
+
+def get_variogram_model_func(params_variogram_model: pd.DataFrame) -> Callable[[np.ndarray], np.ndarray]:
+    """Sum-of-models variogram function gamma(h) (reference :1583)."""
+    _check_validity_params_variogram(params_variogram_model)
+    rows = params_variogram_model.to_dict("records")
+
+    def sum_model(h: np.ndarray) -> np.ndarray:
+        h = np.asarray(h, dtype=np.float64)
+        out = np.zeros(np.shape(h))
+        for row in rows:
+            out = out + _model_gamma(h, _get_variogram_model_name(row["model"]), row["range"], row["psill"],
+                                     row.get("smooth"))
+        return out
+
+    return sum_model
+
+
+def covariance_from_variogram(params_variogram_model: pd.DataFrame) -> Callable[[np.ndarray], np.ndarray]:
+    """Covariance C(h) = total sill - gamma(h) (reference :1623)."""
+    _check_validity_params_variogram(params_variogram_model)
+    total_sill = np.sum(params_variogram_model["psill"].values)
+    gamma = get_variogram_model_func(params_variogram_model)
+
+    def cov(h: np.ndarray) -> np.ndarray:
+        return total_sill - gamma(h)
+
+    return cov
+
+
+def correlation_from_variogram(params_variogram_model: pd.DataFrame) -> Callable[[np.ndarray], np.ndarray]:
+    """Correlation rho(h) = C(h) / total sill (reference :1652)."""
+    _check_validity_params_variogram(params_variogram_model)
+    total_sill = np.sum(params_variogram_model["psill"].values)
+    cov = covariance_from_variogram(params_variogram_model)
+
+    def rho(h: np.ndarray) -> np.ndarray:
+        return cov(h) / total_sill
+
+    return rho
+
+
+# ---------------------------------------------------------------------- empirical variogram
+
+
+def _binned_pair_estimator(
+    diffs: jnp.ndarray, dists: jnp.ndarray, bin_edges: np.ndarray, estimator: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-lag-bin variogram estimator over pairwise samples, on device.
+
+    Estimators (skgstat-compatible):
+      * matheron: gamma = sum(d^2) / (2 n)
+      * dowd:     gamma = 2.198 * median(|d|)^2 / 2
+      * cressie:  gamma = (mean(sqrt(|d|)))^4 / (0.457 + 0.494/n + 0.045/n^2) / 2
+    Returns (gamma per bin, count per bin). NaN diffs/dists are excluded.
+    """
+    edges = jnp.asarray(bin_edges, dtype=jnp.float32)
+    n_bins = len(bin_edges) - 1
+    d = jnp.abs(diffs.ravel())
+    h = dists.ravel()
+    valid = jnp.isfinite(d) & jnp.isfinite(h) & (h >= edges[0]) & (h <= edges[-1])
+    idx = jnp.clip(jnp.searchsorted(edges, h, side="right") - 1, 0, n_bins - 1)
+    parked = jnp.where(valid, idx, n_bins)
+    counts = jnp.bincount(parked, length=n_bins + 1)[:n_bins]
+
+    if estimator == "matheron":
+        sums = jnp.bincount(parked, weights=jnp.where(valid, d * d, 0.0), length=n_bins + 1)[:n_bins]
+        gamma = jnp.where(counts > 0, sums / (2 * jnp.maximum(counts, 1)), jnp.nan)
+    elif estimator == "cressie":
+        sums = jnp.bincount(parked, weights=jnp.where(valid, jnp.sqrt(d), 0.0), length=n_bins + 1)[:n_bins]
+        n = jnp.maximum(counts, 1)
+        mean_sqrt = sums / n
+        gamma = jnp.where(
+            counts > 0, (mean_sqrt**4) / (0.457 + 0.494 / n + 0.045 / n**2) / 2, jnp.nan
+        )
+    elif estimator == "dowd":
+        # Median of |d| per bin via one lexsort + gathers
+        order = jnp.lexsort((d, parked))
+        ds = d[order]
+        starts = jnp.cumsum(counts) - counts
+        lo = ds[jnp.clip(starts + (counts - 1) // 2, 0, d.size - 1)]
+        hi = ds[jnp.clip(starts + counts // 2, 0, d.size - 1)]
+        med = jnp.where(counts > 0, 0.5 * (lo + hi), jnp.nan)
+        gamma = 2.198 * med**2 / 2
+    else:
+        raise ValueError(f"Estimator '{estimator}' not supported; use 'matheron', 'dowd' or 'cressie'.")
+    return np.asarray(gamma, dtype=np.float64), np.asarray(counts, dtype=np.int64)
+
+
+def _choose_cdist_equidistant_sampling_parameters(
+    extent: tuple[float, float, float, float], shape: tuple[int, int], subsample: int, nb_rings: int = 10
+) -> tuple[int, int, float]:
+    """Partition `subsample` into runs/samples matching ~N^2/2 pairwise comparisons
+    (reference :1104-1183)."""
+    min_subsample = np.ceil(np.sqrt(2 * nb_rings * 2**2) + 1)
+    if subsample < min_subsample:
+        raise ValueError(f"The number of subsamples needs to be at least {min_subsample:.0f}.")
+    pairwise_comp_per_disk = np.ceil(subsample**2 / (2 * nb_rings))
+    if pairwise_comp_per_disk < 10:
+        runs = int(pairwise_comp_per_disk / 2**2)
+    else:
+        runs = int(min(100, 10 * np.ceil((pairwise_comp_per_disk / (2**2 * 10)) ** (1 / 3))))
+    samples = int(np.ceil(np.sqrt(pairwise_comp_per_disk / runs)))
+    maxdist = np.sqrt((extent[1] - extent[0]) ** 2 + (extent[3] - extent[2]) ** 2)
+    res = np.mean([(extent[1] - extent[0]) / (shape[0] - 1), (extent[3] - extent[2]) / (shape[1] - 1)])
+    ratio_subsample = res**2 * samples / (np.pi * maxdist**2 / np.sqrt(2) ** (2 * nb_rings))
+    return runs, samples, ratio_subsample
+
+
+def _sample_with_pad(rng: np.random.Generator, candidates: np.ndarray, n: int) -> np.ndarray:
+    """Random choice of up to n indices, padded with -1 (masked later) when insufficient."""
+    out = np.full(n, -1, dtype=np.int64)
+    if len(candidates) == 0:
+        return out
+    take = min(n, len(candidates))
+    out[:take] = rng.choice(candidates, take, replace=False)
+    return out
+
+
+def sample_empirical_variogram(
+    values: Any,
+    gsd: float | None = None,
+    coords: np.ndarray | None = None,
+    subsample: int = 1000,
+    subsample_method: str = "cdist_equidistant",
+    n_variograms: int = 1,
+    n_jobs: int = 1,
+    random_state: int | None = None,
+    estimator: str = "dowd",
+    maxlag: float | None = None,
+    bin_func: Sequence[float] | None = None,
+    nb_rings: int = 10,
+    runs: int | None = None,
+    samples: int | None = None,
+    **kwargs: Any,
+) -> pd.DataFrame:
+    """Sample an empirical variogram with spatial subsampling adapted to grids.
+
+    Reference :1295 — same sampling schemes re-architected as device pairwise kernels:
+      * "cdist_equidistant" (default): Hugonnet et al. (2022) disk/ring equidistant sampling;
+        runs/samples partitioned automatically (reference :1104-1183); all runs batched into
+        one pairwise-distance + binned-estimator device computation.
+      * "cdist_point"/"pdist_point": random-point ensembles, matmul-shaped distance blocks.
+      * "pdist_disk"/"pdist_ring": subsampling within a disk/ring footprint.
+    Lag bins are sqrt(2)-geometric from sqrt(2)*gsd to maxlag (reference :1439-1449); the last
+    (undersampled) bin is dropped; estimators: dowd (default), matheron, cressie.
+
+    Returns a DataFrame with (exp, lags, count, err_exp).
+    """
+    from xdem_tpu.raster import Raster
+
+    if isinstance(values, Raster):
+        gsd = values.res[0]
+        arr = values.get_nanarray()
+    else:
+        arr = np.asarray(values, dtype=np.float64)
+    arr = np.squeeze(arr)
+
+    if subsample_method not in ("cdist_equidistant", "cdist_point", "pdist_point", "pdist_disk", "pdist_ring"):
+        raise TypeError(
+            'The subsampling method must be one of "cdist_equidistant, "cdist_point", "pdist_point", '
+            '"pdist_disk" or "pdist_ring".'
+        )
+    if arr.ndim == 1 and coords is None:
+        raise ValueError("Coordinates must be provided for 1D value arrays.")
+    if arr.ndim == 2 and gsd is None:
+        raise ValueError("The ground sampling distance must be defined when passing a 2D values array.")
+
+    if arr.ndim == 2:
+        nx, ny = arr.shape
+        x, y = np.meshgrid(np.arange(nx) * gsd, np.arange(ny) * gsd, indexing="ij")
+        coords_all = np.column_stack([x.ravel(), y.ravel()])
+        vals_all = arr.ravel()
+        shape = (nx, ny)
+    else:
+        coords_all = np.asarray(coords, dtype=np.float64)
+        if coords_all.shape[0] == 2 and coords_all.shape[1] != 2:
+            coords_all = coords_all.T
+        vals_all = arr
+        shape = (int(np.sqrt(len(vals_all))),) * 2
+
+    extent = (coords_all[:, 0].min(), coords_all[:, 0].max(), coords_all[:, 1].min(), coords_all[:, 1].max())
+    if maxlag is None:
+        maxlag = float(np.hypot(extent[1] - extent[0], extent[3] - extent[2]))
+
+    valid = np.isfinite(vals_all)
+    coords_v = coords_all[valid]
+    vals_v = vals_all[valid]
+    if gsd is None:
+        gsd = float(np.sqrt(np.median(np.diff(np.sort(np.unique(coords_v[:, 0]))) ** 2)))
+
+    # sqrt(2)-geometric lag bins (reference :1439-1449)
+    if bin_func is None:
+        edges = [0.0]
+        right = np.sqrt(2) * gsd
+        while right < maxlag:
+            edges.append(right)
+            right *= np.sqrt(2)
+        edges.append(maxlag)
+    else:
+        edges = [0.0] + list(bin_func)
+    bin_edges = np.asarray(edges, dtype=np.float64)
+
+    rng_master = np.random.default_rng(random_state)
+
+    def one_variogram(rng: np.random.Generator) -> tuple[np.ndarray, np.ndarray]:
+        if subsample_method == "cdist_equidistant":
+            nonlocal runs, samples
+            if runs is None or samples is None:
+                runs_, samples_, _ratio = _choose_cdist_equidistant_sampling_parameters(
+                    extent, shape, subsample, nb_rings
+                )
+            else:
+                runs_, samples_ = runs, samples
+            maxdist = np.hypot(extent[1] - extent[0], extent[3] - extent[2])
+            radius0 = maxdist / np.sqrt(2) ** nb_rings
+
+            idx_a = []  # center disk samples per run
+            idx_b = []  # disk + ring samples per run
+            n_b = samples_ * (nb_rings + 1)
+            for _r in range(runs_):
+                center = coords_v[rng.integers(0, len(coords_v))]
+                dist_c = np.hypot(coords_v[:, 0] - center[0], coords_v[:, 1] - center[1])
+                disk = np.flatnonzero(dist_c <= radius0)
+                ia = _sample_with_pad(rng, disk, samples_)
+                ib = [ia]
+                for k in range(1, nb_rings + 1):
+                    ring = np.flatnonzero((dist_c > radius0 * np.sqrt(2) ** (k - 1)) & (dist_c <= radius0 * np.sqrt(2) ** k))
+                    ib.append(_sample_with_pad(rng, ring, samples_))
+                idx_a.append(ia)
+                idx_b.append(np.concatenate(ib))
+            ia = np.asarray(idx_a)  # (R, N)
+            ib = np.asarray(idx_b)  # (R, N*(X+1))
+
+            za = np.where(ia >= 0, vals_v[np.clip(ia, 0, None)], np.nan)
+            zb = np.where(ib >= 0, vals_v[np.clip(ib, 0, None)], np.nan)
+            ca = np.where(ia[..., None] >= 0, coords_v[np.clip(ia, 0, None)], np.nan)
+            cb = np.where(ib[..., None] >= 0, coords_v[np.clip(ib, 0, None)], np.nan)
+
+            za_j, zb_j = jnp.asarray(za, jnp.float32), jnp.asarray(zb, jnp.float32)
+            ca_j, cb_j = jnp.asarray(ca, jnp.float32), jnp.asarray(cb, jnp.float32)
+            # Batched pairwise over runs: (R, N, M)
+            diffs = za_j[:, :, None] - zb_j[:, None, :]
+            dists = jnp.sqrt(
+                jnp.sum((ca_j[:, :, None, :] - cb_j[:, None, :, :]) ** 2, axis=-1)
+            )
+            # Remove self-pairs (zero distance from the duplicated disk block)
+            dists = jnp.where(dists <= 0, jnp.nan, dists)
+            return _binned_pair_estimator(diffs, dists, bin_edges, estimator)
+
+        if subsample_method in ("cdist_point", "pdist_point"):
+            n = min(subsample, len(vals_v))
+            i1 = rng.choice(len(vals_v), n, replace=False)
+            if subsample_method == "cdist_point":
+                i2 = rng.choice(len(vals_v), n, replace=False)
+            else:
+                i2 = i1
+            z1, z2 = jnp.asarray(vals_v[i1], jnp.float32), jnp.asarray(vals_v[i2], jnp.float32)
+            c1, c2 = jnp.asarray(coords_v[i1], jnp.float32), jnp.asarray(coords_v[i2], jnp.float32)
+            diffs = z1[:, None] - z2[None, :]
+            dists = jnp.sqrt(jnp.sum((c1[:, None, :] - c2[None, :, :]) ** 2, axis=-1))
+            dists = jnp.where(dists <= 0, jnp.nan, dists)
+            if subsample_method == "pdist_point":
+                # Only the upper triangle (each pair once)
+                triu = jnp.triu(jnp.ones((n, n), bool), k=1)
+                dists = jnp.where(triu, dists, jnp.nan)
+            return _binned_pair_estimator(diffs, dists, bin_edges, estimator)
+
+        # pdist_disk / pdist_ring: subsample within a disk or ring footprint around a center
+        center = coords_v[rng.integers(0, len(coords_v))]
+        dist_c = np.hypot(coords_v[:, 0] - center[0], coords_v[:, 1] - center[1])
+        maxdist = np.hypot(extent[1] - extent[0], extent[3] - extent[2])
+        if subsample_method == "pdist_disk":
+            sel = np.flatnonzero(dist_c <= maxdist / 4)
+        else:
+            sel = np.flatnonzero((dist_c > maxdist / 8) & (dist_c <= maxdist / 4))
+        n = min(subsample, len(sel))
+        if n < 2:
+            raise ValueError("Not enough valid points in the disk/ring for subsampling.")
+        ii = rng.choice(sel, n, replace=False)
+        z1 = jnp.asarray(vals_v[ii], jnp.float32)
+        c1 = jnp.asarray(coords_v[ii], jnp.float32)
+        diffs = z1[:, None] - z1[None, :]
+        dists = jnp.sqrt(jnp.sum((c1[:, None, :] - c1[None, :, :]) ** 2, axis=-1))
+        triu = jnp.triu(jnp.ones((n, n), bool), k=1)
+        dists = jnp.where(triu, dists, jnp.nan)
+        return _binned_pair_estimator(diffs, dists, bin_edges, estimator)
+
+    gammas = []
+    counts = []
+    for i in range(n_variograms):
+        child = np.random.default_rng(rng_master.integers(0, 2**31 - 1))
+        g, c = one_variogram(child)
+        gammas.append(g)
+        counts.append(c)
+    gammas_arr = np.asarray(gammas)
+    counts_arr = np.asarray(counts)
+
+    lags = bin_edges[1:]
+    if n_variograms == 1:
+        df = pd.DataFrame({"exp": gammas_arr[0], "lags": lags, "count": counts_arr[0]})
+        df["err_exp"] = np.nan
+    else:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            df = pd.DataFrame(
+                {
+                    "exp": np.nanmean(gammas_arr, axis=0),
+                    "lags": lags,
+                    "count": counts_arr.sum(axis=0),
+                    "err_exp": np.nanstd(gammas_arr, axis=0) / np.sqrt(n_variograms),
+                }
+            )
+    # Drop the last, always undersampled lag bin (reference :1541)
+    df = df.iloc[:-1]
+    return df.astype({"exp": "float64", "lags": "float64", "count": "int64"}).reset_index(drop=True)
+
+
+def fit_sum_model_variogram(
+    list_models: Sequence[str],
+    empirical_variogram: pd.DataFrame,
+    bounds: Sequence[tuple[float, float]] | None = None,
+    p0: Sequence[float] | None = None,
+    maxfev: int | None = None,
+) -> tuple[Callable[[np.ndarray], np.ndarray], pd.DataFrame]:
+    """Weighted bounded fit of a sum of variogram models to an empirical variogram
+    (reference :1680): trf curve_fit, p0 from the moving-average sill."""
+    from scipy.optimize import curve_fit
+
+    model_names = [_get_variogram_model_name(m) for m in list_models]
+
+    def variogram_sum(h, *args):
+        out = np.zeros(np.shape(h))
+        i = 0
+        for name in model_names:
+            out = out + _model_gamma(h, name, args[i], args[i + 1])
+            i += 2
+        return out
+
+    emp = empirical_variogram[np.isfinite(empirical_variogram["exp"].values)]
+    n_average = int(np.ceil(len(emp) / 10))
+    exp_movaverage = np.convolve(emp["exp"].values, np.ones(max(n_average, 1)) / max(n_average, 1), mode="valid")
+    max_var = np.max(exp_movaverage)
+
+    if bounds is None:
+        bounds = [(0, emp["lags"].values[-1]), (0, max_var)] * len(model_names)
+    if p0 is None:
+        p0 = []
+        for i in range(len(model_names)):
+            p0 += [((i + 1) / len(model_names)) * emp["lags"].values[-1],
+                   ((i + 1) / len(model_names)) * max_var]
+
+    final_bounds = np.transpose(np.asarray(bounds))
+    err = emp["err_exp"].values
+    use_weights = not (np.all(np.isnan(err)) or np.all(err == 0))
+    if use_weights:
+        ok = np.isfinite(err) & (err > 0)
+        cof, _ = curve_fit(variogram_sum, emp["lags"].values[ok], emp["exp"].values[ok], method="trf",
+                           p0=p0, bounds=final_bounds, sigma=err[ok], maxfev=maxfev)
+    else:
+        cof, _ = curve_fit(variogram_sum, emp["lags"].values, emp["exp"].values, method="trf",
+                           p0=p0, bounds=final_bounds, maxfev=maxfev)
+
+    params = pd.DataFrame({
+        "model": model_names,
+        "range": [cof[2 * i] for i in range(len(model_names))],
+        "psill": [cof[2 * i + 1] for i in range(len(model_names))],
+    })
+    return get_variogram_model_func(params), params
+
+
+def _estimate_model_spatial_correlation(
+    dvalues: np.ndarray,
+    list_models: Sequence[str],
+    estimator: str = "dowd",
+    gsd: float | None = None,
+    coords: np.ndarray | None = None,
+    subsample: int = 1000,
+    subsample_method: str = "cdist_equidistant",
+    n_variograms: int = 1,
+    n_jobs: int = 1,
+    random_state: int | None = None,
+    bounds: Any = None,
+    p0: Any = None,
+    **kwargs: Any,
+) -> tuple[pd.DataFrame, pd.DataFrame, Callable[[np.ndarray], np.ndarray]]:
+    """Empirical variogram + sum-of-models fit + correlation function (reference :1838)."""
+    emp = sample_empirical_variogram(
+        values=dvalues, gsd=gsd, coords=coords, subsample=subsample, subsample_method=subsample_method,
+        n_variograms=n_variograms, n_jobs=n_jobs, random_state=random_state, estimator=estimator, **kwargs,
+    )
+    _, params = fit_sum_model_variogram(list_models, emp, bounds=bounds, p0=p0)
+    return emp, params, correlation_from_variogram(params)
+
+
+def infer_spatial_correlation_from_stable(
+    dvalues: Any,
+    list_models: Sequence[str],
+    stable_mask: Any = None,
+    unstable_mask: Any = None,
+    errors: Any = None,
+    estimator: str = "dowd",
+    gsd: float | None = None,
+    coords: np.ndarray | None = None,
+    subsample: int = 1000,
+    subsample_method: str = "cdist_equidistant",
+    n_variograms: int = 1,
+    n_jobs: int = 1,
+    bounds: Any = None,
+    p0: Any = None,
+    random_state: int | None = None,
+    **kwargs: Any,
+) -> tuple[pd.DataFrame, pd.DataFrame, Callable[[np.ndarray], np.ndarray]]:
+    """Infer the spatial correlation of dh errors from stable terrain (reference :1876)."""
+    d_stable, gsd = _preprocess_values_with_mask_to_array(
+        values=dvalues, include_mask=stable_mask, exclude_mask=unstable_mask, gsd=gsd
+    )
+    if errors is not None:
+        err_arr = errors.get_nanarray() if isinstance(errors, Raster) else np.asarray(errors)
+        d_stable = d_stable / err_arr
+    return _estimate_model_spatial_correlation(
+        dvalues=d_stable, list_models=list_models, estimator=estimator, gsd=gsd, coords=coords,
+        subsample=subsample, subsample_method=subsample_method, n_variograms=n_variograms,
+        n_jobs=n_jobs, random_state=random_state, bounds=bounds, p0=p0, **kwargs,
+    )
+
+
+# ---------------------------------------------------------------------- effective samples
+
+
+def neff_circular_approx_theoretical(area: float, params_variogram_model: pd.DataFrame) -> float:
+    """Closed-form disk-integral n_eff per model (Rolstad et al. 2009 generalization;
+    reference :2011)."""
+    _check_validity_params_variogram(params_variogram_model)
+    l_equiv = np.sqrt(area / np.pi)
+
+    def spherical_i(a1, c1, L):
+        if l_equiv <= a1:
+            return c1 * (1 - L / a1 + 1 / 5 * (L / a1) ** 3)
+        return c1 / 5 * (a1 / L) ** 2
+
+    def exponential_i(a1, c1, L):
+        a = a1 / 3
+        return 2 * c1 * (a / L) ** 2 * (1 - np.exp(-L / a) * (1 + L / a))
+
+    def gaussian_i(a1, c1, L):
+        a = a1 / 2
+        return c1 * (a / L) ** 2 * (1 - np.exp(-(L**2) / a**2))
+
+    def cubic_i(a1, c1, L):
+        if l_equiv <= a1:
+            return c1 * (6 * a1**7 - 21 * a1**5 * L**2 + 21 * a1**4 * L**3 - 6 * a1**2 * L**5 + L**7) / (6 * a1**7)
+        return 1 / 6 * c1 * a1**2 / L**2
+
+    table = {"spherical": spherical_i, "exponential": exponential_i, "gaussian": gaussian_i, "cubic": cubic_i}
+    squared_se = 0.0
+    for _, row in params_variogram_model.iterrows():
+        name = _get_variogram_model_name(row["model"])
+        if name in table:
+            squared_se += table[name](row["range"], row["psill"], l_equiv)
+    total_sill = np.nansum(params_variogram_model["psill"].values)
+    return float(total_sill / squared_se)
+
+
+def neff_circular_approx_numerical(area: float, params_variogram_model: pd.DataFrame) -> float:
+    """Numerical disk-integral n_eff for any model forms (reference :2129)."""
+    from scipy import integrate
+
+    _check_validity_params_variogram(params_variogram_model)
+    cov = covariance_from_variogram(params_variogram_model)
+    total_sill = np.nansum(params_variogram_model["psill"].values)
+    l_equiv = np.sqrt(area / np.pi)
+
+    def hcov(h):
+        return h * cov(h)
+
+    full_int = integrate.quad(hcov, 0, l_equiv)[0]
+    squared_se = 2 * full_int / l_equiv**2
+    return float(total_sill / squared_se)
+
+
+@partial(jax.jit, static_argnames=())
+def _pairwise_sq_dists(c1: jnp.ndarray, c2: jnp.ndarray) -> jnp.ndarray:
+    """(N, M) squared euclidean distances via the matmul expansion (MXU-shaped)."""
+    n1 = jnp.sum(c1 * c1, axis=1)[:, None]
+    n2 = jnp.sum(c2 * c2, axis=1)[None, :]
+    return jnp.maximum(n1 + n2 - 2.0 * c1 @ c2.T, 0.0)
+
+
+def _rho_device(h: jnp.ndarray, params_variogram_model: pd.DataFrame) -> jnp.ndarray:
+    """Correlation function evaluated on device (models without Bessel terms)."""
+    total_sill = float(np.sum(params_variogram_model["psill"].values))
+    gamma = jnp.zeros_like(h)
+    for _, row in params_variogram_model.iterrows():
+        name = _get_variogram_model_name(row["model"])
+        if name == "matern":
+            raise NotImplementedError("Matern n_eff on device not supported; use host path.")
+        gamma = gamma + _model_gamma(h, name, float(row["range"]), float(row["psill"]),
+                                     row.get("smooth"), xp=jnp)
+    return (total_sill - gamma) / total_sill
+
+
+def neff_exact(
+    coords: np.ndarray, errors: np.ndarray, params_variogram_model: pd.DataFrame, vectorized: bool = True
+) -> float:
+    """Exact double covariance sum over all pixel pairs (reference :2175), as a tiled device
+    kernel: sum_ij err_i err_j rho(d_ij) — matmul-shaped distances + elementwise rho."""
+    _check_validity_params_variogram(params_variogram_model)
+    c = jnp.asarray(coords, jnp.float32)
+    e = jnp.asarray(errors, jnp.float32)
+    d = jnp.sqrt(_pairwise_sq_dists(c, c))
+    rho = _rho_device(d, params_variogram_model)
+    var = float(jnp.sum(e[:, None] * e[None, :] * rho))
+    n = len(errors)
+    squared_se = var / n**2
+    return float(np.mean(errors)) ** 2 / squared_se
+
+
+def neff_hugonnet_approx(
+    coords: np.ndarray,
+    errors: np.ndarray,
+    params_variogram_model: pd.DataFrame,
+    subsample: int = 1000,
+    vectorized: bool = True,
+    random_state: int | None = None,
+) -> float:
+    """Hugonnet et al. (2022) approximation: one sum subsetted randomly (reference :2239)."""
+    _check_validity_params_variogram(params_variogram_model)
+    rng = np.random.default_rng(random_state)
+    n = len(coords)
+    subsample = min(subsample, n)
+    sel = rng.choice(n, size=subsample, replace=False)
+    c = jnp.asarray(coords, jnp.float32)
+    cs = jnp.asarray(coords[sel], jnp.float32)
+    e = jnp.asarray(errors, jnp.float32)
+    es = jnp.asarray(errors[sel], jnp.float32)
+    d = jnp.sqrt(_pairwise_sq_dists(c, cs))
+    rho = _rho_device(d, params_variogram_model)
+    var = float(jnp.sum(e[:, None] * es[None, :] * rho))
+    squared_se = var / (n * subsample)
+    return float(np.mean(errors)) ** 2 / squared_se
+
+
+def number_effective_samples(
+    area: Any,
+    params_variogram_model: pd.DataFrame,
+    rasterize_resolution: Any = None,
+    **kwargs: Any,
+) -> float:
+    """n_eff in an area: continuous disk integral for numeric areas, discretized Hugonnet
+    approximation for vector areas (reference :2311)."""
+    from xdem_tpu.vector import Vector
+    from xdem_tpu.georef import Affine
+
+    _check_validity_params_variogram(params_variogram_model)
+    if isinstance(area, (float, int, np.floating, np.integer)):
+        return neff_circular_approx_numerical(area=float(area), params_variogram_model=params_variogram_model)
+    if isinstance(area, Vector):
+        if rasterize_resolution is None:
+            rasterize_resolution = float(np.min(params_variogram_model["range"].values) / 5.0)
+            warnings.warn(
+                "Resolution for vector rasterization is not defined and thus set at 20% of the shortest "
+                "correlation range, which might result in large memory usage.",
+                UserWarning,
+            )
+        if isinstance(rasterize_resolution, (float, int, np.floating, np.integer)):
+            res = float(rasterize_resolution)
+            left, bottom, right, top = area.bounds
+            w = max(int(np.ceil((right - left) / res)), 1)
+            h = max(int(np.ceil((top - bottom) / res)), 1)
+            transform = Affine.from_origin(left, top, res, res)
+            mask = area.create_mask(transform=transform, shape=(h, w), crs=area.crs)
+            rr, cc = np.nonzero(mask)
+            xs, ys = transform.xy(rr, cc)
+            coords_on_mask = np.column_stack([xs, ys])
+        else:
+            # Raster-like input with .transform/.shape
+            mask = area.create_mask(rasterize_resolution)
+            rr, cc = np.nonzero(mask)
+            xs, ys = rasterize_resolution.transform.xy(rr, cc)
+            coords_on_mask = np.column_stack([xs, ys])
+        errors_on_mask = np.ones(len(coords_on_mask))
+        return neff_hugonnet_approx(
+            coords=coords_on_mask, errors=errors_on_mask, params_variogram_model=params_variogram_model, **kwargs
+        )
+    raise ValueError("Area must be a float, integer, or Vector subclass.")
+
+
+def spatial_error_propagation(
+    areas: Sequence[Any],
+    errors: Any,
+    params_variogram_model: pd.DataFrame,
+    **kwargs: Any,
+) -> list[float]:
+    """Propagate per-pixel errors to areal standard errors: SE = mean(sigma) / sqrt(n_eff)
+    per area (reference :2405)."""
+    from xdem_tpu.vector import Vector
+    from xdem_tpu.raster import Raster as _Raster
+
+    standardized_errors = []
+    for area in areas:
+        # Mean error in the area
+        if isinstance(errors, _Raster):
+            err_arr = errors.get_nanarray()
+            if isinstance(area, Vector):
+                mask = area.create_mask(errors)
+                mean_err = np.nanmean(err_arr[mask])
+                area_arg: Any = area
+            else:
+                mean_err = np.nanmean(err_arr)
+                area_arg = area
+        else:
+            mean_err = float(np.nanmean(np.asarray(errors)))
+            area_arg = area
+        neff = number_effective_samples(area_arg, params_variogram_model, **kwargs)
+        standardized_errors.append(float(mean_err / np.sqrt(neff)))
+    return standardized_errors
+
+
+# ---------------------------------------------------------------------- patches method
+
+
+def _patches_convolution(
+    values: np.ndarray,
+    gsd: float,
+    area: float,
+    perc_min_valid: float = 80.0,
+    statistic_between_patches: Callable[[np.ndarray], float] = _stat_nmad,
+    verbose: bool = False,
+) -> tuple[float, float]:
+    """Patches method by convolution (reference :2658): NaN-aware mean filter + spread of
+    kernel-strided independent offsets."""
+    kernel_size = int(np.round(np.sqrt(area) / gsd, decimals=0))
+    kernel_size = max(kernel_size, 1)
+    mean, counts, nb_per_kernel = mean_filter_nan(values, kernel_size, kernel_shape="square")
+    mean[counts < nb_per_kernel * perc_min_valid / 100] = np.nan
+    # Sample independent (non-overlapping) patches at kernel strides
+    strided = mean[kernel_size // 2 :: kernel_size, kernel_size // 2 :: kernel_size]
+    stat = float(statistic_between_patches(strided.ravel()))
+    nb_indep = int(np.isfinite(strided).sum())
+    return stat, nb_indep
+
+
+def _patches_loop_quadrants(
+    values: np.ndarray,
+    gsd: float,
+    area: float,
+    patch_shape: str = "circular",
+    n_patches: int = 1000,
+    perc_min_valid: float = 80.0,
+    statistics_in_patch: Sequence[Callable | str] = (np.nanmean,),
+    statistic_between_patches: Callable[[np.ndarray], float] = _stat_nmad,
+    random_state: int | None = None,
+) -> pd.DataFrame:
+    """Patches method by quadrant sampling (reference :2740): draw random non-overlapping
+    quadrants of the right area, compute per-patch statistics."""
+    rng = np.random.default_rng(random_state)
+    values = np.asarray(values, dtype=np.float64)
+    side = int(np.round(np.sqrt(area) / gsd))
+    side = max(side, 1)
+    h, w = values.shape
+    nx = h // side
+    ny = w // side
+    if nx == 0 or ny == 0:
+        raise ValueError("Patch area larger than the array extent.")
+    all_quadrants = [(i, j) for i in range(nx) for j in range(ny)]
+    rng.shuffle(all_quadrants)
+
+    if patch_shape.lower() == "circular":
+        yy, xx = np.mgrid[0:side, 0:side] - (side - 1) / 2
+        footprint = (xx**2 + yy**2) <= ((side - 1) / 2) ** 2 if side > 1 else np.ones((1, 1), bool)
+    else:
+        footprint = np.ones((side, side), bool)
+
+    rows = []
+    for (i, j) in all_quadrants[: n_patches]:
+        patch = values[i * side : (i + 1) * side, j * side : (j + 1) * side]
+        vals = patch[footprint]
+        if np.isfinite(vals).mean() * 100 < perc_min_valid:
+            continue
+        rec: dict[str, Any] = {"tile": f"{i}_{j}"}
+        for stat in statistics_in_patch:
+            fn = stat if callable(stat) else {"count": lambda v: np.isfinite(v).sum()}[stat]
+            rec[getattr(fn, "__name__", str(stat))] = fn(vals)
+        rows.append(rec)
+    return pd.DataFrame(rows)
+
+
+def patches_method(
+    values: Any,
+    gsd: float | None = None,
+    area: float = 10000.0,
+    stable_mask: Any = None,
+    unstable_mask: Any = None,
+    statistics_in_patch: Sequence[Any] = (np.nanmean,),
+    statistic_between_patches: Callable[[np.ndarray], float] = _stat_nmad,
+    perc_min_valid: float = 80.0,
+    patch_shape: str = "circular",
+    vectorized: bool = True,
+    n_patches: int = 1000,
+    verbose: bool = False,
+    random_state: int | None = None,
+) -> pd.DataFrame | tuple[float, int]:
+    """Empirical estimation of the standard error in averaged areas (reference :2920).
+
+    Vectorized (convolution) variant returns (spread between patches, number of patches);
+    loop variant returns the per-patch statistics dataframe.
+    """
+    arr, gsd_out = _preprocess_values_with_mask_to_array(
+        values, include_mask=stable_mask, exclude_mask=unstable_mask, gsd=gsd
+    )
+    gsd = gsd_out if gsd is None else gsd
+    if gsd is None:
+        raise ValueError("A ground sampling distance is required (pass gsd or a Raster).")
+    if vectorized:
+        return _patches_convolution(
+            np.asarray(arr, np.float64), gsd, area,
+            perc_min_valid=perc_min_valid, statistic_between_patches=statistic_between_patches,
+        )
+    return _patches_loop_quadrants(
+        np.asarray(arr, np.float64), gsd, area, patch_shape=patch_shape, n_patches=n_patches,
+        perc_min_valid=perc_min_valid, statistics_in_patch=statistics_in_patch,
+        statistic_between_patches=statistic_between_patches, random_state=random_state,
+    )
