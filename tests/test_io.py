@@ -1,0 +1,179 @@
+"""GeoTIFF codec tests: round-trips and format-feature coverage via synthetic files."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from xdem_tpu import examples
+from xdem_tpu.georef import Affine
+from xdem_tpu.raster import Raster
+
+
+class TestRoundTrip:
+    def test_float32_roundtrip(self, tmp_path):
+        ref = examples.get_ref_dem_test()
+        arr = np.asarray(ref.data).copy()
+        arr[5, 7] = np.nan
+        r = Raster(arr, ref.transform, ref.crs)
+        path = str(tmp_path / "test.tif")
+        r.save(path)
+        back = Raster.open(path)
+        assert back.shape == r.shape
+        assert back.crs == r.crs
+        assert back.transform.almost_equals(r.transform, precision=1e-6)
+        a, b = np.asarray(r.data), np.asarray(back.data)
+        assert (np.isfinite(a) == np.isfinite(b)).all()
+        both = np.isfinite(a)
+        assert np.allclose(a[both], b[both], atol=0)
+
+    def test_nodata_roundtrip(self, tmp_path):
+        arr = np.array([[1.0, np.nan], [3.0, 4.0]], dtype=np.float32)
+        r = Raster(arr, Affine.from_origin(0, 100, 10, 10), 32633)
+        path = str(tmp_path / "nd.tif")
+        r.save(path, nodata=-7777.0)
+        back = Raster.open(path)
+        assert np.isnan(np.asarray(back.data)[0, 1])
+        assert back.nodata == -7777.0
+
+    def test_geographic_crs(self, tmp_path):
+        arr = np.ones((4, 5), dtype=np.float32)
+        r = Raster(arr, Affine.from_origin(10.0, 50.0, 0.01, 0.01), 4326)
+        path = str(tmp_path / "geo.tif")
+        r.save(path)
+        back = Raster.open(path)
+        assert back.crs.epsg == 4326
+
+
+def _write_tiff(path, width, height, data_bytes, extra_tags=(), bits=32, fmt=3,
+                compression=1, rows_per_strip=None, big_endian=False):
+    """Hand-rolled minimal TIFF writer for exercising the reader's format coverage."""
+    bo = ">" if big_endian else "<"
+    rows_per_strip = rows_per_strip or height
+    n_strips = (height + rows_per_strip - 1) // rows_per_strip
+    bps = bits // 8
+    strips = []
+    for s in range(n_strips):
+        rows = min(rows_per_strip, height - s * rows_per_strip)
+        raw = data_bytes[s * rows_per_strip * width * bps:(s * rows_per_strip + rows) * width * bps]
+        strips.append(zlib.compress(raw) if compression == 8 else raw)
+
+    tags = [
+        (256, 4, 1, width),
+        (257, 4, 1, height),
+        (258, 3, 1, bits),
+        (259, 3, 1, compression),
+        (262, 3, 1, 1),
+        (277, 3, 1, 1),
+        (278, 4, 1, rows_per_strip),
+        (339, 3, 1, fmt),
+    ] + list(extra_tags)
+
+    # strip offsets/counts: may need external payloads
+    ifd_entries = len(tags) + 2
+    ifd_size = 2 + ifd_entries * 12 + 4
+    payload_start = 8 + ifd_size
+    ext = b""
+
+    def add_payload(b):
+        nonlocal ext
+        off = payload_start + len(ext)
+        ext += b
+        return off
+
+    strip_offsets = []
+    cursor = None
+    counts = [len(s) for s in strips]
+    # allocate payloads for offsets/counts arrays if needed
+    if n_strips == 1:
+        off_val = None  # patched after ext known
+        cnt_val = counts[0]
+    else:
+        pass
+
+    # Simple approach: compute strip data start after payloads
+    entries = []
+    for (tag, typ, cnt, val) in tags:
+        entries.append((tag, typ, cnt, val))
+
+    if n_strips > 1:
+        off_payload_pos = add_payload(b"\0" * (4 * n_strips))
+        cnt_payload = add_payload(b"".join(struct.pack(bo + "I", c) for c in counts))
+        entries.append((273, 4, n_strips, off_payload_pos))
+        entries.append((279, 4, n_strips, cnt_payload))
+    else:
+        entries.append((273, 4, 1, 0))  # patched below
+        entries.append((279, 4, 1, counts[0]))
+
+    data_start = payload_start + len(ext)
+    offs = []
+    cur = data_start
+    for s in strips:
+        offs.append(cur)
+        cur += len(s)
+    if n_strips > 1:
+        ext = ext[:off_payload_pos - payload_start] + b"".join(
+            struct.pack(bo + "I", o) for o in offs) + ext[off_payload_pos - payload_start + 4 * n_strips:]
+    else:
+        entries = [(t, ty, c, offs[0] if t == 273 else v) for (t, ty, c, v) in entries]
+
+    entries.sort(key=lambda e: e[0])
+    out = bytearray()
+    out += (b"MM\x00\x2a" if big_endian else b"II\x2a\x00")
+    out += struct.pack(bo + "I", 8)
+    out += struct.pack(bo + "H", len(entries))
+    for (tag, typ, cnt, val) in entries:
+        out += struct.pack(bo + "HHI", tag, typ, cnt)
+        if typ == 3 and cnt == 1:
+            out += struct.pack(bo + "HH", val, 0)
+        else:
+            out += struct.pack(bo + "I", val)
+    out += struct.pack(bo + "I", 0)
+    out += ext
+    for s in strips:
+        out += s
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+class TestFormatCoverage:
+    @pytest.mark.parametrize("compression", [1, 8])
+    @pytest.mark.parametrize("rows_per_strip", [None, 3])
+    def test_float_strips(self, tmp_path, compression, rows_per_strip):
+        h, w = (7, 5)
+        data = np.arange(h * w, dtype=np.float32).reshape(h, w) * 1.5
+        path = str(tmp_path / "t.tif")
+        _write_tiff(path, w, h, data.tobytes(), compression=compression, rows_per_strip=rows_per_strip)
+        back = Raster.open(path)
+        assert np.allclose(np.asarray(back.data), data)
+
+    @pytest.mark.parametrize("dtype,bits,fmt", [
+        (np.uint8, 8, 1), (np.uint16, 16, 1), (np.int16, 16, 2), (np.int32, 32, 2),
+        (np.float64, 64, 3),
+    ])
+    def test_sample_formats(self, tmp_path, dtype, bits, fmt):
+        h, w = (4, 6)
+        data = (np.arange(h * w).reshape(h, w) - 5).astype(dtype)
+        path = str(tmp_path / "t.tif")
+        _write_tiff(path, w, h, data.tobytes(), bits=bits, fmt=fmt)
+        back = Raster.open(path)
+        assert np.allclose(np.asarray(back.data), data.astype(np.float32))
+
+    def test_reader_rejects_bad_file(self, tmp_path):
+        path = str(tmp_path / "bad.tif")
+        with open(path, "wb") as f:
+            f.write(b"NOT A TIFF AT ALL")
+        with pytest.raises(OSError, match="not a TIFF"):
+            Raster.open(path)
+
+    def test_dem_from_file_keeps_vcrs_workflow(self, tmp_path):
+        from xdem_tpu.dem import DEM
+
+        ref = examples.get_ref_dem_test()
+        path = str(tmp_path / "dem.tif")
+        ref.save(path)
+        dem = DEM.open(path)
+        # Raster.open returns the calling class
+        slope = dem.slope() if isinstance(dem, DEM) else None
+        assert slope is not None

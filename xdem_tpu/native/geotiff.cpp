@@ -1,0 +1,679 @@
+// Native GeoTIFF codec for xdem_tpu.
+//
+// The reference delegates raster I/O to GDAL through rasterio/geoutils; this standalone
+// implementation covers the DEM-relevant GeoTIFF subset:
+//   * Read: classic TIFF (little/big endian), striped or tiled layout, compression none (1),
+//     DEFLATE (8/32946) and PackBits (32773), sample formats u8/u16/u32/i16/i32/f32/f64,
+//     single-band or first band of contiguous multi-band, horizontal differencing predictor.
+//   * Write: single-band float32, DEFLATE strips, predictor none, with ModelPixelScale,
+//     ModelTiepoint, GeoKeyDirectory (EPSG), and GDAL_NODATA.
+//
+// Exposed as a small C ABI consumed from Python via ctypes (no pybind11 in this image).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+#include <zlib.h>
+
+namespace {
+
+struct Ifd_entry {
+    uint16_t tag;
+    uint16_t type;
+    uint32_t count;
+    uint32_t value_offset;
+    std::vector<uint8_t> data;  // resolved payload bytes
+};
+
+struct Tiff {
+    std::vector<uint8_t> buf;
+    bool big_endian = false;
+
+    uint16_t u16(size_t off) const {
+        const uint8_t* p = buf.data() + off;
+        return big_endian ? (uint16_t)((p[0] << 8) | p[1]) : (uint16_t)(p[0] | (p[1] << 8));
+    }
+    uint32_t u32(size_t off) const {
+        const uint8_t* p = buf.data() + off;
+        return big_endian ? ((uint32_t)p[0] << 24 | (uint32_t)p[1] << 16 | (uint32_t)p[2] << 8 | p[3])
+                          : ((uint32_t)p[0] | (uint32_t)p[1] << 8 | (uint32_t)p[2] << 16 | (uint32_t)p[3] << 24);
+    }
+    double f64(size_t off) const {
+        uint8_t tmp[8];
+        memcpy(tmp, buf.data() + off, 8);
+        if (big_endian) {
+            for (int i = 0; i < 4; i++) std::swap(tmp[i], tmp[7 - i]);
+        }
+        double v;
+        memcpy(&v, tmp, 8);
+        return v;
+    }
+};
+
+size_t type_size(uint16_t t) {
+    switch (t) {
+        case 1: case 2: case 6: case 7: return 1;  // BYTE/ASCII/SBYTE/UNDEF
+        case 3: case 8: return 2;                  // SHORT/SSHORT
+        case 4: case 9: case 11: return 4;         // LONG/SLONG/FLOAT
+        case 5: case 10: case 12: return 8;        // RATIONAL/SRATIONAL/DOUBLE
+        default: return 1;
+    }
+}
+
+struct GtError {
+    std::string msg;
+};
+
+static thread_local std::string g_last_error;
+
+bool read_file(const char* path, std::vector<uint8_t>& out) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return false;
+    fseek(f, 0, SEEK_END);
+    long sz = ftell(f);
+    fseek(f, 0, SEEK_SET);
+    out.resize((size_t)sz);
+    size_t got = fread(out.data(), 1, (size_t)sz, f);
+    fclose(f);
+    return got == (size_t)sz;
+}
+
+// Resolve IFD entries into a tag -> entry map with payloads loaded.
+bool parse_ifd(const Tiff& t, size_t ifd_off, std::vector<Ifd_entry>& entries) {
+    if (ifd_off + 2 > t.buf.size()) return false;
+    uint16_t n = t.u16(ifd_off);
+    entries.clear();
+    for (uint16_t i = 0; i < n; i++) {
+        size_t e = ifd_off + 2 + 12 * (size_t)i;
+        if (e + 12 > t.buf.size()) return false;
+        Ifd_entry ent;
+        ent.tag = t.u16(e);
+        ent.type = t.u16(e + 2);
+        ent.count = t.u32(e + 4);
+        size_t nbytes = type_size(ent.type) * (size_t)ent.count;
+        size_t payload_off = (nbytes <= 4) ? e + 8 : t.u32(e + 8);
+        ent.value_offset = t.u32(e + 8);
+        if (payload_off + nbytes > t.buf.size()) return false;
+        ent.data.assign(t.buf.begin() + payload_off, t.buf.begin() + payload_off + nbytes);
+        entries.push_back(std::move(ent));
+    }
+    return true;
+}
+
+const Ifd_entry* find_tag(const std::vector<Ifd_entry>& entries, uint16_t tag) {
+    for (const auto& e : entries)
+        if (e.tag == tag) return &e;
+    return nullptr;
+}
+
+// Read the i-th integer value of an entry (SHORT or LONG), honoring endianness.
+uint32_t entry_uint(const Tiff& t, const Ifd_entry& e, size_t i) {
+    if (e.type == 3) {  // SHORT
+        const uint8_t* p = e.data.data() + 2 * i;
+        return t.big_endian ? (uint32_t)((p[0] << 8) | p[1]) : (uint32_t)(p[0] | (p[1] << 8));
+    }
+    const uint8_t* p = e.data.data() + 4 * i;  // LONG
+    return t.big_endian ? ((uint32_t)p[0] << 24 | (uint32_t)p[1] << 16 | (uint32_t)p[2] << 8 | p[3])
+                        : ((uint32_t)p[0] | (uint32_t)p[1] << 8 | (uint32_t)p[2] << 16 | (uint32_t)p[3] << 24);
+}
+
+double entry_double(const Tiff& t, const Ifd_entry& e, size_t i) {
+    uint8_t tmp[8];
+    memcpy(tmp, e.data.data() + 8 * i, 8);
+    if (t.big_endian)
+        for (int k = 0; k < 4; k++) std::swap(tmp[k], tmp[7 - k]);
+    double v;
+    memcpy(&v, tmp, 8);
+    return v;
+}
+
+bool inflate_block(const uint8_t* src, size_t src_len, uint8_t* dst, size_t dst_len) {
+    z_stream zs;
+    memset(&zs, 0, sizeof(zs));
+    if (inflateInit(&zs) != Z_OK) return false;
+    zs.next_in = const_cast<uint8_t*>(src);
+    zs.avail_in = (uInt)src_len;
+    zs.next_out = dst;
+    zs.avail_out = (uInt)dst_len;
+    int ret = inflate(&zs, Z_FINISH);
+    inflateEnd(&zs);
+    return ret == Z_STREAM_END || (ret == Z_OK && zs.avail_out == 0) || ret == Z_BUF_ERROR;
+}
+
+bool packbits_decode(const uint8_t* src, size_t src_len, uint8_t* dst, size_t dst_len) {
+    size_t si = 0, di = 0;
+    while (si < src_len && di < dst_len) {
+        int8_t n = (int8_t)src[si++];
+        if (n >= 0) {
+            size_t cnt = (size_t)n + 1;
+            if (si + cnt > src_len || di + cnt > dst_len) return false;
+            memcpy(dst + di, src + si, cnt);
+            si += cnt;
+            di += cnt;
+        } else if (n != -128) {
+            size_t cnt = (size_t)(-n) + 1;
+            if (si >= src_len || di + cnt > dst_len) return false;
+            memset(dst + di, src[si++], cnt);
+            di += cnt;
+        }
+    }
+    return di == dst_len;
+}
+
+// Convert raw sample bytes to float32 (handles endianness + sample format).
+void samples_to_float(const uint8_t* src, size_t n, uint16_t bits, uint16_t fmt, bool be, float* dst) {
+    auto swap16 = [](uint16_t v) { return (uint16_t)((v << 8) | (v >> 8)); };
+    auto swap32 = [](uint32_t v) {
+        return (v << 24) | ((v << 8) & 0x00ff0000u) | ((v >> 8) & 0x0000ff00u) | (v >> 24);
+    };
+    for (size_t i = 0; i < n; i++) {
+        if (bits == 8) {
+            dst[i] = (fmt == 2) ? (float)(int8_t)src[i] : (float)src[i];
+        } else if (bits == 16) {
+            uint16_t v;
+            memcpy(&v, src + 2 * i, 2);
+            if (be) v = swap16(v);
+            dst[i] = (fmt == 2) ? (float)(int16_t)v : (float)v;
+        } else if (bits == 32) {
+            uint32_t v;
+            memcpy(&v, src + 4 * i, 4);
+            if (be) v = swap32(v);
+            if (fmt == 3) {
+                float f;
+                memcpy(&f, &v, 4);
+                dst[i] = f;
+            } else if (fmt == 2) {
+                dst[i] = (float)(int32_t)v;
+            } else {
+                dst[i] = (float)v;
+            }
+        } else if (bits == 64 && fmt == 3) {
+            uint8_t tmp[8];
+            memcpy(tmp, src + 8 * i, 8);
+            if (be)
+                for (int k = 0; k < 4; k++) std::swap(tmp[k], tmp[7 - k]);
+            double d;
+            memcpy(&d, tmp, 8);
+            dst[i] = (float)d;
+        } else {
+            dst[i] = 0.0f;
+        }
+    }
+}
+
+// Horizontal differencing predictor (predictor == 2), applied per row in-place on floats'
+// integer source — we apply it on the decoded integer buffer before conversion; for
+// simplicity we support it for 8/16/32-bit integer samples only.
+void undo_predictor(uint8_t* data, size_t rows, size_t cols, uint16_t bits, bool be) {
+    if (bits == 8) {
+        for (size_t r = 0; r < rows; r++) {
+            uint8_t* p = data + r * cols;
+            for (size_t c = 1; c < cols; c++) p[c] = (uint8_t)(p[c] + p[c - 1]);
+        }
+    } else if (bits == 16) {
+        for (size_t r = 0; r < rows; r++) {
+            uint8_t* p = data + r * cols * 2;
+            uint16_t prev;
+            memcpy(&prev, p, 2);
+            for (size_t c = 1; c < cols; c++) {
+                uint16_t v;
+                memcpy(&v, p + 2 * c, 2);
+                if (be) v = (uint16_t)((v << 8) | (v >> 8));
+                uint16_t pv = be ? (uint16_t)((prev << 8) | (prev >> 8)) : prev;
+                uint16_t nv = (uint16_t)(v + pv);
+                uint16_t store = be ? (uint16_t)((nv << 8) | (nv >> 8)) : nv;
+                memcpy(p + 2 * c, &store, 2);
+                prev = store;
+            }
+        }
+    } else if (bits == 32) {
+        for (size_t r = 0; r < rows; r++) {
+            uint8_t* p = data + r * cols * 4;
+            for (size_t c = 1; c < cols; c++) {
+                uint32_t a, b;
+                memcpy(&a, p + 4 * (c - 1), 4);
+                memcpy(&b, p + 4 * c, 4);
+                uint32_t nv = a + b;  // little-endian assumption for predictor on ints
+                memcpy(p + 4 * c, &nv, 4);
+            }
+        }
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+struct GtInfo {
+    uint32_t width;
+    uint32_t height;
+    uint32_t bands;
+    double transform[6];  // a, b, c, d, e, f: x = a*col + b*row + c ; y = d*col + e*row + f
+    int32_t epsg;         // 0 when absent
+    double nodata;        // NaN when absent
+    int32_t has_nodata;
+};
+
+const char* gt_last_error() { return g_last_error.c_str(); }
+
+// Parse header + georeferencing only; returns 0 on success.
+int gt_info(const char* path, GtInfo* info) {
+    Tiff t;
+    if (!read_file(path, t.buf) || t.buf.size() < 8) {
+        g_last_error = "cannot read file";
+        return 1;
+    }
+    if (t.buf[0] == 'I' && t.buf[1] == 'I')
+        t.big_endian = false;
+    else if (t.buf[0] == 'M' && t.buf[1] == 'M')
+        t.big_endian = true;
+    else {
+        g_last_error = "not a TIFF file";
+        return 1;
+    }
+    if (t.u16(2) != 42) {
+        g_last_error = "not a classic TIFF (BigTIFF unsupported)";
+        return 1;
+    }
+    std::vector<Ifd_entry> e;
+    if (!parse_ifd(t, t.u32(4), e)) {
+        g_last_error = "corrupt IFD";
+        return 1;
+    }
+
+    const Ifd_entry* w = find_tag(e, 256);
+    const Ifd_entry* h = find_tag(e, 257);
+    if (!w || !h) {
+        g_last_error = "missing dimensions";
+        return 1;
+    }
+    info->width = entry_uint(t, *w, 0);
+    info->height = entry_uint(t, *h, 0);
+    const Ifd_entry* spp = find_tag(e, 277);
+    info->bands = spp ? entry_uint(t, *spp, 0) : 1;
+
+    // Georeferencing: ModelPixelScale + ModelTiepoint, or full ModelTransformation
+    for (int i = 0; i < 6; i++) info->transform[i] = 0;
+    info->transform[0] = 1;
+    info->transform[4] = -1;
+    const Ifd_entry* mt = find_tag(e, 34264);
+    const Ifd_entry* ps = find_tag(e, 33550);
+    const Ifd_entry* tp = find_tag(e, 33922);
+    if (mt && mt->count >= 16) {
+        info->transform[0] = entry_double(t, *mt, 0);
+        info->transform[1] = entry_double(t, *mt, 1);
+        info->transform[2] = entry_double(t, *mt, 3);
+        info->transform[3] = entry_double(t, *mt, 4);
+        info->transform[4] = entry_double(t, *mt, 5);
+        info->transform[5] = entry_double(t, *mt, 7);
+    } else if (ps && tp && ps->count >= 3 && tp->count >= 6) {
+        double sx = entry_double(t, *ps, 0);
+        double sy = entry_double(t, *ps, 1);
+        double px = entry_double(t, *tp, 0), py = entry_double(t, *tp, 1);
+        double gx = entry_double(t, *tp, 3), gy = entry_double(t, *tp, 4);
+        info->transform[0] = sx;
+        info->transform[1] = 0;
+        info->transform[2] = gx - px * sx;
+        info->transform[3] = 0;
+        info->transform[4] = -sy;
+        info->transform[5] = gy + py * sy;
+    }
+
+    // EPSG from GeoKeyDirectory: ProjectedCSTypeGeoKey (3072) or GeographicTypeGeoKey (2048)
+    info->epsg = 0;
+    const Ifd_entry* gk = find_tag(e, 34735);
+    if (gk && gk->count >= 4) {
+        uint32_t nkeys = entry_uint(t, *gk, 3);
+        for (uint32_t k = 1; k <= nkeys && 4 * (k + 1) <= gk->count; k++) {
+            uint32_t key = entry_uint(t, *gk, 4 * k);
+            uint32_t loc = entry_uint(t, *gk, 4 * k + 1);
+            uint32_t val = entry_uint(t, *gk, 4 * k + 3);
+            if ((key == 3072 || key == 2048) && loc == 0) {
+                info->epsg = (int32_t)val;
+                if (key == 3072) break;  // projected wins
+            }
+        }
+    }
+
+    // GDAL nodata (ASCII tag 42113)
+    info->has_nodata = 0;
+    info->nodata = 0;
+    const Ifd_entry* nd = find_tag(e, 42113);
+    if (nd && !nd->data.empty()) {
+        std::string s(reinterpret_cast<const char*>(nd->data.data()), nd->data.size());
+        info->nodata = atof(s.c_str());
+        info->has_nodata = 1;
+    }
+    return 0;
+}
+
+// Read band 1 as float32 into out (size height*width); returns 0 on success.
+int gt_read(const char* path, float* out) {
+    Tiff t;
+    if (!read_file(path, t.buf)) {
+        g_last_error = "cannot read file";
+        return 1;
+    }
+    t.big_endian = (t.buf[0] == 'M');
+    std::vector<Ifd_entry> e;
+    if (!parse_ifd(t, t.u32(4), e)) {
+        g_last_error = "corrupt IFD";
+        return 1;
+    }
+    uint32_t width = entry_uint(t, *find_tag(e, 256), 0);
+    uint32_t height = entry_uint(t, *find_tag(e, 257), 0);
+    const Ifd_entry* bps_e = find_tag(e, 258);
+    uint16_t bits = bps_e ? (uint16_t)entry_uint(t, *bps_e, 0) : 1;
+    const Ifd_entry* comp_e = find_tag(e, 259);
+    uint16_t comp = comp_e ? (uint16_t)entry_uint(t, *comp_e, 0) : 1;
+    const Ifd_entry* spp_e = find_tag(e, 277);
+    uint16_t spp = spp_e ? (uint16_t)entry_uint(t, *spp_e, 0) : 1;
+    const Ifd_entry* fmt_e = find_tag(e, 339);
+    uint16_t fmt = fmt_e ? (uint16_t)entry_uint(t, *fmt_e, 0) : 1;
+    const Ifd_entry* pred_e = find_tag(e, 317);
+    uint16_t predictor = pred_e ? (uint16_t)entry_uint(t, *pred_e, 0) : 1;
+    const Ifd_entry* planar_e = find_tag(e, 284);
+    uint16_t planar = planar_e ? (uint16_t)entry_uint(t, *planar_e, 0) : 1;
+
+    if (comp != 1 && comp != 8 && comp != 32946 && comp != 32773) {
+        g_last_error = "unsupported compression " + std::to_string(comp) +
+                       " (supported: none, DEFLATE, PackBits)";
+        return 2;
+    }
+    if (predictor == 3) {
+        g_last_error = "floating-point predictor unsupported";
+        return 2;
+    }
+    size_t bytes_per_sample = bits / 8;
+    size_t samples_per_px = (planar == 1) ? spp : 1;
+
+    auto decode_block = [&](const uint8_t* src, size_t src_len, std::vector<uint8_t>& dst,
+                            size_t expect) -> bool {
+        dst.resize(expect);
+        if (comp == 1) {
+            if (src_len < expect) expect = src_len;
+            memcpy(dst.data(), src, expect);
+            return true;
+        }
+        if (comp == 32773) return packbits_decode(src, src_len, dst.data(), expect);
+        return inflate_block(src, src_len, dst.data(), expect);
+    };
+
+    const Ifd_entry* tile_w_e = find_tag(e, 322);
+    if (tile_w_e) {
+        // Tiled layout
+        uint32_t tw = entry_uint(t, *tile_w_e, 0);
+        uint32_t th = entry_uint(t, *find_tag(e, 323), 0);
+        const Ifd_entry* offs = find_tag(e, 324);
+        const Ifd_entry* cnts = find_tag(e, 325);
+        uint32_t tiles_x = (width + tw - 1) / tw;
+        uint32_t tiles_y = (height + th - 1) / th;
+        std::vector<uint8_t> block;
+        std::vector<float> fbuf((size_t)tw * th * samples_per_px);
+        for (uint32_t ty = 0; ty < tiles_y; ty++) {
+            for (uint32_t tx = 0; tx < tiles_x; tx++) {
+                uint32_t ti = ty * tiles_x + tx;
+                size_t off = entry_uint(t, *offs, ti);
+                size_t len = entry_uint(t, *cnts, ti);
+                size_t expect = (size_t)tw * th * samples_per_px * bytes_per_sample;
+                if (!decode_block(t.buf.data() + off, len, block, expect)) {
+                    g_last_error = "tile decode failed";
+                    return 3;
+                }
+                if (predictor == 2 && fmt != 3)
+                    undo_predictor(block.data(), th, (size_t)tw * samples_per_px, bits, t.big_endian);
+                samples_to_float(block.data(), (size_t)tw * th * samples_per_px, bits, fmt,
+                                 t.big_endian, fbuf.data());
+                for (uint32_t r = 0; r < th; r++) {
+                    uint32_t gr = ty * th + r;
+                    if (gr >= height) break;
+                    for (uint32_t c = 0; c < tw; c++) {
+                        uint32_t gc = tx * tw + c;
+                        if (gc >= width) break;
+                        out[(size_t)gr * width + gc] = fbuf[((size_t)r * tw + c) * samples_per_px];
+                    }
+                }
+            }
+        }
+        return 0;
+    }
+
+    // Striped layout
+    const Ifd_entry* rps_e = find_tag(e, 278);
+    uint32_t rps = rps_e ? entry_uint(t, *rps_e, 0) : height;
+    const Ifd_entry* offs = find_tag(e, 273);
+    const Ifd_entry* cnts = find_tag(e, 279);
+    if (!offs || !cnts) {
+        g_last_error = "missing strip offsets";
+        return 1;
+    }
+    uint32_t n_strips = (height + rps - 1) / rps;
+    std::vector<uint8_t> block;
+    for (uint32_t s = 0; s < n_strips; s++) {
+        uint32_t rows = (s == n_strips - 1) ? height - s * rps : rps;
+        size_t off = entry_uint(t, *offs, s);
+        size_t len = entry_uint(t, *cnts, s);
+        size_t expect = (size_t)rows * width * samples_per_px * bytes_per_sample;
+        if (!decode_block(t.buf.data() + off, len, block, expect)) {
+            g_last_error = "strip decode failed";
+            return 3;
+        }
+        if (predictor == 2 && fmt != 3)
+            undo_predictor(block.data(), rows, (size_t)width * samples_per_px, bits, t.big_endian);
+        std::vector<float> fbuf((size_t)rows * width * samples_per_px);
+        samples_to_float(block.data(), fbuf.size(), bits, fmt, t.big_endian, fbuf.data());
+        for (uint32_t r = 0; r < rows; r++)
+            for (uint32_t c = 0; c < width; c++)
+                out[((size_t)(s * rps + r)) * width + c] = fbuf[((size_t)r * width + c) * samples_per_px];
+    }
+    return 0;
+}
+
+// Write a single-band float32 GeoTIFF with DEFLATE strips; returns 0 on success.
+int gt_write(const char* path, const float* data, uint32_t height, uint32_t width,
+             const double* transform, int32_t epsg, double nodata, int32_t has_nodata) {
+    // Compress each strip (64 rows) with zlib
+    const uint32_t rps = 64;
+    uint32_t n_strips = (height + rps - 1) / rps;
+    std::vector<std::vector<uint8_t>> strips(n_strips);
+    for (uint32_t s = 0; s < n_strips; s++) {
+        uint32_t rows = (s == n_strips - 1) ? height - s * rps : rps;
+        uLongf bound = compressBound((uLong)((size_t)rows * width * 4));
+        strips[s].resize(bound);
+        uLongf out_len = bound;
+        if (compress2(strips[s].data(), &out_len,
+                      reinterpret_cast<const Bytef*>(data + (size_t)s * rps * width),
+                      (uLong)((size_t)rows * width * 4), 6) != Z_OK) {
+            g_last_error = "deflate failed";
+            return 1;
+        }
+        strips[s].resize(out_len);
+    }
+
+    // Assemble: header, IFD, payloads
+    struct TagW {
+        uint16_t tag, type;
+        uint32_t count, value;
+    };
+    std::string nodata_str;
+    if (has_nodata) {
+        char tmp[64];
+        snprintf(tmp, sizeof(tmp), "%g", nodata);
+        nodata_str = tmp;
+        nodata_str.push_back('\0');
+    }
+
+    // GeoKeys: ModelType (1024), RasterType (1025: 1=PixelIsArea), CS key
+    bool geographic = (epsg == 4326 || epsg == 4269 || epsg == 4258 || epsg == 4267);
+    std::vector<uint16_t> geokeys = {
+        1, 1, 0, 3,
+        1024, 0, 1, (uint16_t)(geographic ? 2 : 1),
+        1025, 0, 1, 1,
+        (uint16_t)(geographic ? 2048 : 3072), 0, 1, (uint16_t)epsg,
+    };
+
+    std::vector<double> pixscale = {transform[0], -transform[4], 0.0};
+    std::vector<double> tiepoint = {0, 0, 0, transform[2], transform[5], 0};
+
+    // Layout: 8-byte header | IFD | external payloads | strip data
+    uint16_t n_tags = 15 + (has_nodata ? 1 : 0) + (epsg ? 2 : 0);
+    // pixscale+tiepoint are always written (2 of the 15? recount below)
+
+    std::vector<TagW> tags;
+    std::vector<std::pair<size_t, std::vector<uint8_t>>> payloads;  // (tag index, bytes)
+
+    auto add_payload = [&](std::vector<uint8_t> bytes) -> size_t {
+        // Associates the payload with the most recently pushed tag.
+        payloads.push_back({tags.size() - 1, std::move(bytes)});
+        return payloads.size() - 1;
+    };
+    auto doubles_bytes = [&](const std::vector<double>& v) {
+        std::vector<uint8_t> b(v.size() * 8);
+        memcpy(b.data(), v.data(), b.size());
+        return b;
+    };
+    auto shorts_bytes = [&](const std::vector<uint16_t>& v) {
+        std::vector<uint8_t> b(v.size() * 2);
+        memcpy(b.data(), v.data(), b.size());
+        return b;
+    };
+    auto longs_bytes = [&](const std::vector<uint32_t>& v) {
+        std::vector<uint8_t> b(v.size() * 4);
+        memcpy(b.data(), v.data(), b.size());
+        return b;
+    };
+
+    std::vector<uint32_t> strip_offsets(n_strips, 0), strip_counts(n_strips);
+    for (uint32_t s = 0; s < n_strips; s++) strip_counts[s] = (uint32_t)strips[s].size();
+
+    tags.push_back({256, 4, 1, width});
+    tags.push_back({257, 4, 1, height});
+    tags.push_back({258, 3, 1, 32});
+    tags.push_back({259, 3, 1, 8});      // DEFLATE
+    tags.push_back({262, 3, 1, 1});      // BlackIsZero
+    size_t strip_off_tag = tags.size();
+    tags.push_back({273, 4, n_strips, 0});
+    add_payload(longs_bytes(strip_offsets));  // placeholder, patched later
+    tags.push_back({277, 3, 1, 1});
+    tags.push_back({278, 4, 1, rps});
+    size_t strip_cnt_tag = tags.size();
+    tags.push_back({279, 4, n_strips, 0});
+    add_payload(longs_bytes(strip_counts));
+    tags.push_back({284, 3, 1, 1});
+    tags.push_back({339, 3, 1, 3});  // IEEE float
+    size_t ps_tag = tags.size();
+    tags.push_back({33550, 12, 3, 0});
+    add_payload(doubles_bytes(pixscale));
+    size_t tp_tag = tags.size();
+    tags.push_back({33922, 12, 6, 0});
+    add_payload(doubles_bytes(tiepoint));
+    size_t gk_tag = SIZE_MAX;
+    if (epsg) {
+        gk_tag = tags.size();
+        tags.push_back({34735, 3, (uint32_t)geokeys.size(), 0});
+        add_payload(shorts_bytes(geokeys));
+    }
+    size_t nd_tag = SIZE_MAX;
+    if (has_nodata) {
+        nd_tag = tags.size();
+        tags.push_back({42113, 2, (uint32_t)nodata_str.size(), 0});
+        add_payload(std::vector<uint8_t>(nodata_str.begin(), nodata_str.end()));
+    }
+    (void)ps_tag; (void)tp_tag; (void)gk_tag; (void)nd_tag; (void)n_tags;
+
+    // Sort tags ascending (TIFF requirement); remember payload tag-index remapping
+    std::vector<size_t> order(tags.size());
+    for (size_t i = 0; i < order.size(); i++) order[i] = i;
+    for (size_t i = 0; i < order.size(); i++)
+        for (size_t j = i + 1; j < order.size(); j++)
+            if (tags[order[j]].tag < tags[order[i]].tag) std::swap(order[i], order[j]);
+
+    size_t ifd_off = 8;
+    size_t ifd_size = 2 + tags.size() * 12 + 4;
+    size_t payload_off = ifd_off + ifd_size;
+
+    // Assign payload offsets
+    std::vector<size_t> payload_offsets(payloads.size());
+    size_t cur = payload_off;
+    for (size_t i = 0; i < payloads.size(); i++) {
+        if (cur % 2) cur++;
+        payload_offsets[i] = cur;
+        cur += payloads[i].second.size();
+    }
+    // Strip data offsets
+    if (cur % 2) cur++;
+    for (uint32_t s = 0; s < n_strips; s++) {
+        strip_offsets[s] = (uint32_t)cur;
+        cur += strips[s].size();
+    }
+    // Patch strip offsets payload
+    for (size_t i = 0; i < payloads.size(); i++) {
+        if (payloads[i].first == strip_off_tag)
+            memcpy(payloads[i].second.data(), strip_offsets.data(), n_strips * 4);
+        if (payloads[i].first == strip_cnt_tag)
+            memcpy(payloads[i].second.data(), strip_counts.data(), n_strips * 4);
+    }
+    // Resolve tag values: payloads > 4 bytes get offsets; small values stay inline
+    for (size_t i = 0; i < payloads.size(); i++) {
+        size_t ti = payloads[i].first;
+        size_t nbytes = payloads[i].second.size();
+        if (nbytes <= 4) {
+            uint32_t v = 0;
+            memcpy(&v, payloads[i].second.data(), nbytes);
+            tags[ti].value = v;
+            payload_offsets[i] = SIZE_MAX;  // inline
+        } else {
+            tags[ti].value = (uint32_t)payload_offsets[i];
+        }
+    }
+
+    FILE* f = fopen(path, "wb");
+    if (!f) {
+        g_last_error = "cannot open output file";
+        return 1;
+    }
+    // Header (little-endian host assumed — x86/ARM LE)
+    uint8_t header[8] = {'I', 'I', 42, 0, 0, 0, 0, 0};
+    uint32_t ifd_off32 = (uint32_t)ifd_off;
+    memcpy(header + 4, &ifd_off32, 4);
+    fwrite(header, 1, 8, f);
+    // IFD
+    uint16_t cnt16 = (uint16_t)tags.size();
+    fwrite(&cnt16, 2, 1, f);
+    for (size_t oi = 0; oi < order.size(); oi++) {
+        const TagW& tg = tags[order[oi]];
+        fwrite(&tg.tag, 2, 1, f);
+        fwrite(&tg.type, 2, 1, f);
+        fwrite(&tg.count, 4, 1, f);
+        fwrite(&tg.value, 4, 1, f);
+    }
+    uint32_t zero = 0;
+    fwrite(&zero, 4, 1, f);
+    // Payloads (with alignment padding)
+    cur = payload_off;
+    for (size_t i = 0; i < payloads.size(); i++) {
+        if (payload_offsets[i] == SIZE_MAX) continue;
+        while (cur < payload_offsets[i]) {
+            fputc(0, f);
+            cur++;
+        }
+        fwrite(payloads[i].second.data(), 1, payloads[i].second.size(), f);
+        cur += payloads[i].second.size();
+    }
+    // Strips
+    for (uint32_t s = 0; s < n_strips; s++) {
+        while (cur < strip_offsets[s]) {
+            fputc(0, f);
+            cur++;
+        }
+        fwrite(strips[s].data(), 1, strips[s].size(), f);
+        cur += strips[s].size();
+    }
+    fclose(f);
+    return 0;
+}
+
+}  // extern "C"
