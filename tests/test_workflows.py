@@ -1,0 +1,159 @@
+"""Workflow + CLI tests: schema validation, topo and accuracy runs, template emission."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+from xdem_tpu import examples
+from xdem_tpu.workflows.schemas import (
+    ACCURACY_SCHEMA,
+    TOPO_SCHEMA,
+    validate_configuration,
+)
+
+
+@pytest.fixture(scope="module")
+def dem_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("data")
+    ref = examples.get_ref_dem().icrop((100, 400), (200, 500))
+    tba = examples.get_tba_dem().icrop((100, 400), (200, 500))
+    mask = examples.get_glacier_mask()[100:400, 200:500]
+    ref_path = str(d / "ref.tif")
+    tba_path = str(d / "tba.tif")
+    mask_path = str(d / "glaciers.tif")
+    ref.save(ref_path)
+    tba.save(tba_path)
+    from xdem_tpu.raster import Raster
+
+    Raster(mask.astype(np.float32), ref.transform, ref.crs).save(mask_path)
+    return ref_path, tba_path, mask_path
+
+
+class TestSchemas:
+    def test_topo_defaults(self, dem_files):
+        ref_path, _, _ = dem_files
+        cfg = validate_configuration({"inputs": {"path_to_elev": ref_path}}, TOPO_SCHEMA)
+        assert cfg["terrain_attributes"] == ["slope", "aspect", "max_curvature"]
+        assert cfg["outputs"]["path"] == "outputs"
+        assert "nmad" in cfg["statistics"]
+
+    def test_missing_path_raises(self):
+        with pytest.raises(ValueError, match="path does not exist"):
+            validate_configuration({"inputs": {"path_to_elev": "/nonexistent/file.tif"}}, TOPO_SCHEMA)
+
+    def test_unknown_field_raises(self, dem_files):
+        ref_path, _, _ = dem_files
+        with pytest.raises(ValueError, match="Unknown configuration"):
+            validate_configuration({"inputs": {"path_to_elev": ref_path}, "bogus": 1}, TOPO_SCHEMA)
+
+    def test_bad_attribute_raises(self, dem_files):
+        ref_path, _, _ = dem_files
+        with pytest.raises(ValueError, match="unallowed|anyof"):
+            validate_configuration(
+                {"inputs": {"path_to_elev": ref_path}, "terrain_attributes": ["slop"]}, TOPO_SCHEMA
+            )
+
+    def test_accuracy_default_coreg(self, dem_files):
+        ref_path, tba_path, mask_path = dem_files
+        cfg = validate_configuration(
+            {"inputs": {"reference_elev": {"path_to_elev": ref_path},
+                        "to_be_aligned_elev": {"path_to_elev": tba_path}}},
+            ACCURACY_SCHEMA,
+        )
+        assert cfg["coregistration"]["step_one"]["method"] == "NuthKaab"
+
+
+class TestTopoWorkflow:
+    def test_run(self, dem_files, tmp_path):
+        from xdem_tpu.workflows import Topo
+
+        ref_path, _, _ = dem_files
+        cfg = {
+            "inputs": {"path_to_elev": ref_path},
+            "terrain_attributes": ["slope", "hillshade"],
+            "outputs": {"path": str(tmp_path / "out"), "level": 2},
+        }
+        Topo(cfg).run()
+        out = tmp_path / "out"
+        assert (out / "report.html").exists()
+        assert (out / "plots" / "slope.png").exists()
+        assert (out / "tables" / "slope_stats.csv").exists()
+        assert (out / "rasters" / "slope.tif").exists()
+        # Written attribute raster round-trips
+        from xdem_tpu.raster import Raster
+
+        slope = Raster.open(str(out / "rasters" / "slope.tif"))
+        assert np.nanmax(np.asarray(slope.data)) < 90
+
+
+class TestAccuracyWorkflow:
+    def test_run_recovers_shift(self, dem_files, tmp_path):
+        from xdem_tpu.workflows import Accuracy
+
+        ref_path, tba_path, mask_path = dem_files
+        cfg = {
+            "inputs": {
+                "reference_elev": {"path_to_elev": ref_path},
+                "to_be_aligned_elev": {"path_to_elev": tba_path, "path_to_mask": mask_path},
+            },
+            "coregistration": {"step_one": {"method": "NuthKaab", "extra_information": {"subsample": 100000}}},
+            "outputs": {"path": str(tmp_path / "acc")},
+        }
+        wf = Accuracy(cfg)
+        wf.run()
+        out = tmp_path / "acc"
+        assert (out / "report.html").exists()
+        assert (out / "tables" / "dh_before_stats.csv").exists()
+        assert (out / "tables" / "dh_after_stats.csv").exists()
+        import pandas as pd
+
+        before = pd.read_csv(out / "tables" / "dh_before_stats.csv")["nmad"][0]
+        after = pd.read_csv(out / "tables" / "dh_after_stats.csv")["nmad"][0]
+        assert after < before
+        # NuthKaab should recover the synthetic inter-DEM shift
+        tx, ty, tz = wf.coreg.to_translations()
+        assert tx == pytest.approx(-examples.TBA_SHIFT[0], abs=1.5)
+        assert ty == pytest.approx(-examples.TBA_SHIFT[1], abs=1.5)
+
+
+class TestCLI:
+    def _run(self, *args):
+        import os
+
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        return subprocess.run([sys.executable, "-m", "xdem_tpu.cli", *args],
+                              capture_output=True, text=True, env=env,
+                              cwd=str(Path(__file__).parent.parent))
+
+    def test_template_topo(self):
+        res = self._run("topo", "--template-config")
+        assert res.returncode == 0
+        tpl = yaml.safe_load(res.stdout)
+        assert "inputs" in tpl and "terrain_attributes" in tpl
+
+    def test_template_accuracy_to_file(self, tmp_path):
+        dest = str(tmp_path / "tpl.yaml")
+        res = self._run("accuracy", "--template-config", dest)
+        assert res.returncode == 0
+        tpl = yaml.safe_load(open(dest))
+        assert tpl["coregistration"]["step_one"]["method"] == "NuthKaab"
+
+    def test_cli_topo_run(self, dem_files, tmp_path):
+        ref_path, _, _ = dem_files
+        cfg_path = tmp_path / "cfg.yaml"
+        yaml.safe_dump({
+            "inputs": {"path_to_elev": ref_path},
+            "terrain_attributes": ["slope"],
+            "outputs": {"path": str(tmp_path / "cli_out")},
+        }, open(cfg_path, "w"))
+        res = self._run("topo", "--config", str(cfg_path))
+        assert res.returncode == 0, res.stderr[-2000:]
+        assert (tmp_path / "cli_out" / "report.html").exists()
+
+    def test_cli_requires_config(self):
+        res = self._run("topo")
+        assert res.returncode != 0

@@ -10,6 +10,15 @@ from __future__ import annotations
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("XDEM_TPU_PLATFORM"):
+    # Escape hatch for environments where a site hook pre-imports jax with a pinned platform
+    # (making JAX_PLATFORMS ineffective): force the platform through the config API.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["XDEM_TPU_PLATFORM"])
+
 from xdem_tpu import examples, fit, georef, ops, spatialstats, terrain, vcrs, volume  # noqa: F401
 from xdem_tpu.ddem import dDEM  # noqa: F401
 from xdem_tpu.dem import DEM  # noqa: F401

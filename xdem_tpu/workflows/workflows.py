@@ -1,0 +1,188 @@
+"""Workflow base class: config loading/validation, output tree, stats, reporting.
+
+Reference parity (/root/reference/xdem/workflows/workflows.py): abstract Workflows class (:77),
+YAML load with None-string fix (:170-181), output tree plots/rasters/tables (:122-135), stats
+aliasing (:58-74), CSV/HTML report.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from abc import ABC, abstractmethod
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+
+from xdem_tpu.dem import DEM
+from xdem_tpu.raster import Raster
+
+# Statistic aliases: config name -> Raster.get_stats key or callable (reference :58-74)
+_STATS_ALIASES = {
+    "mean": "mean",
+    "median": "median",
+    "max": "max",
+    "min": "min",
+    "sum": "sum",
+    "std": "std",
+    "standarddeviation": "std",
+    "nmad": "nmad",
+    "rmse": "rmse",
+    "validcount": "valid_count",
+    "totalcount": "total_count",
+    "percentagevalidpoints": "percentage_valid_points",
+}
+
+
+def _extra_stats(name: str, arr: np.ndarray) -> float:
+    valid = arr[np.isfinite(arr)]
+    if name == "sumofsquares":
+        return float(np.sum(valid**2))
+    if name == "90thpercentile":
+        return float(np.percentile(valid, 90)) if valid.size else float("nan")
+    if name == "le90":
+        return float(np.percentile(np.abs(valid), 90)) if valid.size else float("nan")
+    raise KeyError(name)
+
+
+def load_yaml_config(path: str) -> dict[str, Any]:
+    """Load a YAML config, converting 'None'/'null' strings to None (reference :170-181)."""
+    import yaml
+
+    with open(path) as f:
+        cfg = yaml.safe_load(f)
+
+    def fix(obj: Any) -> Any:
+        if isinstance(obj, dict):
+            return {k: fix(v) for k, v in obj.items()}
+        if isinstance(obj, list):
+            return [fix(v) for v in obj]
+        if isinstance(obj, str) and obj.strip().lower() in ("none", "null", ""):
+            return None
+        return obj
+
+    return fix(cfg)
+
+
+class Workflows(ABC):
+    """Base class for YAML-driven processing workflows."""
+
+    schema: dict[str, Any] = {}
+
+    def __init__(self, config: str | dict[str, Any], output_dir: str | None = None):
+        from xdem_tpu.workflows.schemas import validate_configuration
+
+        if isinstance(config, str):
+            config = load_yaml_config(config)
+        self.config = validate_configuration(config, self.schema)
+        out_cfg = self.config.get("outputs", {})
+        self.output_dir = Path(output_dir or out_cfg.get("path", "outputs"))
+        self.level = out_cfg.get("level", 1)
+        self.generate_pdf = out_cfg.get("generate_pdf", False)
+        self._make_output_tree()
+        self._report_sections: list[str] = []
+
+    def _make_output_tree(self) -> None:
+        for sub in ("plots", "rasters", "tables"):
+            os.makedirs(self.output_dir / sub, exist_ok=True)
+
+    # ------------------------------------------------------------------ helpers
+
+    def _load_dem(self, dem_cfg: dict[str, Any]) -> DEM:
+        """Load a DEM from an inputs config dict (path, nodata, vcrs, downsample)."""
+        dem = DEM.open(dem_cfg["path_to_elev"])
+        if dem_cfg.get("force_source_nodata") is not None:
+            nd = float(dem_cfg["force_source_nodata"])
+            import jax.numpy as jnp
+
+            dem.data = jnp.where(dem.data == nd, jnp.nan, dem.data)
+            dem.nodata = nd
+        if dem_cfg.get("force_vcrs") is not None:
+            dem.set_vcrs(dem_cfg["force_vcrs"])
+        ds = dem_cfg.get("downsample", 1)
+        if ds and ds > 1:
+            new_res = (dem.res[0] * ds, dem.res[1] * ds)
+            dem = DEM((dem.reproject(res=new_res)).data, dem.transform.__class__(
+                new_res[0], 0, dem.transform.c, 0, -new_res[1], dem.transform.f), dem.crs)
+        return dem
+
+    def _load_mask(self, dem_cfg: dict[str, Any], dem: DEM) -> np.ndarray | None:
+        path = dem_cfg.get("path_to_mask")
+        if path is None:
+            return None
+        if str(path).endswith((".json", ".geojson")):
+            from xdem_tpu.vector import Vector
+
+            return Vector.from_geojson(str(path)).create_mask(dem)
+        mask_r = Raster.open(str(path))
+        if mask_r.shape != dem.shape:
+            mask_r = mask_r.reproject(dem, resampling="nearest")
+        return np.asarray(mask_r.data) > 0
+
+    def compute_stats(self, raster: Raster, names: list[str]) -> dict[str, float]:
+        base = raster.get_stats()
+        arr = raster.get_nanarray()
+        out = {}
+        for name in names:
+            if name in _STATS_ALIASES:
+                out[name] = base[_STATS_ALIASES[name]]
+            else:
+                out[name] = _extra_stats(name, arr)
+        return out
+
+    def save_stats_table(self, stats: dict[str, Any], name: str) -> Path:
+        import pandas as pd
+
+        path = self.output_dir / "tables" / f"{name}.csv"
+        pd.DataFrame([stats]).to_csv(path, index=False)
+        return path
+
+    def save_raster_plot(self, raster: Raster, name: str, cmap: str = "terrain",
+                         title: str | None = None) -> Path | None:
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except ImportError:
+            return None
+        fig, ax = plt.subplots(figsize=(7, 5))
+        arr = raster.get_nanarray()
+        b = raster.bounds
+        vmin, vmax = np.nanpercentile(arr, [2, 98]) if np.isfinite(arr).any() else (0, 1)
+        im = ax.imshow(arr, cmap=cmap, vmin=vmin, vmax=vmax, extent=(b.left, b.right, b.bottom, b.top))
+        fig.colorbar(im, ax=ax, shrink=0.8)
+        ax.set_title(title or name)
+        path = self.output_dir / "plots" / f"{name}.png"
+        fig.savefig(path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+        return path
+
+    def add_report_section(self, html: str) -> None:
+        self._report_sections.append(html)
+
+    def create_html(self, title: str) -> Path:
+        body = "\n".join(self._report_sections)
+        html = f"""<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>{title}</title>
+<style>body{{font-family:sans-serif;margin:2em}} table{{border-collapse:collapse}}
+td,th{{border:1px solid #999;padding:4px 8px}} img{{max-width:45em}}</style></head>
+<body><h1>{title}</h1>
+{body}
+</body></html>"""
+        path = self.output_dir / "report.html"
+        path.write_text(html)
+        if self.generate_pdf:
+            logging.warning("PDF generation requires 'plutoprint', unavailable here; HTML report written.")
+        return path
+
+    @staticmethod
+    def stats_to_html(stats: dict[str, Any], caption: str) -> str:
+        rows = "".join(f"<tr><th>{k}</th><td>{v:.6g}</td></tr>" if isinstance(v, float)
+                       else f"<tr><th>{k}</th><td>{v}</td></tr>" for k, v in stats.items())
+        return f"<h3>{caption}</h3><table>{rows}</table>"
+
+    @abstractmethod
+    def run(self) -> None:
+        """Execute the workflow."""
