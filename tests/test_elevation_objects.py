@@ -1,0 +1,120 @@
+"""DEM/EPC/vcrs/PointCloud object tests."""
+
+import numpy as np
+import pytest
+
+from xdem_tpu import examples, vcrs
+from xdem_tpu.dem import DEM
+from xdem_tpu.epc import EPC
+from xdem_tpu.georef import Affine
+from xdem_tpu.vcrs import VerticalCRS, register_geoid_grid, _vcrs_from_user_input
+
+
+class TestVCRS:
+    def test_parse_names(self):
+        assert _vcrs_from_user_input("Ellipsoid").is_ellipsoid
+        assert str(_vcrs_from_user_input("EGM96")) == "EGM96"
+        assert str(_vcrs_from_user_input(5773)) == "EGM96"
+        assert str(_vcrs_from_user_input(3855)) == "EGM08"
+        assert str(_vcrs_from_user_input("us_nga_egm96_15.tif")) == "EGM96"
+
+    def test_product_table(self):
+        from xdem_tpu.vcrs import _parse_vcrs_from_product
+
+        assert _parse_vcrs_from_product("ArcticDEM") == "Ellipsoid"
+        assert _parse_vcrs_from_product("SRTMGL1") == "EGM96"
+        assert _parse_vcrs_from_product("COPDEM") == "EGM08"
+        assert _parse_vcrs_from_product("unknown") is None
+
+    def test_transform_with_registered_grid(self):
+        # Register a synthetic geoid: undulation = 10 + 0.5*lat
+        lons = np.linspace(-180, 180, 73)
+        lats = np.linspace(-90, 90, 37)
+        und = 10 + 0.5 * lats[:, None] + 0 * lons[None, :]
+        register_geoid_grid("TESTGEOID", lons, lats, und)
+
+        dem = examples.get_ref_dem_test()
+        dem.set_vcrs("Ellipsoid")
+        out = dem.to_vcrs("TESTGEOID")
+        # lat of the example DEM is ~78 N: undulation ~ 10 + 39 = 49; H = h - N
+        diff = np.asarray(dem.data) - np.asarray(out.data)
+        assert np.nanmean(diff) == pytest.approx(10 + 0.5 * 78, abs=0.5)
+        # Round trip back to ellipsoid
+        back = out.to_vcrs("Ellipsoid")
+        both = np.isfinite(np.asarray(dem.data))
+        assert np.allclose(np.asarray(back.data)[both], np.asarray(dem.data)[both], atol=1e-3)
+
+    def test_unregistered_geoid_raises(self):
+        dem = examples.get_ref_dem_test()
+        dem.set_vcrs("Ellipsoid")
+        with pytest.raises(ValueError, match="no registered undulation grid"):
+            dem.to_vcrs("EGM2008_UNREGISTERED")
+
+    def test_no_vcrs_raises(self):
+        dem = examples.get_ref_dem_test()
+        with pytest.raises(ValueError, match="no vertical CRS"):
+            dem.to_vcrs("EGM96")
+
+
+class TestEPC:
+    def test_from_dem(self):
+        dem = examples.get_ref_dem_test()
+        dem.set_vcrs("Ellipsoid")
+        epc = dem.to_pointcloud(subsample=500, random_state=1)
+        assert isinstance(epc, EPC)
+        assert len(epc) == 500
+        assert epc.vcrs_name == "Ellipsoid"
+
+    def test_vcrs_transform(self):
+        lons = np.linspace(-180, 180, 73)
+        lats = np.linspace(-90, 90, 37)
+        register_geoid_grid("TESTGEOID2", lons, lats, np.full((37, 73), 25.0))
+        epc = examples.get_epc(n_points=200)
+        epc.set_vcrs("Ellipsoid")
+        out = epc.to_vcrs("TESTGEOID2")
+        assert np.allclose(epc.z - out.z, 25.0)
+
+    def test_coregister_3d(self):
+        dem = examples.get_ref_dem().icrop((100, 500), (200, 600))
+        epc = dem.to_pointcloud(subsample=30000, random_state=2)
+        epc_shifted = epc.translate(-8.0, 5.0, 2.0)
+        from xdem_tpu import coreg
+
+        nk = coreg.NuthKaab(subsample=20000)
+        nk.fit(epc, dem, random_state=42)  # points as reference vs raster
+        # Degenerate here (epc sampled from dem itself): shifts near zero
+        tx, ty, tz = nk.to_translations()
+        assert abs(tx) < 2 and abs(ty) < 2
+
+    def test_subsample_and_crs(self):
+        epc = examples.get_epc(n_points=1000)
+        sub = epc.subsample(100, random_state=0)
+        assert len(sub) == 100
+        geo = epc.to_crs(4326)
+        assert geo.crs.epsg == 4326
+        assert (np.abs(geo.x) <= 180).all()
+
+
+class TestDEMObject:
+    def test_vcrs_from_product_tag(self):
+        arr = np.ones((5, 5), np.float32)
+        dem = DEM(arr, Affine.from_origin(0, 50, 10, 10), 32633)
+        dem.tags["PRODUCT"] = "COPDEM"
+        dem2 = DEM(arr, Affine.from_origin(0, 50, 10, 10), 32633)
+        dem2.tags["PRODUCT"] = "COPDEM"
+        # vcrs parsed at construction only when tags present at init; set manually here
+        dem.set_vcrs("EGM08")
+        assert dem.vcrs_name == "EGM08"
+        assert "EGM08" in dem.ccrs
+
+    def test_coregister_3d_default(self):
+        ref = examples.get_ref_dem().icrop((100, 400), (200, 500))
+        tba = ref.translate(-6.0, 4.0, 1.0).reproject(ref)
+        tba = DEM(tba.data, ref.transform, ref.crs)
+        aligned = ref.coregister_3d(tba, random_state=42)
+        dh = np.asarray((ref - aligned).data)
+        assert np.nanvar(dh) < 0.05
+
+    def test_single_band_enforced(self):
+        with pytest.raises(ValueError, match="2-D"):
+            DEM(np.ones((2, 5, 5), np.float32), Affine.from_origin(0, 50, 10, 10), 32633)

@@ -251,3 +251,26 @@ class TestSharded:
         assert (np.isfinite(single) == np.isfinite(sharded)).all()
         assert np.allclose(single[both], sharded[both], atol=1e-4)
         assert jax.devices()[0].platform == "cpu"
+
+
+class TestPallasEngine:
+    def test_pallas_matches_xla(self, smooth_dem):
+        """The Pallas engine must match the XLA engine to f32 precision (interpret mode on CPU)."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        dem, res = smooth_dem
+        dem = dem.copy()
+        dem[13, 17] = np.nan
+        attrs = ["slope", "aspect", "hillshade", "max_curvature"]
+        want = [np.asarray(terrain.get_terrain_attribute(dem, a, resolution=res)) for a in attrs]
+        with pltpu.force_tpu_interpret_mode():
+            got = terrain.get_terrain_attribute(dem, attrs, resolution=res, engine="pallas")
+        for i, a in enumerate(attrs):
+            g = np.asarray(got[i])
+            w = want[i]
+            assert (np.isfinite(g) == np.isfinite(w)).all()
+            both = np.isfinite(g)
+            d = np.abs(g[both] - w[both])
+            if a == "aspect":
+                d = np.minimum(d, 360 - d)
+            assert np.max(d) < 1e-3, f"{a}: {np.max(d)}"

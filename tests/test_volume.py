@@ -1,0 +1,154 @@
+"""Volume change, dDEM and DEMCollection tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from xdem_tpu import volume
+from xdem_tpu.ddem import dDEM
+from xdem_tpu.dem import DEM
+from xdem_tpu.demcollection import DEMCollection
+from xdem_tpu.georef import Affine
+from xdem_tpu.raster import Raster
+
+
+@pytest.fixture()
+def ref_and_dh(rng):
+    h, w = 120, 150
+    yy, xx = np.mgrid[0:h, 0:w]
+    ref = (1000 - 3.0 * yy + 0.5 * xx).astype(np.float64)  # elevation ramp
+    # dh depends linearly on elevation: dh = -20 + 0.015*z + noise
+    dh = -20 + 0.015 * ref + rng.normal(0, 0.1, ref.shape)
+    return ref, dh
+
+
+class TestHypsometricBinning:
+    def test_fixed_bins_recover_signal(self, ref_and_dh):
+        ref, dh = ref_and_dh
+        df = volume.hypsometric_binning(dh, ref, bins=50.0, kind="fixed")
+        mids = df.index.mid.values
+        expected = -20 + 0.015 * mids
+        # Interior bins only: edge bins are truncated by the data range, shifting their median
+        valid = np.array((df["count"] > 20).values)
+        valid[0] = valid[-1] = False
+        assert np.allclose(df["value"][valid], expected[valid], atol=0.1)
+
+    @pytest.mark.parametrize("kind", ["count", "quantile"])
+    def test_other_kinds(self, ref_and_dh, kind):
+        ref, dh = ref_and_dh
+        df = volume.hypsometric_binning(dh, ref, bins=10 if kind == "count" else 1000, kind=kind)
+        assert df["count"].sum() > 0.95 * np.isfinite(dh).sum()
+
+    def test_custom_bins(self, ref_and_dh):
+        ref, dh = ref_and_dh
+        edges = np.array([600.0, 800.0, 1000.0, 1100.0])
+        df = volume.hypsometric_binning(dh, ref, bins=edges, kind="custom")
+        assert len(df) == 3
+
+    def test_interpolate_bins(self, ref_and_dh):
+        ref, dh = ref_and_dh
+        df = volume.hypsometric_binning(dh, ref, bins=50.0)
+        df.loc[df.index[3], "value"] = np.nan
+        filled = volume.interpolate_hypsometric_bins(df)
+        assert np.isfinite(filled["value"]).all()
+
+    def test_fit_poly(self, ref_and_dh):
+        ref, dh = ref_and_dh
+        df = volume.hypsometric_binning(dh, ref, bins=50.0)
+        fitted = volume.fit_hypsometric_bins_poly(df, degree=1)
+        mids = df.index.mid.values
+        assert np.allclose(fitted["value"].values[1:-1], (-20 + 0.015 * mids)[1:-1], atol=0.2)
+
+    def test_area_calculation(self, ref_and_dh):
+        ref, dh = ref_and_dh
+        df = volume.hypsometric_binning(dh, ref, bins=100.0)
+        filled = volume.interpolate_hypsometric_bins(df)
+        areas = volume.calculate_hypsometry_area(filled, ref, pixel_size=20.0)
+        assert areas.sum() == pytest.approx(np.isfinite(ref).sum() * 400.0, rel=1e-6)
+
+
+class TestGapFilling:
+    def test_idw(self, rng):
+        arr = rng.normal(10, 1, (50, 50))
+        arr[20:25, 20:25] = np.nan
+        filled = volume.idw_interpolation(arr, max_search_distance=10)
+        assert np.isfinite(filled[22, 22])
+        assert abs(filled[22, 22] - 10) < 3
+
+    def test_hypsometric_interpolation(self, ref_and_dh):
+        ref, dh = ref_and_dh
+        mask = np.ones(ref.shape, dtype=bool)
+        dh_voided = dh.copy()
+        dh_voided[40:60, 40:80] = np.nan
+        filled = volume.hypsometric_interpolation(dh_voided, ref, mask)
+        got = filled.filled(np.nan)[50, 60]
+        expected = -20 + 0.015 * ref[50, 60]
+        assert got == pytest.approx(expected, abs=0.3)
+
+    def test_local_hypsometric(self, ref_and_dh):
+        ref, dh = ref_and_dh
+        mask = np.zeros(ref.shape, dtype=bool)
+        mask[10:60, 10:70] = True
+        mask[70:110, 80:140] = True
+        dh_voided = np.where(mask, dh, np.nan)
+        dh_voided[30:40, 30:50] = np.nan
+        filled = volume.local_hypsometric_interpolation(dh_voided, ref, mask)
+        assert np.isfinite(filled.filled(np.nan)[35, 40])
+
+    def test_regional_signal(self, ref_and_dh, rng):
+        ref, dh = ref_and_dh
+        glaciers = np.zeros(ref.shape, dtype=int)
+        glaciers[10:60, 10:70] = 1
+        glaciers[70:110, 80:140] = 2
+        signal = volume.get_regional_hypsometric_signal(dh, ref, glaciers)
+        assert len(signal) == 20
+        assert np.isfinite(signal["median"]).sum() > 10
+        filled = volume.norm_regional_hypsometric_interpolation(
+            np.where(glaciers > 0, dh, np.nan), ref, glaciers)
+        assert np.isfinite(filled.filled(np.nan)[glaciers > 0]).mean() > 0.9
+
+
+class TestDDEM:
+    def test_construction_and_time(self):
+        import datetime
+
+        r = Raster(np.ones((10, 10), np.float32), Affine.from_origin(0, 100, 10, 10), 32633)
+        d = dDEM(r, start_time=datetime.datetime(1990, 8, 1), end_time=datetime.datetime(2009, 8, 1))
+        assert d.time.days == pytest.approx(6940, abs=5)
+
+    def test_interpolate_idw(self, rng):
+        arr = rng.normal(5, 1, (40, 40)).astype(np.float32)
+        arr[10:14, 10:14] = np.nan
+        d = dDEM(Raster(arr, Affine.from_origin(0, 400, 10, 10), 32633))
+        filled = d.interpolate(method="idw")
+        assert np.isfinite(filled[11, 11])
+        assert d.filled_data is not None
+
+
+class TestDEMCollection:
+    def test_series(self, rng):
+        import datetime
+
+        t = Affine.from_origin(0, 1000, 10, 10)
+        base = rng.normal(1000, 50, (60, 60)).astype(np.float32)
+        d0 = DEM(base, t, 32633)
+        d1 = DEM(base - 5, t, 32633)
+        d2 = DEM(base - 12, t, 32633)
+        times = [datetime.datetime(y, 8, 1) for y in (1990, 2000, 2010)]
+        col = DEMCollection([d0, d1, d2], timestamps=times, reference_dem=0)
+        ddems = col.subtract_dems_intervalwise()
+        assert len(ddems) == 2
+        dh = col.get_dh_series(nans_ok=True)
+        assert dh["dh"].iloc[0] == pytest.approx(-5, abs=1e-3)
+        assert dh["dh"].iloc[1] == pytest.approx(-7, abs=1e-3)
+        dv = col.get_dv_series(nans_ok=True)
+        assert dv.iloc[0] == pytest.approx(-5 * 60 * 60 * 100, rel=1e-3)
+        cum = col.get_cumulative_series(kind="dh", nans_ok=True)
+        assert cum.iloc[0] == 0
+        assert cum.iloc[-1] == pytest.approx(-12, abs=1e-2)
+
+    def test_timestamps_required(self):
+        t = Affine.from_origin(0, 1000, 10, 10)
+        d = DEM(np.ones((5, 5), np.float32), t, 32633)
+        with pytest.raises(ValueError, match="Timestamps"):
+            DEMCollection([d])

@@ -24,6 +24,7 @@ import numpy as np
 from xdem_tpu.georef import CRS, Affine
 from xdem_tpu.ops.interp import interp_points as _interp_points_dev
 from xdem_tpu.ops.interp import interp_rowcol
+from xdem_tpu.profiler import profile as _profile
 from xdem_tpu.pointcloud import PointCloud
 from xdem_tpu.raster import Raster
 
@@ -533,6 +534,7 @@ class Coreg:
 
     # ------------------------------- fit / apply
 
+    @_profile("xdem_tpu.coreg.Coreg.fit", memprof=True)
     def fit(
         self,
         reference_elev: Any,
@@ -627,6 +629,7 @@ class Coreg:
     def _fit_pts_pts(self, **kwargs: Any) -> None:
         raise NotImplementedCoregFit(f"{type(self).__name__} does not implement point-point fit.")
 
+    @_profile("xdem_tpu.coreg.Coreg.apply", memprof=True)
     def apply(
         self,
         elev: Any,

@@ -235,7 +235,7 @@ def _sklearn_polyfit(x: np.ndarray, y: np.ndarray, degree: int, estimator_name: 
         "Linear": LinearRegression(),
         "Theil-Sen": TheilSenRegressor(random_state=random_state),
         "RANSAC": RANSACRegressor(random_state=random_state),
-        "Huber": HuberRegressor(),
+        "Huber": HuberRegressor(max_iter=1000),
     }
     if estimator_name not in est_map:
         raise ValueError(f"Attribute estimator must be one of {list(est_map)}, not {estimator_name}.")

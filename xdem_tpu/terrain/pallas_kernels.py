@@ -1,0 +1,207 @@
+"""Pallas TPU kernel for the fused surface-fit terrain attributes.
+
+One HBM pass: the NaN-padded DEM stays in HBM/ANY; each grid program DMAs its (TILE+2*halo)^2
+block into VMEM, evaluates all requested derivative stencils as shifted-slice multiply-adds in
+VMEM, applies the shared attribute algebra (surfit._attrs_from_derivs) in registers, and writes
+the attribute tile. Replaces the reference's Numba prange pixel loop (surfit.py:977-1088) as
+the "native engine"; the XLA engine (surfit.surface_attributes) remains the portable default.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from xdem_tpu.terrain.surfit import (
+    ALL_STENCILS,
+    _CURVATURE_ATTRS,
+    _FIT_DERIVS,
+    _attrs_from_derivs,
+    _needed_derivs,
+)
+
+_DIV_CONST = {
+    "zt_d": 1.0, "zt_e": 1.0, "zt_f": 4.0, "zt_g": 2.0, "zt_h": 2.0,
+    "h1": 8.0, "h2": 8.0,
+    "fl_r": 35.0, "fl_t": 35.0, "fl_s": 100.0, "fl_p": 420.0, "fl_q": 420.0,
+}
+_DIV_POW = {"z_x": 1, "z_y": 1, "z_xx": 2, "z_yy": 2, "z_xy": 2}
+
+
+def _atan_poly(x: jnp.ndarray) -> jnp.ndarray:
+    """Branchless f32 arctan (Cephes atanf-style range reduction + minimax cubic-in-z poly).
+
+    Pallas TPU has no atan lowering; this reaches ~1 ulp f32 accuracy.
+    """
+    sign = jnp.sign(x)
+    t = jnp.abs(x)
+    # Range reduction: tan(pi/8) and tan(3*pi/8) breakpoints
+    hi = t > 2.414213562373095
+    mid = (t > 0.4142135623730950) & ~hi
+    safe_t = jnp.where(t == 0, 1.0, t)
+    x_hi = -1.0 / safe_t
+    x_mid = (t - 1.0) / (t + 1.0)
+    xr = jnp.where(hi, x_hi, jnp.where(mid, x_mid, t))
+    y0 = jnp.where(hi, jnp.float32(np.pi / 2), jnp.where(mid, jnp.float32(np.pi / 4), 0.0))
+    z = xr * xr
+    poly = (((8.05374449538e-2 * z - 1.38776856032e-1) * z + 1.99777106478e-1) * z - 3.33329491539e-1) * z
+    y = y0 + xr + xr * poly
+    y = jnp.where(t == 0, 0.0, y)
+    return sign * y
+
+
+def _atan2_poly(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Branchless f32 arctan2 built on _atan_poly (quadrant corrections, zero handling)."""
+    safe_x = jnp.where(x == 0, 1.0, x)
+    base = _atan_poly(y / safe_x)
+    pi = jnp.float32(np.pi)
+    out = jnp.where(
+        x > 0,
+        base,
+        jnp.where(y >= 0, base + pi, base - pi),
+    )
+    # x == 0 cases
+    out = jnp.where(x == 0, jnp.where(y > 0, pi / 2, jnp.where(y < 0, -pi / 2, 0.0)), out)
+    # Propagate NaN inputs
+    out = jnp.where(jnp.isnan(x) | jnp.isnan(y), jnp.nan, out)
+    return out
+
+
+# Mosaic DMA slices must be tiling-aligned: rows to 8 (sublanes), cols to 128 (lanes)
+_PADR = 8
+_PADC = 128
+
+
+def _make_kernel(attrs, roles, names, ksize, geometric, hs_alt, hs_az, hs_zf, tile, halo):
+    """Build the pallas kernel body for a fixed attribute/method configuration."""
+    kernels = {name: ALL_STENCILS[name] for name in names}
+    k = ksize
+    pad = k // 2
+
+    def kernel(res_ref, dem_hbm, out_ref, scratch, sem):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        # DMA an aligned over-fetched tile from HBM into VMEM: the input is pre-padded by
+        # (_PADR, _PADC) on the top/left, so the fetch at (i*tile, j*tile) is tiling-aligned
+        # and the stencil halo sits inside the over-fetch.
+        cp = pltpu.make_async_copy(
+            dem_hbm.at[pl.ds(i * tile, tile + 2 * _PADR), pl.ds(j * tile, tile + 2 * _PADC)],
+            scratch,
+            sem,
+        )
+        cp.start()
+        cp.wait()
+
+        block = scratch[:]
+        finite = jnp.isfinite(block)
+        z = jnp.where(finite, block, 0.0)
+        inv_res = 1.0 / res_ref[0]
+
+        # Derivative stencils as shifted-slice multiply-adds; slices shared across stencils.
+        accs = {role: jnp.zeros((tile, tile), dtype=block.dtype) for role in roles}
+        valid = jnp.ones((tile, tile), dtype=jnp.bool_)
+        off_r = _PADR - pad
+        off_c = _PADC - pad
+        for u in range(k):
+            for v in range(k):
+                sl = z[off_r + u : off_r + u + tile, off_c + v : off_c + v + tile]
+                fl = finite[off_r + u : off_r + u + tile, off_c + v : off_c + v + tile]
+                valid = valid & fl
+                for role, name in zip(roles, names):
+                    w = float(kernels[name][k - 1 - u, k - 1 - v])
+                    if w:
+                        accs[role] = accs[role] + w * sl
+
+        # Apply dividers (constant part static, resolution part dynamic)
+        D = {}
+        for role, name in zip(roles, names):
+            D[role] = accs[role] * (inv_res ** _DIV_POW[role]) * (1.0 / _DIV_CONST[name])
+
+        vals = _attrs_from_derivs(
+            D, attrs, geometric,
+            hillshade_altitude=hs_alt, hillshade_azimuth=hs_az, hillshade_z_factor=hs_zf,
+            arctan=_atan_poly, arctan2=_atan2_poly,
+        )
+        nan = jnp.asarray(jnp.nan, dtype=block.dtype)
+        for a_idx, val in enumerate(vals):
+            out_ref[a_idx, :, :] = jnp.where(valid, val, nan)
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "attrs", "surface_fit", "curv_method",
+        "hillshade_altitude", "hillshade_azimuth", "hillshade_z_factor", "tile",
+    ),
+)
+def surface_attributes_pallas(
+    dem: jnp.ndarray,
+    resolution: jnp.ndarray | float,
+    attrs: tuple[str, ...],
+    surface_fit: str = "Florinsky",
+    curv_method: str = "geometric",
+    hillshade_altitude: float = 45.0,
+    hillshade_azimuth: float = 315.0,
+    hillshade_z_factor: float = 1.0,
+    tile: int = 256,
+) -> jnp.ndarray:
+    """Fused Pallas surface-fit attributes; identical semantics to surfit.surface_attributes."""
+    fit = surface_fit.lower()
+    geometric = curv_method.lower() == "geometric"
+    if fit == "horn" and any(a in _CURVATURE_ATTRS for a in attrs):
+        raise ValueError("'Horn' surface fit cannot compute curvatures; use ZevenbergThorne or Florinsky.")
+
+    dem = jnp.asarray(dem, dtype=jnp.float32)
+    h, w = dem.shape
+    roles = _needed_derivs(attrs, fit)
+    names = tuple(_FIT_DERIVS[fit][r] for r in roles)
+    ksize = ALL_STENCILS[names[0]].shape[0] if names else 3
+    halo = ksize // 2
+
+    valid_in = jnp.isfinite(dem)
+    center = jnp.where(jnp.any(valid_in), jnp.nanmean(jnp.where(valid_in, dem, jnp.nan)), 0.0)
+    dem_c = jnp.where(valid_in, dem - center, jnp.nan)
+
+    # Pad: aligned over-fetch margins of NaN plus rounding the extent up to tile multiples
+    gh = -(-h // tile)
+    gw = -(-w // tile)
+    ph = gh * tile - h
+    pw = gw * tile - w
+    demp = jnp.pad(
+        dem_c, ((_PADR, _PADR + ph), (_PADC, _PADC + pw)), constant_values=jnp.nan
+    )
+
+    res = jnp.asarray([resolution], dtype=jnp.float32)
+
+    kernel = _make_kernel(
+        attrs, tuple(roles), names, ksize, geometric,
+        float(hillshade_altitude), float(hillshade_azimuth), float(hillshade_z_factor),
+        tile, halo,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(gh, gw),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (len(attrs), tile, tile),
+            lambda i, j: (0, i, j),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((len(attrs), gh * tile, gw * tile), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tile + 2 * _PADR, tile + 2 * _PADC), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(res, demp)
+    return out[:, :h, :w]

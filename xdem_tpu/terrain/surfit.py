@@ -210,7 +210,29 @@ def surface_attributes(
 
     valid = _erode_valid(valid_in, ksize)
     nan = jnp.array(jnp.nan, dtype=dem.dtype)
+    vals = _attrs_from_derivs(
+        D, attrs, geometric,
+        hillshade_altitude=hillshade_altitude,
+        hillshade_azimuth=hillshade_azimuth,
+        hillshade_z_factor=hillshade_z_factor,
+    )
+    out = [jnp.where(valid, v, nan) for v in vals]
+    return jnp.stack(out, axis=0)
 
+
+def _attrs_from_derivs(
+    D: dict,
+    attrs: tuple[str, ...],
+    geometric: bool,
+    hillshade_altitude: float = 45.0,
+    hillshade_azimuth: float = 315.0,
+    hillshade_z_factor: float = 1.0,
+    arctan=jnp.arctan,
+    arctan2=jnp.arctan2,
+) -> list:
+    """Closed-form attribute algebra from derivative fields (shared by the XLA and Pallas
+    engines). Formulas from the reference surfit.py:590-943; no validity masking here.
+    `arctan`/`arctan2` are injectable because Pallas TPU has no native lowering for them."""
     z_x = D.get("z_x")
     z_y = D.get("z_y")
     z_xx = D.get("z_xx")
@@ -221,16 +243,14 @@ def surface_attributes(
         grad2 = z_x**2 + z_y**2
         flat = grad2 == 0.0
 
-    out = []
     slope = aspect = None
     if "slope" in attrs or "hillshade" in attrs:
-        slope = jnp.arctan(jnp.sqrt(grad2))
+        slope = arctan(jnp.sqrt(grad2))
     if "aspect" in attrs or "hillshade" in attrs:
-        aspect = (-jnp.arctan2(-z_x, z_y)) % (2 * jnp.pi)
+        aspect = (-arctan2(-z_x, z_y)) % (2 * jnp.pi)
 
     mean_c = unsphericity = None
-    need_minmax_geo = geometric and ("max_curvature" in attrs or "min_curvature" in attrs)
-    if need_minmax_geo:
+    if geometric and ("max_curvature" in attrs or "min_curvature" in attrs):
         # Mean curvature (Gauss 1928) and unsphericity (Shary 1995); reference surfit.py:813-869.
         denom_m = 2 * ((1 + grad2) ** 3) ** 0.5
         mean_c = jnp.where(flat, 0.0, -((1 + z_y**2) * z_xx - 2 * z_xy * z_x * z_y + (1 + z_x**2) * z_yy) / denom_m)
@@ -246,13 +266,14 @@ def surface_attributes(
             ),
         )
 
+    out = []
     for a in attrs:
         if a == "slope":
             val = slope
         elif a == "aspect":
             val = aspect
         elif a == "hillshade":
-            slopemap = jnp.arctan(jnp.tan(slope) * hillshade_z_factor) if hillshade_z_factor != 1.0 else slope
+            slopemap = arctan(jnp.tan(slope) * hillshade_z_factor) if hillshade_z_factor != 1.0 else slope
             azimuth_rad = jnp.deg2rad(360.0 - hillshade_azimuth)
             altitude_rad = jnp.deg2rad(hillshade_altitude)
             # GDAL-matching scaling — reference surfit.py:606-622.
@@ -290,6 +311,5 @@ def surface_attributes(
                 val = jnp.where(flat, 0.0, -((z_xx + z_yy) / 2 + jnp.sqrt(((z_xx - z_yy) / 2) ** 2 + z_xy**2))) * 100.0
         else:
             raise ValueError(f"Unknown surface-fit attribute: {a}")
-        out.append(jnp.where(valid, val, nan))
-
-    return jnp.stack(out, axis=0)
+        out.append(val)
+    return out

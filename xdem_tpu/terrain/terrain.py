@@ -17,6 +17,7 @@ from typing import Any, Literal, Sequence
 import jax.numpy as jnp
 import numpy as np
 
+from xdem_tpu.profiler import profile as _profile
 from xdem_tpu.raster import Raster
 from xdem_tpu.terrain.freq import texture_shading as _texture_shading_fn
 from xdem_tpu.terrain.surfit import SURFACE_FIT_ATTRS, surface_attributes
@@ -38,6 +39,7 @@ _CURVATURES = (
 )
 
 
+@_profile("xdem_tpu.terrain.get_terrain_attribute", memprof=True)
 def get_terrain_attribute(
     dem: Any,
     attribute: str | Sequence[str],
@@ -55,6 +57,7 @@ def get_terrain_attribute(
     texture_alpha: float = 0.8,
     out_dtype: Any = None,
     mesh: Any = None,
+    engine: Literal["xla", "pallas"] = "xla",
 ) -> Any:
     """Derive one or multiple terrain attributes from a DEM (array or Raster).
 
@@ -149,6 +152,10 @@ def get_terrain_attribute(
             from xdem_tpu.parallel.halo import sharded_surface_attributes
 
             stack = sharded_surface_attributes(arr, resolution, mesh=mesh, **kwargs)
+        elif engine == "pallas":
+            from xdem_tpu.terrain.pallas_kernels import surface_attributes_pallas
+
+            stack = surface_attributes_pallas(arr, resolution, **kwargs)
         else:
             stack = surface_attributes(arr, resolution, **kwargs)
         for i, a in enumerate(sf_attrs):

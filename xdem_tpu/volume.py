@@ -177,8 +177,9 @@ def idw_interpolation(array: np.ndarray, max_search_distance: int = 10, extrapol
             est = ksum / kcnt
         filled = np.where(invalid & (kcnt > 0), est, filled)
     if not extrapolate:
+        # Trim values extrapolated OUTSIDE the data hull; interior holes stay filled
         struct = np.ones((3, 3))
-        inside = ndimage.binary_dilation(valid0, structure=struct, iterations=1)
+        inside = ndimage.binary_fill_holes(ndimage.binary_dilation(valid0, structure=struct, iterations=1))
         filled[~inside] = np.nan
     return filled.astype(array.dtype if hasattr(array, "dtype") else np.float32)
 
