@@ -263,3 +263,42 @@ class TestBlockwise:
     def test_uninstantiated_raises(self):
         with pytest.raises(ValueError, match="instantiated"):
             coreg.BlockwiseCoreg(coreg.NuthKaab)
+
+
+class TestInitialShiftAndSerialization:
+    def test_initial_shift_recovery(self, ref_tba):
+        sx, sy, sz = SHIFTS
+        tba = _shifted(ref_tba, sx, sy, sz)
+        # Give NuthKaab most of the answer as an initial shift; it should still converge to
+        # the same total translation.
+        c = coreg.NuthKaab(initial_shift=(-sx * 0.8, -sy * 0.8))
+        c.fit(ref_tba, tba, random_state=42)
+        tx, ty, tz = c.to_translations()
+        mag = np.hypot(sx, sy)
+        assert tx == pytest.approx(-sx, abs=0.05 * mag)
+        assert ty == pytest.approx(-sy, abs=0.05 * mag)
+
+    def test_save_load_roundtrip(self, ref_tba, tmp_path):
+        sx, sy, sz = SHIFTS
+        tba = _shifted(ref_tba, sx, sy, sz)
+        c = coreg.NuthKaab()
+        c.fit(ref_tba, tba, random_state=42)
+        path = str(tmp_path / "nk.pkl")
+        c.save(path)
+        c2 = coreg.Coreg.load(path)
+        assert isinstance(c2, coreg.NuthKaab)
+        assert np.allclose(c2.to_matrix(), c.to_matrix())
+        # The loaded instance can apply without re-fitting
+        aligned = c2.apply(tba)
+        dh = np.asarray((ref_tba - aligned).data)
+        assert np.nanvar(dh) < 0.02 * np.nanvar(np.asarray((ref_tba - tba).data))
+
+    def test_vshift_reduc_func_roundtrip(self, ref_tba, tmp_path):
+        c = coreg.VerticalShift()
+        c.fit(ref_tba, ref_tba + 3.0, random_state=42)
+        path = str(tmp_path / "vs.pkl")
+        c.save(path)
+        c2 = coreg.Coreg.load(path)
+        assert c2.meta["outputs"]["affine"]["shift_z"] == pytest.approx(-3.0, abs=1e-3)
+        # The stored callable (np.median) is restored by name
+        assert c2.meta["inputs"]["affine"]["vshift_reduc_func"] is np.median

@@ -565,6 +565,23 @@ class Coreg:
                 k: (v.data if isinstance(v, Raster) else jnp.asarray(v)) for k, v in bias_vars.items()
             }
 
+        # Initial shift: pre-translate the to-be-aligned input before fitting, and re-add the
+        # shift to the estimated outputs afterwards (reference base.py:2307-2314, 2356-2363).
+        initial_shift = self._meta["inputs"].get("affine", {}).get("initial_shift")
+        if initial_shift is not None:
+            sx0, sy0 = initial_shift[0], initial_shift[1]
+            sz0 = initial_shift[2] if len(initial_shift) > 2 else 0.0
+            if isinstance(tba, PointCloud):
+                tba = tba.translate(sx0, sy0, sz0)
+            else:
+                shift_matrix = matrix_from_translations_rotations(t_x=sx0, t_y=sy0, t_z=sz0)
+                tba_r = Raster(tba, transform, crs)
+                shifted = apply_matrix(tba_r, shift_matrix)
+                data = _reproject_horizontal_shift_samecrs(
+                    shifted.data, src_transform=shifted.transform, dst_transform=transform
+                )
+                tba = data
+
         self._fit_func(
             ref_elev=ref,
             tba_elev=tba,
@@ -577,8 +594,71 @@ class Coreg:
             bias_vars=bias_vars,
             **kwargs,
         )
+        # Re-add the initial shift to the estimated outputs
+        if initial_shift is not None:
+            aff = self._meta["outputs"].get("affine", {})
+            for key, add in (("shift_x", sx0), ("shift_y", sy0), ("shift_z", sz0)):
+                if key in aff:
+                    aff[key] = aff[key] + add
+            if "matrix" in aff:
+                m = np.asarray(aff["matrix"]).copy()
+                m[:3, 3] += [sx0, sy0, sz0]
+                aff["matrix"] = m
+
         self._fit_called = True
         return self
+
+    # ------------------------------- serialization (checkpoint/resume of the model state)
+
+    def save(self, path: str) -> None:
+        """Serialize the fitted coreg state (meta dict) to disk — the `Coreg.meta` dict is the
+        model state (SURVEY §5 / reference base.py:1786-1941); callables are stored by name."""
+        import pickle
+
+        def sanitize(obj: Any) -> Any:
+            if isinstance(obj, dict):
+                return {k: sanitize(v) for k, v in obj.items()}
+            if isinstance(obj, (list, tuple)):
+                return type(obj)(sanitize(v) for v in obj)
+            if callable(obj) and not isinstance(obj, type):
+                return {"__callable__": f"{getattr(obj, '__module__', '')}.{getattr(obj, '__qualname__', '')}"}
+            return obj
+
+        with open(path, "wb") as f:
+            pickle.dump({"class": type(self).__name__, "meta": sanitize(self._meta),
+                         "fit_called": self._fit_called}, f)
+
+    @staticmethod
+    def load(path: str) -> "Coreg":
+        """Load a serialized coreg state; returns an instance of the stored class with the
+        fitted outputs restored (callables restored by import where possible)."""
+        import importlib
+        import pickle
+
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+
+        from xdem_tpu import coreg as _coreg_pkg
+
+        cls = getattr(_coreg_pkg, payload["class"])
+        obj = cls()
+
+        def restore(o: Any) -> Any:
+            if isinstance(o, dict):
+                if set(o.keys()) == {"__callable__"}:
+                    mod_name, _, qual = o["__callable__"].rpartition(".")
+                    try:
+                        return getattr(importlib.import_module(mod_name), qual)
+                    except (ImportError, AttributeError):
+                        return None
+                return {k: restore(v) for k, v in o.items()}
+            if isinstance(o, (list, tuple)):
+                return type(o)(restore(v) for v in o)
+            return o
+
+        obj._meta = restore(payload["meta"])
+        obj._fit_called = payload["fit_called"]
+        return obj
 
     def _fit_func(self, **kwargs: Any) -> None:
         """Dispatch fit by input type with the rst-rst -> rst-pts -> pts-pts fallback ladder
