@@ -302,3 +302,20 @@ class TestInitialShiftAndSerialization:
         assert c2.meta["outputs"]["affine"]["shift_z"] == pytest.approx(-3.0, abs=1e-3)
         # The stored callable (np.median) is restored by name
         assert c2.meta["inputs"]["affine"]["vshift_reduc_func"] is np.median
+
+
+class TestPointInputs:
+    @pytest.mark.parametrize("method_cls", [coreg.ICP, coreg.LZD, coreg.VerticalShift])
+    def test_epc_vs_raster(self, ref_tba, method_cls):
+        """Raster-point fits: EPC reference against a shifted raster."""
+        sx, sy, sz = (-7.0, 5.0, 1.2)
+        tba = _shifted(ref_tba, sx, sy, sz)
+        epc = ref_tba.to_pointcloud(subsample=30000, random_state=3)
+        c = method_cls(subsample=20000)
+        c.fit(epc, tba, random_state=42)
+        tx, ty, tz = c.to_translations()
+        if method_cls is coreg.VerticalShift:
+            assert tz == pytest.approx(-sz, abs=0.3)
+        else:
+            assert tx == pytest.approx(-sx, abs=1.5)
+            assert ty == pytest.approx(-sy, abs=1.5)
