@@ -251,3 +251,80 @@ class TestUncertaintyPipeline:
         assert np.nanmedian(arr) > 0  # positive errors
         assert rho(np.array([0.0]))[0] == pytest.approx(1.0)
         assert rho(np.array([1e7]))[0] == pytest.approx(0.0, abs=0.05)
+
+
+class TestPlotting:
+    def test_plot_variogram(self, tmp_path):
+        field = _gaussian_field(shape=(100, 100), smooth_px=3, sigma=1.0, seed=9)
+        df = ss.sample_empirical_variogram(field, gsd=10.0, subsample=400, random_state=42)
+        fn, params = ss.fit_sum_model_variogram(["spherical"], df)
+        out = str(tmp_path / "vario.png")
+        ss.plot_variogram(df, list_fit_fun=[fn], out_fname=out)
+        import os
+
+        assert os.path.getsize(out) > 5000
+
+    def test_plot_binnings(self, tmp_path, rng):
+        vals = rng.normal(size=3000)
+        v1 = rng.uniform(0, 10, 3000)
+        v2 = rng.uniform(0, 5, 3000)
+        df = ss.nd_binning(vals, [v1, v2], ["a", "b"], list_var_bins=6)
+        out1 = str(tmp_path / "b1.png")
+        out2 = str(tmp_path / "b2.png")
+        ss.plot_1d_binning(df, "a", "nanmedian", min_count=5, out_fname=out1)
+        ss.plot_2d_binning(df, "a", "b", "nanmedian", min_count=5, out_fname=out2)
+        import os
+
+        assert os.path.getsize(out1) > 5000 and os.path.getsize(out2) > 5000
+
+
+class TestShardedVariogram:
+    def test_sharded_matches_single_device(self):
+        """Sharded matheron bins over an 8-device mesh equal the single-device computation."""
+        import jax
+        from jax.sharding import Mesh
+
+        from xdem_tpu.parallel.variogram import sharded_variogram_bins
+        from xdem_tpu.spatialstats import _binned_pair_estimator
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(11)
+        R, N, M = 16, 40, 80
+        za = rng.normal(0, 1.5, (R, N)).astype(np.float32)
+        zb = rng.normal(0, 1.5, (R, M)).astype(np.float32)
+        ca = rng.uniform(0, 1000, (R, N, 2)).astype(np.float32)
+        cb = rng.uniform(0, 1000, (R, M, 2)).astype(np.float32)
+        edges = [0.0, 50.0, 150.0, 400.0, 800.0, 1500.0]
+
+        mesh = Mesh(np.asarray(jax.devices()[:8]), axis_names=("p",))
+        g_sharded, c_sharded = sharded_variogram_bins(za, zb, ca, cb, edges, mesh, estimator="matheron")
+
+        diffs = jnp.asarray(za)[:, :, None] - jnp.asarray(zb)[:, None, :]
+        dists = jnp.sqrt(jnp.sum((jnp.asarray(ca)[:, :, None, :] - jnp.asarray(cb)[:, None, :, :]) ** 2, axis=-1))
+        dists = jnp.where(dists <= 0, jnp.nan, dists)
+        g_single, c_single = _binned_pair_estimator(diffs, dists, np.asarray(edges), "matheron")
+
+        assert (c_sharded == c_single).all()
+        both = np.isfinite(g_sharded) & np.isfinite(g_single)
+        assert np.allclose(g_sharded[both], g_single[both], rtol=1e-5)
+
+    def test_sharded_dowd_close(self):
+        """Dowd shard-median aggregation approximates the global estimator on white noise."""
+        import jax
+        from jax.sharding import Mesh
+
+        from xdem_tpu.parallel.variogram import sharded_variogram_bins
+
+        rng = np.random.default_rng(12)
+        R, N, M = 8, 60, 120
+        sigma = 2.0
+        za = rng.normal(0, sigma, (R, N)).astype(np.float32)
+        zb = rng.normal(0, sigma, (R, M)).astype(np.float32)
+        ca = rng.uniform(0, 1000, (R, N, 2)).astype(np.float32)
+        cb = rng.uniform(0, 1000, (R, M, 2)).astype(np.float32)
+        edges = [0.0, 400.0, 900.0, 1500.0]
+        mesh = Mesh(np.asarray(jax.devices()[:8]), axis_names=("p",))
+        gamma, counts = sharded_variogram_bins(za, zb, ca, cb, edges, mesh, estimator="dowd")
+        # White noise: gamma ~= sigma^2 in every well-populated bin
+        ok = counts > 500
+        assert np.allclose(gamma[ok], sigma**2, rtol=0.2)

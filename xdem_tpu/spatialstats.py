@@ -1243,3 +1243,157 @@ def patches_method(
         perc_min_valid=perc_min_valid, statistics_in_patch=statistics_in_patch,
         statistic_between_patches=statistic_between_patches, random_state=random_state,
     )
+
+
+# ---------------------------------------------------------------------- plotting
+
+
+def plot_variogram(
+    df: pd.DataFrame,
+    list_fit_fun: Sequence[Callable[[np.ndarray], np.ndarray]] | None = None,
+    list_fit_fun_label: Sequence[str] | None = None,
+    ax: Any = None,
+    xscale: str = "linear",
+    xscale_range_split: Sequence[float] | None = None,
+    xlabel: str | None = None,
+    ylabel: str | None = None,
+    xlim: Any = None,
+    ylim: Any = None,
+    out_fname: str | None = None,
+) -> Any:
+    """Plot an empirical variogram (hist of counts + variance points) with optional fitted
+    models (reference :3050)."""
+    import matplotlib
+
+    if out_fname is not None:
+        matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    if ax is None:
+        fig, ax = plt.subplots(figsize=(8, 5))
+    else:
+        fig = ax.figure
+
+    lags = df["lags"].values
+    exp = df["exp"].values
+    counts = df["count"].values
+
+    ax2 = ax.twinx() if hasattr(ax, "twinx") else None
+    if ax2 is not None:
+        ax2.bar(lags, counts, width=np.r_[lags[0], np.diff(lags)] * 0.9, alpha=0.2,
+                color="grey", label="pair count")
+        ax2.set_ylabel("pairwise sample count")
+    if "err_exp" in df.columns and np.isfinite(df["err_exp"].values).any():
+        ax.errorbar(lags, exp, yerr=df["err_exp"].values, fmt="o", ms=4, label="empirical")
+    else:
+        ax.plot(lags, exp, "o", ms=4, label="empirical")
+
+    if list_fit_fun is not None:
+        h = np.linspace(0, np.nanmax(lags), 500)
+        for i, fn in enumerate(list_fit_fun):
+            label = list_fit_fun_label[i] if list_fit_fun_label else f"model {i+1}"
+            ax.plot(h, fn(h), "-", label=label)
+
+    ax.set_xscale(xscale)
+    ax.set_xlabel(xlabel or "spatial lag")
+    ax.set_ylabel(ylabel or "variance")
+    if xlim is not None:
+        ax.set_xlim(xlim)
+    if ylim is not None:
+        ax.set_ylim(ylim)
+    ax.legend(loc="lower right")
+    if out_fname is not None:
+        fig.savefig(out_fname, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+    return ax
+
+
+def plot_1d_binning(
+    df: pd.DataFrame,
+    var_name: str,
+    statistic_name: str,
+    label_var: str | None = None,
+    label_statistic: str | None = None,
+    min_count: int = 30,
+    ax: Any = None,
+    out_fname: str | None = None,
+) -> Any:
+    """Plot a 1-D binned statistic with per-bin histogram (reference :3241)."""
+    import matplotlib
+
+    if out_fname is not None:
+        matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    sub = df[df["nd"] == 1].copy()
+    sub[var_name] = sub[var_name].apply(_pandas_str_to_interval)
+    sub = sub[sub[var_name].apply(lambda v: isinstance(v, pd.Interval))]
+    mids = np.array([iv.mid for iv in sub[var_name]])
+    vals = sub[statistic_name].values.astype(float)
+    counts = sub["count"].values
+    vals = np.where(counts >= min_count, vals, np.nan)
+
+    if ax is None:
+        fig, (ax_hist, ax) = plt.subplots(
+            2, 1, figsize=(7, 6), sharex=True, gridspec_kw={"height_ratios": [1, 3]}
+        )
+        ax_hist.bar(mids, counts, width=np.median(np.diff(mids)) * 0.9, alpha=0.4, color="grey")
+        ax_hist.set_ylabel("count")
+    else:
+        fig = ax.figure
+    ax.plot(mids, vals, "o-", ms=4)
+    ax.set_xlabel(label_var or var_name)
+    ax.set_ylabel(label_statistic or statistic_name)
+    if out_fname is not None:
+        fig.savefig(out_fname, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+    return ax
+
+
+def plot_2d_binning(
+    df: pd.DataFrame,
+    var_name_1: str,
+    var_name_2: str,
+    statistic_name: str,
+    label_var_name_1: str | None = None,
+    label_var_name_2: str | None = None,
+    label_statistic: str | None = None,
+    cmap: str = "viridis",
+    min_count: int = 100,
+    ax: Any = None,
+    out_fname: str | None = None,
+) -> Any:
+    """Plot a 2-D binned statistic as a colored mesh (reference :3359)."""
+    import matplotlib
+
+    if out_fname is not None:
+        matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    sub = df[df["nd"] == 2].copy()
+    for name in (var_name_1, var_name_2):
+        sub[name] = sub[name].apply(_pandas_str_to_interval)
+    sub = sub[sub[var_name_1].apply(lambda v: isinstance(v, pd.Interval))
+              & sub[var_name_2].apply(lambda v: isinstance(v, pd.Interval))]
+    if len(sub) == 0:
+        raise ValueError(f"No 2-D binning of ({var_name_1}, {var_name_2}) in the dataframe.")
+    m1 = sorted({iv.mid for iv in sub[var_name_1]})
+    m2 = sorted({iv.mid for iv in sub[var_name_2]})
+    grid = np.full((len(m2), len(m1)), np.nan)
+    for _, row in sub.iterrows():
+        i = m2.index(row[var_name_2].mid)
+        j = m1.index(row[var_name_1].mid)
+        if row["count"] >= min_count:
+            grid[i, j] = row[statistic_name]
+    if ax is None:
+        fig, ax = plt.subplots(figsize=(7, 5))
+    else:
+        fig = ax.figure
+    im = ax.pcolormesh(m1, m2, grid, cmap=cmap, shading="nearest")
+    fig.colorbar(im, ax=ax, label=label_statistic or statistic_name)
+    ax.set_xlabel(label_var_name_1 or var_name_1)
+    ax.set_ylabel(label_var_name_2 or var_name_2)
+    if out_fname is not None:
+        fig.savefig(out_fname, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+    return ax
