@@ -319,3 +319,21 @@ class TestPointInputs:
         else:
             assert tx == pytest.approx(-sx, abs=1.5)
             assert ty == pytest.approx(-sy, abs=1.5)
+
+
+class TestBlockwiseVmap:
+    def test_vmapped_blockwise_recovery(self, ref_tba):
+        sx, sy, sz = (-8.0, 6.0, 1.5)
+        tba = _shifted(ref_tba, sx, sy, sz)
+        from xdem_tpu.coreg.blockwise import BlockwiseNuthKaab
+
+        bw = BlockwiseNuthKaab(block_size_fit=256, subsample_per_tile=20000, random_state=42)
+        bw.fit(ref_tba, tba)
+        # Every full tile solved in one vmapped dispatch; shifts consistent across tiles
+        assert np.isfinite(bw.shifts_x).sum() >= 3
+        assert np.nanmedian(bw.shifts_x) == pytest.approx(-sx, abs=1.0)
+        assert np.nanmedian(bw.shifts_y) == pytest.approx(-sy, abs=1.0)
+        aligned = bw.apply(tba)
+        dh_after = np.asarray((ref_tba - aligned).data)
+        dh_before = np.asarray((ref_tba - tba).data)
+        assert np.nanvar(dh_after) < 0.05 * np.nanvar(dh_before)

@@ -183,3 +183,115 @@ class BlockwiseCoreg:
                       inlier_mask: np.ndarray | None = None) -> Raster:
         self.fit(reference_elev, to_be_aligned_elev, inlier_mask=inlier_mask)
         return self.apply(to_be_aligned_elev)
+
+
+class BlockwiseNuthKaab(BlockwiseCoreg):
+    """Blockwise NuthKaab with ALL tile solves batched in a single vmapped device program.
+
+    TPU-native variant of the per-tile fitting (SURVEY §2.7 P3): instead of looping tiles
+    through independent fits, the raster is cut into uniform tiles, a fixed-size subsample is
+    drawn per tile, and `_nuth_kaab_solve` is vmapped over the tile batch — one XLA program,
+    one device dispatch for every tile. Aggregation and apply are inherited (robust RANSAC
+    shift planes + one-pass warp).
+    """
+
+    def __init__(self, block_size_fit: int = 500, block_size_apply: int = 500,
+                 subsample_per_tile: int = 20000, max_iterations: int = 10,
+                 tolerance: float = 0.001, random_state: int | None = None):
+        from xdem_tpu.coreg.affine import NuthKaab
+
+        super().__init__(NuthKaab(max_iterations=max_iterations, offset_threshold=tolerance),
+                         block_size_fit=block_size_fit, block_size_apply=block_size_apply)
+        self.subsample_per_tile = subsample_per_tile
+        self.random_state = random_state
+
+    def fit(self, reference_elev: Raster, to_be_aligned_elev: Raster,
+            inlier_mask: np.ndarray | None = None) -> "BlockwiseNuthKaab":
+        import jax
+        from xdem_tpu.coreg.affine import _grad_slope_aspect, _nuth_kaab_solve
+
+        ref = reference_elev
+        tba = to_be_aligned_elev
+        if tba.shape != ref.shape or not tba.transform.almost_equals(ref.transform):
+            tba = tba.reproject(ref)
+
+        h, w = ref.shape
+        bs = self.block_size_fit
+        n_rows, n_cols = h // bs, w // bs  # uniform full tiles only (edges folded into RANSAC)
+        if n_rows == 0 or n_cols == 0:
+            raise ValueError(f"Raster {ref.shape} smaller than block_size_fit={bs}.")
+        self.shape_tiling_grid = (n_rows, n_cols)
+
+        ref_arr = np.asarray(ref.data)
+        tba_arr = np.asarray(tba.data)
+        slope_tan, aspect = _grad_slope_aspect(ref_arr)
+        slope_tan[np.isclose(slope_tan, 0)] = np.nan
+
+        valid = np.isfinite(ref_arr) & np.isfinite(tba_arr) & np.isfinite(slope_tan)
+        if inlier_mask is not None:
+            valid &= inlier_mask
+
+        rng = np.random.default_rng(self.random_state)
+        K = self.subsample_per_tile
+        n_tiles = n_rows * n_cols
+
+        pts_z = np.full((n_tiles, K), np.nan, np.float32)
+        rows_l = np.zeros((n_tiles, K), np.float32)
+        cols_l = np.zeros((n_tiles, K), np.float32)
+        st = np.full((n_tiles, K), np.nan, np.float32)
+        asp = np.full((n_tiles, K), np.nan, np.float32)
+        tiles = np.zeros((n_tiles, bs, bs), np.float32)
+        xs, ys = [], []
+
+        t = 0
+        for ti in range(n_rows):
+            for tj in range(n_cols):
+                r0, c0 = ti * bs, tj * bs
+                sl = np.s_[r0:r0 + bs, c0:c0 + bs]
+                tiles[t] = tba_arr[sl]
+                v = np.flatnonzero(valid[sl])
+                if v.size >= 100:
+                    take = min(K, v.size)
+                    choice = rng.choice(v, take, replace=False)
+                    rr, cc = np.unravel_index(choice, (bs, bs))
+                    pts_z[t, :take] = ref_arr[sl][rr, cc]
+                    rows_l[t, :take] = rr
+                    cols_l[t, :take] = cc
+                    st[t, :take] = slope_tan[sl][rr, cc]
+                    asp[t, :take] = aspect[sl][rr, cc]
+                x, y = ref.transform.xy(r0 + bs / 2, c0 + bs / 2, offset="ul")
+                xs.append(x)
+                ys.append(y)
+                t += 1
+
+        res_x, res_y = ref.transform.xres, ref.transform.yres
+        it_cfg = self.procstep.meta["inputs"]["iterative"]
+
+        solve = jax.vmap(
+            lambda z, r, c, rast, s, a: _nuth_kaab_solve(
+                z, r, c, rast, s, a, res_x, res_y, it_cfg["tolerance"],
+                max_iterations=it_cfg["max_iterations"], invert=False,
+            )
+        )
+        sx, sy, vs, _stat, _it = jax.jit(solve)(
+            pts_z, rows_l, cols_l, tiles, st, asp
+        )
+        sx = np.asarray(sx, np.float64)
+        sy = np.asarray(sy, np.float64)
+        vs = np.asarray(vs, np.float64)
+        # NuthKaab sampling offsets -> apply translations (sign flip), like the single-tile class
+        self.x_coords = np.asarray(xs)
+        self.y_coords = np.asarray(ys)
+        self.shifts_x = -sx
+        self.shifts_y = -sy
+        self.shifts_z = vs
+        empty = ~np.isfinite(pts_z).any(axis=1)
+        self.shifts_x[empty] = np.nan
+        self.shifts_y[empty] = np.nan
+        self.shifts_z[empty] = np.nan
+        self.meta["inputs"] = self.procstep.meta["inputs"]
+        for t in range(n_tiles):
+            self.meta["outputs"][f"{t // n_cols}_{t % n_cols}"] = {
+                "shift_x": self.shifts_x[t], "shift_y": self.shifts_y[t], "shift_z": self.shifts_z[t],
+            }
+        return self
