@@ -150,5 +150,62 @@ def main() -> None:
     }))
 
 
+
+
+
+def bench_extras() -> None:
+    """Extra north-star measurements (BASELINE.json configs), printed to stderr."""
+    import jax
+    import jax.numpy as jnp
+
+    from xdem_tpu.terrain.surfit import surface_attributes
+    from xdem_tpu.terrain.window import fractal_roughness, windowed_indexes
+
+    # Config 2: full terrain suite on 4k^2
+    n = 4096
+    dem = jnp.asarray(synthetic_dem(n, seed=1))
+    sf_attrs = ("slope", "aspect", "hillshade", "profile_curvature", "tangential_curvature",
+                "planform_curvature", "flowline_curvature", "max_curvature", "min_curvature")
+    win_attrs = ("topographic_position_index", "terrain_ruggedness_index", "roughness", "rugosity")
+
+    @jax.jit
+    def full_suite(d):
+        a = surface_attributes(d, RES, attrs=sf_attrs, surface_fit="Florinsky")
+        b = windowed_indexes(d, RES, win_attrs, window_size=3)
+        c = fractal_roughness(d, window_size=13)
+        return a[0, 50, 50] + b[0, 60, 60] + c[70, 70]
+
+    t0 = time.perf_counter()
+    _ = float(full_suite(dem))
+    log(f"full terrain suite 4096^2 (14 attrs): first call {time.perf_counter() - t0:.1f}s")
+    times = []
+    for i in range(3):
+        d = dem + np.float32(i)
+        jax.block_until_ready(d)
+        t0 = time.perf_counter()
+        _ = float(full_suite(d))
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    log(f"full terrain suite 4096^2: {best*1000:.0f} ms -> {n*n/best/1e6:.0f} Mcells/s")
+
+    # Config 3: NuthKaab steady-state (compile excluded by re-fitting with fresh data)
+    from xdem_tpu import coreg, examples
+
+    ref = examples.get_ref_dem()
+    tba = examples.get_tba_dem()
+    mask = ~examples.get_glacier_mask()
+    nk = coreg.NuthKaab()
+    t0 = time.perf_counter()
+    nk.fit(ref, tba, inlier_mask=mask, random_state=42)
+    log(f"NuthKaab fit (incl. compile): {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    nk2 = coreg.NuthKaab()
+    nk2.fit(ref, tba, inlier_mask=mask, random_state=43)
+    log(f"NuthKaab fit (steady-state): {time.perf_counter() - t0:.2f}s "
+        f"(shifts {nk2.meta['outputs']['affine']})")
+
+
 if __name__ == "__main__":
     main()
+    if os.environ.get("BENCH_EXTRAS"):
+        bench_extras()
