@@ -144,3 +144,33 @@ class TestExamples:
         true_mask = examples.get_glacier_mask()
         # Convex hulls cover the blobs: vast majority of true pixels inside
         assert (mask & true_mask).sum() / true_mask.sum() > 0.95
+
+
+class TestExamplePaths:
+    def test_get_path_dem(self, tmp_path, monkeypatch):
+        import xdem_tpu.examples as ex
+
+        monkeypatch.setattr(ex, "_CACHE_DIR", str(tmp_path))
+        p = ex.get_path_test("longyearbyen_ref_dem")
+        from xdem_tpu.dem import DEM
+
+        dem = DEM.open(p)
+        assert dem.crs.epsg == 32633
+        # Cached on second call
+        assert ex.get_path_test("longyearbyen_ref_dem") == p
+
+    def test_get_path_outlines(self, tmp_path, monkeypatch):
+        import json
+
+        import xdem_tpu.examples as ex
+
+        monkeypatch.setattr(ex, "_CACHE_DIR", str(tmp_path))
+        p = ex.get_path("longyearbyen_glacier_outlines")
+        geo = json.load(open(p))
+        assert geo["type"] == "FeatureCollection"
+
+    def test_unknown_name_raises(self):
+        from xdem_tpu import examples as ex
+
+        with pytest.raises(ValueError, match="not in available"):
+            ex.get_path("bogus_dataset")

@@ -274,3 +274,22 @@ class TestPallasEngine:
             if a == "aspect":
                 d = np.minimum(d, 360 - d)
             assert np.max(d) < 1e-3, f"{a}: {np.max(d)}"
+
+
+class TestShardedWindowed:
+    def test_windowed_and_fractal_sharded(self, smooth_dem):
+        from xdem_tpu.parallel import make_mesh
+
+        dem, res = smooth_dem
+        mesh = make_mesh(8, shape=(4, 2))
+        attrs = ["topographic_position_index", "roughness", "fractal_roughness"]
+        single = [np.asarray(terrain.get_terrain_attribute(dem, a, resolution=res,
+                                                           window_size_fractal=13)) for a in attrs]
+        sharded = terrain.get_terrain_attribute(dem, attrs, resolution=res, mesh=mesh,
+                                                window_size_fractal=13)
+        for i, a in enumerate(attrs):
+            g = np.asarray(sharded[i])
+            w = single[i]
+            assert (np.isfinite(g) == np.isfinite(w)).all(), a
+            both = np.isfinite(g)
+            assert np.allclose(g[both], w[both], atol=1e-3), a

@@ -185,3 +185,95 @@ def get_ref_dem_test():
 def get_tba_dem_test():
     r0, r1, c0, c1 = _TEST_ICROP
     return get_tba_dem().icrop((r0, r1), (c0, c1))
+
+
+# ---------------------------------------------------------------------- path-based API
+# The reference exposes file paths (examples.get_path/get_path_test, reference
+# examples.py:41-58) downloading the pinned xdem-data tarball. With no network here, the same
+# names resolve to deterministically generated files cached on disk.
+
+import os as _os
+
+_CACHE_DIR = _os.environ.get(
+    "XDEM_TPU_EXAMPLES_DIR", _os.path.join(_os.path.expanduser("~"), ".cache", "xdem_tpu_examples")
+)
+
+available = [
+    "longyearbyen_ref_dem",
+    "longyearbyen_tba_dem",
+    "longyearbyen_glacier_outlines",
+    "longyearbyen_glacier_mask",
+    "longyearbyen_epc",
+    "longyearbyen_ddem",
+    "longyearbyen_tba_dem_coreg",
+]
+
+
+def _generate(name: str, test: bool = False) -> str:
+    _os.makedirs(_CACHE_DIR, exist_ok=True)
+    suffix = "_test" if test else ""
+    if name in ("longyearbyen_ref_dem", "longyearbyen_tba_dem", "longyearbyen_ddem",
+                "longyearbyen_tba_dem_coreg", "longyearbyen_glacier_mask"):
+        path = _os.path.join(_CACHE_DIR, f"{name}{suffix}.tif")
+    elif name == "longyearbyen_glacier_outlines":
+        path = _os.path.join(_CACHE_DIR, f"{name}{suffix}.geojson")
+    elif name == "longyearbyen_epc":
+        path = _os.path.join(_CACHE_DIR, f"{name}{suffix}.npz")
+    else:
+        raise ValueError(f"Example '{name}' not in available: {available}")
+    if _os.path.exists(path):
+        return path
+
+    if name == "longyearbyen_ref_dem":
+        (get_ref_dem_test() if test else get_ref_dem()).save(path)
+    elif name == "longyearbyen_tba_dem":
+        (get_tba_dem_test() if test else get_tba_dem()).save(path)
+    elif name == "longyearbyen_glacier_mask":
+        from xdem_tpu.raster import Raster
+
+        mask = get_glacier_mask()
+        ref = get_ref_dem()
+        r = Raster(mask.astype(np.float32), ref.transform, ref.crs)
+        if test:
+            r0, r1, c0, c1 = _TEST_ICROP
+            r = r.icrop((r0, r1), (c0, c1))
+        r.save(path)
+    elif name == "longyearbyen_glacier_outlines":
+        get_glacier_outlines().save(path)
+    elif name == "longyearbyen_epc":
+        epc = get_epc()
+        np.savez(path, x=epc.x, y=epc.y, z=epc.z, crs=epc.crs.epsg)
+    elif name == "longyearbyen_ddem":
+        ref = get_ref_dem()
+        tba_coreg_path = _generate("longyearbyen_tba_dem_coreg", test=False)
+        from xdem_tpu.dem import DEM
+
+        tba_coreg = DEM.open(tba_coreg_path)
+        ddem = ref.copy(new_array=ref.data - tba_coreg.data)
+        if test:
+            r0, r1, c0, c1 = _TEST_ICROP
+            ddem = ddem.icrop((r0, r1), (c0, c1))
+        ddem.save(path)
+    elif name == "longyearbyen_tba_dem_coreg":
+        # Generated on demand with NuthKaab (reference examples.py:139-175 seeds 42)
+        from xdem_tpu import coreg
+
+        ref = get_ref_dem()
+        tba = get_tba_dem()
+        nk = coreg.NuthKaab(offset_threshold=0.005)
+        aligned = nk.fit_and_apply(ref, tba, inlier_mask=~get_glacier_mask(), random_state=42)
+        if test:
+            r0, r1, c0, c1 = _TEST_ICROP
+            aligned = aligned.icrop((r0, r1), (c0, c1))
+        aligned.save(path)
+    return path
+
+
+def get_path(name: str) -> str:
+    """File path of an example dataset, generated and cached on first use."""
+    return _generate(name, test=False)
+
+
+def get_path_test(name: str) -> str:
+    """File path of the small cropped test variant of an example dataset."""
+    return _generate(name, test=True)

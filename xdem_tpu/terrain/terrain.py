@@ -167,12 +167,30 @@ def get_terrain_attribute(
             results[a] = val
 
     if win_attrs:
-        stack = windowed_indexes(arr, resolution, tuple(win_attrs), window_size=window_size, tri_method=tri_method)
+        if mesh is not None:
+            from xdem_tpu.parallel.halo import sharded_stencil
+
+            stack = sharded_stencil(
+                lambda padded: windowed_indexes(padded, resolution, tuple(win_attrs),
+                                                window_size=window_size, tri_method=tri_method),
+                arr, halo=window_size // 2, mesh=mesh, out_leading=len(win_attrs),
+            )
+        else:
+            stack = windowed_indexes(arr, resolution, tuple(win_attrs), window_size=window_size,
+                                     tri_method=tri_method)
         for i, a in enumerate(win_attrs):
             results[a] = stack[i]
 
     if frac_attrs:
-        results["fractal_roughness"] = _fractal_roughness_fn(arr, window_size=window_size_fractal)
+        if mesh is not None:
+            from xdem_tpu.parallel.halo import sharded_stencil
+
+            results["fractal_roughness"] = sharded_stencil(
+                lambda padded: _fractal_roughness_fn(padded, window_size=window_size_fractal)[None],
+                arr, halo=window_size_fractal // 2, mesh=mesh, out_leading=1,
+            )[0]
+        else:
+            results["fractal_roughness"] = _fractal_roughness_fn(arr, window_size=window_size_fractal)
 
     for a in freq_attrs:
         results[a] = _texture_shading_fn(arr, alpha=texture_alpha)
