@@ -337,3 +337,72 @@ class TestBlockwiseVmap:
         dh_after = np.asarray((ref_tba - aligned).data)
         dh_before = np.asarray((ref_tba - tba).data)
         assert np.nanvar(dh_after) < 0.05 * np.nanvar(dh_before)
+
+
+class TestBehaviorParity:
+    def test_big_rotation_delaunay_path(self, ref_tba):
+        # >20 degree rotation goes through the host Delaunay regrid tier
+        small = ref_tba.icrop((0, 64), (0, 64))
+        b = small.bounds
+        centroid = ((b.left + b.right) / 2, (b.bottom + b.top) / 2,
+                    float(np.nanmean(np.asarray(small.data))))
+        m = matrix_from_translations_rotations(alpha=25.0)
+        out = apply_matrix(small, m, centroid=centroid)
+        arr = np.asarray(out.data)
+        assert np.isfinite(arr).any()
+
+    def test_pipeline_with_biascorr_vars(self, ref_tba):
+        # NuthKaab + TerrainBias pipeline: bias_vars parsed per step
+        sx, sy, sz = SHIFTS
+        tba = _shifted(ref_tba, sx, sy, sz)
+        pipe = coreg.NuthKaab() + coreg.TerrainBias(bin_sizes=30)
+        aligned = pipe.fit_and_apply(ref_tba, tba, random_state=42)
+        dh = np.asarray((ref_tba - aligned).data)
+        assert np.nanvar(dh) < 0.02 * np.nanvar(np.asarray((ref_tba - tba).data))
+
+    def test_vertical_shift_custom_reductor(self, ref_tba):
+        tba = ref_tba + (-2.0)
+        c = coreg.VerticalShift(vshift_reduc_func=np.mean)
+        c.fit(ref_tba, tba, random_state=42)
+        assert c.meta["outputs"]["affine"]["shift_z"] == pytest.approx(2.0, abs=1e-3)
+
+    def test_residuals(self, ref_tba):
+        tba = _shifted(ref_tba, -5.0, 3.0, 1.0)
+        c = coreg.NuthKaab()
+        c.fit(ref_tba, tba, random_state=42)
+        res = c.residuals(ref_tba, tba)
+        assert np.nanstd(res) < 0.5
+
+    def test_coreg_info_prints(self, ref_tba, capsys):
+        c = coreg.VerticalShift()
+        c.fit(ref_tba, ref_tba + 1.0, random_state=42)
+        c.info()
+        out = capsys.readouterr().out
+        assert "shift_z" in out
+
+    def test_apply_before_fit_raises(self, ref_tba):
+        with pytest.raises(AssertionError, match="fit"):
+            coreg.NuthKaab().apply(ref_tba)
+
+    def test_from_translations_classmethod(self, ref_tba):
+        c = coreg.AffineCoreg.from_translations(x_off=10.0, y_off=-5.0, z_off=2.0)
+        # Without resampling back, the translation shows in the output grid
+        out = c.apply(ref_tba, resample=False)
+        assert out.transform.c == pytest.approx(ref_tba.transform.c + 10.0)
+        # With resampling (default), the grid is restored and the data shifted
+        out2 = c.apply(ref_tba)
+        assert out2.transform.almost_equals(ref_tba.transform)
+
+    def test_dh_minimize_custom_loss(self, ref_tba):
+        sx, sy, sz = SHIFTS
+        tba = _shifted(ref_tba, sx, sy, sz)
+
+        def loss(dh):
+            return float(np.nanstd(dh))
+
+        c = coreg.DhMinimize(fit_loss_func=loss, subsample=20000)
+        c.fit(ref_tba, tba, random_state=42)
+        tx, ty, _ = c.to_translations()
+        mag = np.hypot(sx, sy)
+        assert tx == pytest.approx(-sx, abs=0.1 * mag)
+        assert ty == pytest.approx(-sy, abs=0.1 * mag)

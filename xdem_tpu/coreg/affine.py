@@ -302,6 +302,12 @@ def nuth_kaab(
         invert=bool(sub["invert"]),
         bin_before_fit=bin_before_fit,
     )
+    if not (np.isfinite(float(sx)) and np.isfinite(float(sy)) and np.isfinite(float(vshift))):
+        raise ValueError(
+            "The subsample contains no more valid values. This can happen is the horizontal shift to "
+            "correct is very large, or if the algorithm diverged. To ensure all possible points can "
+            "be used at any iteration step, use subsample=1."
+        )
     return (float(sx), float(sy), float(vshift)), sub["count"], int(it)
 
 
