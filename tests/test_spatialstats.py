@@ -328,3 +328,33 @@ class TestShardedVariogram:
         # White noise: gamma ~= sigma^2 in every well-populated bin
         ok = counts > 500
         assert np.allclose(gamma[ok], sigma**2, rtol=0.2)
+
+
+class TestUncertaintyApproaches:
+    @pytest.mark.parametrize("approach", ["R2009", "Basic"])
+    def test_other_approaches(self, approach):
+        from xdem_tpu import examples
+
+        ref = examples.get_ref_dem().icrop((100, 300), (200, 400))
+        tba = examples.get_tba_dem().icrop((100, 300), (200, 400))
+        mask = ~examples.get_glacier_mask()[100:300, 200:400]
+        sig, rho = ref.estimate_uncertainty(tba, stable_terrain=mask, approach=approach,
+                                            random_state=42, subsample=300)
+        arr = np.asarray(sig.data)
+        # Constant-error approaches: a single positive sigma everywhere
+        assert np.nanstd(arr) < 1e-6
+        assert np.nanmean(arr) > 0
+        assert rho(np.array([0.0]))[0] == pytest.approx(1.0)
+
+    def test_same_precision_pair(self):
+        from xdem_tpu import examples
+
+        ref = examples.get_ref_dem().icrop((100, 300), (200, 400))
+        tba = examples.get_tba_dem().icrop((100, 300), (200, 400))
+        mask = ~examples.get_glacier_mask()[100:300, 200:400]
+        sig_f, _ = ref.estimate_uncertainty(tba, stable_terrain=mask, approach="Basic",
+                                            precision_of_other="finer", random_state=42, subsample=300)
+        sig_s, _ = ref.estimate_uncertainty(tba, stable_terrain=mask, approach="Basic",
+                                            precision_of_other="same", random_state=42, subsample=300)
+        ratio = np.nanmean(np.asarray(sig_f.data)) / np.nanmean(np.asarray(sig_s.data))
+        assert ratio == pytest.approx(np.sqrt(2), rel=1e-3)

@@ -152,3 +152,22 @@ class TestDEMCollection:
         d = DEM(np.ones((5, 5), np.float32), t, 32633)
         with pytest.raises(ValueError, match="Timestamps"):
             DEMCollection([d])
+
+
+class TestDEMCollectionRefWise:
+    def test_subtract_dems_reference(self, rng):
+        import datetime
+
+        t = Affine.from_origin(0, 1000, 10, 10)
+        base = rng.normal(1000, 50, (50, 50)).astype(np.float32)
+        d0 = DEM(base, t, 32633)
+        d1 = DEM(base - 5, t, 32633)
+        d2 = DEM(base - 12, t, 32633)
+        times = [datetime.datetime(y, 8, 1) for y in (1990, 2000, 2010)]
+        col = DEMCollection([d0, d1, d2], timestamps=times, reference_dem=2)
+        ddems = col.subtract_dems()
+        assert len(ddems) == 2
+        # ref (2010) minus others
+        vals = sorted(float(np.nanmean(np.asarray(d.data))) for d in ddems)
+        assert vals[0] == pytest.approx(-12, abs=1e-3)
+        assert vals[1] == pytest.approx(-7, abs=1e-3)
