@@ -311,79 +311,6 @@ def _reproject_horizontal_shift_samecrs(
     return _interp_points_dev(raster_arr, src_transform, x, y, method=resampling)
 
 
-# ------------------------------------------------------------------ generic bin/fit engine
-
-
-def _bin_or_and_fit_nd(
-    fit_or_bin: Literal["fit", "bin", "bin_and_fit"],
-    params_fit_or_bin: dict[str, Any],
-    values: np.ndarray,
-    bias_vars: dict[str, np.ndarray] | None,
-    weights: np.ndarray | None = None,
-    p0: tuple | None = None,
-    **kwargs: Any,
-):
-    """Generic N-D bin and/or fit engine (reference base.py:906).
-
-    Returns (binning dataframe or None, fit parameters or None).
-    """
-    from xdem_tpu import spatialstats
-
-    df = None
-    results = None
-    if bias_vars is None:
-        raise ValueError("`bias_vars` must be provided.")
-    var_names = list(bias_vars.keys())
-
-    if fit_or_bin in ("bin", "bin_and_fit"):
-        bin_sizes = params_fit_or_bin.get("bin_sizes", 10)
-        bin_statistic = params_fit_or_bin.get("bin_statistic", np.nanmedian)
-        df = spatialstats.nd_binning(
-            values=values,
-            list_var=list(bias_vars.values()),
-            list_var_names=var_names,
-            list_var_bins=bin_sizes,
-            statistics=("count", bin_statistic),
-        )
-
-    if fit_or_bin in ("fit", "bin_and_fit"):
-        fit_func = params_fit_or_bin["fit_func"]
-        optimizer = params_fit_or_bin.get("fit_optimizer", None)
-        if fit_or_bin == "bin_and_fit":
-            # Fit on the binned statistic at bin midpoints of the N-D binning
-            nd = len(var_names)
-            sub = df[df["nd"] == nd]
-            stat_name = params_fit_or_bin.get("bin_statistic", np.nanmedian).__name__
-            xvals = [np.array([iv.mid for iv in sub[name]]) for name in var_names]
-            yvals = sub[stat_name].values.astype(np.float64)
-        else:
-            xvals = [np.asarray(bias_vars[name]).ravel() for name in var_names]
-            yvals = np.asarray(values).ravel()
-
-        valid = np.isfinite(yvals)
-        for xv in xvals:
-            valid &= np.isfinite(xv)
-        xfit = xvals[0][valid] if len(xvals) == 1 else tuple(xv[valid] for xv in xvals)
-        yfit = yvals[valid]
-
-        if optimizer is not None:
-            results = optimizer(fit_func, xfit, yfit, p0=p0, **kwargs)
-        else:
-            from xdem_tpu.fit import curve_fit_lm
-
-            popt = curve_fit_lm(
-                lambda x, *p: jnp.asarray(fit_func(np.asarray(x) if not isinstance(x, tuple) else x, *p))
-                if not callable(getattr(fit_func, "__wrapped__", None))
-                else fit_func(x, *p),
-                jnp.asarray(xfit) if not isinstance(xfit, tuple) else xfit,
-                jnp.asarray(yfit),
-                p0=list(p0) if p0 is not None else None,
-            )
-            results = (popt, None)
-
-    return df, results
-
-
 # ------------------------------------------------------------------ preprocessing helpers
 
 

@@ -56,7 +56,7 @@ class DEMCollection:
             if dem is ref:
                 continue
             reproj = dem.reproject(ref, resampling=resampling_method) if dem.shape != ref.shape else dem
-            diff = Raster_sub(ref, reproj)
+            diff = _subtract_on_grid(ref, reproj)
             start, end = (ts, ref_time) if pd.Timestamp(ts) < pd.Timestamp(ref_time) else (ref_time, ts)
             ddems.append(dDEM(diff, start_time=start, end_time=end))
         self.ddems = ddems
@@ -69,7 +69,7 @@ class DEMCollection:
         for i in range(len(self.dems) - 1):
             early, late = self.dems[i], self.dems[i + 1]
             reproj = early.reproject(late, resampling=resampling_method) if early.shape != late.shape else early
-            diff = Raster_sub(late, reproj)
+            diff = _subtract_on_grid(late, reproj)
             ddems.append(dDEM(diff, start_time=self.timestamps[i], end_time=self.timestamps[i + 1]))
         self.ddems = ddems
         self.ddems_are_intervalwise = True
@@ -138,7 +138,7 @@ class DEMCollection:
         return out
 
 
-def Raster_sub(a, b):
+def _subtract_on_grid(a, b):
     """Difference of two grid-compatible rasters as a plain Raster."""
     from xdem_tpu.raster import Raster
 
