@@ -406,3 +406,25 @@ class TestBehaviorParity:
         mag = np.hypot(sx, sy)
         assert tx == pytest.approx(-sx, abs=0.1 * mag)
         assert ty == pytest.approx(-sy, abs=0.1 * mag)
+
+
+class TestAspectDegeneracyDiagnostic:
+    def test_warns_on_single_hillside(self, caplog):
+        import logging
+
+        # A tilted plane: every pixel faces the same way -> NuthKaab is ill-posed
+        res = 20.0
+        yy, xx = np.mgrid[0:80, 0:80].astype(np.float64)
+        plane = (0.3 * xx * res + 0.1 * (-yy * res)).astype(np.float32)
+        rng = np.random.default_rng(0)
+        plane += rng.normal(0, 0.05, plane.shape).astype(np.float32)
+        from xdem_tpu.dem import DEM
+        from xdem_tpu.georef import Affine
+
+        d = DEM(plane, Affine.from_origin(0, 8e5, res, res), 32633)
+        with caplog.at_level(logging.WARNING):
+            try:
+                coreg.NuthKaab(max_iterations=2).fit(d, d.copy(), random_state=42)
+            except ValueError:
+                pass  # divergence guard may fire; the diagnostic is what we check
+        assert any("aspect bins" in r.message for r in caplog.records)

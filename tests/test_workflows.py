@@ -157,3 +157,19 @@ class TestCLI:
     def test_cli_requires_config(self):
         res = self._run("topo")
         assert res.returncode != 0
+
+
+class TestTopoMultiDEM:
+    def test_list_inputs(self, dem_files, tmp_path):
+        from xdem_tpu.workflows import Topo
+
+        ref_path, tba_path, _ = dem_files
+        cfg = {
+            "inputs": [{"path_to_elev": ref_path}, {"path_to_elev": tba_path}],
+            "terrain_attributes": ["slope"],
+            "outputs": {"path": str(tmp_path / "multi")},
+        }
+        Topo(cfg).run()
+        out = tmp_path / "multi"
+        assert (out / "plots" / "slope_dem1.png").exists()
+        assert (out / "plots" / "slope_dem2.png").exists()

@@ -285,6 +285,18 @@ def nuth_kaab(
         aux_vars={"slope_tan": slope_tan, "aspect": aspect}, z_name=z_name,
     )
 
+    # Diagnose aspect degeneracy: the cosine fit needs terrain facing many directions; a
+    # single-hillside extent makes the horizontal offsets ill-constrained and can diverge.
+    hist, _ = np.histogram(sub["aux"]["aspect"], bins=n_bins, range=(0, 2 * np.pi))
+    populated = int((hist > 10).sum())
+    if populated < n_bins // 4:
+        logging.warning(
+            "Only %d/%d aspect bins are well-populated: the terrain faces few directions, so "
+            "the Nuth and Kääb horizontal offsets are poorly constrained and may diverge. "
+            "Use a larger extent with diverse aspects, or DhMinimize/LZD instead.",
+            populated, n_bins,
+        )
+
     res_x = transform.xres
     res_y = transform.yres
     sx, sy, vshift, _stat, it = _nuth_kaab_solve(

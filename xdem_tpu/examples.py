@@ -173,7 +173,10 @@ def get_epc(n_points: int = 50_000, seed: int = 7):
     return EPC(x=x, y=y, z=z + rng.normal(0, 0.1, n_points), crs=_CRS)
 
 
-_TEST_ICROP = (475, 600, 545, 654)  # (r0, r1, c0, c1) like the reference's test crop bounds
+# (r0, r1, c0, c1): a 256x256 region chosen for aspect diversity (the synthetic terrain is
+# smooth, so small crops can be single hillsides — degenerate for NuthKaab, like flat real
+# terrain would be). Plays the role of the reference's cropped test data (examples.py:69).
+_TEST_ICROP = (256, 512, 256, 512)
 
 
 def get_ref_dem_test():
@@ -199,6 +202,7 @@ _CACHE_DIR = _os.environ.get(
 )
 
 available = [
+    "giza_dem",
     "longyearbyen_ref_dem",
     "longyearbyen_tba_dem",
     "longyearbyen_glacier_outlines",
@@ -213,7 +217,7 @@ def _generate(name: str, test: bool = False) -> str:
     _os.makedirs(_CACHE_DIR, exist_ok=True)
     suffix = "_test" if test else ""
     if name in ("longyearbyen_ref_dem", "longyearbyen_tba_dem", "longyearbyen_ddem",
-                "longyearbyen_tba_dem_coreg", "longyearbyen_glacier_mask"):
+                "longyearbyen_tba_dem_coreg", "longyearbyen_glacier_mask", "giza_dem"):
         path = _os.path.join(_CACHE_DIR, f"{name}{suffix}.tif")
     elif name == "longyearbyen_glacier_outlines":
         path = _os.path.join(_CACHE_DIR, f"{name}{suffix}.geojson")
@@ -226,6 +230,8 @@ def _generate(name: str, test: bool = False) -> str:
 
     if name == "longyearbyen_ref_dem":
         (get_ref_dem_test() if test else get_ref_dem()).save(path)
+    elif name == "giza_dem":
+        get_giza_dem().save(path)
     elif name == "longyearbyen_tba_dem":
         (get_tba_dem_test() if test else get_tba_dem()).save(path)
     elif name == "longyearbyen_glacier_mask":
@@ -277,3 +283,19 @@ def get_path(name: str) -> str:
 def get_path_test(name: str) -> str:
     """File path of the small cropped test variant of an example dataset."""
     return _generate(name, test=True)
+
+
+def get_giza_dem():
+    """Giza-like synthetic DSM: desert plain with pyramid structures (UTM 36N, 0.5 m res)."""
+    from xdem_tpu.dem import DEM
+
+    rng = np.random.default_rng(2560)
+    h, w = 600, 800
+    base = synthetic_dem_array(shape=(h, w), resolution=0.5, seed=2560, relief=8.0, beta=2.2) + 60.0
+    yy, xx = np.mgrid[0:h, 0:w]
+    for (cy, cx, half, height) in [(300, 250, 115, 70), (320, 520, 80, 45), (180, 650, 35, 20)]:
+        d = np.maximum(np.abs(xx - cx), np.abs(yy - cy)).astype(np.float64)
+        pyramid = np.clip(height * (1 - d / half), 0, None)
+        base = base + pyramid
+    transform = Affine.from_origin(318000.0, 3286000.0, 0.5, 0.5)
+    return DEM.from_array(base.astype(np.float32), transform=transform, crs=32636)
