@@ -117,11 +117,20 @@ def nd_binning(
             n_bins_tot *= d
             dims.append(d)
         ok = ids >= 0
+        # Group values by bin with one stable argsort, then evaluate statistics on contiguous
+        # segments: O(N log N) grouping + O(N) partition-based medians, instead of O(bins * N)
+        # boolean masking. Matters at 1e8-pixel dDEMs (the 10k^2 uncertainty config).
+        ids_ok = ids[ok]
+        vals_ok = vals[ok]
+        order = np.argsort(ids_ok, kind="stable")
+        sorted_vals = vals_ok[order]
+        counts_arr = np.bincount(ids_ok, minlength=n_bins_tot)
+        starts = np.concatenate([[0], np.cumsum(counts_arr)[:-1]])
+
         rows = []
         for flat in range(n_bins_tot):
-            sel = ok & (ids == flat)
-            sub = vals[sel]
-            rec: dict[str, Any] = {"count": int(sel.sum())}
+            sub = sorted_vals[starts[flat]: starts[flat] + counts_arr[flat]]
+            rec: dict[str, Any] = {"count": int(counts_arr[flat])}
             for name, fn in stats:
                 with warnings.catch_warnings():
                     warnings.simplefilter("ignore", RuntimeWarning)
