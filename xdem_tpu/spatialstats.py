@@ -379,10 +379,15 @@ def infer_heteroscedasticity_from_stable(
     list_var_bins: Any = None,
     min_count: int | None = 100,
     fac_spread_outliers: float | None = 7,
+    subsample: int | None = None,
+    random_state: int | None = None,
 ) -> tuple[Any, Callable[..., np.ndarray], pd.DataFrame]:
     """Infer the per-pixel error sigma(vars) from stable terrain (reference :808).
 
     Returns (error raster/array over the full extent, error function, binning dataframe).
+    `subsample` optionally bins a random subset of the stable values (the binned spread is
+    statistically identical for >~1e6 samples and keeps 1e8-pixel rasters tractable); the
+    error is still evaluated over the full extent.
     """
     if list_var_names is None:
         list_var_names = [f"var{i+1}" for i in range(len(list_var))]
@@ -392,6 +397,14 @@ def infer_heteroscedasticity_from_stable(
     )
     d_stable = all_arrays[0]
     vars_stable = all_arrays[1:]
+
+    if subsample is not None and d_stable.size > subsample:
+        rng = np.random.default_rng(random_state)
+        flat_valid = np.flatnonzero(np.isfinite(d_stable).ravel())
+        if len(flat_valid) > subsample:
+            sel = rng.choice(flat_valid, subsample, replace=False)
+            d_stable = d_stable.ravel()[sel]
+            vars_stable = [np.asarray(v).ravel()[sel] for v in vars_stable]
 
     df, error_fun = _estimate_model_heteroscedasticity(
         d_stable, vars_stable, list_var_names,
@@ -696,28 +709,39 @@ def sample_empirical_variogram(
     if arr.ndim == 2 and gsd is None:
         raise ValueError("The ground sampling distance must be defined when passing a 2D values array.")
 
+    grid_valid: np.ndarray | None = None
     if arr.ndim == 2:
+        # Grid mode: keep the 2-D structure (coordinates are analytic), never materialize an
+        # O(N) coordinate array — at 1e8 pixels that alone is gigabytes.
         nx, ny = arr.shape
-        x, y = np.meshgrid(np.arange(nx) * gsd, np.arange(ny) * gsd, indexing="ij")
-        coords_all = np.column_stack([x.ravel(), y.ravel()])
-        vals_all = arr.ravel()
         shape = (nx, ny)
+        grid_valid = np.isfinite(arr)
+        extent = (0.0, (nx - 1) * gsd, 0.0, (ny - 1) * gsd)
+        if subsample_method != "cdist_equidistant":
+            x, y = np.meshgrid(np.arange(nx) * gsd, np.arange(ny) * gsd, indexing="ij")
+            coords_all = np.column_stack([x.ravel(), y.ravel()])
+            vals_all = arr.ravel()
+            valid = np.isfinite(vals_all)
+            coords_v = coords_all[valid]
+            vals_v = vals_all[valid]
+        else:
+            coords_v = vals_v = None
     else:
         coords_all = np.asarray(coords, dtype=np.float64)
         if coords_all.shape[0] == 2 and coords_all.shape[1] != 2:
             coords_all = coords_all.T
         vals_all = arr
         shape = (int(np.sqrt(len(vals_all))),) * 2
+        extent = (coords_all[:, 0].min(), coords_all[:, 0].max(), coords_all[:, 1].min(), coords_all[:, 1].max())
+        valid = np.isfinite(vals_all)
+        coords_v = coords_all[valid]
+        vals_v = vals_all[valid]
+        if gsd is None:
+            gsd = float(np.sqrt(np.median(np.diff(np.sort(np.unique(coords_v[:, 0]))) ** 2)))
+        grid_valid = None
 
-    extent = (coords_all[:, 0].min(), coords_all[:, 0].max(), coords_all[:, 1].min(), coords_all[:, 1].max())
     if maxlag is None:
         maxlag = float(np.hypot(extent[1] - extent[0], extent[3] - extent[2]))
-
-    valid = np.isfinite(vals_all)
-    coords_v = coords_all[valid]
-    vals_v = vals_all[valid]
-    if gsd is None:
-        gsd = float(np.sqrt(np.median(np.diff(np.sort(np.unique(coords_v[:, 0]))) ** 2)))
 
     # sqrt(2)-geometric lag bins (reference :1439-1449)
     if bin_func is None:
@@ -745,27 +769,74 @@ def sample_empirical_variogram(
             maxdist = np.hypot(extent[1] - extent[0], extent[3] - extent[2])
             radius0 = maxdist / np.sqrt(2) ** nb_rings
 
-            idx_a = []  # center disk samples per run
-            idx_b = []  # disk + ring samples per run
-            n_b = samples_ * (nb_rings + 1)
-            for _r in range(runs_):
-                center = coords_v[rng.integers(0, len(coords_v))]
-                dist_c = np.hypot(coords_v[:, 0] - center[0], coords_v[:, 1] - center[1])
-                disk = np.flatnonzero(dist_c <= radius0)
-                ia = _sample_with_pad(rng, disk, samples_)
-                ib = [ia]
-                for k in range(1, nb_rings + 1):
-                    ring = np.flatnonzero((dist_c > radius0 * np.sqrt(2) ** (k - 1)) & (dist_c <= radius0 * np.sqrt(2) ** k))
-                    ib.append(_sample_with_pad(rng, ring, samples_))
-                idx_a.append(ia)
-                idx_b.append(np.concatenate(ib))
-            ia = np.asarray(idx_a)  # (R, N)
-            ib = np.asarray(idx_b)  # (R, N*(X+1))
+            if grid_valid is not None:
+                # Grid fast path: sample disks/annuli analytically by pixel offsets —
+                # O(runs * samples) instead of scanning all coordinates per run (essential
+                # at 1e8-pixel dDEMs, the 10k^2 uncertainty config).
+                nx_g, ny_g = grid_valid.shape
+                rr_v, cc_v = np.nonzero(grid_valid)
 
-            za = np.where(ia >= 0, vals_v[np.clip(ia, 0, None)], np.nan)
-            zb = np.where(ib >= 0, vals_v[np.clip(ib, 0, None)], np.nan)
-            ca = np.where(ia[..., None] >= 0, coords_v[np.clip(ia, 0, None)], np.nan)
-            cb = np.where(ib[..., None] >= 0, coords_v[np.clip(ib, 0, None)], np.nan)
+                def annulus(center, rmin, rmax, n):
+                    m = 8 * n
+                    theta = rng.uniform(0, 2 * np.pi, m)
+                    r = np.sqrt(rng.uniform(rmin**2, rmax**2, m)) / gsd
+                    ii = np.round(center[0] + r * np.cos(theta)).astype(np.int64)
+                    jj = np.round(center[1] + r * np.sin(theta)).astype(np.int64)
+                    okm = (ii >= 0) & (ii < nx_g) & (jj >= 0) & (jj < ny_g)
+                    okm[okm] &= grid_valid[ii[okm], jj[okm]]
+                    sel = np.flatnonzero(okm)[:n]
+                    out = np.full((n, 2), -1, dtype=np.int64)
+                    out[: len(sel), 0] = ii[sel]
+                    out[: len(sel), 1] = jj[sel]
+                    return out
+
+                ija = np.full((runs_, samples_, 2), -1, dtype=np.int64)
+                ijb = np.full((runs_, samples_ * (nb_rings + 1), 2), -1, dtype=np.int64)
+                for r_i in range(runs_):
+                    ci = rng.integers(0, len(rr_v))
+                    center = (rr_v[ci], cc_v[ci])
+                    disk = annulus(center, 0.0, radius0, samples_)
+                    ija[r_i] = disk
+                    ijb[r_i, :samples_] = disk
+                    for k in range(1, nb_rings + 1):
+                        ring = annulus(center, radius0 * np.sqrt(2) ** (k - 1),
+                                       radius0 * np.sqrt(2) ** k, samples_)
+                        ijb[r_i, k * samples_:(k + 1) * samples_] = ring
+
+                def gather(ij):
+                    ok_ij = ij[..., 0] >= 0
+                    ii = np.clip(ij[..., 0], 0, nx_g - 1)
+                    jj = np.clip(ij[..., 1], 0, ny_g - 1)
+                    z = np.where(ok_ij, arr[ii, jj], np.nan)
+                    co = np.stack([np.where(ok_ij, ii * gsd, np.nan),
+                                   np.where(ok_ij, jj * gsd, np.nan)], axis=-1)
+                    return z, co
+
+                za, ca = gather(ija)
+                zb, cb = gather(ijb)
+            else:
+                idx_a = []  # center disk samples per run
+                idx_b = []  # disk + ring samples per run
+                for _r in range(runs_):
+                    center = coords_v[rng.integers(0, len(coords_v))]
+                    dist_c = np.hypot(coords_v[:, 0] - center[0], coords_v[:, 1] - center[1])
+                    disk = np.flatnonzero(dist_c <= radius0)
+                    ia = _sample_with_pad(rng, disk, samples_)
+                    ib = [ia]
+                    for k in range(1, nb_rings + 1):
+                        ring = np.flatnonzero(
+                            (dist_c > radius0 * np.sqrt(2) ** (k - 1)) & (dist_c <= radius0 * np.sqrt(2) ** k)
+                        )
+                        ib.append(_sample_with_pad(rng, ring, samples_))
+                    idx_a.append(ia)
+                    idx_b.append(np.concatenate(ib))
+                ia = np.asarray(idx_a)  # (R, N)
+                ib = np.asarray(idx_b)  # (R, N*(X+1))
+
+                za = np.where(ia >= 0, vals_v[np.clip(ia, 0, None)], np.nan)
+                zb = np.where(ib >= 0, vals_v[np.clip(ib, 0, None)], np.nan)
+                ca = np.where(ia[..., None] >= 0, coords_v[np.clip(ia, 0, None)], np.nan)
+                cb = np.where(ib[..., None] >= 0, coords_v[np.clip(ib, 0, None)], np.nan)
 
             za_j, zb_j = jnp.asarray(za, jnp.float32), jnp.asarray(zb, jnp.float32)
             ca_j, cb_j = jnp.asarray(ca, jnp.float32), jnp.asarray(cb, jnp.float32)
@@ -868,6 +939,10 @@ def fit_sum_model_variogram(
         return out
 
     emp = empirical_variogram[np.isfinite(empirical_variogram["exp"].values)]
+    if maxfev is None:
+        # Near-flat empirical variograms (noise-dominated dh) can exhaust scipy's default
+        # budget; a generous ceiling keeps the trf fit deterministic and convergent.
+        maxfev = 20000
     n_average = int(np.ceil(len(emp) / 10))
     exp_movaverage = np.convolve(emp["exp"].values, np.ones(max(n_average, 1)) / max(n_average, 1), mode="valid")
     max_var = np.max(exp_movaverage)

@@ -50,11 +50,15 @@ def estimate_uncertainty(
         attrs = terrain.get_terrain_attribute(dem, list(list_vars))
         if not isinstance(attrs, list):
             attrs = [attrs]
+        # Bin the spread on at most 5e6 stable samples (identical statistics, tractable at
+        # 1e8-pixel rasters); the error raster is still evaluated over the full extent.
         sig_dh, _err_fun, _df = spatialstats.infer_heteroscedasticity_from_stable(
             dvalues=dh,
             list_var=attrs,
             list_var_names=list(list_vars),
             stable_mask=stable_terrain,
+            subsample=5_000_000,
+            random_state=random_state,
         )
         emp, params, rho = spatialstats.infer_spatial_correlation_from_stable(
             dvalues=dh,
