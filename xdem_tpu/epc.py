@@ -58,3 +58,9 @@ class EPC(PointCloud):
 
             coreg_method = NuthKaab()
         return coreg_method.fit_and_apply(self, src_elev, inlier_mask=inlier_mask, bias_vars=bias_vars, **kwargs)
+
+
+def read_epc(path: str) -> EPC:
+    """Read an EPC from an .npz file (x, y, z, crs) as written by examples.get_path."""
+    data = np.load(path)
+    return EPC(x=data["x"], y=data["y"], z=data["z"], crs=int(data["crs"]))

@@ -18,7 +18,6 @@ import numpy as np
 
 from xdem_tpu.georef import CRS, Affine, transform_points, suggest_utm_crs
 from xdem_tpu.ops.interp import interp_points as _interp_points_dev
-from xdem_tpu.ops.interp import interp_rowcol
 
 __all__ = ["Raster", "BoundingBox"]
 
