@@ -23,7 +23,11 @@ import numpy as np
 
 
 def rmse(z: np.ndarray) -> float:
-    """Root mean square of residuals."""
+    """Root mean square of residuals.
+
+    >>> rmse(np.array([3.0, -4.0]))
+    3.5355339059327378
+    """
     return float(np.sqrt(np.nanmean(np.square(np.asarray(z)))))
 
 
@@ -55,7 +59,12 @@ def sumsin_1d(xx: Any, *params: float) -> Any:
 
 
 def polynomial_1d(xx: Any, *params: float) -> Any:
-    """1-D polynomial sum(p[i] * x**i)."""
+    """1-D polynomial sum(p[i] * x**i).
+
+    >>> import numpy as np
+    >>> polynomial_1d(np.array([0.0, 1.0, 2.0]), 1.0, 0.0, 2.0)
+    array([1., 3., 9.])
+    """
     xp = jnp if isinstance(xx, jnp.ndarray) else np
     return sum(p * xp.asarray(xx) ** i for i, p in enumerate(params))
 

@@ -36,7 +36,14 @@ class Affine:
 
     @classmethod
     def from_origin(cls, west: float, north: float, xres: float, yres: float) -> "Affine":
-        """North-up transform with upper-left corner (west, north) and pixel size (xres, yres>0)."""
+        """North-up transform with upper-left corner (west, north) and pixel size (xres, yres>0).
+
+        >>> t = Affine.from_origin(500000.0, 8000000.0, 20.0, 20.0)
+        >>> t.xy(0, 0)  # center of the upper-left pixel
+        (500010.0, 7999990.0)
+        >>> t.rowcol(500010.0, 7999990.0)
+        (0.0, 0.0)
+        """
         return cls(xres, 0.0, west, 0.0, -yres, north)
 
     @classmethod

@@ -36,6 +36,13 @@ def hypsometric_binning(
     :param bins: Bin size (fixed), number of bins (count), count per bin (quantile), or edges.
     :param kind: Binning strategy.
     :param aggregation_function: Statistic per bin (default median).
+
+    >>> import numpy as np
+    >>> ref = np.repeat(np.arange(4.0), 4).reshape(4, 4) * 100
+    >>> dh = np.ones((4, 4)) * np.arange(4)[:, None]
+    >>> df = hypsometric_binning(dh, ref, bins=100.0)
+    >>> list(df["value"])
+    [0.0, 1.0, 2.0, 3.0]
     """
     ddem = np.asarray(ddem, dtype=np.float64).ravel()
     ref = np.asarray(ref_dem, dtype=np.float64).ravel()
