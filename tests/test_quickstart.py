@@ -21,3 +21,23 @@ def test_readme_quickstart(tmp_path, monkeypatch):
 
     sig, rho = ref.estimate_uncertainty(tba, random_state=42, subsample=200)
     assert float(rho(np.array([0.0]))[0]) == 1.0
+
+
+def test_gallery_scripts_run(tmp_path, monkeypatch):
+    """The gallery scripts execute end-to-end (on small crops via monkeypatched examples)."""
+    import pathlib
+    import runpy
+
+    import xdem_tpu.examples as ex
+
+    monkeypatch.chdir(tmp_path)
+    r0, r1, c0, c1 = ex._TEST_ICROP
+    orig_ref, orig_tba, orig_mask = ex.get_ref_dem, ex.get_tba_dem, ex.get_glacier_mask
+    monkeypatch.setattr(ex, "get_ref_dem", lambda: orig_ref().icrop((r0, r1), (c0, c1)))
+    monkeypatch.setattr(ex, "get_tba_dem", lambda: orig_tba().icrop((r0, r1), (c0, c1)))
+    monkeypatch.setattr(ex, "get_glacier_mask", lambda: orig_mask()[r0:r1, c0:c1])
+
+    gallery = pathlib.Path(__file__).parent.parent / "examples_gallery"
+    for script in ["basic_terrain.py", "basic_coregistration.py"]:
+        runpy.run_path(str(gallery / script), run_name="__main__")
+    assert (tmp_path / "gallery_outputs" / "terrain_attributes.png").exists()
