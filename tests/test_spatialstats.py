@@ -136,7 +136,7 @@ class TestEmpiricalVariogram:
         assert params["range"].iloc[0] == pytest.approx(4 * smooth_px * gsd, rel=0.35)
         assert params["psill"].iloc[0] == pytest.approx(sigma**2, rel=0.35)
 
-    @pytest.mark.parametrize("estimator", ["matheron", "dowd", "cressie"])
+    @pytest.mark.parametrize("estimator", ["matheron", "dowd", "cressie", "genton"])
     def test_estimators_on_white_noise(self, estimator):
         # White noise: variogram flat at sill = variance for all lags
         rng = np.random.default_rng(3)

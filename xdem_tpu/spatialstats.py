@@ -595,8 +595,13 @@ def _binned_pair_estimator(
       * matheron: gamma = sum(d^2) / (2 n)
       * dowd:     gamma = 2.198 * median(|d|)^2 / 2
       * cressie:  gamma = (mean(sqrt(|d|)))^4 / (0.457 + 0.494/n + 0.045/n^2) / 2
+      * genton:   gamma = (2.2191 * Qn)^2 / 2 with Qn the Rousseeuw-Croux k-th order statistic
+        of pairwise |d_i - d_j| (per-bin values capped at 400 random samples for the O(n^2)
+        inner pairs, host-side — the robust scale is insensitive to this subsampling)
     Returns (gamma per bin, count per bin). NaN diffs/dists are excluded.
     """
+    if estimator == "genton":
+        return _binned_genton(diffs, dists, bin_edges)
     edges = jnp.asarray(bin_edges, dtype=jnp.float32)
     n_bins = len(bin_edges) - 1
     d = jnp.abs(diffs.ravel())
@@ -626,8 +631,39 @@ def _binned_pair_estimator(
         med = jnp.where(counts > 0, 0.5 * (lo + hi), jnp.nan)
         gamma = 2.198 * med**2 / 2
     else:
-        raise ValueError(f"Estimator '{estimator}' not supported; use 'matheron', 'dowd' or 'cressie'.")
+        raise ValueError(
+            f"Estimator '{estimator}' not supported; use 'matheron', 'dowd', 'cressie' or 'genton'."
+        )
     return np.asarray(gamma, dtype=np.float64), np.asarray(counts, dtype=np.int64)
+
+
+def _binned_genton(diffs: jnp.ndarray, dists: jnp.ndarray, bin_edges: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Genton (1998) highly-robust variogram: (2.2191 * Qn(d))^2 / 2 per lag bin, where Qn is
+    the k-th order statistic (k = C(n//2+1, 2)) of the pairwise |d_i - d_j|."""
+    edges = np.asarray(bin_edges, dtype=np.float64)
+    n_bins = len(edges) - 1
+    # Qn operates on the SIGNED pairwise value differences (their spread is what it estimates)
+    d = np.asarray(diffs, dtype=np.float64).ravel()
+    h = np.asarray(dists, dtype=np.float64).ravel()
+    valid = np.isfinite(d) & np.isfinite(h) & (h >= edges[0]) & (h <= edges[-1])
+    idx = np.clip(np.searchsorted(edges, h[valid], side="right") - 1, 0, n_bins - 1)
+    dv = d[valid]
+    counts = np.bincount(idx, minlength=n_bins)
+    gamma = np.full(n_bins, np.nan)
+    rng = np.random.default_rng(0)
+    for b in range(n_bins):
+        x = dv[idx == b]
+        if len(x) < 2:
+            continue
+        if len(x) > 400:
+            x = rng.choice(x, 400, replace=False)
+        n = len(x)
+        pair_diffs = np.abs(x[:, None] - x[None, :])[np.triu_indices(n, k=1)]
+        k = int((n // 2 + 1) * (n // 2) / 2)
+        k = min(max(k, 1), len(pair_diffs))
+        qn = np.partition(pair_diffs, k - 1)[k - 1]
+        gamma[b] = (2.2191 * qn) ** 2 / 2
+    return gamma, counts.astype(np.int64)
 
 
 def _choose_cdist_equidistant_sampling_parameters(
