@@ -428,3 +428,18 @@ class TestAspectDegeneracyDiagnostic:
             except ValueError:
                 pass  # divergence guard may fire; the diagnostic is what we check
         assert any("aspect bins" in r.message for r in caplog.records)
+
+
+class TestICPDeviceNN:
+    def test_brute_matches_kdtree(self, ref_tba):
+        sx, sy, sz = (-7.0, 5.0, 1.2)
+        tba = _shifted(ref_tba, sx, sy, sz)
+        kw = dict(subsample=20000, max_iterations=10)
+        c_kd = coreg.ICP(nn_method="kdtree", **kw)
+        c_kd.fit(ref_tba, tba, random_state=42)
+        c_br = coreg.ICP(nn_method="brute", **kw)
+        c_br.fit(ref_tba, tba, random_state=42)
+        t_kd = np.array(c_kd.to_translations())
+        t_br = np.array(c_br.to_translations())
+        assert np.allclose(t_kd, t_br, atol=0.3)
+        assert t_br[0] == pytest.approx(-sx, abs=1.0)

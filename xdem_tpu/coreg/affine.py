@@ -635,6 +635,30 @@ def _apply_matrix_pts_mat(mat: np.ndarray, matrix: np.ndarray, invert: bool = Fa
 # ======================================================================================
 
 
+@partial(jax.jit, static_argnames=("chunk",))
+def _brute_nearest(ref_pts: jnp.ndarray, query_pts: jnp.ndarray, chunk: int = 1024):
+    """Nearest reference index for each query point via blocked MXU-shaped distance argmin.
+
+    Device alternative to the host KD-tree (reference builds scipy KDTree, affine.py:1155):
+    distances via the |a|^2 + |b|^2 - 2 a.b expansion, processed in fixed-size query chunks
+    with lax.map to bound memory. Returns (indices, distances) of shape (M,).
+    """
+    n = ref_pts.shape[0]
+    m = query_pts.shape[0]
+    ref_sq = jnp.sum(ref_pts * ref_pts, axis=1)  # (N,)
+    pad = (-m) % chunk
+    q = jnp.pad(query_pts, ((0, pad), (0, 0)))
+    q_chunks = q.reshape(-1, chunk, 3)
+
+    def one_chunk(qc):
+        d2 = jnp.sum(qc * qc, axis=1)[:, None] + ref_sq[None, :] - 2.0 * qc @ ref_pts.T
+        idx = jnp.argmin(d2, axis=1)
+        return idx, jnp.sqrt(jnp.maximum(jnp.take_along_axis(d2, idx[:, None], axis=1)[:, 0], 0.0))
+
+    idxs, dists = jax.lax.map(one_chunk, q_chunks)
+    return idxs.reshape(-1)[:m], dists.reshape(-1)[:m]
+
+
 def _icp_norms(dem: np.ndarray, transform: Affine) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Plane normals from DEM gradients for point-to-plane ICP (reference affine.py:1062)."""
     res = (transform.xres, transform.yres)
@@ -676,11 +700,13 @@ def icp(
     only_translation: bool = False,
     standardize: bool = True,
     fit_minimizer: Any = "lsq_approx",
+    nn_method: str = "kdtree",
 ) -> tuple[np.ndarray, tuple[float, float, float], int]:
     """Iterative closest point registration (reference affine.py:1084).
 
-    Point-to-plane (Chen & Medioni) with Low (2004) linearized solve by default; KD-tree built
-    once on the reference cloud (host), per-iteration matrix solve on the matched pairs.
+    Point-to-plane (Chen & Medioni) with Low (2004) linearized solve by default. Neighbor
+    search: "kdtree" = host KD-tree built once (reference parity), "brute" = blocked MXU
+    distance argmin fully on device (see _brute_nearest).
     """
     logging.info("Running ICP coregistration")
     from scipy.spatial import KDTree
@@ -702,11 +728,17 @@ def icp(
     ref_epc, tba_epc, centroid, std_fac = _standardize_epc(ref_epc, tba_epc, scale_std=standardize)
     tolerance = tolerance / std_fac
 
-    tree = KDTree(ref_epc.T)
+    tree = KDTree(ref_epc.T) if nn_method == "kdtree" else None
+    ref_dev = jnp.asarray(ref_epc.T, jnp.float32) if nn_method == "brute" else None
     matrix = np.eye(4)
     for it in range(max_iterations):
         trans_tba = _apply_matrix_pts_mat(tba_epc, matrix=matrix)
-        dists, ind = tree.query(trans_tba.T, k=1)
+        if nn_method == "brute":
+            ind_j, dists_j = _brute_nearest(ref_dev, jnp.asarray(trans_tba.T, jnp.float32))
+            ind = np.asarray(ind_j)
+            dists = np.asarray(dists_j, dtype=np.float64)
+        else:
+            dists, ind = tree.query(trans_tba.T, k=1)
         if picky:
             # Zinsser et al. (2003): for duplicated nearest-reference indices keep the closest
             import pandas as pd
@@ -762,11 +794,12 @@ class ICP(AffineCoreg):
         standardize: bool = True,
         subsample: float | int = 5e5,
         initial_shift: tuple | None = None,
+        nn_method: Literal["kdtree", "brute"] = "kdtree",
     ):
         super().__init__(subsample=subsample, initial_shift=initial_shift)
         self._meta["inputs"]["specific"] = {
             "icp_method": method, "icp_picky": picky, "only_translation": only_translation,
-            "standardize": standardize,
+            "standardize": standardize, "nn_method": nn_method,
         }
         self._meta["inputs"]["fitorbin"] = {"fit_minimizer": fit_minimizer, "fit_loss_func": fit_loss_func}
         self._meta["inputs"]["iterative"] = {"max_iterations": max_iterations, "tolerance": tolerance}
@@ -787,6 +820,7 @@ class ICP(AffineCoreg):
             max_iterations=it["max_iterations"], tolerance=it["tolerance"],
             method=s["icp_method"], picky=s["icp_picky"], only_translation=s["only_translation"],
             standardize=s["standardize"], fit_minimizer=self._meta["inputs"]["fitorbin"]["fit_minimizer"],
+            nn_method=s.get("nn_method", "kdtree"),
         )
         tx, ty, tz, *_ = translations_rotations_from_matrix(matrix)
         self._meta["outputs"]["affine"] = {
