@@ -173,3 +173,25 @@ class TestTopoMultiDEM:
         out = tmp_path / "multi"
         assert (out / "plots" / "slope_dem1.png").exists()
         assert (out / "plots" / "slope_dem2.png").exists()
+
+
+class TestDownsample:
+    def test_topo_downsample(self, dem_files, tmp_path):
+        from xdem_tpu.workflows import Topo
+
+        ref_path, _, _ = dem_files
+        cfg = {
+            "inputs": {"path_to_elev": ref_path, "downsample": 2},
+            "terrain_attributes": ["slope"],
+            "outputs": {"path": str(tmp_path / "ds")},
+        }
+        wf = Topo(cfg)
+        dem = wf._load_dem(wf.config["inputs"])
+        from xdem_tpu.dem import DEM
+        from xdem_tpu.raster import Raster
+
+        orig = Raster.open(ref_path)
+        assert dem.res[0] == pytest.approx(orig.res[0] * 2)
+        assert abs(dem.width - orig.width // 2) <= 1
+        wf.run()
+        assert (tmp_path / "ds" / "report.html").exists()

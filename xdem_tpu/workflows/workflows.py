@@ -102,9 +102,8 @@ class Workflows(ABC):
             dem.set_vcrs(dem_cfg["force_vcrs"])
         ds = dem_cfg.get("downsample", 1)
         if ds and ds > 1:
-            new_res = (dem.res[0] * ds, dem.res[1] * ds)
-            dem = DEM((dem.reproject(res=new_res)).data, dem.transform.__class__(
-                new_res[0], 0, dem.transform.c, 0, -new_res[1], dem.transform.f), dem.crs)
+            coarse = dem.reproject(res=(dem.res[0] * ds, dem.res[1] * ds))
+            dem = DEM(coarse.data, coarse.transform, coarse.crs)
         return dem
 
     def _load_mask(self, dem_cfg: dict[str, Any], dem: DEM) -> np.ndarray | None:
