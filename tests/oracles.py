@@ -130,7 +130,7 @@ def oracle_surface(dem: np.ndarray, res: float, attr: str, fit: str = "Florinsky
                 unsph = np.sqrt(
                     np.maximum(
                         (((1 + z_y**2) * z_xx - 2 * z_y * z_x * z_xy + (1 + z_x**2) * z_yy) / denm) ** 2
-                        - (z_xx * z_yy - z_xy**2) / np.sqrt((1 + g2) ** 2),
+                        - (z_xx * z_yy - z_xy**2) / (1 + g2) ** 2,
                         0,
                     )
                 )

@@ -1,0 +1,134 @@
+"""Load the reference implementation's numeric core standalone for parity testing.
+
+The reference (/root/reference, read-only) cannot run end-to-end here (geoutils/rasterio/
+skgstat absent), but its numeric modules — terrain/surfit.py, terrain/window.py,
+terrain/freq.py, fit.py, spatialstats.py — import fine once the thin geo-I/O layer is
+stubbed. This gives the closest offline substitute for the GDAL/RichDEM golden-file oracle
+(SURVEY.md §4.1): any convention drift between xdem_tpu and the reference formulas fails the
+parity tests even if the hand-written test oracles share the drift.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+import types
+
+import numpy as np
+
+REF = "/root/reference/xdem"
+
+
+def _nmad(data, nfact=1.4826):
+    data = np.asarray(data)
+    return nfact * np.nanmedian(np.abs(data - np.nanmedian(data)))
+
+
+def _subsample_array(array, subsample, return_indices=False, random_state=None):
+    """Minimal stand-in for geoutils.stats.sampling.subsample_array (valid-value subsample)."""
+    array = np.asarray(array)
+    valid = np.isfinite(array)
+    idx_valid = np.argwhere(valid.ravel()).ravel()
+    n_valid = idx_valid.size
+    if subsample <= 1:
+        n = int(n_valid * subsample)
+    else:
+        n = min(int(subsample), n_valid)
+    rng = np.random.default_rng(random_state)
+    chosen = idx_valid if n >= n_valid else rng.choice(idx_valid, n, replace=False)
+    if return_indices:
+        return np.unravel_index(chosen, array.shape)
+    return array.ravel()[chosen]
+
+
+def _install_stubs() -> None:
+    if "geoutils" in sys.modules and hasattr(sys.modules["geoutils"], "_xdem_tpu_stub"):
+        return
+
+    class _Raster:  # only used in isinstance checks on paths the tests avoid
+        pass
+
+    class _Vector:
+        pass
+
+    gu = types.ModuleType("geoutils")
+    gu._xdem_tpu_stub = True
+    gu_stats = types.ModuleType("geoutils.stats")
+    gu_stats.nmad = _nmad
+    gu_sampling = types.ModuleType("geoutils.stats.sampling")
+    gu_sampling.subsample_array = _subsample_array
+    gu_stats.sampling = gu_sampling
+    gu_raster = types.ModuleType("geoutils.raster")
+    gu_raster.Raster = _Raster
+    gu_raster.RasterType = _Raster
+    gu_raster_array = types.ModuleType("geoutils.raster.array")
+
+    def get_array_and_mask(arr, check_shape=True, copy=True):
+        arr = np.asarray(arr, dtype=np.float64 if arr.dtype.kind == "f" else None)
+        invalid = ~np.isfinite(arr)
+        out = arr.astype(np.float32) if arr.dtype.kind != "f" else (arr.copy() if copy else arr)
+        out[invalid] = np.nan
+        return out, invalid
+
+    gu_raster_array.get_array_and_mask = get_array_and_mask
+    gu_raster.array = gu_raster_array
+    gu_vector = types.ModuleType("geoutils.vector")
+    gu_vector_vector = types.ModuleType("geoutils.vector.vector")
+    gu_vector_vector.Vector = _Vector
+    gu_vector_vector.VectorType = _Vector
+    gu_vector.vector = gu_vector_vector
+    gu.stats = gu_stats
+    gu.raster = gu_raster
+    gu.vector = gu_vector
+
+    gpd = types.ModuleType("geopandas")
+    gpd.GeoDataFrame = type("GeoDataFrame", (), {})
+
+    for name, mod in {
+        "geoutils": gu,
+        "geoutils.stats": gu_stats,
+        "geoutils.stats.sampling": gu_sampling,
+        "geoutils.raster": gu_raster,
+        "geoutils.raster.array": gu_raster_array,
+        "geoutils.vector": gu_vector,
+        "geoutils.vector.vector": gu_vector_vector,
+        "geopandas": gpd,
+    }.items():
+        sys.modules.setdefault(name, mod)
+
+
+def _load(name: str, path: str):
+    if name in sys.modules:
+        return sys.modules[name]
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def load_reference_modules() -> dict[str, types.ModuleType]:
+    """Load the reference numeric modules with geo deps stubbed; returns them by short name."""
+    _install_stubs()
+    if "xdem" not in sys.modules:
+        pkg = types.ModuleType("xdem")
+        pkg.__path__ = [REF]
+        sys.modules["xdem"] = pkg
+    _load("xdem._typing", f"{REF}/_typing.py")
+    _load("xdem._misc", f"{REF}/_misc.py")
+    spatialstats = _load("xdem.spatialstats", f"{REF}/spatialstats.py")
+    if "xdem.terrain" not in sys.modules:
+        tpkg = types.ModuleType("xdem.terrain")
+        tpkg.__path__ = [f"{REF}/terrain"]
+        sys.modules["xdem.terrain"] = tpkg
+    surfit = _load("xdem.terrain.surfit", f"{REF}/terrain/surfit.py")
+    window = _load("xdem.terrain.window", f"{REF}/terrain/window.py")
+    freq = _load("xdem.terrain.freq", f"{REF}/terrain/freq.py")
+    fit = _load("xdem.fit", f"{REF}/fit.py")
+    return {
+        "surfit": surfit,
+        "window": window,
+        "freq": freq,
+        "fit": fit,
+        "spatialstats": spatialstats,
+    }

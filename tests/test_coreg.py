@@ -162,7 +162,7 @@ class TestAffineMethods:
         from xdem_tpu.dem import DEM
 
         geo = DEM(ref_tba.data, ref_tba.transform, crs=4326)
-        with pytest.raises(NotImplementedError, match="projected CRS"):
+        with pytest.raises(NotImplementedError, match="projected"):
             coreg.NuthKaab().fit(geo, geo)
 
     def test_inlier_mask(self, ref_tba):
@@ -443,3 +443,35 @@ class TestICPDeviceNN:
         t_br = np.array(c_br.to_translations())
         assert np.allclose(t_kd, t_br, atol=0.3)
         assert t_br[0] == pytest.approx(-sx, abs=1.0)
+
+
+class TestApiHonesty:
+    def test_weights_raises(self, ref_tba):
+        tba = _shifted(ref_tba, 3.0, -2.0, 1.0)
+        w = np.ones(ref_tba.shape, dtype=np.float32)
+        with pytest.raises(NotImplementedError, match="weight"):
+            coreg.NuthKaab().fit(ref_tba, tba, weights=w)
+
+    def test_blockwise_nuth_kaab_exported(self):
+        assert coreg.BlockwiseNuthKaab is not None
+        assert "BlockwiseNuthKaab" in coreg.__all__
+
+    def test_pointcloud_grid_gap_fill(self):
+        from xdem_tpu.georef import Affine
+        from xdem_tpu.pointcloud import PointCloud
+
+        rng = np.random.default_rng(7)
+        h = w = 16
+        transform = Affine(1.0, 0.0, 0.0, 0.0, -1.0, float(h))
+        # One point per cell except a single interior hole at (8, 8)
+        rows, cols = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        keep = ~((rows == 8) & (cols == 8))
+        x = cols[keep].ravel() + 0.5 + rng.uniform(-0.2, 0.2, keep.sum())
+        y = (h - rows[keep].ravel()) - 0.5 + rng.uniform(-0.2, 0.2, keep.sum())
+        z = (rows[keep].ravel() * 1.0 + cols[keep].ravel()).astype(np.float32)
+        pc = PointCloud(x, y, z, crs="EPSG:32633")
+        grid = pc.grid(transform=transform, shape=(h, w), crs="EPSG:32633")
+        data = np.asarray(grid.data)
+        assert np.isfinite(data).all(), "interior hole should be gap-filled"
+        # The filled value is the neighborhood mean, close to the true plane value
+        assert data[8, 8] == pytest.approx(16.0, abs=1.0)

@@ -1,0 +1,357 @@
+"""Numeric parity against the reference implementation's own formulas.
+
+Loads the reference's numeric core standalone (tests/reference_loader.py) and asserts
+xdem_tpu matches it within the SURVEY.md §4 tolerances: ≤1e-3 of the mean attribute
+magnitude for terrain attributes (hillshade ±1 integer, aspect modulo 2π), exact binning
+frames, and matching convolution/standardization outputs. This is the offline substitute for
+the reference's GDAL/RichDEM golden-file oracle: it catches convention drift that
+hand-written oracles could share with the implementation.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.reference_loader import load_reference_modules
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir("/root/reference/xdem"), reason="reference checkout not available"
+)
+
+
+@pytest.fixture(scope="module")
+def ref_mods():
+    return load_reference_modules()
+
+
+@pytest.fixture(scope="module")
+def dem64():
+    """Smooth synthetic terrain with realistic relief (no flat pixels, no NaN)."""
+    rng = np.random.default_rng(0)
+    n = 64
+    fy = np.fft.fftfreq(n)[:, None]
+    fx = np.fft.rfftfreq(n)[None, :]
+    f = np.hypot(fx, fy)
+    f[0, 0] = 1.0
+    amp = f**-2.2
+    amp[0, 0] = 0
+    spec = amp * np.exp(1j * rng.uniform(0, 2 * np.pi, amp.shape))
+    z = np.fft.irfft2(spec, s=(n, n))
+    z = (z - z.min()) / (z.max() - z.min()) * 500.0 + 1000.0
+    return np.ascontiguousarray(z, dtype=np.float32)
+
+
+@pytest.fixture(scope="module")
+def dem_nan(dem64):
+    d = dem64.copy()
+    d[10:14, 20:30] = np.nan
+    d[40, 5] = np.nan
+    return d
+
+
+RES = 20.0
+
+SF_CASES = [
+    ("Horn", ("slope", "aspect", "hillshade"), "geometric"),
+    ("ZevenbergThorne", ("slope", "aspect", "hillshade", "curvature"), "geometric"),
+    (
+        "ZevenbergThorne",
+        ("profile_curvature", "tangential_curvature", "planform_curvature",
+         "flowline_curvature", "max_curvature", "min_curvature"),
+        "geometric",
+    ),
+    (
+        "Florinsky",
+        ("slope", "aspect", "hillshade", "profile_curvature", "tangential_curvature",
+         "planform_curvature", "flowline_curvature", "max_curvature", "min_curvature"),
+        "geometric",
+    ),
+    (
+        "Florinsky",
+        ("profile_curvature", "tangential_curvature", "planform_curvature",
+         "flowline_curvature", "max_curvature", "min_curvature"),
+        "directional",
+    ),
+    (
+        "ZevenbergThorne",
+        ("profile_curvature", "tangential_curvature", "planform_curvature",
+         "flowline_curvature", "max_curvature", "min_curvature"),
+        "directional",
+    ),
+]
+
+
+def _assert_attr_close(name, ours, ref, tol=1e-3):
+    """SURVEY §4 criterion: difference ≤ tol x mean attribute magnitude (hillshade ±1,
+    aspect circular)."""
+    both = np.isfinite(ours) & np.isfinite(ref)
+    assert (np.isfinite(ours) == np.isfinite(ref)).all(), f"{name}: NaN footprint differs"
+    assert both.any(), f"{name}: no overlapping valid values"
+    o, r = np.asarray(ours)[both].astype(np.float64), np.asarray(ref)[both].astype(np.float64)
+    if name == "aspect":
+        d = np.abs(o - r)
+        d = np.minimum(d, 2 * np.pi - d)
+        assert np.percentile(d, 99.9) < 1e-3 * 2 * np.pi, f"aspect p99.9 circ diff {np.percentile(d, 99.9)}"
+        return
+    if name == "hillshade":
+        assert np.abs(o - r).max() <= 1.0, f"hillshade max diff {np.abs(o - r).max()}"
+        return
+    scale = np.mean(np.abs(r)) + 1e-12
+    reldiff = np.abs(o - r) / scale
+    assert np.percentile(reldiff, 99.9) < 1e-3, f"{name}: p99.9 rel diff {np.percentile(reldiff, 99.9)}"
+
+
+class TestSurfaceFitParity:
+    @pytest.mark.parametrize("surface_fit,attrs,curv_method", SF_CASES)
+    def test_surface_attributes(self, ref_mods, dem64, surface_fit, attrs, curv_method):
+        from xdem_tpu.terrain.surfit import surface_attributes
+
+        ref_out = ref_mods["surfit"]._get_surface_attributes(
+            dem64, RES, list(attrs), surface_fit=surface_fit, curv_method=curv_method,
+            out_dtype=np.float64,
+        )
+        ours = np.asarray(surface_attributes(dem64, RES, attrs, surface_fit=surface_fit,
+                                             curv_method=curv_method))
+        for i, a in enumerate(attrs):
+            _assert_attr_close(a, ours[i], ref_out[i])
+
+    def test_nan_footprint(self, ref_mods, dem_nan):
+        from xdem_tpu.terrain.surfit import surface_attributes
+
+        attrs = ("slope", "aspect", "hillshade")
+        ref_out = ref_mods["surfit"]._get_surface_attributes(
+            dem_nan, RES, list(attrs), surface_fit="Florinsky", out_dtype=np.float64
+        )
+        ours = np.asarray(surface_attributes(dem_nan, RES, attrs, surface_fit="Florinsky"))
+        for i, a in enumerate(attrs):
+            _assert_attr_close(a, ours[i], ref_out[i])
+
+    def test_hillshade_custom_angles(self, ref_mods, dem64):
+        from xdem_tpu.terrain.surfit import surface_attributes
+
+        ref_out = ref_mods["surfit"]._get_surface_attributes(
+            dem64, RES, ["hillshade"], surface_fit="Horn", out_dtype=np.float64,
+            hillshade_azimuth=120.0, hillshade_altitude=30.0, hillshade_z_factor=2.0,
+        )
+        ours = np.asarray(surface_attributes(
+            dem64, RES, ("hillshade",), surface_fit="Horn",
+            hillshade_azimuth=120.0, hillshade_altitude=30.0, hillshade_z_factor=2.0,
+        ))
+        _assert_attr_close("hillshade", ours[0], ref_out[0])
+
+
+class TestWindowedParity:
+    @pytest.mark.parametrize("window_size", [3, 5, 7])
+    @pytest.mark.parametrize("tri_method", ["Riley", "Wilson"])
+    def test_windowed_indexes(self, ref_mods, dem64, window_size, tri_method):
+        from xdem_tpu.terrain.window import windowed_indexes
+
+        attrs = ["topographic_position_index", "terrain_ruggedness_index", "roughness"]
+        ref_out = ref_mods["window"]._get_windowed_indexes(
+            dem64, window_size, list(attrs), resolution=RES, tri_method=tri_method,
+            out_dtype=np.float64,
+        )
+        ours = np.asarray(windowed_indexes(dem64, RES, tuple(attrs), window_size=window_size,
+                                           tri_method=tri_method))
+        for i, a in enumerate(attrs):
+            _assert_attr_close(a, ours[i], ref_out[i])
+
+    def test_rugosity(self, ref_mods, dem64):
+        from xdem_tpu.terrain.window import windowed_indexes
+
+        ref_out = ref_mods["window"]._get_windowed_indexes(
+            dem64, 3, ["rugosity"], resolution=RES, out_dtype=np.float64
+        )
+        ours = np.asarray(windowed_indexes(dem64, RES, ("rugosity",), window_size=3))
+        _assert_attr_close("rugosity", ours[0], ref_out[0])
+
+    @pytest.mark.parametrize("window_size", [5, 13])
+    def test_fractal_roughness(self, ref_mods, dem64, window_size):
+        from xdem_tpu.terrain.window import fractal_roughness
+
+        ref_out = ref_mods["window"]._get_windowed_indexes(
+            dem64, window_size, ["fractal_roughness"], resolution=RES, out_dtype=np.float64
+        )
+        ours = np.asarray(fractal_roughness(dem64, window_size=window_size))
+        _assert_attr_close("fractal_roughness", ours, ref_out[0])
+
+    def test_windowed_nan_footprint(self, ref_mods, dem_nan):
+        from xdem_tpu.terrain.window import windowed_indexes
+
+        attrs = ["topographic_position_index", "roughness"]
+        ref_out = ref_mods["window"]._get_windowed_indexes(
+            dem_nan, 5, list(attrs), resolution=RES, out_dtype=np.float64
+        )
+        ours = np.asarray(windowed_indexes(dem_nan, RES, tuple(attrs), window_size=5))
+        for i, a in enumerate(attrs):
+            _assert_attr_close(a, ours[i], ref_out[i])
+
+
+class TestFrequencyParity:
+    @pytest.mark.parametrize("alpha", [0.5, 0.8, 1.0])
+    def test_texture_shading(self, ref_mods, dem64, alpha):
+        from xdem_tpu.terrain.freq import texture_shading
+
+        ref_out = ref_mods["freq"]._texture_shading_fft(dem64.astype(np.float64), alpha)
+        ours = np.asarray(texture_shading(dem64, alpha=alpha))
+        scale = np.nanmean(np.abs(ref_out)) + 1e-12
+        rel = np.abs(ours - ref_out) / scale
+        assert np.nanpercentile(rel, 99.9) < 1e-3
+
+
+class TestFitParity:
+    def test_model_functions(self, ref_mods):
+        rfit = ref_mods["fit"]
+        from xdem_tpu import fit as ofit
+
+        x = np.linspace(-3, 7, 101)
+        p_poly = np.array([2.0, -1.5, 0.25, 0.01])
+        np.testing.assert_allclose(ofit.polynomial_1d(x, *p_poly), rfit.polynomial_1d(x, *p_poly),
+                                   rtol=1e-12)
+        p_sin = np.array([5.0, 10.0, 0.3, 1.0, 3.0, 2.0])
+        np.testing.assert_allclose(np.asarray(ofit.sumsin_1d(x, *p_sin)),
+                                   rfit.sumsin_1d(x, *p_sin), rtol=1e-5, atol=1e-6)
+        xx = np.linspace(0, 1, 11)[:, None] * np.ones((11, 13))
+        yy = np.ones((11, 13)) * np.linspace(0, 1, 13)[None, :]
+        p2 = np.arange(1.0, 10.0)
+        np.testing.assert_allclose(np.asarray(ofit.polynomial_2d((xx, yy), *p2)),
+                                   rfit.polynomial_2d((xx, yy), *p2), rtol=1e-5)
+
+    def test_polynomial_fit_recovery(self, ref_mods):
+        """Both sides fit the same clean cubic; coefficients agree to the rounding precision."""
+        rfit = ref_mods["fit"]
+        from xdem_tpu import fit as ofit
+
+        rng = np.random.default_rng(42)
+        x = rng.uniform(-2, 4, 400)
+        y = 3.0 - 2.0 * x + 0.5 * x**2 + 0.05 * x**3 + rng.normal(0, 1e-4, x.size)
+        # The deterministic Linear+scipy path returns true polynomial coefficients (the
+        # reference's default Huber/sklearn path drops intercept_, splitting the constant term).
+        coefs_ref, deg_ref = rfit.robust_norder_polynomial_fit(
+            x, y, max_order=5, estimator_name="Linear", linear_pkg="scipy", random_state=1
+        )
+        coefs_ours, deg_ours = ofit.robust_norder_polynomial_fit(
+            x, y, max_order=5, estimator_name="Linear", linear_pkg="scipy", random_state=1
+        )
+        assert deg_ours == deg_ref
+        np.testing.assert_allclose(coefs_ours[: deg_ours + 1], coefs_ref[: deg_ref + 1],
+                                   rtol=1e-2, atol=1e-3)
+
+
+class TestSpatialstatsParity:
+    def _nmad_pair(self):
+        def nmad(data):
+            return 1.4826 * np.nanmedian(np.abs(data - np.nanmedian(data)))
+
+        return nmad
+
+    def test_nd_binning_frames(self, ref_mods):
+        rss = ref_mods["spatialstats"]
+        from xdem_tpu import spatialstats as oss
+
+        rng = np.random.default_rng(3)
+        n = 5000
+        vals = rng.normal(0, 2, n)
+        vals[rng.random(n) < 0.05] = np.nan
+        v1 = rng.uniform(0, 30, n)
+        v2 = rng.uniform(-5, 5, n)
+        v3 = rng.uniform(100, 900, n)
+        stats = ("count", np.nanmedian, self._nmad_pair())
+        kw = dict(
+            list_var=[v1, v2, v3], list_var_names=["a", "b", "c"], list_var_bins=[6, 5, 4],
+            statistics=stats,
+        )
+        df_ref = rss.nd_binning(vals, **kw)
+        df_ours = oss.nd_binning(vals, **kw)
+        assert len(df_ref) == len(df_ours)
+        # Both frames enumerate bins in the same C-order (1-D per variable, 2-D combos
+        # var-major, N-D var0-major), so the statistic columns compare positionally.
+        for nd in (1, 2, 3):
+            r = df_ref[df_ref["nd"] == nd]
+            o = df_ours[df_ours["nd"] == nd]
+            assert len(r) == len(o)
+            np.testing.assert_allclose(np.asarray(o["count"], dtype=np.float64),
+                                       np.asarray(r["count"], dtype=np.float64))
+            np.testing.assert_allclose(np.asarray(o["nanmedian"], dtype=np.float64),
+                                       np.asarray(r["nanmedian"], dtype=np.float64),
+                                       rtol=1e-6, atol=1e-9, equal_nan=True)
+            if nd == 3:
+                # The reference's N-D interval labels come from np.meshgrid with the default
+                # 'xy' indexing, which transposes the first two variables' axes relative to
+                # the C-order statistics — its nd>=3 labels are misaligned with the counts
+                # whenever the per-variable bin counts differ. We label correctly, so only
+                # the statistic columns (above) are compared for nd=3.
+                continue
+            for v in ("a", "b", "c"):
+                r_iv = [iv for iv in r[v] if hasattr(iv, "mid")]
+                o_iv = [iv for iv in o[v] if hasattr(iv, "mid")]
+                assert len(r_iv) == len(o_iv)
+                np.testing.assert_allclose([iv.mid for iv in o_iv], [iv.mid for iv in r_iv],
+                                           rtol=1e-9)
+                assert all(iv.closed == "left" for iv in o_iv)
+
+    def test_interp_nd_binning(self, ref_mods):
+        rss = ref_mods["spatialstats"]
+        from xdem_tpu import spatialstats as oss
+
+        rng = np.random.default_rng(4)
+        n = 8000
+        v1 = rng.uniform(0, 30, n)
+        v2 = rng.uniform(-5, 5, n)
+        vals = 0.1 * v1 + np.abs(v2) + rng.normal(0, 0.3, n)
+        stats = ("count", np.nanmedian)
+        df_ref = rss.nd_binning(vals, [v1, v2], ["a", "b"], list_var_bins=[8, 6], statistics=stats)
+        df_ours = oss.nd_binning(vals, [v1, v2], ["a", "b"], list_var_bins=[8, 6], statistics=stats)
+        f_ref = rss.interp_nd_binning(df_ref, ["a", "b"], statistic="nanmedian", min_count=20)
+        f_ours = oss.interp_nd_binning(df_ours, ["a", "b"], statistic="nanmedian", min_count=20)
+        q1 = rng.uniform(-2, 33, 200)
+        q2 = rng.uniform(-7, 7, 200)
+        np.testing.assert_allclose(f_ours((q1, q2)), f_ref((q1, q2)), rtol=1e-5, atol=1e-7)
+
+    def test_convolution_and_mean_filter(self, ref_mods, dem_nan):
+        rss = ref_mods["spatialstats"]
+        from xdem_tpu import spatialstats as oss
+
+        rng = np.random.default_rng(5)
+        imgs = np.stack([dem_nan, dem_nan[::-1]]).astype(np.float64)
+        filters = rng.normal(0, 1, (3, 3, 3))
+        ref_out = rss.convolution(imgs, filters, method="scipy")
+        ours = oss.convolution(imgs, filters)
+        both = np.isfinite(ref_out) & np.isfinite(ours)
+        # interior NaN poisoning must match exactly; edges differ (scipy reflects, we zero-pad
+        # and invalidate), so compare away from the 1-px border
+        inner = np.zeros_like(ref_out, dtype=bool)
+        inner[..., 1:-1, 1:-1] = True
+        assert (np.isfinite(ref_out[inner]) == np.isfinite(ours[inner])).all()
+        scale = np.nanmean(np.abs(ref_out[both & inner]))
+        assert np.nanmax(np.abs(ref_out[both & inner] - ours[both & inner])) / scale < 1e-3
+
+        m_ref, c_ref, n_ref = rss.mean_filter_nan(dem_nan.astype(np.float64), 5, kernel_shape="circular")
+        m_ours, c_ours, n_ours = oss.mean_filter_nan(dem_nan, 5, kernel_shape="circular")
+        assert n_ref == n_ours
+        inner2 = np.zeros_like(m_ref, dtype=bool)
+        inner2[2:-2, 2:-2] = True
+        np.testing.assert_allclose(c_ours[inner2], c_ref[inner2])
+        ok = inner2 & np.isfinite(m_ref) & np.isfinite(m_ours)
+        np.testing.assert_allclose(m_ours[ok], m_ref[ok], rtol=1e-4, atol=1e-3)
+
+    def test_two_step_standardization(self, ref_mods):
+        rss = ref_mods["spatialstats"]
+        from xdem_tpu import spatialstats as oss
+
+        rng = np.random.default_rng(6)
+        n = 4000
+        slope = rng.uniform(0, 30, n)
+        sigma = 0.5 + 0.05 * slope
+        dvals = rng.normal(0, sigma)
+        dvals[:20] *= 30  # outliers to exercise the 7-sigma clip
+
+        def unscaled(s):
+            return 0.5 + 0.05 * np.asarray(s)
+
+        z_ref, f_ref = rss.two_step_standardization(dvals.copy(), [slope], unscaled)
+        z_ours, f_ours = oss.two_step_standardization(dvals.copy(), [slope], unscaled)
+        np.testing.assert_allclose(np.ravel(z_ours), np.ravel(z_ref), rtol=1e-6, equal_nan=True)
+        q = np.linspace(0, 30, 7)
+        np.testing.assert_allclose(f_ours(q), f_ref(q), rtol=1e-6)

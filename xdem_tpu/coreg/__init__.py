@@ -11,7 +11,7 @@ from xdem_tpu.coreg.affine import (
     VerticalShift,
 )
 from xdem_tpu.coreg.biascorr import BiasCorr, Deramp, DirectionalBias, TerrainBias
-from xdem_tpu.coreg.blockwise import BlockwiseCoreg
+from xdem_tpu.coreg.blockwise import BlockwiseCoreg, BlockwiseNuthKaab
 
 __all__ = [
     "Coreg",
@@ -28,6 +28,7 @@ __all__ = [
     "DirectionalBias",
     "TerrainBias",
     "BlockwiseCoreg",
+    "BlockwiseNuthKaab",
     "apply_matrix",
     "invert_matrix",
 ]

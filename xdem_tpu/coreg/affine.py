@@ -264,9 +264,9 @@ def nuth_kaab(
 
     if crs is not None and not CRS(crs).is_projected:
         raise NotImplementedError(
-            f"NuthKaab coregistration only works with a projected CRS, current CRS is {crs}. Reproject "
-            f"your DEMs with DEM.reproject() in a local projected CRS such as UTM, that you can find "
-            f"using DEM.get_metric_crs()."
+            f"Nuth and Kääb coregistration needs planar (projected) coordinates, but the input CRS "
+            f"is {crs}. Reproject both elevations to a local projected system first, e.g. "
+            f"dem.reproject(crs=dem.get_metric_crs())."
         )
 
     if isinstance(ref_elev, PointCloud) and isinstance(tba_elev, PointCloud):
@@ -316,9 +316,9 @@ def nuth_kaab(
     )
     if not (np.isfinite(float(sx)) and np.isfinite(float(sy)) and np.isfinite(float(vshift))):
         raise ValueError(
-            "The subsample contains no more valid values. This can happen is the horizontal shift to "
-            "correct is very large, or if the algorithm diverged. To ensure all possible points can "
-            "be used at any iteration step, use subsample=1."
+            "No valid points remain in the subsample: either the shift to correct moved the grids "
+            "out of overlap, or the solver diverged. Passing subsample=1 keeps every valid pixel "
+            "available at each iteration."
         )
     return (float(sx), float(sy), float(vshift)), sub["count"], int(it)
 
@@ -1016,7 +1016,8 @@ def lzd(
 
     if crs is not None and not CRS(crs).is_projected:
         raise NotImplementedError(
-            f"LZD coregistration only works with a projected CRS, current CRS is {crs}."
+            f"LZD coregistration needs planar (projected) coordinates, but the input CRS is {crs}. "
+            f"Reproject to a local projected system first."
         )
     if isinstance(ref_elev, PointCloud) and isinstance(tba_elev, PointCloud):
         raise TypeError("The LZD coregistration does not support two point clouds.")

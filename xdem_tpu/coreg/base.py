@@ -479,6 +479,12 @@ class Coreg:
     ) -> "Coreg":
         """Estimate the coregistration from a reference and a to-be-aligned elevation
         (reference base.py:2250)."""
+        if weights is not None:
+            # No method consumes observation weights yet; refuse rather than silently ignore
+            # (the reference likewise errors on unsupported weights).
+            raise NotImplementedError(
+                f"{type(self).__name__} does not support weighted fitting yet; leave weights=None."
+            )
         ref, tba, mask, transform, crs, area_or_point = _preprocess_coreg_fit(
             reference_elev, to_be_aligned_elev, inlier_mask, transform, crs, area_or_point
         )

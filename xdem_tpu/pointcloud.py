@@ -82,11 +82,12 @@ class PointCloud:
         return out
 
     def grid(self, ref=None, transform=None, shape=None, crs=None, resampling: str = "linear"):
-        """Grid the point cloud onto a raster grid by moving-window IDW of nearby points.
+        """Grid the point cloud onto a raster grid by two-pass binned averaging.
 
-        Simple two-pass binned gridding (mean per cell, then gap-fill by 3x3 mean) — the
-        reference delegates to geoutils' `_grid_pointcloud` (Delaunay). Sufficient for
-        blockwise-coreg regridding of dense clouds.
+        Pass 1 averages the points falling in each cell; pass 2 fills empty cells with the
+        3x3-neighborhood mean of populated cells. The reference delegates to geoutils'
+        `_grid_pointcloud` (Delaunay interpolation). Sufficient for blockwise-coreg
+        regridding of dense clouds.
         """
         from xdem_tpu.raster import Raster
 
@@ -103,4 +104,18 @@ class PointCloud:
         with np.errstate(invalid="ignore"):
             grid = (sums / counts).reshape(h, w)
         grid = grid.astype(np.float32)
+
+        # Second pass: fill cells that received no points from the 3x3 neighborhood mean of
+        # populated cells, so isolated gaps inside a dense cloud don't punch NaN holes.
+        empty = ~np.isfinite(grid)
+        if empty.any() and not empty.all():
+            vals = np.where(empty, 0.0, grid)
+            valid = (~empty).astype(np.float32)
+            pv = np.pad(vals, 1)
+            pc = np.pad(valid, 1)
+            nsum = sum(pv[i : i + h, j : j + w] for i in range(3) for j in range(3))
+            ncnt = sum(pc[i : i + h, j : j + w] for i in range(3) for j in range(3))
+            with np.errstate(invalid="ignore"):
+                neigh = nsum / ncnt
+            grid = np.where(empty & (ncnt > 0), neigh, grid).astype(np.float32)
         return Raster(grid, transform, crs if crs is not None else self.crs)

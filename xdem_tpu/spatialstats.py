@@ -84,10 +84,15 @@ def nd_binning(
         list_var_bins = [10] * n_vars
     elif np.isscalar(list_var_bins):
         list_var_bins = [int(list_var_bins)] * n_vars  # type: ignore[list-item]
+    # Joint validity mask first: bin ranges are derived from the jointly valid sample, as in
+    # the reference (it removes no-data across values AND all variables before binning).
+    valid_all = np.isfinite(values)
+    for v in list_var:
+        valid_all &= np.isfinite(v)
+
     edges: list[np.ndarray] = []
     for i, b in enumerate(list_var_bins):  # type: ignore[arg-type]
-        var = list_var[i]
-        finite = var[np.isfinite(var)]
+        finite = list_var[i][valid_all]
         if isinstance(b, (int, np.integer)):
             lo, hi = (
                 list_ranges[i] if list_ranges is not None and list_ranges[i] is not None else (finite.min(), finite.max())
@@ -95,10 +100,6 @@ def nd_binning(
             edges.append(np.linspace(lo, hi, int(b) + 1))
         else:
             edges.append(np.asarray(b, dtype=np.float64))
-
-    valid_all = np.isfinite(values)
-    for v in list_var:
-        valid_all &= np.isfinite(v)
 
     def _binned(var_idx: list[int]) -> pd.DataFrame:
         sel_edges = [edges[i] for i in var_idx]
@@ -144,7 +145,7 @@ def nd_binning(
             per = per[::-1]
             for k, i_var in enumerate(var_idx):
                 e = edges[i_var]
-                rec[list_var_names[i_var]] = pd.Interval(e[per[k]], e[per[k] + 1])
+                rec[list_var_names[i_var]] = pd.Interval(e[per[k]], e[per[k] + 1], closed="left")
             rows.append(rec)
         df = pd.DataFrame(rows)
         df["nd"] = len(var_idx)
@@ -176,7 +177,7 @@ def _pandas_str_to_interval(s: Any) -> Any:
 
         m = re.match(r"[\[\(]\s*([-\d.e+]+)\s*,\s*([-\d.e+]+)\s*[\]\)]", s)
         if m:
-            return pd.Interval(float(m.group(1)), float(m.group(2)))
+            return pd.Interval(float(m.group(1)), float(m.group(2)), closed="left")
     return s
 
 
@@ -461,8 +462,12 @@ def mean_filter_nan(
 ) -> tuple[np.ndarray, np.ndarray, int]:
     """NaN-aware mean filter via two convolutions (sum & valid count) — reference :2597."""
     if kernel_shape == "circular":
-        yy, xx = np.mgrid[:kernel_size, :kernel_size] - (kernel_size - 1) / 2
-        kernel = ((yy**2 + xx**2) <= ((kernel_size - 1) / 2) ** 2).astype(np.float32)
+        # Reference convention (:880-904): integer center at p//2, radius = distance to the
+        # nearest wall, STRICT inequality — e.g. 9 pixels for a 5x5 kernel, not 13.
+        c = int(kernel_size / 2)
+        radius = min(c, kernel_size - c)
+        yy, xx = np.mgrid[:kernel_size, :kernel_size]
+        kernel = (np.hypot(xx - c, yy - c) < radius).astype(np.float32)
     else:
         kernel = np.ones((kernel_size, kernel_size), dtype=np.float32)
     img_j = jnp.asarray(img, dtype=jnp.float32)
@@ -1200,8 +1205,9 @@ def number_effective_samples(
         if rasterize_resolution is None:
             rasterize_resolution = float(np.min(params_variogram_model["range"].values) / 5.0)
             warnings.warn(
-                "Resolution for vector rasterization is not defined and thus set at 20% of the shortest "
-                "correlation range, which might result in large memory usage.",
+                "No rasterization resolution given; defaulting to one fifth of the shortest "
+                "correlation range. Long-range models then produce very large grids — pass "
+                "rasterize_resolution to bound memory.",
                 UserWarning,
             )
         if isinstance(rasterize_resolution, (float, int, np.floating, np.integer)):

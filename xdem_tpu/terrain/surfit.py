@@ -260,7 +260,7 @@ def _attrs_from_derivs(
             jnp.sqrt(
                 jnp.maximum(
                     (((1 + z_y**2) * z_xx - 2 * z_y * z_x * z_xy + (1 + z_x**2) * z_yy) / denom_m) ** 2
-                    - (z_xx * z_yy - z_xy**2) / jnp.sqrt((1 + grad2) ** 2),
+                    - (z_xx * z_yy - z_xy**2) / (1 + grad2) ** 2,
                     0.0,
                 )
             ),

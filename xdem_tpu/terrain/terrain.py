@@ -112,12 +112,12 @@ def get_terrain_attribute(
     needing_res = sf_attrs + (["rugosity"] if "rugosity" in attrs else [])
     if needing_res:
         if resolution is None:
-            raise ValueError(f"'resolution' must be provided as an argument for attributes: {needing_res}")
+            raise ValueError(f"Attributes {needing_res} need the pixel size: pass resolution=.")
         if isinstance(resolution, (tuple, list)):
             if resolution[0] != resolution[1]:
                 raise ValueError(
-                    f"Surface fit and rugosity require the same X and Y resolution ({resolution} was given). "
-                    f"This was required by: {needing_res}."
+                    f"Attributes {needing_res} assume square pixels, but resolution {resolution} has "
+                    f"different X and Y steps. Resample to a square grid first."
                 )
     if resolution is None:
         resolution = 1.0
