@@ -475,3 +475,96 @@ class TestApiHonesty:
         assert np.isfinite(data).all(), "interior hole should be gap-filled"
         # The filled value is the neighborhood mean, close to the true plane value
         assert data[8, 8] == pytest.approx(16.0, abs=1.0)
+
+
+class TestRigidRecovery:
+    """Rotation+translation recovery for the rigid methods (reference test_affine.py:356-570).
+
+    The fitted matrix is stored relative to the method's own data centroid, so the synthetic
+    truth (applied around a corner centroid) is re-expressed around the fitted centroid before
+    comparison — this makes the check exact rather than extent-dependent, allowing tolerances
+    far tighter than the reference's (ICP 5 px / LZD 0.5 px there).
+    """
+
+    SHIFTS_ROTATIONS = [(20, 5, 0.1, 0.1, 0.05, 0.01), (-50, 100, 0.1, 1, 0.5, 0.01)]
+
+    @staticmethod
+    def _apply_synthetic(ref, sr):
+        matrix = matrix_from_translations_rotations(*sr)
+        c1 = (ref.bounds[0], ref.bounds[1], float(np.nanmean(np.asarray(ref.data))))
+        return apply_matrix(ref, matrix, centroid=c1), c1
+
+    @staticmethod
+    def _expected_around(sr, c1, c2):
+        """Re-express the truth matrix (defined around c1) around the fitted centroid c2."""
+        M = matrix_from_translations_rotations(*sr)
+        R, t1 = M[:3, :3], M[:3, 3]
+        d = np.asarray(c1) - np.asarray(c2)
+        M2 = M.copy()
+        M2[:3, 3] = t1 + d - R @ d
+        return M2
+
+    @pytest.mark.parametrize("sr", SHIFTS_ROTATIONS)
+    @pytest.mark.parametrize(
+        "method_cls,subsample,atol_t,atol_r",
+        [
+            (coreg.ICP, 50000, 2.0, 5e-3),
+            (coreg.LZD, 50000, 1.0, 5e-3),
+            (coreg.CPD, 500, None, 1e-1),  # CPD cannot resolve translations (reference parity)
+        ],
+    )
+    def test_rigid_recovery_synthetic(self, ref_tba, sr, method_cls, subsample, atol_t, atol_r):
+        shifted, c1 = self._apply_synthetic(ref_tba, sr)
+        c = method_cls()
+        out = c.fit_and_apply(ref_tba, shifted, subsample=subsample, random_state=42)
+        m = c.meta["outputs"]["affine"]["matrix"]
+        c2 = c.meta["outputs"]["affine"]["centroid"]
+        got = translations_rotations_from_matrix(invert_matrix(m))
+        want = translations_rotations_from_matrix(self._expected_around(sr, c1, c2))
+        if atol_t is not None:
+            np.testing.assert_allclose(got[:3], want[:3], atol=atol_t)
+        np.testing.assert_allclose(got[3:], want[3:], atol=atol_r)
+
+        if method_cls is not coreg.CPD:
+            init_dh = np.asarray((ref_tba - shifted).data)
+            dh = np.asarray((ref_tba - out).data)
+            assert np.nanvar(dh / np.nanstd(init_dh)) < 0.05
+
+    @pytest.mark.parametrize("method_cls", [coreg.ICP, coreg.LZD])
+    def test_rigid_recovery_point_raster(self, ref_tba, method_cls):
+        sr = (20, 5, 0.1, 0.1, 0.05, 0.01)
+        shifted, c1 = self._apply_synthetic(ref_tba, sr)
+        epc = ref_tba.to_pointcloud(subsample=60000, random_state=3)
+        c = method_cls()
+        c.fit(epc, shifted, subsample=40000, random_state=42)
+        c2 = c.meta["outputs"]["affine"]["centroid"]
+        got = translations_rotations_from_matrix(invert_matrix(c.meta["outputs"]["affine"]["matrix"]))
+        want = translations_rotations_from_matrix(self._expected_around(sr, c1, c2))
+        np.testing.assert_allclose(got[:3], want[:3], atol=3.0)
+        np.testing.assert_allclose(got[3:], want[3:], atol=2e-2)
+
+    @pytest.mark.parametrize("method_cls,subsample", [(coreg.ICP, 50000), (coreg.LZD, 50000), (coreg.CPD, 500)])
+    def test_only_translation(self, ref_tba, method_cls, subsample):
+        sr = (300, 150, 75, 0.01, 0.01, 0.01)
+        shifted, c1 = self._apply_synthetic(ref_tba, sr)
+        c = method_cls(only_translation=True, subsample=subsample)
+        c.fit(ref_tba, shifted, random_state=42)
+        got = translations_rotations_from_matrix(invert_matrix(c.meta["outputs"]["affine"]["matrix"]))
+        # Rotations must not be solved for
+        np.testing.assert_allclose(got[3:], 0.0, atol=1e-12)
+        if method_cls is not coreg.CPD:
+            np.testing.assert_allclose(got[:3], sr[:3], rtol=0.15)
+
+    @pytest.mark.parametrize("method_cls,subsample", [(coreg.ICP, 50000), (coreg.CPD, 500)])
+    @pytest.mark.parametrize("standardize", [True, False])
+    def test_standardize_parametrization(self, ref_tba, method_cls, subsample, standardize):
+        sr = (300, 150, 75, 1, 0.5, 0.2)
+        shifted, c1 = self._apply_synthetic(ref_tba, sr)
+        c = method_cls(standardize=standardize, subsample=subsample)
+        c.fit(ref_tba, shifted, random_state=42)
+        c2 = c.meta["outputs"]["affine"]["centroid"]
+        got = translations_rotations_from_matrix(invert_matrix(c.meta["outputs"]["affine"]["matrix"]))
+        want = translations_rotations_from_matrix(self._expected_around(sr, c1, c2))
+        if method_cls is not coreg.CPD:
+            np.testing.assert_allclose(got[:3], want[:3], atol=1 * ref_tba.transform.xres)
+        np.testing.assert_allclose(got[3:], want[3:], atol=2e-1)
