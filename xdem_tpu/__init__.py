@@ -19,6 +19,23 @@ if _os.environ.get("XDEM_TPU_PLATFORM"):
 
     _jax.config.update("jax_platforms", _os.environ["XDEM_TPU_PLATFORM"])
 
+if not _os.environ.get("XDEM_TPU_NO_COMPILE_CACHE"):
+    # Persistent compilation cache: every new raster shape otherwise costs a fresh XLA compile
+    # (3-30 s through a tunneled TPU). Harmless if the backend ignores it.
+    import jax as _jax
+
+    try:
+        _cache_dir = _os.environ.get(
+            "XDEM_TPU_COMPILE_CACHE_DIR",
+            _os.path.join(_os.path.expanduser("~"), ".cache", "xdem_tpu", "jax_cache"),
+        )
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # config names shift between jax versions; the cache is best-effort
+        pass
+
 from xdem_tpu import examples, fit, georef, ops, spatialstats, terrain, vcrs, volume  # noqa: F401
 from xdem_tpu.ddem import dDEM  # noqa: F401
 from xdem_tpu.dem import DEM  # noqa: F401

@@ -244,6 +244,69 @@ def _nuth_kaab_solve(
     return sx * res_x, sy * res_y, vshift, stat, it
 
 
+@partial(jax.jit, static_argnames=("count", "max_iterations", "n_bins", "bin_before_fit"))
+def _nuth_kaab_rst_rst_device(
+    ref: jnp.ndarray,
+    tba: jnp.ndarray,
+    inlier: jnp.ndarray,
+    seed: jnp.ndarray,
+    count: int,
+    res_x: float,
+    res_y: float,
+    tolerance: float,
+    max_iterations: int = 10,
+    n_bins: int = 72,
+    bin_before_fit: bool = True,
+) -> jnp.ndarray:
+    """One fused device program for raster-raster Nuth & Kaab: slope/aspect stencils, seeded
+    subsampling over the joint valid mask (SURVEY §7.4), and the iterative solver — a single
+    dispatch and a single result readback (the per-call tunnel latency dominates otherwise).
+
+    Returns f32 [shift_x_m, shift_y_m, vshift, stat, iterations, n_valid, populated_bins].
+    """
+    h, w = ref.shape
+    # Gradients are translation-invariant: mean-center so f32 differencing stays accurate.
+    ref_c = ref - jnp.nanmean(ref)
+    gy, gx = jnp.gradient(ref_c)
+    slope_tan = jnp.hypot(gx, gy)
+    aspect = jnp.arctan2(-gx, gy) + jnp.pi
+    slope_tan = jnp.where(jnp.isclose(slope_tan, 0.0), jnp.nan, slope_tan)
+
+    valid = jnp.isfinite(ref) & jnp.isfinite(tba) & inlier & jnp.isfinite(slope_tan)
+    n_valid = valid.sum()
+
+    # Seeded subsample without replacement: uniform scores, invalid parked at -inf, top_k.
+    # If count > n_valid the extra picks land on invalid pixels whose NaN slope_tan removes
+    # them inside the solver (fixed shapes keep this one compiled program per raster shape).
+    key = jax.random.PRNGKey(seed)
+    scores = jnp.where(valid.ravel(), jax.random.uniform(key, (h * w,)), -jnp.inf)
+    _, idx = jax.lax.top_k(scores, count)
+    rr = (idx // w).astype(jnp.float32)
+    cc = (idx % w).astype(jnp.float32)
+    # When count > n_valid the overflow picks land on non-valid pixels (masked-out inliers can
+    # still have finite z and slope) — poison their slope so the solver excludes them.
+    picked_ok = valid.ravel()[idx]
+    pts_z = ref.ravel()[idx]
+    st = jnp.where(picked_ok, slope_tan.ravel()[idx], jnp.nan)
+    asp = aspect.ravel()[idx]
+
+    # Aspect-degeneracy diagnostic: how many aspect bins are well-populated in the subsample
+    sub_ok = jnp.isfinite(st)
+    bin_idx = jnp.clip((asp / (2 * jnp.pi / n_bins)).astype(jnp.int32), 0, n_bins - 1)
+    hist = jnp.bincount(jnp.where(sub_ok, bin_idx, n_bins), length=n_bins + 1)[:n_bins]
+    populated = (hist > 10).sum()
+
+    sx, sy, vshift, stat, it = _nuth_kaab_solve(
+        pts_z, rr, cc, tba, st, asp, res_x, res_y, tolerance,
+        max_iterations=max_iterations, n_bins=n_bins, invert=False,
+        bin_before_fit=bin_before_fit,
+    )
+    return jnp.stack([
+        sx, sy, vshift, stat,
+        it.astype(jnp.float32), n_valid.astype(jnp.float32), populated.astype(jnp.float32),
+    ])
+
+
 def nuth_kaab(
     ref_elev: Any,
     tba_elev: Any,
@@ -275,6 +338,47 @@ def nuth_kaab(
             "dataset in the pair must be a DEM."
         )
 
+    res_x = transform.xres
+    res_y = transform.yres
+
+    # Raster-raster with an absolute subsample count: one fused device program (slope/aspect,
+    # seeded top_k subsample, solver) — a single dispatch + readback. Fractional subsamples
+    # need the valid count first and stay on the host path.
+    if not isinstance(ref_elev, PointCloud) and not isinstance(tba_elev, PointCloud) and subsample > 1:
+        ref_arr = jnp.asarray(np.asarray(ref_elev), jnp.float32)
+        tba_arr = jnp.asarray(np.asarray(tba_elev), jnp.float32)
+        inlier = (
+            jnp.asarray(inlier_mask, bool)
+            if inlier_mask is not None
+            else jnp.ones(ref_arr.shape, bool)
+        )
+        count = min(int(subsample), ref_arr.size)
+        seed = random_state if random_state is not None else int(np.random.default_rng().integers(2**31))
+        res_dev = np.asarray(
+            _nuth_kaab_rst_rst_device(
+                ref_arr, tba_arr, inlier, np.uint32(seed), count, res_x, res_y, tolerance,
+                max_iterations=int(max_iterations), n_bins=int(n_bins),
+                bin_before_fit=bin_before_fit,
+            )
+        )
+        sx, sy, vshift, _stat, it, n_valid, populated = (float(v) for v in res_dev)
+        if n_valid == 0:
+            raise ValueError("No valid (finite, inlier) pixels in common between the elevation data.")
+        if populated < n_bins // 4:
+            logging.warning(
+                "Only %d/%d aspect bins are well-populated: the terrain faces few directions, so "
+                "the Nuth and Kääb horizontal offsets are poorly constrained and may diverge. "
+                "Use a larger extent with diverse aspects, or DhMinimize/LZD instead.",
+                int(populated), n_bins,
+            )
+        if not (np.isfinite(sx) and np.isfinite(sy) and np.isfinite(vshift)):
+            raise ValueError(
+                "No valid points remain in the subsample: either the shift to correct moved the "
+                "grids out of overlap, or the solver diverged. Passing subsample=1 keeps every "
+                "valid pixel available at each iteration."
+            )
+        return (sx, sy, vshift), int(min(count, n_valid)), int(it)
+
     # Slope/aspect from the raster side (or the reference for raster-raster)
     grid_side = ref_elev if not isinstance(ref_elev, PointCloud) else tba_elev
     slope_tan, aspect = _grad_slope_aspect(np.asarray(grid_side))
@@ -297,8 +401,6 @@ def nuth_kaab(
             populated, n_bins,
         )
 
-    res_x = transform.xres
-    res_y = transform.yres
     sx, sy, vshift, _stat, it = _nuth_kaab_solve(
         jnp.asarray(sub["pts_z"]),
         jnp.asarray(sub["rows"]),
