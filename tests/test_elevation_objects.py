@@ -118,3 +118,58 @@ class TestDEMObject:
     def test_single_band_enforced(self):
         with pytest.raises(ValueError, match="2-D"):
             DEM(np.ones((2, 5, 5), np.float32), Affine.from_origin(0, 50, 10, 10), 32633)
+
+
+class TestBuiltinGeoid:
+    """Built-in long-wavelength EGM96/EGM2008 model (geoid.py): out-of-the-box to_vcrs."""
+
+    def test_to_vcrs_egm96_out_of_the_box(self):
+        from xdem_tpu import vcrs as vcrs_mod
+
+        # Ensure no grid is pre-registered so the builtin path triggers
+        for alias in vcrs_mod._BUILTIN_GEOIDS:
+            vcrs_mod._GEOID_GRIDS.pop(alias, None)
+        dem = examples.get_ref_dem_test()
+        dem.set_vcrs("Ellipsoid")
+        out = dem.to_vcrs("EGM96")
+        diff = np.asarray(dem.data) - np.asarray(out.data)
+        # Svalbard (~78N, 16E): long-wavelength geoid is positive tens of meters there
+        assert 10 < np.nanmean(diff) < 60
+        back = out.to_vcrs("Ellipsoid")
+        both = np.isfinite(np.asarray(dem.data))
+        assert np.allclose(np.asarray(back.data)[both], np.asarray(dem.data)[both], atol=1e-3)
+
+    def test_egm96_equals_egm08_at_truncation(self):
+        from xdem_tpu.vcrs import _geoid_undulation
+
+        lon = np.array([-90.0, 0.0, 78.0, 142.0])
+        lat = np.array([38.0, 51.0, 5.0, -5.0])
+        np.testing.assert_allclose(
+            _geoid_undulation("EGM96", lon, lat), _geoid_undulation("EGM08", lon, lat)
+        )
+
+    def test_undulation_field_structure(self):
+        """Anchors of the long-wavelength geoid within the documented truncation error."""
+        from xdem_tpu.geoid import undulation
+
+        assert float(undulation(78.0, 5.0)) < -40  # Indian Ocean low (true ~ -105 m)
+        assert float(undulation(142.0, -5.0)) > 30  # New Guinea high (true ~ +80 m)
+        assert float(undulation(-90.2, 38.6)) == pytest.approx(-33, abs=15)  # St Louis
+        assert float(undulation(151.2, -33.9)) == pytest.approx(22, abs=15)  # Sydney
+        lons = np.linspace(-180, 180, 145)
+        lats = np.linspace(-90, 90, 73)
+        g = undulation(lons[None, :], lats[:, None])
+        assert -110 < g.min() < -50 and 40 < g.max() < 90
+
+    def test_builtin_warns_once(self, caplog):
+        import logging
+
+        from xdem_tpu import vcrs as vcrs_mod
+        from xdem_tpu.vcrs import _geoid_undulation
+
+        for alias in vcrs_mod._BUILTIN_GEOIDS:
+            vcrs_mod._GEOID_GRIDS.pop(alias, None)
+        vcrs_mod._warned_builtin.clear()
+        with caplog.at_level(logging.WARNING):
+            _geoid_undulation("EGM96", np.array([0.0]), np.array([0.0]))
+        assert any("built-in long-wavelength" in r.message for r in caplog.records)

@@ -91,8 +91,30 @@ def _vcrs_from_user_input(value: Any) -> VerticalCRS:
     raise ValueError(f"Cannot parse vertical CRS from {value!r}.")
 
 
+_BUILTIN_GEOIDS = ("EGM96", "EGM08", "EGM2008")
+_warned_builtin: set[str] = set()
+
+
 def _geoid_undulation(name: str, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
     key = name.upper()
+    if key not in _GEOID_GRIDS and key in _BUILTIN_GEOIDS:
+        # Out-of-the-box path: register the built-in long-wavelength model (geoid.py). At its
+        # degree-6 truncation EGM96 and EGM2008 share the same field.
+        import logging
+
+        from xdem_tpu.geoid import builtin_geoid_grid
+
+        lons, lats, grid = builtin_geoid_grid(1.0)
+        for alias in _BUILTIN_GEOIDS:
+            _GEOID_GRIDS[alias] = (lons, lats, grid)
+        if key not in _warned_builtin:
+            _warned_builtin.update(_BUILTIN_GEOIDS)
+            logging.warning(
+                "Using the built-in long-wavelength %s geoid (spherical harmonics to degree 6): "
+                "RMS error ~10 m, locally up to ~40 m vs the full model. Register a precise "
+                "undulation grid with xdem_tpu.vcrs.register_geoid_grid() for survey-grade work.",
+                key,
+            )
     if key not in _GEOID_GRIDS:
         raise ValueError(
             f"Geoid '{name}' has no registered undulation grid. PROJ grids are unavailable in "
