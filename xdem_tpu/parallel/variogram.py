@@ -6,9 +6,11 @@ scheme are sharded over a 1-D device mesh: each device computes pairwise distanc
 per-lag-bin accumulators for its run shard (matmul-shaped blocks on the MXU), and the bins are
 combined with jax.lax.psum over ICI before the estimator is finalized.
 
-Exact for the mean-based estimators (matheron, cressie). For dowd (median-based), each device
-contributes its run-shard median and the shards are count-weight averaged — the same
-mean-of-run-estimates aggregation the reference applies across n_variograms runs.
+Exact for every estimator, including the median-based dowd: the global per-bin median of
+|pair differences| is computed with a distributed selection — positive f32 values are
+bitcast to monotone integers and the k-th order statistic is located by two rounds of psum'd
+16-bit-radix histograms (no gather of the pair population, memory O(n_bins * 65536) per
+device regardless of pair count).
 """
 
 from __future__ import annotations
@@ -23,8 +25,55 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 
-def _local_bin_stats(za, zb, ca, cb, edges, n_bins, estimator):
-    """Per-shard bin accumulators over batched (R_local, N, M) pairwise blocks."""
+def _kth_by_bin_distributed(d, parked, counts, k, n_bins, axis):
+    """Exact k_b-th smallest of {d_i : parked_i == b} for every bin b, across all shards.
+
+    d must be non-negative f32. Positive IEEE-754 floats compare identically to their bit
+    patterns read as integers, so selection runs in bit space: round 1 locates the high-16-bit
+    bucket of the k-th element from a psum'd (n_bins, 32768) histogram, round 2 resolves the
+    low 16 bits within that bucket. Two collectives, no pair gather.
+    """
+    bits = jax.lax.bitcast_convert_type(d.astype(jnp.float32), jnp.int32)
+    bits = jnp.where(parked < n_bins, bits, 0)
+    hi = bits >> 16  # in [0, 32768) for non-negative floats
+    lo = bits & 0xFFFF
+
+    flat_hi = jnp.where(parked < n_bins, parked * 32768 + hi, n_bins * 32768)
+    hist_hi = jnp.bincount(flat_hi, length=n_bins * 32768 + 1)[:-1].reshape(n_bins, 32768)
+    hist_hi = jax.lax.psum(hist_hi, axis)
+
+    cum_hi = jnp.cumsum(hist_hi, axis=1)
+    # First bucket whose cumulative count exceeds k (k is 0-based)
+    sel_hi = jnp.argmax(cum_hi > k[:, None], axis=1)
+    below_hi = jnp.where(sel_hi > 0, jnp.take_along_axis(cum_hi, jnp.maximum(sel_hi - 1, 0)[:, None],
+                                                         axis=1)[:, 0], 0)
+
+    in_sel = (parked < n_bins) & (hi == sel_hi[jnp.clip(parked, 0, n_bins - 1)])
+    flat_lo = jnp.where(in_sel, parked * 65536 + lo, n_bins * 65536)
+    hist_lo = jnp.bincount(flat_lo, length=n_bins * 65536 + 1)[:-1].reshape(n_bins, 65536)
+    hist_lo = jax.lax.psum(hist_lo, axis)
+
+    cum_lo = jnp.cumsum(hist_lo, axis=1)
+    k_in = k - below_hi
+    sel_lo = jnp.argmax(cum_lo > k_in[:, None], axis=1)
+
+    kth_bits = (sel_hi << 16) | sel_lo
+    kth = jax.lax.bitcast_convert_type(kth_bits.astype(jnp.int32), jnp.float32)
+    return jnp.where(counts > 0, kth, jnp.nan)
+
+
+def _median_by_bin_distributed(d, parked, counts, n_bins, axis):
+    """Exact global per-bin median across shards (midpoint of the two middle elements)."""
+    c = counts
+    k_lo = jnp.maximum((c - 1) // 2, 0)
+    k_hi = c // 2
+    m_lo = _kth_by_bin_distributed(d, parked, c, k_lo, n_bins, axis)
+    m_hi = _kth_by_bin_distributed(d, parked, c, k_hi, n_bins, axis)
+    return 0.5 * (m_lo + m_hi)
+
+
+def _pair_bins(za, zb, ca, cb, edges, n_bins):
+    """Flattened |pair diff| and lag-bin index over batched (R_local, N, M) pairwise blocks."""
     diffs = za[:, :, None] - zb[:, None, :]
     d2 = jnp.sum((ca[:, :, None, :] - cb[:, None, :, :]) ** 2, axis=-1)
     dists = jnp.sqrt(d2)
@@ -34,23 +83,7 @@ def _local_bin_stats(za, zb, ca, cb, edges, n_bins, estimator):
     valid = jnp.isfinite(d) & jnp.isfinite(h) & (h >= edges[0]) & (h <= edges[-1])
     idx = jnp.clip(jnp.searchsorted(edges, h, side="right") - 1, 0, n_bins - 1)
     parked = jnp.where(valid, idx, n_bins)
-    counts = jnp.bincount(parked, length=n_bins + 1)[:n_bins]
-    if estimator == "matheron":
-        acc = jnp.bincount(parked, weights=jnp.where(valid, d * d, 0.0), length=n_bins + 1)[:n_bins]
-    elif estimator == "cressie":
-        acc = jnp.bincount(parked, weights=jnp.where(valid, jnp.sqrt(d), 0.0), length=n_bins + 1)[:n_bins]
-    elif estimator == "dowd":
-        # Local per-bin medians (combined across shards by count-weighted mean)
-        order = jnp.lexsort((d, parked))
-        ds = d[order]
-        starts = jnp.cumsum(counts) - counts
-        lo = ds[jnp.clip(starts + (counts - 1) // 2, 0, d.size - 1)]
-        hi = ds[jnp.clip(starts + counts // 2, 0, d.size - 1)]
-        med = jnp.where(counts > 0, 0.5 * (lo + hi), 0.0)
-        acc = med * counts  # count-weighted for the cross-shard mean
-    else:
-        raise ValueError(f"Estimator '{estimator}' not supported for the sharded variogram.")
-    return acc, counts
+    return d, parked, valid
 
 
 def sharded_variogram_bins(
@@ -83,6 +116,9 @@ def sharded_variogram_bins(
     edges = jnp.asarray(np.asarray(bin_edges, dtype=np.float32))
     n_bins = len(bin_edges) - 1
 
+    if estimator not in ("matheron", "cressie", "dowd"):
+        raise ValueError(f"Estimator '{estimator}' not supported for the sharded variogram.")
+
     @jax.jit
     @partial(
         shard_map,
@@ -91,8 +127,17 @@ def sharded_variogram_bins(
         out_specs=(P(), P()),
     )
     def run(za_s, zb_s, ca_s, cb_s):
-        acc, counts = _local_bin_stats(za_s, zb_s, ca_s, cb_s, edges, n_bins, estimator)
-        return jax.lax.psum(acc, axis), jax.lax.psum(counts, axis)
+        d, parked, valid = _pair_bins(za_s, zb_s, ca_s, cb_s, edges, n_bins)
+        counts = jax.lax.psum(jnp.bincount(parked, length=n_bins + 1)[:n_bins], axis)
+        if estimator == "matheron":
+            acc = jnp.bincount(parked, weights=jnp.where(valid, d * d, 0.0), length=n_bins + 1)[:n_bins]
+            return jax.lax.psum(acc, axis), counts
+        if estimator == "cressie":
+            acc = jnp.bincount(parked, weights=jnp.where(valid, jnp.sqrt(d), 0.0), length=n_bins + 1)[:n_bins]
+            return jax.lax.psum(acc, axis), counts
+        # dowd: exact global per-bin median via distributed bit-space selection
+        med = _median_by_bin_distributed(d, parked, counts, n_bins, axis)
+        return med, counts
 
     acc, counts = run(
         jnp.asarray(za, jnp.float32), jnp.asarray(zb, jnp.float32),
@@ -106,7 +151,6 @@ def sharded_variogram_bins(
         elif estimator == "cressie":
             n = np.maximum(counts_np, 1)
             gamma = np.where(counts_np > 0, ((acc / n) ** 4) / (0.457 + 0.494 / n + 0.045 / n**2) / 2, np.nan)
-        else:  # dowd: count-weighted mean of shard medians
-            med = np.where(counts_np > 0, acc / np.maximum(counts_np, 1), np.nan)
-            gamma = 2.198 * med**2 / 2
+        else:  # dowd on the exact global median
+            gamma = np.where(counts_np > 0, 2.198 * acc**2 / 2, np.nan)
     return gamma, counts_np

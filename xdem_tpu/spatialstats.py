@@ -1146,17 +1146,53 @@ def _rho_device(h: jnp.ndarray, params_variogram_model: pd.DataFrame) -> jnp.nda
     return (total_sill - gamma) / total_sill
 
 
+def _chunked_weighted_rho_sum(
+    c1: np.ndarray,
+    e1: np.ndarray,
+    c2: np.ndarray,
+    e2: np.ndarray,
+    params_variogram_model: pd.DataFrame,
+    target_elems: int = 1 << 26,
+) -> float:
+    """sum_ij e1_i e2_j rho(|c1_i - c2_j|) without materializing the full (N, M) matrix.
+
+    Rows are processed in fixed-size chunks inside one lax.scan, so peak memory is bounded by
+    chunk x M (~target_elems f32, default 256 MB) regardless of N — the same pattern as
+    coreg.affine._brute_nearest. Distances stay matmul-shaped for the MXU.
+    """
+    c2_j = jnp.asarray(c2, jnp.float32)
+    e2_j = jnp.asarray(e2, jnp.float32)
+    m = c2_j.shape[0]
+    chunk = int(min(max(64, target_elems // max(m, 1)), max(len(e1), 1)))
+    n = len(e1)
+    n_pad = int(np.ceil(n / chunk)) * chunk
+    c1p = np.zeros((n_pad, c1.shape[1]), np.float32)
+    c1p[:n] = c1
+    e1p = np.zeros(n_pad, np.float32)  # zero weights kill the padded rows' contributions
+    e1p[:n] = e1
+    c1r = jnp.asarray(c1p.reshape(-1, chunk, c1.shape[1]))
+    e1r = jnp.asarray(e1p.reshape(-1, chunk))
+
+    def body(acc, xe):
+        cc, ee = xe
+        d = jnp.sqrt(_pairwise_sq_dists(cc, c2_j))
+        rho = _rho_device(d, params_variogram_model)
+        return acc + jnp.sum(ee[:, None] * e2_j[None, :] * rho, dtype=jnp.float32), None
+
+    acc, _ = jax.lax.scan(body, jnp.float32(0.0), (c1r, e1r))
+    return float(acc)
+
+
 def neff_exact(
     coords: np.ndarray, errors: np.ndarray, params_variogram_model: pd.DataFrame, vectorized: bool = True
 ) -> float:
     """Exact double covariance sum over all pixel pairs (reference :2175), as a tiled device
-    kernel: sum_ij err_i err_j rho(d_ij) — matmul-shaped distances + elementwise rho."""
+    kernel: sum_ij err_i err_j rho(d_ij) — chunked matmul-shaped distances + elementwise rho,
+    memory bounded by the chunk size (not N^2)."""
     _check_validity_params_variogram(params_variogram_model)
-    c = jnp.asarray(coords, jnp.float32)
-    e = jnp.asarray(errors, jnp.float32)
-    d = jnp.sqrt(_pairwise_sq_dists(c, c))
-    rho = _rho_device(d, params_variogram_model)
-    var = float(jnp.sum(e[:, None] * e[None, :] * rho))
+    coords = np.asarray(coords, np.float32)
+    errors = np.asarray(errors, np.float32)
+    var = _chunked_weighted_rho_sum(coords, errors, coords, errors, params_variogram_model)
     n = len(errors)
     squared_se = var / n**2
     return float(np.mean(errors)) ** 2 / squared_se
@@ -1170,19 +1206,18 @@ def neff_hugonnet_approx(
     vectorized: bool = True,
     random_state: int | None = None,
 ) -> float:
-    """Hugonnet et al. (2022) approximation: one sum subsetted randomly (reference :2239)."""
+    """Hugonnet et al. (2022) approximation: one sum subsetted randomly (reference :2239).
+    Chunked accumulation bounds memory at chunk x subsample instead of N x subsample."""
     _check_validity_params_variogram(params_variogram_model)
     rng = np.random.default_rng(random_state)
     n = len(coords)
     subsample = min(subsample, n)
     sel = rng.choice(n, size=subsample, replace=False)
-    c = jnp.asarray(coords, jnp.float32)
-    cs = jnp.asarray(coords[sel], jnp.float32)
-    e = jnp.asarray(errors, jnp.float32)
-    es = jnp.asarray(errors[sel], jnp.float32)
-    d = jnp.sqrt(_pairwise_sq_dists(c, cs))
-    rho = _rho_device(d, params_variogram_model)
-    var = float(jnp.sum(e[:, None] * es[None, :] * rho))
+    coords = np.asarray(coords, np.float32)
+    errors = np.asarray(errors, np.float32)
+    var = _chunked_weighted_rho_sum(
+        coords, errors, coords[sel], errors[sel], params_variogram_model
+    )
     squared_se = var / (n * subsample)
     return float(np.mean(errors)) ** 2 / squared_se
 
