@@ -293,3 +293,63 @@ class TestShardedWindowed:
             assert (np.isfinite(g) == np.isfinite(w)).all(), a
             both = np.isfinite(g)
             assert np.allclose(g[both], w[both], atol=1e-3), a
+
+
+class TestTiledTerrain:
+    """Out-of-core tiling (terrain/tiled.py): streamed row bands must equal the whole-array
+    result, including at tile seams (halo) and raster edges (NaN padding)."""
+
+    def test_tiled_equals_whole_array(self, tmp_path):
+        from xdem_tpu.io import read_raster
+        from xdem_tpu.terrain import TilingConfig, get_terrain_attribute, tiled_terrain_attribute
+
+        rng = np.random.default_rng(8)
+        dem = examples.synthetic_dem_array(shape=(257, 257), seed=8)  # odd: last band partial
+        dem[40:45, 60:70] = np.nan
+        attrs = ["slope", "aspect", "hillshade", "max_curvature",
+                 "topographic_position_index", "roughness", "fractal_roughness"]
+        paths = tiled_terrain_attribute(
+            dem, attrs, TilingConfig(tile_rows=64, outdir=str(tmp_path)),
+            resolution=20.0, surface_fit="Florinsky", window_size=5, window_size_fractal=13,
+        )
+        whole = get_terrain_attribute(dem, attrs, resolution=20.0, surface_fit="Florinsky",
+                                      window_size=5, window_size_fractal=13)
+        for p, a, ref in zip(paths, attrs, whole):
+            got = np.asarray(read_raster(p).data)
+            ref = np.asarray(ref)
+            assert (np.isfinite(got) == np.isfinite(ref)).all(), f"{a}: NaN footprint differs"
+            both = np.isfinite(got) & np.isfinite(ref)
+            # Tiles are mean-centered per band, so f32 rounding differs slightly from the
+            # whole-array pass; aspect additionally amplifies it on near-flat pixels.
+            if a == "aspect":
+                d = np.abs(got[both] - ref[both])
+                assert np.minimum(d, 360 - d).max() < 0.1, "aspect"
+            else:
+                np.testing.assert_allclose(got[both], ref[both], rtol=1e-4, atol=1e-3, err_msg=a)
+
+    def test_tiled_from_streamed_file(self, tmp_path):
+        """Path input: windowed reads straight from an uncompressed striped GeoTIFF."""
+        from xdem_tpu.georef import Affine
+        from xdem_tpu.io import StreamingRasterWriter, read_raster
+        from xdem_tpu.terrain import TilingConfig, get_terrain_attribute, tiled_terrain_attribute
+
+        dem = examples.synthetic_dem_array(shape=(200, 200), seed=9)
+        t = Affine(20.0, 0.0, 5e5, 0.0, -20.0, 8.67e6)
+        src = str(tmp_path / "src.tif")
+        with StreamingRasterWriter(src, dem.shape, t, crs=32633) as wtr:
+            wtr.write_rows(0, dem)
+        paths = tiled_terrain_attribute(
+            src, "slope", TilingConfig(tile_rows=96, outdir=str(tmp_path / "out")),
+        )
+        got = read_raster(paths[0])
+        assert got.crs.epsg == 32633 and tuple(got.transform) == tuple(t)
+        ref = np.asarray(get_terrain_attribute(dem, "slope", resolution=20.0))
+        both = np.isfinite(np.asarray(got.data)) & np.isfinite(ref)
+        np.testing.assert_allclose(np.asarray(got.data)[both], ref[both], rtol=1e-4, atol=1e-3)
+
+    def test_frequency_attr_rejected(self, tmp_path):
+        from xdem_tpu.terrain import TilingConfig, tiled_terrain_attribute
+
+        with pytest.raises(ValueError, match="cannot be tiled"):
+            tiled_terrain_attribute(np.zeros((32, 32), np.float32), "texture_shading",
+                                    TilingConfig(outdir=str(tmp_path)))

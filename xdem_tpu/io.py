@@ -119,3 +119,216 @@ def write_raster(path: str, raster, nodata: float | None = None) -> None:
     )
     if rc != 0:
         raise OSError(f"Cannot write GeoTIFF '{path}': {_err()}")
+
+
+# ---------------------------------------------------------------------------------------
+# Streaming I/O for out-of-core tiling (pure Python, uncompressed striped GeoTIFF)
+# ---------------------------------------------------------------------------------------
+# The C++ codec reads/writes whole rasters. Out-of-core tiled processing (terrain attributes
+# on rasters whose attribute stack exceeds memory, reference terrain.py:412-466) instead
+# streams row bands: the writer pre-computes the uncompressed strip layout so each band can be
+# written as soon as its tile is computed; the reader decodes only the requested rows.
+
+import struct as _struct
+
+
+class StreamingRasterWriter:
+    """Create an uncompressed striped float32 GeoTIFF and fill it by row bands.
+
+    The full IFD (with precomputed strip offsets) is written at creation; `write_rows` then
+    pwrites pixel data at the right offsets, so tiles may arrive in any order and peak memory
+    is one row band. Tag layout mirrors native/geotiff.cpp so the C++ reader round-trips it.
+    """
+
+    def __init__(self, path: str, shape: tuple[int, int], transform: Affine, crs=None,
+                 nodata: float = -9999.0, rows_per_strip: int = 64):
+        h, w = int(shape[0]), int(shape[1])
+        self.path = path
+        self.shape = (h, w)
+        self.nodata = float(nodata)
+        self.rows_per_strip = int(rows_per_strip)
+        n_strips = (h + rows_per_strip - 1) // rows_per_strip
+
+        from xdem_tpu.georef import CRS as _CRS
+
+        epsg = 0
+        geographic = False
+        if crs is not None:
+            c = _CRS(crs)
+            epsg = int(c.epsg or 0)
+            geographic = not c.is_projected
+
+        t = tuple(transform)
+        # ModelPixelScale (scale_y positive; row axis implied negative by tiepoint convention)
+        pixel_scale = (abs(t[0]), abs(t[4]), 0.0)
+        tiepoint = (0.0, 0.0, 0.0, t[2], t[5], 0.0)
+        nodata_str = (repr(self.nodata) + "\x00").encode()
+        geokeys = _struct.pack(
+            "<16H",
+            1, 1, 0, 3,
+            1024, 0, 1, (2 if geographic else 1),
+            1025, 0, 1, 1,
+            (2048 if geographic else 3072), 0, 1, epsg,
+        )
+
+        # Aux data blocks placed right after the IFD
+        tags: list[tuple[int, int, int, object]] = [
+            (256, 3, 1, w),            # ImageWidth   (SHORT fits? use LONG for safety)
+            (257, 4, 1, h),
+            (258, 3, 1, 32),           # BitsPerSample
+            (259, 3, 1, 1),            # Compression = none
+            (262, 3, 1, 1),            # Photometric
+            (273, 4, n_strips, "strip_offsets"),
+            (277, 3, 1, 1),            # SamplesPerPixel
+            (278, 4, 1, rows_per_strip),
+            (279, 4, n_strips, "strip_counts"),
+            (284, 3, 1, 1),            # PlanarConfig
+            (339, 3, 1, 3),            # SampleFormat = IEEE float
+            (33550, 12, 3, pixel_scale),
+            (33922, 12, 6, tiepoint),
+            (34735, 3, 16, geokeys),
+            (42113, 2, len(nodata_str), nodata_str),
+        ]
+        tags[0] = (256, 4, 1, w)
+
+        header_size = 8
+        ifd_size = 2 + len(tags) * 12 + 4
+        aux_off = header_size + ifd_size
+
+        # Layout aux arrays
+        aux_blobs: list[bytes] = []
+        strip_counts = [min(rows_per_strip, h - i * rows_per_strip) * w * 4 for i in range(n_strips)]
+
+        def _sizeof(ttype, count):
+            return {2: 1, 3: 2, 4: 4, 12: 8}[ttype] * count
+
+        # First pass: compute offsets for oversized values
+        offsets: dict[int, int] = {}
+        pos = aux_off
+        for tag, ttype, count, val in tags:
+            size = _sizeof(ttype, count)
+            if size > 4:
+                offsets[tag] = pos
+                pos += size + (size % 2)
+        data_start = pos
+        strip_offsets = []
+        p = data_start
+        for sc in strip_counts:
+            strip_offsets.append(p)
+            p += sc
+        self._strip_offsets = strip_offsets
+
+        def _pack_value(tag, ttype, count, val) -> bytes:
+            if val == "strip_offsets":
+                return _struct.pack(f"<{count}I", *strip_offsets)
+            if val == "strip_counts":
+                return _struct.pack(f"<{count}I", *strip_counts)
+            if ttype == 12:
+                return _struct.pack(f"<{count}d", *val)
+            if ttype == 2:
+                return bytes(val)
+            if isinstance(val, bytes):
+                return val
+            fmt = {3: "H", 4: "I"}[ttype]
+            vals = val if isinstance(val, (tuple, list)) else (val,)
+            return _struct.pack(f"<{count}{fmt}", *vals)
+
+        buf = bytearray()
+        buf += b"II*\x00" + _struct.pack("<I", 8)
+        buf += _struct.pack("<H", len(tags))
+        aux_bytes = bytearray()
+        for tag, ttype, count, val in tags:
+            size = _sizeof(ttype, count)
+            packed = _pack_value(tag, ttype, count, val)
+            if size > 4:
+                off = offsets[tag]
+                buf += _struct.pack("<HHII", tag, ttype, count, off)
+                aux_bytes += packed
+                if size % 2:
+                    aux_bytes += b"\x00"
+            else:
+                buf += _struct.pack("<HHI", tag, ttype, count) + packed.ljust(4, b"\x00")
+        buf += _struct.pack("<I", 0)  # next IFD
+        buf += aux_bytes
+        assert len(buf) == data_start, (len(buf), data_start)
+
+        self._f = open(path, "w+b")
+        self._f.write(buf)
+        # Pre-size the file so out-of-order strip writes are valid
+        self._f.truncate(data_start + sum(strip_counts))
+
+    def write_rows(self, row0: int, block: np.ndarray) -> None:
+        """Write `block` (k, W) at absolute row `row0` (NaN converted to nodata)."""
+        h, w = self.shape
+        block = np.ascontiguousarray(block, dtype="<f4")
+        assert block.shape[1] == w and 0 <= row0 and row0 + block.shape[0] <= h
+        block = np.where(np.isfinite(block), block, np.float32(self.nodata))
+        self._f.seek(self._strip_offsets[0] + row0 * w * 4)
+        self._f.write(block.tobytes())
+
+    def close(self) -> None:
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def read_rows(path: str, row0: int, nrows: int) -> np.ndarray:
+    """Read rows [row0, row0+nrows) of band 1 from an uncompressed striped float32 GeoTIFF
+    (as produced by StreamingRasterWriter). Nodata is converted to NaN."""
+    with open(path, "rb") as f:
+        head = f.read(8)
+        if head[:4] != b"II*\x00":
+            raise OSError(f"'{path}' is not a little-endian classic TIFF.")
+        (ifd_off,) = _struct.unpack("<I", head[4:])
+        f.seek(ifd_off)
+        (n_tags,) = _struct.unpack("<H", f.read(2))
+        tags = {}
+        for _ in range(n_tags):
+            tag, ttype, count, val = _struct.unpack("<HHII", f.read(12))
+            tags[tag] = (ttype, count, val)
+
+        def _values(tag):
+            ttype, count, val = tags[tag]
+            size = {2: 1, 3: 2, 4: 4, 12: 8}[ttype] * count
+            fmt = {2: "B", 3: "H", 4: "I", 12: "d"}[ttype]
+            if size <= 4:
+                raw = _struct.pack("<I", val)[:size]
+            else:
+                pos = f.tell()
+                f.seek(val)
+                raw = f.read(size)
+                f.seek(pos)
+            return _struct.unpack(f"<{count}{fmt}", raw)
+
+        w = _values(256)[0]
+        h = _values(257)[0]
+        if tags.get(259, (0, 0, 1))[2] != 1 or _values(339)[0] != 3 or _values(258)[0] != 32:
+            raise OSError(f"'{path}': windowed reads need an uncompressed float32 TIFF.")
+        rps = _values(278)[0]
+        strip_offsets = _values(273)
+        nodata = None
+        if 42113 in tags:
+            try:
+                nodata = float(bytes(_values(42113)).rstrip(b"\x00").decode())
+            except ValueError:
+                pass
+        row0 = max(0, row0)
+        nrows = min(nrows, h - row0)
+        out = np.empty((nrows, w), dtype=np.float32)
+        r = row0
+        while r < row0 + nrows:
+            s = r // rps
+            s_r0 = s * rps
+            k0 = r - s_r0
+            k1 = min(rps, h - s_r0, row0 + nrows - s_r0)
+            f.seek(strip_offsets[s] + k0 * w * 4)
+            raw = np.frombuffer(f.read((k1 - k0) * w * 4), dtype="<f4").reshape(-1, w)
+            out[r - row0: r - row0 + (k1 - k0)] = raw
+            r = s_r0 + k1
+    if nodata is not None:
+        out = np.where(out == np.float32(nodata), np.nan, out)
+    return out
