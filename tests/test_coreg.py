@@ -568,3 +568,28 @@ class TestRigidRecovery:
         if method_cls is not coreg.CPD:
             np.testing.assert_allclose(got[:3], want[:3], atol=1 * ref_tba.transform.xres)
         np.testing.assert_allclose(got[3:], want[3:], atol=2e-1)
+
+
+class TestSubsampleValidity:
+    def test_point_near_nodata_edge_excluded(self, ref_tba):
+        """Points whose bilinear footprint touches nodata must not pass validity (the
+        reference interpolates the NaN-poisoned valid mask at point coords)."""
+        from xdem_tpu.coreg.affine import _subsample_pair
+        from xdem_tpu.pointcloud import PointCloud
+
+        rst = np.asarray(ref_tba.data).copy()
+        rst[50, 60] = np.nan  # single nodata hole
+        t = ref_tba.transform
+        # A point at fractional coords whose 4-neighbor footprint includes (50, 60):
+        x_in, y_in = t.xy(np.array([49.6]), np.array([59.6]))
+        # And one safely away from the hole:
+        x_ok, y_ok = t.xy(np.array([49.6]), np.array([57.4]))
+        pts = PointCloud(
+            np.concatenate([x_in, x_ok]), np.concatenate([y_in, y_ok]),
+            np.array([1000.0, 1000.0], np.float32), crs=ref_tba.crs,
+        )
+        sub = _subsample_pair(pts, rst, None, t, subsample=10, random_state=0)
+        # Only the safe point survives
+        assert sub["count"] == 1
+        assert sub["rows"][0] == pytest.approx(49.6, abs=1e-3)
+        assert sub["cols"][0] == pytest.approx(57.4, abs=1e-3)

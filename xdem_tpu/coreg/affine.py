@@ -112,20 +112,27 @@ def _subsample_pair(
     rst = np.asarray(tba_elev if ref_is_pts else ref_elev)
     rows_f, cols_f = transform.rowcol(pts.x, pts.y)
     h, w = rst.shape
-    # Validity: finite point z, point inside grid, raster finite at the (rounded) location,
-    # inlier mask at the location
+    # Validity mirrors the reference (base.py:676-705): the joint raster-side valid mask is
+    # interpolated at the point coords with NaN poisoning, so a point only passes when ALL
+    # FOUR bilinear neighbors are valid — a rounded-pixel check would admit points next to
+    # nodata edges whose interpolated dh is NaN.
+    rst_valid = np.isfinite(rst)
+    if inlier_mask is not None:
+        rst_valid &= inlier_mask
+    if aux_vars is not None:
+        for v in aux_vars.values():
+            rst_valid &= np.isfinite(v)
     ri = np.clip(np.round(rows_f).astype(int), 0, h - 1)
     ci = np.clip(np.round(cols_f).astype(int), 0, w - 1)
+    r0 = np.clip(np.floor(rows_f).astype(int), 0, h - 1)
+    c0 = np.clip(np.floor(cols_f).astype(int), 0, w - 1)
+    r1 = np.minimum(r0 + 1, h - 1)
+    c1 = np.minimum(c0 + 1, w - 1)
     valid = (
         np.isfinite(pts.z)
         & (rows_f >= 0) & (rows_f <= h - 1) & (cols_f >= 0) & (cols_f <= w - 1)
-        & np.isfinite(rst[ri, ci])
+        & rst_valid[r0, c0] & rst_valid[r0, c1] & rst_valid[r1, c0] & rst_valid[r1, c1]
     )
-    if inlier_mask is not None:
-        valid &= inlier_mask[ri, ci]
-    if aux_vars is not None:
-        for v in aux_vars.values():
-            valid &= np.isfinite(v[ri, ci])
     idx = np.flatnonzero(valid)
     if idx.size == 0:
         raise ValueError("No valid points overlapping the raster.")
