@@ -174,3 +174,119 @@ class TestExamplePaths:
 
         with pytest.raises(ValueError, match="not in available"):
             ex.get_path("bogus_dataset")
+
+
+class TestConicAndDatumCRS:
+    """LCC / Albers / non-WGS84 UTM datums, validated by self-consistent oracles:
+    exact definition points, roundtrips, and numeric scale/area factors (which pin the
+    projection constants without external coordinate tables)."""
+
+    @staticmethod
+    def _ellipsoidal_dists(lon, lat, dlon, dlat, a=6378137.0, f=1 / 298.257222101):
+        """Local ellipsoidal distances for small displacements (dlon, dlat) in degrees."""
+        e2 = f * (2 - f)
+        phi = np.deg2rad(lat)
+        N = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+        M = a * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5
+        return np.deg2rad(dlon) * N * np.cos(phi), np.deg2rad(dlat) * M
+
+    def test_lcc_definition_point_and_roundtrip(self):
+        # Lambert-93: the grid origin is exactly (x_0, y_0) at (lon_0, lat_0)
+        x, y = transform_points(4326, 2154, np.array([3.0]), np.array([46.5]))
+        assert x[0] == pytest.approx(700000.0, abs=1e-6)
+        assert y[0] == pytest.approx(6600000.0, abs=1e-6)
+        lon = np.linspace(-4.5, 8.0, 12)
+        lat = np.linspace(41.5, 51.0, 12)
+        x, y = transform_points(4326, 2154, lon, lat)
+        lon2, lat2 = transform_points(2154, 4326, x, y)
+        np.testing.assert_allclose(lon2, lon, atol=1e-9)
+        np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+    @pytest.mark.parametrize("lat_sp", [49.0, 44.0])
+    def test_lcc_unit_scale_at_standard_parallels(self, lat_sp):
+        lon0 = 3.0
+        eps = 1e-5
+        x0, y0 = transform_points(4326, 2154, np.array([lon0]), np.array([lat_sp]))
+        x1, _ = transform_points(4326, 2154, np.array([lon0 + eps]), np.array([lat_sp]))
+        _, y2 = transform_points(4326, 2154, np.array([lon0]), np.array([lat_sp + eps]))
+        de, dn = self._ellipsoidal_dists(lon0, lat_sp, eps, eps)
+        k_along = (x1[0] - x0[0]) / de
+        k_across = (y2[0] - y0[0]) / dn
+        assert k_along == pytest.approx(1.0, abs=2e-6)
+        assert k_across == pytest.approx(1.0, abs=2e-6)  # conformal: equal scales
+
+    @pytest.mark.parametrize("epsg,lon_rng,lat_rng", [
+        (5070, (-120.0, -75.0), (25.0, 48.0)),   # NAD83 Conus Albers
+        (3577, (115.0, 150.0), (-42.0, -12.0)),  # GDA94 Australian Albers (n < 0)
+    ])
+    def test_albers_roundtrip_and_equal_area(self, epsg, lon_rng, lat_rng):
+        lon = np.linspace(*lon_rng, 9)
+        lat = np.linspace(*lat_rng, 9)
+        x, y = transform_points(4326, epsg, lon, lat)
+        lon2, lat2 = transform_points(epsg, 4326, x, y)
+        np.testing.assert_allclose(lon2, lon, atol=1e-8)
+        np.testing.assert_allclose(lat2, lat, atol=1e-8)
+        # Equal-area: the numeric Jacobian determinant equals the ellipsoidal area element
+        eps = 1e-5
+        for lo, la in [(np.mean(lon_rng), np.mean(lat_rng)), (lon_rng[0] + 2, lat_rng[1] - 2)]:
+            x00, y00 = transform_points(4326, epsg, np.array([lo]), np.array([la]))
+            x10, y10 = transform_points(4326, epsg, np.array([lo + eps]), np.array([la]))
+            x01, y01 = transform_points(4326, epsg, np.array([lo]), np.array([la + eps]))
+            J = (x10[0] - x00[0]) * (y01[0] - y00[0]) - (x01[0] - x00[0]) * (y10[0] - y00[0])
+            de, dn = self._ellipsoidal_dists(lo, la, eps, eps)
+            assert J / (de * dn) == pytest.approx(1.0, abs=5e-6)
+
+    def test_nad83_utm_matches_wgs84_utm(self):
+        # GRS80 vs WGS84 differ by <0.1 mm in flattening: same zone must agree to ~mm
+        lon = np.array([-75.5, -74.2])
+        lat = np.array([40.0, 44.5])
+        x83, y83 = transform_points(4326, 26918, lon, lat)
+        x84, y84 = transform_points(4326, 32618, lon, lat)
+        np.testing.assert_allclose(x83, x84, atol=2e-3)
+        np.testing.assert_allclose(y83, y84, atol=2e-3)
+
+    def test_etrs89_and_mga_roundtrip(self):
+        for epsg, lon, lat in [(25832, 9.5, 51.0), (28355, 146.5, -37.0)]:
+            x, y = transform_points(4326, epsg, np.array([lon]), np.array([lat]))
+            lon2, lat2 = transform_points(epsg, 4326, x, y)
+            assert lon2[0] == pytest.approx(lon, abs=1e-9)
+            assert lat2[0] == pytest.approx(lat, abs=1e-9)
+        # MGA southern false northing
+        _, y = transform_points(4326, 28355, np.array([147.0]), np.array([-37.0]))
+        assert 5.5e6 < y[0] < 6.2e6
+
+    def test_ed50_datum_shift_structure(self):
+        # ED50 differs from WGS84 by the 3-parameter European shift: offset must be
+        # ~100-300 m horizontally in western Europe, and exactly invertible
+        lon = np.array([5.0, 9.0])
+        lat = np.array([52.0, 47.0])
+        xe, ye = transform_points(4326, 23031, lon, lat)
+        xw, yw = transform_points(4326, 32631, lon, lat)
+        d = np.hypot(xe - xw, ye - yw)
+        assert ((d > 80) & (d < 350)).all()
+        lon2, lat2 = transform_points(23031, 4326, xe, ye)
+        np.testing.assert_allclose(lon2, lon, atol=1e-8)
+        np.testing.assert_allclose(lat2, lat, atol=1e-8)
+
+    def test_lambert_zone_ii(self):
+        # NTF (Paris) / Lambert zone II (etendu): roundtrip + scale k_0 at the origin
+        # latitude + Paris plausibility box
+        x, y = transform_points(4326, 27572, np.array([2.3522]), np.array([48.8566]))
+        assert 5.8e5 < x[0] < 6.2e5 and 2.40e6 < y[0] < 2.45e6
+        lon = np.linspace(-2.0, 7.0, 8)
+        lat = np.linspace(45.0, 50.0, 8)
+        xs, ys = transform_points(4326, 27572, lon, lat)
+        lon2, lat2 = transform_points(27572, 4326, xs, ys)
+        np.testing.assert_allclose(lon2, lon, atol=1e-8)
+        np.testing.assert_allclose(lat2, lat, atol=1e-8)
+        # The 1SP scale is defined in NTF space on the Clarke 1880 ellipsoid: measure it
+        # there directly (the WGS84 path adds a datum-shifted latitude, skewing the oracle)
+        from xdem_tpu.georef import _PROJ_DEFS, _lcc_forward
+
+        eps = 1e-5
+        p = _PROJ_DEFS[27572]
+        lo, la = p["lon_0"], p["lat_0"]
+        x0, _ = _lcc_forward(np.array([lo]), np.array([la]), p)
+        x1, _ = _lcc_forward(np.array([lo + eps]), np.array([la]), p)
+        de, _ = self._ellipsoidal_dists(lo, la, eps, eps, a=6378249.2, f=1 / 293.4660212936269)
+        assert (x1[0] - x0[0]) / de == pytest.approx(0.99987742, abs=1e-6)

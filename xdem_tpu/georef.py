@@ -131,6 +131,11 @@ class CRS:
       - EPSG:326xx / 327xx UTM north/south zones (transverse Mercator, Krüger series)
       - EPSG:3857 Web Mercator
       - EPSG:3413 / 3031 polar stereographic north/south
+      - Lambert conformal conic: EPSG:2154 (Lambert-93), 3978 (Canada Atlas),
+        27572 (NTF Lambert zone II, incl. Paris meridian + NTF datum shift)
+      - Albers equal-area: EPSG:5070 (Conus), 3577 (Australian)
+      - UTM on non-WGS84 datums: 269xx (NAD83), 258xx (ETRS89), 283xx (GDA94/MGA),
+        230xx (ED50 with 3-parameter datum shift)
     Any other EPSG code is representable (carried through I/O) but not transformable.
     """
 
@@ -245,9 +250,11 @@ def _tm_constants(a: float = _WGS84_A, f: float = _WGS84_F) -> dict[str, Any]:
 _TM = _tm_constants()
 
 
-def _tm_forward(lon_deg: Any, lat_deg: Any, lon0_deg: float, k0: float, x0: float, y0: float, xp: Any = np):
+def _tm_forward(lon_deg: Any, lat_deg: Any, lon0_deg: float, k0: float, x0: float, y0: float, xp: Any = np,
+                consts: dict | None = None):
     """Transverse Mercator forward (Karney/Krüger series, mm accuracy within ~30 deg of lon0)."""
-    e, A, alpha = _TM["e"], _TM["A"], _TM["alpha"]
+    _C = consts if consts is not None else _TM
+    e, A, alpha = _C["e"], _C["A"], _C["alpha"]
     lat = xp.deg2rad(lat_deg)
     lon = xp.deg2rad(lon_deg - lon0_deg)
     # Conformal latitude
@@ -264,9 +271,11 @@ def _tm_forward(lon_deg: Any, lat_deg: Any, lon0_deg: float, k0: float, x0: floa
     return x, y
 
 
-def _tm_inverse(x: Any, y: Any, lon0_deg: float, k0: float, x0: float, y0: float, xp: Any = np):
+def _tm_inverse(x: Any, y: Any, lon0_deg: float, k0: float, x0: float, y0: float, xp: Any = np,
+                consts: dict | None = None):
     """Transverse Mercator inverse (Krüger series + Newton iterations for latitude)."""
-    e, A, beta = _TM["e"], _TM["A"], _TM["beta"]
+    _C = consts if consts is not None else _TM
+    e, A, beta = _C["e"], _C["A"], _C["beta"]
     xi = (y - y0) / (k0 * A)
     eta = (x - x0) / (k0 * A)
     xi_p = xi
@@ -349,6 +358,261 @@ def _ps_inverse(x: Any, y: Any, epsg: int, xp: Any = np):
     return (xp.rad2deg(lon_r) * sgn + lon0), xp.rad2deg(lat_r) * sgn
 
 
+# --------------------------------------------------------------------------------------
+# Generic conic projections + non-WGS84 datums
+# --------------------------------------------------------------------------------------
+
+# Reference ellipsoids: name -> (a, f)
+_ELLIPSOIDS = {
+    "WGS84": (6378137.0, 1.0 / 298.257223563),
+    "GRS80": (6378137.0, 1.0 / 298.257222101),
+    "intl": (6378388.0, 1.0 / 297.0),           # International 1924 (Hayford), e.g. ED50
+    "clrk80ign": (6378249.2, 1.0 / 293.4660212936269),  # Clarke 1880 (IGN), e.g. NTF
+}
+
+# 3-parameter geocentric datum shifts TO WGS84 (dx, dy, dz in meters)
+_DATUM_TO_WGS84 = {
+    "ED50": (-87.0, -98.0, -121.0),   # European mean (standard 3-param values)
+    "NTF": (-168.0, -60.0, 320.0),
+}
+
+# Projection definitions for specific EPSG codes (LCC 1SP/2SP, Albers). UTM families on
+# non-WGS84 datums are resolved by _projdef() below. GRS80-based datums (NAD83, ETRS89,
+# GDA94) are treated as coincident with WGS84 (their offset is sub-meter, far below DEM
+# georeferencing accuracy); ED50/NTF get 3-parameter geocentric shifts.
+_PROJ_DEFS: dict[int, dict] = {
+    # RGF93 / Lambert-93 (France)
+    2154: dict(proj="lcc", lat_1=49.0, lat_2=44.0, lat_0=46.5, lon_0=3.0,
+               x_0=700000.0, y_0=6600000.0, ellps="GRS80"),
+    # NAD83 / Canada Atlas Lambert
+    3978: dict(proj="lcc", lat_1=49.0, lat_2=77.0, lat_0=49.0, lon_0=-95.0,
+               x_0=0.0, y_0=0.0, ellps="GRS80"),
+    # NAD83 / Conus Albers
+    5070: dict(proj="aea", lat_1=29.5, lat_2=45.5, lat_0=23.0, lon_0=-96.0,
+               x_0=0.0, y_0=0.0, ellps="GRS80"),
+    # GDA94 / Australian Albers
+    3577: dict(proj="aea", lat_1=-18.0, lat_2=-36.0, lat_0=0.0, lon_0=132.0,
+               x_0=0.0, y_0=0.0, ellps="GRS80"),
+    # NTF (Paris) / Lambert zone II (lon_0 is the Paris meridian in Greenwich degrees)
+    27572: dict(proj="lcc1sp", lat_0=46.8, k_0=0.99987742, lon_0=2.337229166666667,
+                x_0=600000.0, y_0=2200000.0, ellps="clrk80ign", datum="NTF"),
+}
+
+
+def _projdef(epsg: int) -> dict | None:
+    """Projection definition for an EPSG code, covering UTM families on common datums."""
+    if epsg in _PROJ_DEFS:
+        return _PROJ_DEFS[epsg]
+    # NAD83 UTM zones 1N-23N
+    if 26901 <= epsg <= 26923:
+        return dict(proj="utm", zone=epsg - 26900, north=True, ellps="GRS80")
+    # ETRS89 UTM zones 28N-38N
+    if 25828 <= epsg <= 25838:
+        return dict(proj="utm", zone=epsg - 25800, north=True, ellps="GRS80")
+    # GDA94 / MGA zones 48-58 (southern hemisphere)
+    if 28348 <= epsg <= 28358:
+        return dict(proj="utm", zone=epsg - 28300, north=False, ellps="GRS80")
+    # ED50 / UTM zones 28N-38N
+    if 23028 <= epsg <= 23038:
+        return dict(proj="utm", zone=epsg - 23000, north=True, ellps="intl", datum="ED50")
+    return None
+
+
+def _ell_consts(name: str) -> dict:
+    a, f = _ELLIPSOIDS[name]
+    e2 = f * (2 - f)
+    return {"a": a, "f": f, "e": math.sqrt(e2), "e2": e2}
+
+
+def _m_snyder(lat, e, xp):
+    return xp.cos(lat) / xp.sqrt(1 - (e * xp.sin(lat)) ** 2)
+
+
+def _t_snyder(lat, e, xp):
+    return xp.tan(xp.pi / 4 - lat / 2) / ((1 - e * xp.sin(lat)) / (1 + e * xp.sin(lat))) ** (e / 2)
+
+
+def _lat_from_t(t, e, xp):
+    """Invert the isometric-latitude function t(lat) (Snyder eq. 7-9, fixed-point)."""
+    lat = xp.pi / 2 - 2 * xp.arctan(t)
+    for _ in range(6):
+        lat = xp.pi / 2 - 2 * xp.arctan(t * ((1 - e * xp.sin(lat)) / (1 + e * xp.sin(lat))) ** (e / 2))
+    return lat
+
+
+def _lcc_consts(p: dict) -> dict:
+    """Lambert conformal conic constants (Snyder 15-1..15-11; 1SP when 'k_0' present)."""
+    ell = _ell_consts(p["ellps"])
+    e = ell["e"]
+    lat0 = math.radians(p["lat_0"])
+    t0 = float(_t_snyder(lat0, e, np))
+    if "k_0" in p:  # 1SP
+        n = math.sin(lat0)
+        m0 = float(_m_snyder(lat0, e, np))
+        F = p["k_0"] * m0 / (n * t0**n)
+    else:
+        lat1 = math.radians(p["lat_1"])
+        lat2 = math.radians(p["lat_2"])
+        m1 = float(_m_snyder(lat1, e, np))
+        m2 = float(_m_snyder(lat2, e, np))
+        t1 = float(_t_snyder(lat1, e, np))
+        t2 = float(_t_snyder(lat2, e, np))
+        n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+        F = m1 / (n * t1**n)
+    rho0 = ell["a"] * F * t0**n
+    return {**ell, "n": n, "F": F, "rho0": rho0}
+
+
+def _lcc_forward(lon, lat, p: dict, xp: Any = np):
+    c = _lcc_consts(p)
+    lat_r = xp.deg2rad(lat)
+    t = _t_snyder(lat_r, c["e"], xp)
+    rho = c["a"] * c["F"] * xp.sign(c["n"]) * xp.abs(t) ** c["n"]
+    theta = c["n"] * xp.deg2rad(lon - p["lon_0"])
+    x = p["x_0"] + rho * xp.sin(theta)
+    y = p["y_0"] + c["rho0"] - rho * xp.cos(theta)
+    return x, y
+
+
+def _lcc_inverse(x, y, p: dict, xp: Any = np):
+    c = _lcc_consts(p)
+    xs = x - p["x_0"]
+    ys = c["rho0"] - (y - p["y_0"])
+    sgn = 1.0 if c["n"] >= 0 else -1.0
+    rho = sgn * xp.sqrt(xs * xs + ys * ys)
+    theta = xp.arctan2(sgn * xs, sgn * ys)
+    t = (rho / (c["a"] * c["F"])) ** (1.0 / c["n"])
+    lat = _lat_from_t(t, c["e"], xp)
+    lon = xp.rad2deg(theta / c["n"]) + p["lon_0"]
+    return lon, xp.rad2deg(lat)
+
+
+def _q_snyder(lat, e, xp):
+    s = xp.sin(lat)
+    return (1 - e * e) * (s / (1 - (e * s) ** 2) - (1 / (2 * e)) * xp.log((1 - e * s) / (1 + e * s)))
+
+
+def _aea_consts(p: dict) -> dict:
+    """Albers equal-area constants (Snyder 14-1..14-11)."""
+    ell = _ell_consts(p["ellps"])
+    e = ell["e"]
+    lat0 = math.radians(p["lat_0"])
+    lat1 = math.radians(p["lat_1"])
+    lat2 = math.radians(p["lat_2"])
+    m1 = float(_m_snyder(lat1, e, np))
+    m2 = float(_m_snyder(lat2, e, np))
+    q0 = float(_q_snyder(lat0, e, np))
+    q1 = float(_q_snyder(lat1, e, np))
+    q2 = float(_q_snyder(lat2, e, np))
+    n = (m1**2 - m2**2) / (q2 - q1)
+    C = m1**2 + n * q1
+    rho0 = ell["a"] * math.sqrt(C - n * q0) / n
+    return {**ell, "n": n, "C": C, "rho0": rho0}
+
+
+def _aea_forward(lon, lat, p: dict, xp: Any = np):
+    c = _aea_consts(p)
+    q = _q_snyder(xp.deg2rad(lat), c["e"], xp)
+    rho = c["a"] * xp.sqrt(c["C"] - c["n"] * q) / c["n"]
+    theta = c["n"] * xp.deg2rad(lon - p["lon_0"])
+    x = p["x_0"] + rho * xp.sin(theta)
+    y = p["y_0"] + c["rho0"] - rho * xp.cos(theta)
+    return x, y
+
+
+def _aea_inverse(x, y, p: dict, xp: Any = np):
+    c = _aea_consts(p)
+    e, e2 = c["e"], c["e2"]
+    xs = x - p["x_0"]
+    ys = c["rho0"] - (y - p["y_0"])
+    sgn = 1.0 if c["n"] >= 0 else -1.0
+    rho = sgn * xp.sqrt(xs * xs + ys * ys)
+    theta = xp.arctan2(sgn * xs, sgn * ys)
+    q = (c["C"] - (rho * c["n"] / c["a"]) ** 2) / c["n"]
+    # Latitude by fixed-point iteration (Snyder eq. 3-16)
+    lat = xp.arcsin(xp.clip(q / 2, -1, 1))
+    for _ in range(6):
+        s = xp.sin(lat)
+        lat = lat + ((1 - (e * s) ** 2) ** 2 / (2 * xp.cos(lat))) * (
+            q / (1 - e2) - s / (1 - (e * s) ** 2) + (1 / (2 * e)) * xp.log((1 - e * s) / (1 + e * s))
+        )
+    lon = xp.rad2deg(theta / c["n"]) + p["lon_0"]
+    return lon, xp.rad2deg(lat)
+
+
+def _geodetic_to_ecef(lon, lat, ell: dict, xp: Any = np):
+    lam = xp.deg2rad(lon)
+    phi = xp.deg2rad(lat)
+    N = ell["a"] / xp.sqrt(1 - ell["e2"] * xp.sin(phi) ** 2)
+    x = N * xp.cos(phi) * xp.cos(lam)
+    y = N * xp.cos(phi) * xp.sin(lam)
+    z = N * (1 - ell["e2"]) * xp.sin(phi)
+    return x, y, z
+
+
+def _ecef_to_geodetic(x, y, z, ell: dict, xp: Any = np):
+    lam = xp.arctan2(y, x)
+    pr = xp.sqrt(x * x + y * y)
+    phi = xp.arctan2(z, pr * (1 - ell["e2"]))
+    for _ in range(5):
+        N = ell["a"] / xp.sqrt(1 - ell["e2"] * xp.sin(phi) ** 2)
+        h = pr / xp.cos(phi) - N
+        phi = xp.arctan2(z, pr * (1 - ell["e2"] * N / (N + h)))
+    return xp.rad2deg(lam), xp.rad2deg(phi)
+
+
+def _datum_shift(lon, lat, datum: str, ellps: str, to_wgs84: bool, xp: Any = np):
+    """3-parameter geocentric shift between a legacy datum and WGS84 (points on ellipsoid)."""
+    dx, dy, dz = _DATUM_TO_WGS84[datum]
+    if to_wgs84:
+        x, y, z = _geodetic_to_ecef(lon, lat, _ell_consts(ellps), xp=xp)
+        return _ecef_to_geodetic(x + dx, y + dy, z + dz, _ell_consts("WGS84"), xp=xp)
+    x, y, z = _geodetic_to_ecef(lon, lat, _ell_consts("WGS84"), xp=xp)
+    return _ecef_to_geodetic(x - dx, y - dy, z - dz, _ell_consts(ellps), xp=xp)
+
+
+_TM_CONSTS_CACHE: dict[str, dict] = {}
+
+
+def _tm_consts_for(ellps: str) -> dict:
+    if ellps not in _TM_CONSTS_CACHE:
+        a, f = _ELLIPSOIDS[ellps]
+        _TM_CONSTS_CACHE[ellps] = _tm_constants(a, f)
+    return _TM_CONSTS_CACHE[ellps]
+
+
+def _projdef_inverse(p: dict, x: Any, y: Any, xp: Any = np):
+    """Projected -> WGS84 geographic for a registry projection definition."""
+    if p["proj"] == "utm":
+        lon0 = -183.0 + 6.0 * p["zone"]
+        lon, lat = _tm_inverse(x, y, lon0, 0.9996, 500000.0, 0.0 if p["north"] else 10000000.0,
+                               xp=xp, consts=_tm_consts_for(p["ellps"]))
+    elif p["proj"] in ("lcc", "lcc1sp"):
+        lon, lat = _lcc_inverse(x, y, p, xp=xp)
+    elif p["proj"] == "aea":
+        lon, lat = _aea_inverse(x, y, p, xp=xp)
+    else:  # pragma: no cover
+        raise NotImplementedError(p["proj"])
+    if "datum" in p:
+        lon, lat = _datum_shift(lon, lat, p["datum"], p["ellps"], to_wgs84=True, xp=xp)
+    return lon, lat
+
+
+def _projdef_forward(p: dict, lon: Any, lat: Any, xp: Any = np):
+    """WGS84 geographic -> projected for a registry projection definition."""
+    if "datum" in p:
+        lon, lat = _datum_shift(lon, lat, p["datum"], p["ellps"], to_wgs84=False, xp=xp)
+    if p["proj"] == "utm":
+        lon0 = -183.0 + 6.0 * p["zone"]
+        return _tm_forward(lon, lat, lon0, 0.9996, 500000.0, 0.0 if p["north"] else 10000000.0,
+                           xp=xp, consts=_tm_consts_for(p["ellps"]))
+    if p["proj"] in ("lcc", "lcc1sp"):
+        return _lcc_forward(lon, lat, p, xp=xp)
+    if p["proj"] == "aea":
+        return _aea_forward(lon, lat, p, xp=xp)
+    raise NotImplementedError(p["proj"])  # pragma: no cover
+
+
 def _to_geographic(crs: CRS, x: Any, y: Any, xp: Any = np):
     if crs.is_geographic:
         return x, y
@@ -361,6 +625,9 @@ def _to_geographic(crs: CRS, x: Any, y: Any, xp: Any = np):
         return _webmerc_inverse(x, y, xp=xp)
     if crs.epsg in (3413, 3031):
         return _ps_inverse(x, y, crs.epsg, xp=xp)
+    p = _projdef(crs.epsg)
+    if p is not None:
+        return _projdef_inverse(p, x, y, xp=xp)
     raise NotImplementedError(f"No built-in transform for {crs!r}.")
 
 
@@ -376,6 +643,9 @@ def _from_geographic(crs: CRS, lon: Any, lat: Any, xp: Any = np):
         return _webmerc_forward(lon, lat, xp=xp)
     if crs.epsg in (3413, 3031):
         return _ps_forward(lon, lat, crs.epsg, xp=xp)
+    p = _projdef(crs.epsg)
+    if p is not None:
+        return _projdef_forward(p, lon, lat, xp=xp)
     raise NotImplementedError(f"No built-in transform for {crs!r}.")
 
 
