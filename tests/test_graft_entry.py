@@ -47,3 +47,13 @@ def test_dryrun_multichip_reexecs_when_pinned_to_one_device():
     assert proc.returncode == 0, proc.stderr[-4000:]
     assert "REEXEC-PATH-OK" in proc.stdout
     assert "dryrun_multichip OK on 8 devices" in proc.stdout
+
+
+def test_multihost_distributed_cluster():
+    """jax.distributed across 2 coordinated CPU processes: the cross-process psum'd
+    variogram equals the single-device result exactly (SURVEY §2.7 DCN path)."""
+    from xdem_tpu.parallel.distributed import launch_local_cluster
+
+    out = launch_local_cluster(num_processes=2, local_devices=2)
+    assert "DISTRIBUTED OK" in out
+    assert "4 global devices" in out
