@@ -142,12 +142,124 @@ def main() -> None:
     mcells_ref = dem_base.size / t_ref / 1e6
 
     log(f"throughput: ours {mcells_ours:.1f} Mcells/s vs reference {mcells_ref:.1f} Mcells/s")
-    print(json.dumps({
+    headline = {
         "metric": f"terrain_horn_sah_{BENCH_SIZE}x{BENCH_SIZE}_Mcells_per_s",
         "value": round(mcells_ours, 2),
         "unit": "Mcells/s",
         "vs_baseline": round(mcells_ours / mcells_ref, 2),
-    }))
+    }
+
+    # Full north-star table (BASELINE.md configs) — JSON lines on stderr + bench_table.json,
+    # so regressions in the non-headline configs are visible every round. BENCH_QUICK=1 skips.
+    rows = [headline]
+    if not os.environ.get("BENCH_QUICK"):
+        try:
+            rows += bench_table()
+        except Exception as exc:  # table failures must not break the headline contract
+            log(f"bench table failed: {type(exc).__name__}: {exc}")
+    for row in rows[1:]:
+        log(json.dumps(row))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_table.json"), "w") as f:
+        json.dump(rows, f, indent=1)
+
+    print(json.dumps(headline))
+
+
+def _timed(fn, *args, n=3, **kwargs):
+    """Best wall time of n calls (first call separately = compile)."""
+    t0 = time.perf_counter()
+    fn(*args, **kwargs)
+    first = time.perf_counter() - t0
+    best = np.inf
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn(*args, **kwargs)
+        best = min(best, time.perf_counter() - t0)
+    return first, best
+
+
+def bench_table() -> list[dict]:
+    """North-star configs beyond the headline (BASELINE.md table)."""
+    import jax
+    import jax.numpy as jnp
+
+    from xdem_tpu.terrain.surfit import surface_attributes
+    from xdem_tpu.terrain.window import fractal_roughness, windowed_indexes
+
+    rows: list[dict] = []
+
+    # Config 2: full terrain suite (14 attributes) on 4k^2
+    n = 4096
+    dem = jnp.asarray(synthetic_dem(n, seed=1))
+    sf_attrs = ("slope", "aspect", "hillshade", "profile_curvature", "tangential_curvature",
+                "planform_curvature", "flowline_curvature", "max_curvature", "min_curvature")
+    win_attrs = ("topographic_position_index", "terrain_ruggedness_index", "roughness", "rugosity")
+
+    @jax.jit
+    def full_suite(d):
+        a = surface_attributes(d, RES, attrs=sf_attrs, surface_fit="Florinsky")
+        b = windowed_indexes(d, RES, win_attrs, window_size=3)
+        c = fractal_roughness(d, window_size=13)
+        return a[0, 50, 50] + b[0, 60, 60] + c[70, 70]
+
+    first, best = _timed(lambda d: float(full_suite(d)), dem)
+    log(f"full terrain suite {n}^2: first {first:.1f}s, steady {best*1000:.0f} ms")
+    rows.append({"metric": f"terrain_full_suite_{n}x{n}_Mcells_per_s",
+                 "value": round(n * n / best / 1e6, 1), "unit": "Mcells/s", "vs_baseline": None})
+
+    # Config 3: NuthKaab fit on the bundled pair (fused device path)
+    from xdem_tpu import coreg, examples
+
+    ref = examples.get_ref_dem()
+    tba = examples.get_tba_dem()
+    mask = ~examples.get_glacier_mask()
+
+    def nk_fit(seed):
+        c = coreg.NuthKaab()
+        c.fit(ref, tba, inlier_mask=mask, random_state=seed)
+        return c
+
+    first, best = _timed(nk_fit, 42, n=2)
+    log(f"NuthKaab fit: first {first:.1f}s (compile), steady {best:.2f}s")
+    rows.append({"metric": "nuth_kaab_fit_985x1332_seconds",
+                 "value": round(best, 3), "unit": "s", "vs_baseline": None})
+
+    # Config 4: ICP rigid alignment, DEM vs 1e6-point EPC
+    from xdem_tpu.raster import Raster
+    from xdem_tpu.georef import Affine
+
+    n_icp = 2048
+    dem_icp = synthetic_dem(n_icp, seed=3)
+    t = Affine(20.0, 0.0, 5e5, 0.0, -20.0, 8.8e6)
+    rst = Raster(dem_icp, t, 32633)
+    epc = rst.to_pointcloud(subsample=1_000_000, random_state=1).translate(15.0, -8.0, 3.0)
+
+    def icp_fit():
+        c = coreg.ICP(subsample=50000)
+        c.fit(rst, epc, random_state=42)
+        return c
+
+    first, best = _timed(icp_fit, n=2)
+    log(f"ICP vs 1e6-pt EPC: first {first:.1f}s, steady {best:.2f}s")
+    rows.append({"metric": "icp_dem_vs_1e6pt_epc_seconds",
+                 "value": round(best, 3), "unit": "s", "vs_baseline": None})
+
+    # Config 5: uncertainty pipeline (heteroscedasticity + variogram) on the bundled pair
+    def uncert():
+        dem_r = examples.get_ref_dem()
+        sig, rho = dem_r.estimate_uncertainty(
+            examples.get_tba_dem(), stable_terrain=~examples.get_glacier_mask(),
+            random_state=42, subsample=10000,
+        )
+        return float(np.nanmedian(np.asarray(sig.data)))
+
+    t0 = time.perf_counter()
+    uncert()
+    dt = time.perf_counter() - t0
+    log(f"uncertainty pipeline 985x1332: {dt:.1f}s (incl. compiles)")
+    rows.append({"metric": "uncertainty_pipeline_985x1332_seconds",
+                 "value": round(dt, 2), "unit": "s", "vs_baseline": None})
+    return rows
 
 
 
