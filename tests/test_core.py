@@ -290,3 +290,42 @@ class TestConicAndDatumCRS:
         x1, _ = _lcc_forward(np.array([lo + eps]), np.array([la]), p)
         de, _ = self._ellipsoidal_dists(lo, la, eps, eps, a=6378249.2, f=1 / 293.4660212936269)
         assert (x1[0] - x0[0]) / de == pytest.approx(0.99987742, abs=1e-6)
+
+
+class TestCropSnap:
+    """Raster.crop pixel-grid snapping semantics (reference geoutils crop behavior)."""
+
+    def _raster(self):
+        from xdem_tpu.raster import Raster
+
+        data = np.arange(100, dtype=np.float32).reshape(10, 10)
+        t = Affine(10.0, 0.0, 1000.0, 0.0, -10.0, 2000.0)
+        return Raster(data, t, 32633)
+
+    def test_exact_pixel_bounds(self):
+        r = self._raster()
+        out = r.crop((1020.0, 1950.0, 1060.0, 1980.0))
+        assert out.shape == (3, 4)
+        assert out.bounds == (1020.0, 1950.0, 1060.0, 1980.0)
+        np.testing.assert_array_equal(np.asarray(out.data), np.asarray(r.data)[2:5, 2:6])
+
+    def test_subpixel_bounds_snap(self):
+        r = self._raster()
+        # Bounds inside pixel interiors snap to the nearest pixel edges
+        out = r.crop((1024.0, 1947.0, 1058.0, 1976.0))
+        assert out.transform.c % 10 == 0 and out.transform.f % 10 == 0
+        assert out.bounds[0] in (1020.0, 1030.0)
+        # Snapped window must still cover a grid-aligned subset
+        assert out.shape[0] >= 2 and out.shape[1] >= 2
+
+    def test_crop_to_other_raster(self):
+        r = self._raster()
+        sub = r.icrop((3, 8), (2, 7))
+        out = r.crop(sub)
+        assert out.bounds == sub.bounds
+        np.testing.assert_array_equal(np.asarray(out.data), np.asarray(sub.data))
+
+    def test_disjoint_raises(self):
+        r = self._raster()
+        with pytest.raises(ValueError, match="intersect"):
+            r.crop((5000.0, 5000.0, 6000.0, 6000.0))

@@ -403,3 +403,31 @@ class TestUncertaintyApproaches:
                                             precision_of_other="same", random_state=42, subsample=300)
         ratio = np.nanmean(np.asarray(sig_f.data)) / np.nanmean(np.asarray(sig_s.data))
         assert ratio == pytest.approx(np.sqrt(2), rel=1e-3)
+
+
+class TestInterpNdBinning3D:
+    def test_three_variable_interpolation(self):
+        """N-D (3-var) interp_nd_binning: exact at bin centers of a separable function,
+        linear in between, edge-propagating outside the hull (reference :237 semantics)."""
+        rng = np.random.default_rng(21)
+        n = 60000
+        v1 = rng.uniform(0, 10, n)
+        v2 = rng.uniform(-4, 4, n)
+        v3 = rng.uniform(100, 200, n)
+        vals = 2.0 * v1 + np.abs(v2) + 0.05 * (v3 - 100)
+        df = ss.nd_binning(vals, [v1, v2, v3], ["a", "b", "c"], list_var_bins=[5, 4, 5],
+                           statistics=("count", np.nanmedian))
+        f = ss.interp_nd_binning(df, ["a", "b", "c"], statistic="nanmedian", min_count=10)
+        # At interior bin centers the median of the (nearly linear) function is close to the
+        # function of the center
+        q1, q2, q3 = 5.0, 2.0, 150.0
+        expect = 2.0 * q1 + abs(q2) + 0.05 * (q3 - 100)
+        assert float(f((q1, q2, q3))) == pytest.approx(expect, abs=0.35)
+        # Extrapolation: clamps to edge values (monotone, finite)
+        far = float(f((50.0, 0.0, 150.0)))
+        edge = float(f((9.0, 0.0, 150.0)))
+        assert np.isfinite(far) and far == pytest.approx(edge, abs=1.5)
+        # Vectorized query shape
+        qs = (rng.uniform(0, 10, 7), rng.uniform(-4, 4, 7), rng.uniform(100, 200, 7))
+        assert np.asarray(f(qs)).shape == (7,)
+        assert np.isfinite(np.asarray(f(qs))).all()
