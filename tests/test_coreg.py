@@ -470,11 +470,20 @@ class TestApiHonesty:
         y = (h - rows[keep].ravel()) - 0.5 + rng.uniform(-0.2, 0.2, keep.sum())
         z = (rows[keep].ravel() * 1.0 + cols[keep].ravel()).astype(np.float32)
         pc = PointCloud(x, y, z, crs="EPSG:32633")
-        grid = pc.grid(transform=transform, shape=(h, w), crs="EPSG:32633")
+        grid = pc.grid(transform=transform, shape=(h, w), crs="EPSG:32633", resampling="mean")
         data = np.asarray(grid.data)
         assert np.isfinite(data).all(), "interior hole should be gap-filled"
         # The filled value is the neighborhood mean, close to the true plane value
         assert data[8, 8] == pytest.approx(16.0, abs=1.0)
+
+        # Default "linear": Delaunay interpolation reproduces the plane exactly inside the
+        # hull (reference _grid_pointcloud semantics), including at the hole
+        lin = np.asarray(pc.grid(transform=transform, shape=(h, w), crs="EPSG:32633").data)
+        inner = lin[2:-2, 2:-2]
+        rrows, rcols = np.meshgrid(np.arange(2, h - 2), np.arange(2, w - 2), indexing="ij")
+        # z is sampled at jittered positions, so piecewise-linear interpolation wobbles
+        # around the integer plane by < half the jitter amplitude
+        np.testing.assert_allclose(inner, (rrows + rcols).astype(np.float32), atol=0.5)
 
 
 class TestRigidRecovery:

@@ -82,17 +82,31 @@ class PointCloud:
         return out
 
     def grid(self, ref=None, transform=None, shape=None, crs=None, resampling: str = "linear"):
-        """Grid the point cloud onto a raster grid by two-pass binned averaging.
+        """Grid the point cloud onto a raster grid.
 
-        Pass 1 averages the points falling in each cell; pass 2 fills empty cells with the
-        3x3-neighborhood mean of populated cells. The reference delegates to geoutils'
-        `_grid_pointcloud` (Delaunay interpolation). Sufficient for blockwise-coreg
-        regridding of dense clouds.
+        resampling="linear" (default) interpolates on the Delaunay triangulation of the
+        points, NaN outside the convex hull — matching the reference's geoutils
+        `_grid_pointcloud`. resampling="mean" uses two-pass binned averaging (mean per cell,
+        then 3x3-neighborhood gap fill), much faster for dense clouds.
         """
         from xdem_tpu.raster import Raster
 
         if ref is not None:
             transform, shape, crs = ref.transform, ref.shape, ref.crs
+
+        if resampling == "linear":
+            from scipy.interpolate import LinearNDInterpolator
+
+            h, w = shape
+            rr, cc = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+            gx, gy = transform.xy(rr.ravel(), cc.ravel())
+            ok = np.isfinite(self.z)
+            interp = LinearNDInterpolator(np.column_stack([self.x[ok], self.y[ok]]),
+                                          self.z[ok], fill_value=np.nan)
+            grid = interp(np.column_stack([gx, gy])).reshape(h, w).astype(np.float32)
+            return Raster(grid, transform, crs if crs is not None else self.crs)
+        if resampling != "mean":
+            raise ValueError(f"resampling must be 'linear' or 'mean', got {resampling!r}.")
         h, w = shape
         rows, cols = transform.rowcol(self.x, self.y)
         ri = np.round(rows).astype(int)
