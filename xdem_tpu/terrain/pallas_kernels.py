@@ -86,18 +86,37 @@ def _make_kernel(attrs, roles, names, ksize, geometric, hs_alt, hs_az, hs_zf, ti
     def kernel(res_ref, dem_hbm, out_ref, scratch, sem):
         i = pl.program_id(0)
         j = pl.program_id(1)
-        # DMA an aligned over-fetched tile from HBM into VMEM: the input is pre-padded by
-        # (_PADR, _PADC) on the top/left, so the fetch at (i*tile, j*tile) is tiling-aligned
-        # and the stencil halo sits inside the over-fetch.
-        cp = pltpu.make_async_copy(
-            dem_hbm.at[pl.ds(i * tile, tile + 2 * _PADR), pl.ds(j * tile, tile + 2 * _PADC)],
-            scratch,
-            sem,
-        )
-        cp.start()
-        cp.wait()
+        gh = pl.num_programs(0)
+        gw = pl.num_programs(1)
+        # Double-buffered aligned over-fetch from HBM: TPU grids execute sequentially, so
+        # while tile (i, j) computes, the DMA for the next grid step fills the other VMEM
+        # slot — the copy latency hides behind the stencil algebra. The input is pre-padded
+        # by (_PADR, _PADC) on the top/left so fetches stay tiling-aligned with the halo
+        # inside the over-fetch.
+        step = i * gw + j
+        slot = jax.lax.rem(step, 2)
 
-        block = scratch[:]
+        def dma_for(s, r, c):
+            return pltpu.make_async_copy(
+                dem_hbm.at[pl.ds(r * tile, tile + 2 * _PADR), pl.ds(c * tile, tile + 2 * _PADC)],
+                scratch.at[s],
+                sem.at[s],
+            )
+
+        @pl.when(step == 0)
+        def _():
+            dma_for(slot, i, j).start()
+
+        nstep = step + 1
+        ni = jnp.minimum(nstep // gw, gh - 1)
+        nj = nstep % gw
+
+        @pl.when(nstep < gh * gw)
+        def _():
+            dma_for(1 - slot, ni, nj).start()
+
+        dma_for(slot, i, j).wait()
+        block = scratch[slot]
         finite = jnp.isfinite(block)
         z = jnp.where(finite, block, 0.0)
         inv_res = 1.0 / res_ref[0]
@@ -200,8 +219,8 @@ def surface_attributes_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((len(attrs), gh * tile, gw * tile), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((tile + 2 * _PADR, tile + 2 * _PADC), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, tile + 2 * _PADR, tile + 2 * _PADC), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )(res, demp)
     return out[:, :h, :w]
