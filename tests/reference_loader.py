@@ -71,7 +71,29 @@ def _install_stubs() -> None:
         return out, invalid
 
     gu_raster_array.get_array_and_mask = get_array_and_mask
+
+    def get_mask_from_array(arr):
+        arr = np.asarray(arr)
+        return ~np.isfinite(arr) if arr.dtype.kind == "f" else np.zeros(arr.shape, bool)
+
+    def get_valid_extent(arr):
+        valid = np.isfinite(np.asarray(arr, dtype=float))
+        rows = np.flatnonzero(valid.any(axis=1))
+        cols = np.flatnonzero(valid.any(axis=0))
+        return rows[0], rows[-1] + 1, cols[0], cols[-1] + 1
+
+    gu_raster_array.get_mask_from_array = get_mask_from_array
+    gu_raster_array.get_valid_extent = get_valid_extent
     gu_raster.array = gu_raster_array
+
+    rio = types.ModuleType("rasterio")
+    rio_fill = types.ModuleType("rasterio.fill")
+
+    def fillnodata(*args, **kwargs):  # only the reference's idw path needs this
+        raise NotImplementedError("rasterio is not available in this environment.")
+
+    rio_fill.fillnodata = fillnodata
+    rio.fill = rio_fill
     gu_vector = types.ModuleType("geoutils.vector")
     gu_vector_vector = types.ModuleType("geoutils.vector.vector")
     gu_vector_vector.Vector = _Vector
@@ -93,6 +115,8 @@ def _install_stubs() -> None:
         "geoutils.vector": gu_vector,
         "geoutils.vector.vector": gu_vector_vector,
         "geopandas": gpd,
+        "rasterio": rio,
+        "rasterio.fill": rio_fill,
     }.items():
         sys.modules.setdefault(name, mod)
 
@@ -125,10 +149,12 @@ def load_reference_modules() -> dict[str, types.ModuleType]:
     window = _load("xdem.terrain.window", f"{REF}/terrain/window.py")
     freq = _load("xdem.terrain.freq", f"{REF}/terrain/freq.py")
     fit = _load("xdem.fit", f"{REF}/fit.py")
+    volume = _load("xdem.volume", f"{REF}/volume.py")
     return {
         "surfit": surfit,
         "window": window,
         "freq": freq,
         "fit": fit,
         "spatialstats": spatialstats,
+        "volume": volume,
     }

@@ -11,6 +11,7 @@ hand-written oracles could share with the implementation.
 import os
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from tests.reference_loader import load_reference_modules
@@ -355,3 +356,90 @@ class TestSpatialstatsParity:
         np.testing.assert_allclose(np.ravel(z_ours), np.ravel(z_ref), rtol=1e-6, equal_nan=True)
         q = np.linspace(0, 30, 7)
         np.testing.assert_allclose(f_ours(q), f_ref(q), rtol=1e-6)
+
+
+class TestVolumeParity:
+    @pytest.fixture(scope="class")
+    def ddem_ref(self):
+        rng = np.random.default_rng(13)
+        n = 120
+        ref = (np.linspace(200, 1400, n)[:, None] + rng.normal(0, 40, (n, n))).astype(np.float64)
+        ddem = (-2.0 + 0.002 * (ref - 800) + rng.normal(0, 0.5, (n, n))).astype(np.float64)
+        ddem[rng.random((n, n)) < 0.07] = np.nan
+        return ddem, ref
+
+    @pytest.mark.parametrize("kind,bins", [
+        ("fixed", 100.0),
+        ("count", 8),
+        ("quantile", 8),
+        ("custom", np.array([150.0, 400.0, 800.0, 1100.0, 1500.0])),
+    ])
+    def test_hypsometric_binning(self, ref_mods, ddem_ref, kind, bins):
+        from xdem_tpu import volume as ovol
+
+        ddem, ref = ddem_ref
+        df_r = ref_mods["volume"].hypsometric_binning(ddem.copy(), ref.copy(), bins=bins, kind=kind)
+        df_o = ovol.hypsometric_binning(ddem.copy(), ref.copy(), bins=bins, kind=kind)
+        assert len(df_r) == len(df_o)
+        np.testing.assert_allclose([iv.mid for iv in df_o.index], [iv.mid for iv in df_r.index],
+                                   rtol=1e-12)
+        # The reference assigns bin i's statistic to row i-1 (volume.py:116-117), rotating
+        # every value one interval down with the lowest bin wrapping into the last row. We
+        # align statistics with their intervals, so parity holds against the un-rotated
+        # reference columns.
+        r_vals = np.roll(np.asarray(df_r["value"], float), 1)
+        r_counts = np.roll(np.asarray(df_r["count"], float), 1)
+        np.testing.assert_allclose(np.asarray(df_o["value"], float), r_vals,
+                                   rtol=1e-9, atol=1e-12, equal_nan=True)
+        np.testing.assert_allclose(np.asarray(df_o["count"], float), r_counts)
+
+    @staticmethod
+    def _clean_bins_frame():
+        """A bins frame built by hand so both sides see identical, correctly-labeled input."""
+        rng = np.random.default_rng(5)
+        mids = np.arange(100.0, 1600.0, 50.0)
+        edges = np.r_[mids - 25.0, mids[-1] + 25.0]
+        vals = -3.0 + 0.004 * mids + rng.normal(0, 0.2, mids.size)
+        vals[8:11] = np.nan  # a void band to interpolate
+        counts = rng.integers(50, 500, mids.size).astype(float)
+        counts[8:11] = 0
+        return pd.DataFrame({"value": vals, "count": counts},
+                            index=pd.IntervalIndex.from_breaks(edges))
+
+    def test_interpolate_bins(self, ref_mods):
+        from xdem_tpu import volume as ovol
+
+        df = self._clean_bins_frame()
+        int_r = ref_mods["volume"].interpolate_hypsometric_bins(df.copy())
+        int_o = ovol.interpolate_hypsometric_bins(df.copy())
+        np.testing.assert_allclose(np.asarray(int_o["value"], float),
+                                   np.asarray(int_r["value"], float), rtol=1e-9, equal_nan=True)
+        # count_threshold path: under-threshold bins keep their original values afterwards
+        df2 = self._clean_bins_frame()
+        df2.loc[df2.index[3], "count"] = 5
+        int_r2 = ref_mods["volume"].interpolate_hypsometric_bins(df2.copy(), count_threshold=10)
+        int_o2 = ovol.interpolate_hypsometric_bins(df2.copy(), count_threshold=10)
+        np.testing.assert_allclose(np.asarray(int_o2["value"], float),
+                                   np.asarray(int_r2["value"], float), rtol=1e-9, equal_nan=True)
+
+    def test_fit_bins_poly(self, ref_mods):
+        from xdem_tpu import volume as ovol
+
+        df = self._clean_bins_frame().dropna()
+        fit_r = ref_mods["volume"].fit_hypsometric_bins_poly(df.copy(), degree=3)
+        fit_o = ovol.fit_hypsometric_bins_poly(df.copy(), degree=3)
+        np.testing.assert_allclose(np.asarray(fit_o["value"], float),
+                                   np.asarray(fit_r["value"], float), rtol=1e-9)
+
+    @pytest.mark.parametrize("timeframe", ["reference", "nonreference", "mean"])
+    def test_hypsometry_area(self, ref_mods, ddem_ref, timeframe):
+        from xdem_tpu import volume as ovol
+
+        _, ref = ddem_ref
+        df = self._clean_bins_frame()
+        df["value"] = np.nan_to_num(df["value"].values, nan=0.0)
+        a_r = ref_mods["volume"].calculate_hypsometry_area(df, ref.copy(), pixel_size=20.0,
+                                                           timeframe=timeframe)
+        a_o = ovol.calculate_hypsometry_area(df, ref.copy(), pixel_size=20.0, timeframe=timeframe)
+        np.testing.assert_allclose(np.asarray(a_o, float), np.asarray(a_r, float), rtol=1e-12)
+        assert np.asarray(a_o, float).sum() > 0

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from typing import Any, Callable, Literal, Sequence
 
+import warnings
+
 import numpy as np
 import pandas as pd
 
@@ -46,31 +48,37 @@ def hypsometric_binning(
     """
     ddem = np.asarray(ddem, dtype=np.float64).ravel()
     ref = np.asarray(ref_dem, dtype=np.float64).ravel()
-    valid = np.isfinite(ddem) & np.isfinite(ref)
-    ddem, ref = ddem[valid], ref[valid]
+    # Bin edges are derived from ALL valid reference pixels (reference volume.py:70-74):
+    # ddem nodata only excludes pairs from the aggregation, not from the elevation range.
+    ref_ok = np.isfinite(ref)
+    ref = ref[ref_ok]
+    ddem = ddem[ref_ok]
 
-    mean_height = np.mean([np.min(ref), np.max(ref)])
-    if kind == "fixed":
-        zbins = np.arange(ref.min(), ref.max() + bins + 1e-9, bins)
-    elif kind == "count":
-        zbins = np.linspace(ref.min(), ref.max(), int(bins) + 1)
-    elif kind == "quantile":
-        n_bins = max(int(ref.size / bins), 1)
-        zbins = np.quantile(ref, np.linspace(0, 1, n_bins + 1))
-    elif kind == "custom":
+    if isinstance(bins, np.ndarray) or kind == "custom":
         zbins = np.asarray(bins, dtype=np.float64)
+    elif kind == "fixed":
+        zbins = np.arange(ref.min(), ref.max() + bins + 1e-6, step=bins)
+    elif kind == "count":
+        zbins = np.linspace(ref.min(), ref.max() + 1e-6 / bins, num=int(bins) + 1)
+    elif kind == "quantile":
+        # `bins` equal-count bins via percentiles (reference :83-88)
+        zbins = np.percentile(ref, np.linspace(0, 100, int(bins) + 1))
+        zbins[-1] += 1e-6
     else:
         raise ValueError(f"Invalid bin kind: {kind}")
-    del mean_height
 
     indices = np.digitize(ref, zbins, right=False)
     values = np.full(len(zbins) - 1, np.nan)
     counts = np.zeros(len(zbins) - 1, dtype=int)
     for i in range(1, len(zbins)):
-        sel = indices == i
-        counts[i - 1] = int(sel.sum())
-        if counts[i - 1] > 0:
-            values[i - 1] = aggregation_function(ddem[sel])
+        vals_in = ddem[indices == i]
+        vals_in = vals_in[np.isfinite(vals_in)]
+        counts[i - 1] = vals_in.size
+        if vals_in.size > 0:
+            # NOTE: the reference assigns bin i's statistic to row i-1 (volume.py:116-117),
+            # rotating every value down one interval (the lowest bin wraps into the last
+            # row). We align values with their intervals instead of replicating the bug.
+            values[i - 1] = aggregation_function(vals_in)
 
     return pd.DataFrame(
         {"value": values, "count": counts},
@@ -90,8 +98,16 @@ def interpolate_hypsometric_bins(
     bins.index = bins.index.mid
     if count_threshold is not None:
         assert "count" in hypsometric_bins.columns
-        bins.loc[bins["count"] < count_threshold, value_column] = np.nan
+        under = bins["count"] < count_threshold
+        bins.loc[under, value_column] = np.nan
+    nvalids = int(np.count_nonzero(np.isfinite(bins[value_column])))
+    if nvalids <= order + 1:
+        warnings.warn("Not enough valid bins for interpolation -> returning copy", UserWarning)
+        return hypsometric_bins.copy()
     bins[value_column] = bins[value_column].interpolate(method=method, order=order, limit_direction="both")
+    if count_threshold is not None:
+        # Excluded-but-measured bins keep their original values (reference :174-175)
+        bins.loc[under, value_column] = hypsometric_bins.loc[under.values, value_column].values
     bins.index = hypsometric_bins.index
     return bins
 
@@ -100,7 +116,7 @@ def fit_hypsometric_bins_poly(
     hypsometric_bins: pd.DataFrame,
     value_column: str = "value",
     degree: int = 3,
-    iterations: int = 3,
+    iterations: int = 1,
     count_threshold: int | None = None,
 ) -> pd.DataFrame:
     """Iterative 3-sigma-clipped polynomial fit over bin midpoints (reference volume.py:183)."""
@@ -137,21 +153,31 @@ def calculate_hypsometry_area(
     timeframe: Literal["reference", "nonreference", "mean"] = "reference",
 ) -> pd.Series:
     """Representative area per elevation bin at a given timeframe (reference volume.py:239)."""
+    if timeframe not in ("reference", "nonreference", "mean"):
+        raise ValueError(
+            f"Argument 'timeframe={timeframe}' is invalid. Choices: ['reference', 'nonreference', 'mean']."
+        )
     if isinstance(ddem_bins, pd.DataFrame):
         ddem_series = ddem_bins["value"]
     else:
         ddem_series = ddem_bins
-    assert not np.any(np.isnan(ddem_series.values)), "The dDEM bins cannot contain NaNs. Remove or fill them first."
 
-    ref = np.asarray(ref_dem, dtype=np.float64).ravel()
-    ref = ref[np.isfinite(ref)]
-    if timeframe == "nonreference":
-        # Shift the reference elevations by the change to approximate the other timeframe
-        mids = ddem_series.index.mid.values
-        ref = ref + np.interp(ref, mids, ddem_series.values)
-    elif timeframe == "mean":
-        mids = ddem_series.index.mid.values
-        ref = ref + np.interp(ref, mids, ddem_series.values) / 2
+    ref = np.asarray(ref_dem, dtype=np.float64)
+    assert not np.any(np.isnan(ref)), "The given reference DEM has NaNs. No NaNs are allowed to calculate area!"
+
+    if timeframe in ("nonreference", "mean"):
+        assert not np.any(np.isnan(ddem_series.values)), \
+            "The dDEM bins cannot contain NaNs. Remove or fill them first."
+        # dh is defined as ref - other, so the other timeframe's elevations are ref - dh;
+        # linear extrapolation beyond the outermost bin midpoints (reference :278-297)
+        from scipy.interpolate import interp1d
+
+        dh_of_z = interp1d(ddem_series.index.mid.values, ddem_series.values,
+                           kind="linear", fill_value="extrapolate")
+        if timeframe == "nonreference":
+            ref = ref - dh_of_z(ref)
+        else:
+            ref = ref - dh_of_z(ref) / 2
 
     edges = np.r_[[iv.left for iv in ddem_series.index], ddem_series.index[-1].right]
     counts, _ = np.histogram(ref, bins=edges)
@@ -225,7 +251,12 @@ def local_hypsometric_interpolation(
         coverage = np.isfinite(dh_feat[feat]).mean() if feat.sum() else 0.0
         if coverage < min_coverage:
             continue
-        filled = hypsometric_interpolation(dh_feat, ref_dem, feat)
+        with warnings.catch_warnings():
+            # Small features can have too few populated bins to interpolate; the bins are
+            # then returned as-is (same warn-and-copy behavior as the reference) and only
+            # the populated part of the signal fills this feature.
+            warnings.simplefilter("ignore", UserWarning)
+            filled = hypsometric_interpolation(dh_feat, ref_dem, feat)
         out = np.where(feat, filled.filled(np.nan), out)
     return np.ma.masked_invalid(out)
 
