@@ -86,7 +86,20 @@ def _install_stubs() -> None:
     gu_raster_array.get_valid_extent = get_valid_extent
     gu_raster.array = gu_raster_array
 
-    rio = types.ModuleType("rasterio")
+    class _AnyStub(types.ModuleType):
+        """A module whose attributes materialize as placeholder classes on access.
+
+        Enough for `from mod import Name` used only in type annotations or untested paths.
+        """
+
+        def __getattr__(self, name):
+            if name.startswith("__"):
+                raise AttributeError(name)
+            val = type(name, (), {})
+            setattr(self, name, val)
+            return val
+
+    rio = _AnyStub("rasterio")
     rio_fill = types.ModuleType("rasterio.fill")
 
     def fillnodata(*args, **kwargs):  # only the reference's idw path needs this
@@ -94,6 +107,35 @@ def _install_stubs() -> None:
 
     rio_fill.fillnodata = fillnodata
     rio.fill = rio_fill
+    rio_warp = _AnyStub("rasterio.warp")
+    rio.warp = rio_warp
+    rio_transform = _AnyStub("rasterio.transform")
+    rio.transform = rio_transform
+
+    affine_mod = _AnyStub("affine")
+
+    gu_profiler = types.ModuleType("geoutils.profiler")
+
+    def _profile(*_a, **_k):
+        def deco(fn):
+            return fn
+
+        return deco
+
+    gu_profiler.profile = _profile
+    gu.profiler = gu_profiler
+    gu_interface = types.ModuleType("geoutils.interface")
+    gu_gridding = _AnyStub("geoutils.interface.gridding")
+    gu_interp = _AnyStub("geoutils.interface.interpolate")
+    gu_interface.gridding = gu_gridding
+    gu_interface.interpolate = gu_interp
+    gu_pointcloud = types.ModuleType("geoutils.pointcloud")
+    gu_pointcloud_pc = _AnyStub("geoutils.pointcloud.pointcloud")
+    gu_pointcloud.pointcloud = gu_pointcloud_pc
+    gu_raster_geotrans_priv = _AnyStub("geoutils.raster._geotransformations")
+    gu_raster_georef = _AnyStub("geoutils.raster.georeferencing")
+    gu_raster_geotrans = _AnyStub("geoutils.raster.geotransformations")
+    gu_raster_raster = _AnyStub("geoutils.raster.raster")
     gu_vector = types.ModuleType("geoutils.vector")
     gu_vector_vector = types.ModuleType("geoutils.vector.vector")
     gu_vector_vector.Vector = _Vector
@@ -117,8 +159,24 @@ def _install_stubs() -> None:
         "geopandas": gpd,
         "rasterio": rio,
         "rasterio.fill": rio_fill,
+        "rasterio.warp": rio_warp,
+        "rasterio.transform": rio_transform,
+        "affine": affine_mod,
+        "geoutils.profiler": gu_profiler,
+        "geoutils.interface": gu_interface,
+        "geoutils.interface.gridding": gu_gridding,
+        "geoutils.interface.interpolate": gu_interp,
+        "geoutils.pointcloud": gu_pointcloud,
+        "geoutils.pointcloud.pointcloud": gu_pointcloud_pc,
+        "geoutils.raster._geotransformations": gu_raster_geotrans_priv,
+        "geoutils.raster.georeferencing": gu_raster_georef,
+        "geoutils.raster.geotransformations": gu_raster_geotrans,
+        "geoutils.raster.raster": gu_raster_raster,
     }.items():
         sys.modules.setdefault(name, mod)
+    gu.raster.raster = sys.modules["geoutils.raster.raster"]
+    gu.interface = sys.modules["geoutils.interface"]
+    gu.pointcloud = sys.modules["geoutils.pointcloud"]
 
 
 def _load(name: str, path: str):
@@ -150,6 +208,11 @@ def load_reference_modules() -> dict[str, types.ModuleType]:
     freq = _load("xdem.terrain.freq", f"{REF}/terrain/freq.py")
     fit = _load("xdem.fit", f"{REF}/fit.py")
     volume = _load("xdem.volume", f"{REF}/volume.py")
+    if "xdem.coreg" not in sys.modules:
+        cpkg = types.ModuleType("xdem.coreg")
+        cpkg.__path__ = [f"{REF}/coreg"]
+        sys.modules["xdem.coreg"] = cpkg
+    coreg_base = _load("xdem.coreg.base", f"{REF}/coreg/base.py")
     return {
         "surfit": surfit,
         "window": window,
@@ -157,4 +220,5 @@ def load_reference_modules() -> dict[str, types.ModuleType]:
         "fit": fit,
         "spatialstats": spatialstats,
         "volume": volume,
+        "coreg_base": coreg_base,
     }

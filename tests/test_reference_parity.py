@@ -443,3 +443,62 @@ class TestVolumeParity:
         a_o = ovol.calculate_hypsometry_area(df, ref.copy(), pixel_size=20.0, timeframe=timeframe)
         np.testing.assert_allclose(np.asarray(a_o, float), np.asarray(a_r, float), rtol=1e-12)
         assert np.asarray(a_o, float).sum() > 0
+
+
+class TestMatrixToolboxParity:
+    """Euler conventions and point application vs the reference's matrix toolbox — the rigid
+    recovery tests build truth with OUR matrix code, so a shared convention error would
+    self-cancel there; this pins the convention to the reference's."""
+
+    CASES = [
+        (20.0, 5.0, 0.1, 0.1, 0.05, 0.01),
+        (-50.0, 100.0, 0.1, 1.0, 0.5, 0.01),
+        (0.0, 0.0, 0.0, -2.0, 3.0, 10.0),
+    ]
+
+    @pytest.mark.parametrize("sr", CASES)
+    @pytest.mark.parametrize("use_degrees", [True, False])
+    def test_matrix_from_translations_rotations(self, ref_mods, sr, use_degrees):
+        from xdem_tpu.coreg.base import matrix_from_translations_rotations
+
+        sr_use = sr if use_degrees else tuple(list(sr[:3]) + [np.deg2rad(v) for v in sr[3:]])
+        M_ref = ref_mods["coreg_base"].matrix_from_translations_rotations(*sr_use, use_degrees=use_degrees)
+        M_our = matrix_from_translations_rotations(*sr_use, use_degrees=use_degrees)
+        np.testing.assert_allclose(M_our, M_ref, rtol=1e-12, atol=1e-15)
+
+    @pytest.mark.parametrize("sr", CASES)
+    def test_translations_rotations_from_matrix(self, ref_mods, sr):
+        from xdem_tpu.coreg.base import translations_rotations_from_matrix
+
+        M = ref_mods["coreg_base"].matrix_from_translations_rotations(*sr)
+        got = translations_rotations_from_matrix(M)
+        want = ref_mods["coreg_base"].translations_rotations_from_matrix(M)
+        np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+    def test_invert_matrix(self, ref_mods):
+        from xdem_tpu.coreg.base import invert_matrix
+
+        M = ref_mods["coreg_base"].matrix_from_translations_rotations(12.0, -7.0, 3.0, 2.0, -1.0, 0.5)
+        np.testing.assert_allclose(invert_matrix(M), ref_mods["coreg_base"].invert_matrix(M),
+                                   rtol=1e-12, atol=1e-14)
+
+    def test_apply_matrix_pts_with_centroid(self, ref_mods):
+        from xdem_tpu.coreg.base import _apply_matrix_pts_arr
+
+        rng = np.random.default_rng(17)
+        x = rng.uniform(5e5, 5.1e5, 300)
+        y = rng.uniform(8.6e6, 8.61e6, 300)
+        z = rng.uniform(0, 1500, 300)
+        M = ref_mods["coreg_base"].matrix_from_translations_rotations(20.0, 5.0, 0.1, 0.3, 0.2, 0.05)
+        centroid = (5.05e5, 8.605e6, 700.0)
+        ref_out = ref_mods["coreg_base"]._apply_matrix_pts_mat(
+            np.vstack([x, y, z]), matrix=M, centroid=centroid
+        )
+        xo, yo, zo = _apply_matrix_pts_arr(x, y, z, M, centroid=centroid)
+        np.testing.assert_allclose(np.vstack([xo, yo, zo]), ref_out, rtol=1e-12)
+        # invert flag path
+        ref_inv = ref_mods["coreg_base"]._apply_matrix_pts_mat(
+            np.vstack([x, y, z]), matrix=M, centroid=centroid, invert=True
+        )
+        xi, yi, zi = _apply_matrix_pts_arr(x, y, z, M, centroid=centroid, invert=True)
+        np.testing.assert_allclose(np.vstack([xi, yi, zi]), ref_inv, rtol=1e-12)
