@@ -114,6 +114,13 @@ def _install_stubs() -> None:
 
     affine_mod = _AnyStub("affine")
 
+    gu_typing = types.ModuleType("geoutils._typing")
+    gu_typing.Number = float
+    gu_typing.NDArrayf = np.ndarray
+    gu_typing.NDArrayb = np.ndarray
+    gu_typing.MArrayf = np.ndarray
+    gu.stats_typing = gu_typing
+
     gu_profiler = types.ModuleType("geoutils.profiler")
 
     def _profile(*_a, **_k):
@@ -162,6 +169,7 @@ def _install_stubs() -> None:
         "rasterio.warp": rio_warp,
         "rasterio.transform": rio_transform,
         "affine": affine_mod,
+        "geoutils._typing": gu_typing,
         "geoutils.profiler": gu_profiler,
         "geoutils.interface": gu_interface,
         "geoutils.interface.gridding": gu_gridding,

@@ -502,3 +502,101 @@ class TestMatrixToolboxParity:
         )
         xi, yi, zi = _apply_matrix_pts_arr(x, y, z, M, centroid=centroid, invert=True)
         np.testing.assert_allclose(np.vstack([xi, yi, zi]), ref_inv, rtol=1e-12)
+
+
+class TestNuthKaabStepParity:
+    def test_aux_vars(self, ref_mods, dem64):
+        from xdem_tpu.coreg.affine import _grad_slope_aspect
+
+        # Load the reference's affine module lazily (needs coreg.base already loaded)
+        import importlib.util, sys
+
+        if "xdem.coreg.affine" not in sys.modules:
+            spec = importlib.util.spec_from_file_location(
+                "xdem.coreg.affine", "/root/reference/xdem/coreg/affine.py")
+            mod = importlib.util.module_from_spec(spec)
+            sys.modules["xdem.coreg.affine"] = mod
+            spec.loader.exec_module(mod)
+        raff = sys.modules["xdem.coreg.affine"]
+
+        st_r, asp_r = raff._nuth_kaab_aux_vars(dem64.astype(np.float64), dem64.astype(np.float64))
+        st_o, asp_o = _grad_slope_aspect(dem64)
+        np.testing.assert_allclose(st_o, st_r, rtol=1e-9)
+        np.testing.assert_allclose(asp_o, asp_r, rtol=1e-9)
+
+    def test_one_iteration_step(self, ref_mods):
+        """One full Nuth & Kaab iteration: the reference's host step (median vshift, validity
+        re-mask, 72-bin nanmedian + curve_fit cosine) vs our jitted solver limited to one
+        step, fed the same subsample and the same dh(offset) definition."""
+        import importlib.util, sys
+
+        import scipy.optimize
+        from scipy.interpolate import RegularGridInterpolator
+
+        import jax.numpy as jnp
+
+        from xdem_tpu.coreg.affine import _grad_slope_aspect, _nuth_kaab_solve
+
+        if "xdem.coreg.affine" not in sys.modules:
+            spec = importlib.util.spec_from_file_location(
+                "xdem.coreg.affine", "/root/reference/xdem/coreg/affine.py")
+            mod = importlib.util.module_from_spec(spec)
+            sys.modules["xdem.coreg.affine"] = mod
+            spec.loader.exec_module(mod)
+        raff = sys.modules["xdem.coreg.affine"]
+
+        rng = np.random.default_rng(23)
+        n = 200
+        res = 20.0
+        fy = np.fft.fftfreq(n)[:, None]
+        fx = np.fft.rfftfreq(n)[None, :]
+        f = np.hypot(fx, fy)
+        f[0, 0] = 1.0
+        amp = f**-2.2
+        amp[0, 0] = 0
+        z = np.fft.irfft2(amp * np.exp(1j * rng.uniform(0, 2 * np.pi, amp.shape)), s=(n, n))
+        ref = ((z - z.min()) / (z.max() - z.min()) * 800).astype(np.float64)
+        # tba: the same terrain sampled at a sub-pixel shift (so one step moves the offsets)
+        gy, gx = np.gradient(ref)
+        tba = ref - 1.8 * gx + 0.9 * gy + 0.4  # approx shift of (1.8, 0.9) px + 0.4 m bias
+
+        slope_tan, aspect = _grad_slope_aspect(ref)
+        slope_tan[np.isclose(slope_tan, 0)] = np.nan
+        rr = rng.integers(3, n - 3, 4000)
+        cc = rng.integers(3, n - 3, 4000)
+        pts_z = ref[rr, cc]
+        st_sub = slope_tan[rr, cc]
+        asp_sub = aspect[rr, cc]
+
+        # Shared dh(offset) definition (matches coreg.affine._dh_device, invert=False)
+        rgi = RegularGridInterpolator(
+            (np.arange(n), np.arange(n)), tba, method="linear", bounds_error=False,
+            fill_value=np.nan,
+        )
+
+        def dh_interpolator(east, north):
+            r = rr - north / res
+            c = cc + east / res
+            return pts_z - rgi(np.column_stack([r, c]))
+
+        params = dict(
+            fit_or_bin="bin_and_fit",
+            fit_optimizer=scipy.optimize.curve_fit,
+            bin_sizes=72,
+            bin_statistic=np.nanmedian,
+        )
+        (east_r, north_r, vshift_r), stat_r = raff._nuth_kaab_iteration_step(
+            (0.0, 0.0, 0.0), dh_interpolator, st_sub, asp_sub, (res, res), params
+        )
+
+        sx, sy, vshift, stat, it = _nuth_kaab_solve(
+            jnp.asarray(pts_z, jnp.float32), jnp.asarray(rr, jnp.float32),
+            jnp.asarray(cc, jnp.float32), jnp.asarray(tba, jnp.float32),
+            jnp.asarray(st_sub, jnp.float32), jnp.asarray(asp_sub, jnp.float32),
+            res, res, tolerance=1e-12, max_iterations=1,
+        )
+        assert int(it) == 1
+        assert float(sx) == pytest.approx(east_r, abs=0.02 * res)
+        assert float(sy) == pytest.approx(north_r, abs=0.02 * res)
+        assert float(vshift) == pytest.approx(vshift_r, abs=5e-3)
+        assert float(stat) == pytest.approx(stat_r, abs=2e-2)
