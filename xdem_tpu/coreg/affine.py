@@ -682,11 +682,13 @@ def _subsample_pair_values(
         return ref_arr[rr, cc].astype(np.float64), tba_arr[rr, cc].astype(np.float64), x, y, aux
 
     pts: PointCloud = ref_elev if ref_is_pts else tba_elev
-    rst = np.asarray(tba_elev if ref_is_pts else ref_elev)
+    # Keep the raster on device: only point-sized arrays cross the host boundary (the raster
+    # itself may already live in HBM; a full round-trip costs seconds through a tunneled chip)
+    rst = jnp.asarray(tba_elev if ref_is_pts else ref_elev, jnp.float32)
     from xdem_tpu.ops.interp import interp_rowcol as _ir
 
     rows_f, cols_f = transform.rowcol(pts.x, pts.y)
-    rst_at_pts = np.asarray(_ir(jnp.asarray(rst, jnp.float32), jnp.asarray(rows_f, jnp.float32),
+    rst_at_pts = np.asarray(_ir(rst, jnp.asarray(rows_f, jnp.float32),
                                 jnp.asarray(cols_f, jnp.float32), method="linear"), dtype=np.float64)
     valid = np.isfinite(pts.z) & np.isfinite(rst_at_pts)
     h, w = rst.shape
@@ -768,14 +770,25 @@ def _brute_nearest(ref_pts: jnp.ndarray, query_pts: jnp.ndarray, chunk: int = 10
     return idxs.reshape(-1)[:m], dists.reshape(-1)[:m]
 
 
-def _icp_norms(dem: np.ndarray, transform: Affine) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Plane normals from DEM gradients for point-to-plane ICP (reference affine.py:1062)."""
-    res = (transform.xres, transform.yres)
-    gradient_x, gradient_y = np.gradient(np.asarray(dem, dtype=np.float64))
-    normal_east = np.sin(np.arctan(gradient_y / res[1])) * -1
-    normal_north = np.sin(np.arctan(gradient_x / res[0]))
-    normal_up = 1 - np.linalg.norm([normal_east, normal_north], axis=0)
+@jax.jit
+def _icp_norms_device(dem: jnp.ndarray, xres: jnp.ndarray, yres: jnp.ndarray):
+    """Plane normals from DEM gradients for point-to-plane ICP (reference affine.py:1062),
+    computed on device (the host version cost ~2.7 s in gradient+norm on a 2048^2 grid).
+
+    Mirrors the reference's exact formulation, including its (gradient_x, gradient_y) naming
+    of np.gradient's (d/drow, d/dcol) outputs.
+    """
+    gradient_x, gradient_y = jnp.gradient(dem)
+    normal_east = jnp.sin(jnp.arctan(gradient_y / yres)) * -1
+    normal_north = jnp.sin(jnp.arctan(gradient_x / xres))
+    normal_up = 1 - jnp.hypot(normal_east, normal_north)
     return normal_east, normal_north, normal_up
+
+
+def _icp_norms(dem: np.ndarray, transform: Affine) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Device-computed plane normals, returned as device arrays (gathered at the subsample)."""
+    e, n, u = _icp_norms_device(jnp.asarray(dem, jnp.float32), transform.xres, transform.yres)
+    return e, n, u
 
 
 def _icp_fit_approx_lsq(ref: np.ndarray, tba: np.ndarray, norms: np.ndarray,
@@ -822,7 +835,7 @@ def icp(
 
     if method == "point-to-plane":
         dem_side = ref_elev if not isinstance(ref_elev, PointCloud) else tba_elev
-        nx, ny, nz = _icp_norms(np.asarray(dem_side), transform)
+        nx, ny, nz = _icp_norms(dem_side, transform)
         aux = {"nx": nx, "ny": ny, "nz": nz}
     else:
         aux = None
@@ -1132,19 +1145,18 @@ def lzd(
         raise TypeError("The LZD coregistration does not support two point clouds.")
 
     ref_is_pts = isinstance(ref_elev, PointCloud)
-    grid_side = np.asarray(tba_elev if ref_is_pts else ref_elev, dtype=np.float64)
-    gy, gx = np.gradient(grid_side)
-    gradx = gx / transform.xres
-    grady = -gy / transform.yres  # raster Y axis is inverted
+    # Gradients on device: a host np.gradient plus re-upload costs seconds through a
+    # tunneled chip at these raster sizes
+    raster_j = jnp.asarray(tba_elev if ref_is_pts else ref_elev, dtype=jnp.float32)
+    gy_j, gx_j = jnp.gradient(raster_j)
+    gradx_j = gx_j / transform.xres
+    grady_j = -gy_j / transform.yres  # raster Y axis is inverted
 
     sub_ref, sub_tba, x, y, _ = _subsample_pair_values(
         ref_elev, tba_elev, inlier_mask, transform, subsample, random_state
     )
     # The point side moves; the raster side is interpolated at transformed coords
     sub_pts = sub_ref if ref_is_pts else sub_tba
-    raster_j = jnp.asarray(grid_side, dtype=jnp.float32)
-    gradx_j = jnp.asarray(gradx, dtype=jnp.float32)
-    grady_j = jnp.asarray(grady, dtype=jnp.float32)
 
     centroid = (float(np.nanmean(x)), float(np.nanmean(y)), float(np.nanmean(sub_pts)))
 
