@@ -173,3 +173,23 @@ class TestBuiltinGeoid:
         with caplog.at_level(logging.WARNING):
             _geoid_undulation("EGM96", np.array([0.0]), np.array([0.0]))
         assert any("built-in long-wavelength" in r.message for r in caplog.records)
+
+
+class TestSurfaceCompleteness:
+    def test_dem_info_and_vcrs_grid(self):
+        dem = examples.get_ref_dem_test()
+        dem.set_vcrs("EGM96")
+        assert dem.vcrs_grid == "us_nga_egm96_15.tif"
+        text = dem.info()
+        assert "Coordinate system" in text and "EGM96" in text and str(dem.width) in text
+        dem.set_vcrs("my_custom_geoid.tif")
+        assert dem.vcrs_grid == "my_custom_geoid.tif"
+
+    def test_epc_ccrs_and_vcrs_grid(self):
+        from xdem_tpu.epc import EPC
+
+        epc = EPC(np.array([1.0]), np.array([2.0]), np.array([3.0]), crs=32633, vcrs="EGM08")
+        assert epc.vcrs_grid == "us_nga_egm08_25.tif"
+        assert "EGM08" in epc.ccrs
+        c = epc.copy()
+        assert isinstance(c, EPC) or hasattr(c, "z")

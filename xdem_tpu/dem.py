@@ -74,11 +74,48 @@ class DEM(Raster):
         return out
 
     @property
+    def vcrs_grid(self) -> str | None:
+        """Grid name of the vertical CRS (reference dem.py:277): the PROJ grid filename for
+        the standard geoid products, a user grid name if set from one, else None."""
+        from xdem_tpu.vcrs import _VCRS_GRIDS
+
+        if self._vcrs is None:
+            return None
+        name = str(self._vcrs)
+        if name.endswith((".tif", ".gtx")):
+            return name
+        by_name = {v: k for k, v in _VCRS_GRIDS.items()}
+        return by_name.get(name.upper())
+
+    @property
     def ccrs(self):
         """Compound (horizontal + vertical) CRS description string."""
         if self._vcrs is None:
             return None
         return f"{self.crs!r} + {self._vcrs}"
+
+    def info(self, verbose: bool = False) -> str:
+        """Summary of the DEM's georeferencing (reference Raster.info/dem parity).
+
+        :param verbose: Also print the summary (returns it either way).
+        """
+        import numpy as np
+
+        arr = self.get_nanarray()
+        lines = [
+            f"Driver:             GeoTIFF (native codec)",
+            f"Size:               {self.width}, {self.height}",
+            f"Coordinate system:  {self.crs!r}",
+            f"Vertical CRS:       {self.vcrs_name or 'None'}",
+            f"Resolution:         {self.res}",
+            f"Bounds:             {tuple(self.bounds)}",
+            f"Nodata:             {self.nodata}",
+            f"Valid pixels:       {int(np.isfinite(arr).sum())} / {arr.size}",
+        ]
+        text = "\n".join(lines)
+        if verbose:
+            print(text)
+        return text
 
     # ------------------------------------------------------------------ terrain attributes
 

@@ -31,6 +31,25 @@ class EPC(PointCloud):
     def vcrs_name(self) -> str | None:
         return None if self._vcrs is None else str(self._vcrs)
 
+    @property
+    def vcrs_grid(self) -> str | None:
+        """Grid name of the vertical CRS (reference epc.py:135)."""
+        from xdem_tpu.vcrs import _VCRS_GRIDS
+
+        if self._vcrs is None:
+            return None
+        name = str(self._vcrs)
+        if name.endswith((".tif", ".gtx")):
+            return name
+        return {v: k for k, v in _VCRS_GRIDS.items()}.get(name.upper())
+
+    @property
+    def ccrs(self):
+        """Compound (horizontal + vertical) CRS description string (reference epc.py:158)."""
+        if self._vcrs is None:
+            return None
+        return f"{self.crs!r} + {self._vcrs}"
+
     def set_vcrs(self, new_vcrs: Any) -> None:
         self._vcrs = _vcrs_from_user_input(new_vcrs)
 
