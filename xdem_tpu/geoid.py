@@ -89,7 +89,16 @@ def _legendre_norm(nmax: int, t: np.ndarray) -> dict[tuple[int, int], np.ndarray
 
 
 def undulation(lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
-    """Long-wavelength geoid undulation N (m above the WGS84 ellipsoid) at lon/lat degrees."""
+    """Long-wavelength geoid undulation N (m above the WGS84 ellipsoid) at lon/lat degrees.
+
+    >>> import numpy as np
+    >>> float(undulation(78.0, 5.0)) < -40      # Indian Ocean low (true EGM96: ~ -105 m)
+    True
+    >>> float(undulation(142.0, -5.0)) > 30     # West Pacific high (true: ~ +80 m)
+    True
+    >>> round(float(undulation(-90.2, 38.6)))   # St Louis (true: ~ -33 m)
+    -35
+    """
     lon = np.asarray(lon, dtype=np.float64)
     lat = np.asarray(lat, dtype=np.float64)
     lam = np.deg2rad(lon)
