@@ -195,3 +195,115 @@ class TestDownsample:
         assert abs(dem.width - orig.width // 2) <= 1
         wf.run()
         assert (tmp_path / "ds" / "report.html").exists()
+
+
+class TestSchemaEdgeCases:
+    def test_invalid_coreg_method_raises(self, dem_files):
+        ref_path, tba_path, _ = dem_files
+        with pytest.raises(ValueError, match="step_one"):
+            validate_configuration(
+                {"inputs": {"reference_elev": {"path_to_elev": ref_path},
+                            "to_be_aligned_elev": {"path_to_elev": tba_path}},
+                 "coregistration": {"step_one": {"method": "MagicAlign"}}},
+                ACCURACY_SCHEMA,
+            )
+
+    def test_invalid_statistic_raises(self, dem_files):
+        ref_path, _, _ = dem_files
+        with pytest.raises(ValueError, match="statistics"):
+            validate_configuration(
+                {"inputs": {"path_to_elev": ref_path}, "statistics": ["bogus_stat"]},
+                TOPO_SCHEMA,
+            )
+
+    def test_outputs_level_allowed(self, dem_files):
+        ref_path, _, _ = dem_files
+        with pytest.raises(ValueError, match="level"):
+            validate_configuration(
+                {"inputs": {"path_to_elev": ref_path}, "outputs": {"level": 5}}, TOPO_SCHEMA
+            )
+
+    def test_terrain_attributes_as_dict_with_options(self, dem_files):
+        ref_path, _, _ = dem_files
+        cfg = validate_configuration(
+            {"inputs": {"path_to_elev": ref_path},
+             "terrain_attributes": {"slope": {"surface_fit": "Horn"}, "hillshade": None}},
+            TOPO_SCHEMA,
+        )
+        assert set(cfg["terrain_attributes"].keys()) == {"slope", "hillshade"}
+
+    def test_three_step_pipeline_validates(self, dem_files):
+        ref_path, tba_path, _ = dem_files
+        cfg = validate_configuration(
+            {"inputs": {"reference_elev": {"path_to_elev": ref_path},
+                        "to_be_aligned_elev": {"path_to_elev": tba_path}},
+             "coregistration": {
+                 "step_one": {"method": "VerticalShift"},
+                 "step_two": {"method": "NuthKaab"},
+                 "step_three": {"method": "LZD"},
+             }},
+            ACCURACY_SCHEMA,
+        )
+        assert cfg["coregistration"]["step_two"]["method"] == "NuthKaab"
+
+
+class TestAccuracyPipelines:
+    def test_two_step_pipeline_runs(self, dem_files, tmp_path):
+        from xdem_tpu.workflows import Accuracy
+
+        ref_path, tba_path, mask_path = dem_files
+        cfg = {
+            "inputs": {
+                "reference_elev": {"path_to_elev": ref_path},
+                "to_be_aligned_elev": {"path_to_elev": tba_path, "path_to_mask": mask_path},
+            },
+            "coregistration": {
+                "step_one": {"method": "VerticalShift", "extra_information": {"subsample": 20000}},
+                "step_two": {"method": "NuthKaab", "extra_information": {"subsample": 50000}},
+            },
+            "outputs": {"path": str(tmp_path / "acc2")},
+        }
+        wf = Accuracy(cfg)
+        wf.run()
+        import pandas as pd
+
+        out = tmp_path / "acc2"
+        before = pd.read_csv(out / "tables" / "dh_before_stats.csv")["nmad"][0]
+        after = pd.read_csv(out / "tables" / "dh_after_stats.csv")["nmad"][0]
+        assert after < before
+
+    def test_lzd_method_runs(self, dem_files, tmp_path):
+        from xdem_tpu.workflows import Accuracy
+
+        ref_path, tba_path, mask_path = dem_files
+        cfg = {
+            "inputs": {
+                "reference_elev": {"path_to_elev": ref_path},
+                "to_be_aligned_elev": {"path_to_elev": tba_path, "path_to_mask": mask_path},
+            },
+            "coregistration": {"step_one": {"method": "LZD", "extra_information": {"subsample": 50000}}},
+            "outputs": {"path": str(tmp_path / "acclzd")},
+        }
+        wf = Accuracy(cfg)
+        wf.run()
+        tx, ty, tz = wf.coreg.to_translations()
+        assert tx == pytest.approx(-examples.TBA_SHIFT[0], abs=3.0)
+
+    def test_statistics_selection(self, dem_files, tmp_path):
+        from xdem_tpu.workflows import Accuracy
+
+        ref_path, tba_path, _ = dem_files
+        cfg = {
+            "inputs": {
+                "reference_elev": {"path_to_elev": ref_path},
+                "to_be_aligned_elev": {"path_to_elev": tba_path},
+            },
+            "statistics": ["median", "nmad"],
+            "outputs": {"path": str(tmp_path / "accsel")},
+        }
+        wf = Accuracy(cfg)
+        wf.run()
+        import pandas as pd
+
+        df = pd.read_csv(tmp_path / "accsel" / "tables" / "dh_after_stats.csv")
+        assert "median" in df.columns and "nmad" in df.columns
