@@ -85,6 +85,7 @@ def _install_stubs() -> None:
     gu_raster_array.get_mask_from_array = get_mask_from_array
     gu_raster_array.get_valid_extent = get_valid_extent
     gu_raster.array = gu_raster_array
+    gu_raster.get_array_and_mask = get_array_and_mask
 
     class _AnyStub(types.ModuleType):
         """A module whose attributes materialize as placeholder classes on access.
@@ -143,11 +144,14 @@ def _install_stubs() -> None:
     gu_raster_georef = _AnyStub("geoutils.raster.georeferencing")
     gu_raster_geotrans = _AnyStub("geoutils.raster.geotransformations")
     gu_raster_raster = _AnyStub("geoutils.raster.raster")
+    gu_raster_distcomp = _AnyStub("geoutils.raster.distributed_computing")
     gu_vector = types.ModuleType("geoutils.vector")
     gu_vector_vector = types.ModuleType("geoutils.vector.vector")
     gu_vector_vector.Vector = _Vector
     gu_vector_vector.VectorType = _Vector
     gu_vector.vector = gu_vector_vector
+    gu.Raster = _Raster
+    gu.Vector = _Vector
     gu.stats = gu_stats
     gu.raster = gu_raster
     gu.vector = gu_vector
@@ -180,6 +184,7 @@ def _install_stubs() -> None:
         "geoutils.raster.georeferencing": gu_raster_georef,
         "geoutils.raster.geotransformations": gu_raster_geotrans,
         "geoutils.raster.raster": gu_raster_raster,
+        "geoutils.raster.distributed_computing": gu_raster_distcomp,
     }.items():
         sys.modules.setdefault(name, mod)
     gu.raster.raster = sys.modules["geoutils.raster.raster"]
@@ -221,6 +226,7 @@ def load_reference_modules() -> dict[str, types.ModuleType]:
         cpkg.__path__ = [f"{REF}/coreg"]
         sys.modules["xdem.coreg"] = cpkg
     coreg_base = _load("xdem.coreg.base", f"{REF}/coreg/base.py")
+    terrain_disp = _load("xdem.terrain.terrain", f"{REF}/terrain/terrain.py")
     return {
         "surfit": surfit,
         "window": window,
@@ -229,4 +235,5 @@ def load_reference_modules() -> dict[str, types.ModuleType]:
         "spatialstats": spatialstats,
         "volume": volume,
         "coreg_base": coreg_base,
+        "terrain": terrain_disp,
     }

@@ -600,3 +600,69 @@ class TestNuthKaabStepParity:
         assert float(sy) == pytest.approx(north_r, abs=0.02 * res)
         assert float(vshift) == pytest.approx(vshift_r, abs=5e-3)
         assert float(stat) == pytest.approx(stat_r, abs=2e-2)
+
+
+class TestDispatcherParity:
+    """End-to-end get_terrain_attribute parity on arrays: degree conversion, hillshade clip,
+    output ordering, defaults — everything above the raw kernels."""
+
+    @pytest.mark.parametrize("attrs", [
+        ["slope", "aspect", "hillshade"],
+        ["hillshade", "slope"],  # order preserved
+        ["slope", "max_curvature", "roughness", "topographic_position_index"],
+    ])
+    def test_multi_attribute_dispatch(self, ref_mods, dem64, attrs):
+        from xdem_tpu.terrain import get_terrain_attribute
+
+        ref_out = ref_mods["terrain"].get_terrain_attribute(
+            dem64.astype(np.float64), attrs, resolution=20.0
+        )
+        ours = get_terrain_attribute(dem64, attrs, resolution=20.0)
+        for a, r, o in zip(attrs, ref_out, ours):
+            o = np.asarray(o)
+            both = np.isfinite(o) & np.isfinite(r)
+            assert (np.isfinite(o) == np.isfinite(r)).all(), a
+            if a == "aspect":
+                d = np.abs(o[both] - r[both])
+                assert np.minimum(d, 360 - d).max() < 0.05
+            elif a == "hillshade":
+                assert np.abs(o[both] - r[both]).max() <= 1.0
+                assert o[both].min() >= 0 and o[both].max() <= 255
+            else:
+                scale = np.mean(np.abs(r[both])) + 1e-12
+                assert np.percentile(np.abs(o[both] - r[both]) / scale, 99.9) < 1e-3, a
+
+    def test_degrees_false(self, ref_mods, dem64):
+        from xdem_tpu.terrain import get_terrain_attribute
+
+        r = ref_mods["terrain"].get_terrain_attribute(
+            dem64.astype(np.float64), "slope", resolution=20.0, degrees=False
+        )
+        o = np.asarray(get_terrain_attribute(dem64, "slope", resolution=20.0, degrees=False))
+        both = np.isfinite(o) & np.isfinite(r)
+        np.testing.assert_allclose(o[both], r[both], atol=1e-5)
+        assert np.nanmax(o) < np.pi / 2  # radians
+
+    def test_single_attribute_returns_array_not_list(self, ref_mods, dem64):
+        from xdem_tpu.terrain import get_terrain_attribute
+
+        r = ref_mods["terrain"].get_terrain_attribute(dem64.astype(np.float64), "slope",
+                                                      resolution=20.0)
+        o = get_terrain_attribute(dem64, "slope", resolution=20.0)
+        assert not isinstance(r, list) and not isinstance(o, list)
+
+    def test_validation_errors_match(self, ref_mods, dem64):
+        from xdem_tpu.terrain import get_terrain_attribute
+
+        # Horn + curvature rejected by both
+        with pytest.raises(ValueError):
+            ref_mods["terrain"].get_terrain_attribute(dem64.astype(np.float64), "max_curvature",
+                                                      resolution=20.0, surface_fit="Horn")
+        with pytest.raises(ValueError):
+            get_terrain_attribute(dem64, "max_curvature", resolution=20.0, surface_fit="Horn")
+        # Bad azimuth rejected by both
+        with pytest.raises(ValueError):
+            ref_mods["terrain"].get_terrain_attribute(dem64.astype(np.float64), "hillshade",
+                                                      resolution=20.0, hillshade_azimuth=400.0)
+        with pytest.raises(ValueError):
+            get_terrain_attribute(dem64, "hillshade", resolution=20.0, hillshade_azimuth=400.0)
