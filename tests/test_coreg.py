@@ -602,3 +602,19 @@ class TestSubsampleValidity:
         assert sub["count"] == 1
         assert sub["rows"][0] == pytest.approx(49.6, abs=1e-3)
         assert sub["cols"][0] == pytest.approx(57.4, abs=1e-3)
+
+
+class TestPixelInterpretation:
+    def test_mismatched_interpretation_warns(self, ref_tba):
+        from xdem_tpu.raster import Raster
+
+        tba = _shifted(ref_tba, 3.0, -2.0, 1.0)
+        tba_pt = Raster(np.asarray(tba.data), tba.transform, tba.crs, area_or_point="Point")
+        with pytest.warns(UserWarning, match="pixel interpretations"):
+            coreg.VerticalShift(subsample=5000).fit(ref_tba, tba_pt, random_state=1)
+
+    def test_matching_interpretation_silent(self, ref_tba):
+        tba = _shifted(ref_tba, 3.0, -2.0, 1.0)
+        c = coreg.VerticalShift(subsample=5000)
+        c.fit(ref_tba, tba, random_state=1)  # no warning = no error under -W error
+        assert np.isfinite(c.meta["outputs"]["affine"]["shift_z"])

@@ -364,7 +364,20 @@ def _preprocess_coreg_fit(
             tba_raster = tba_raster.reproject(ref_raster)
         transform = ref_raster.transform
         crs = ref_raster.crs
-        area_or_point = ref_raster.area_or_point
+        # Pixel-interpretation casting (reference base.py:163 via geoutils
+        # _cast_pixel_interpretation): equal interpretations pass through; a mismatch warns
+        # and drops to None (undefined) rather than silently preferring one side.
+        if ref_raster.area_or_point == tba_raster.area_or_point:
+            area_or_point = ref_raster.area_or_point
+        else:
+            warnings.warn(
+                f"The reference and to-be-aligned rasters have different pixel interpretations "
+                f"({ref_raster.area_or_point!r} vs {tba_raster.area_or_point!r}), which "
+                f"implies a half-pixel georeferencing offset between them; the interpretation "
+                f"is cast to undefined. Harmonize them before coregistering.",
+                UserWarning,
+            )
+            area_or_point = None
         ref_out: Any = ref_raster.data
         tba_out: Any = tba_raster.data
     elif isinstance(ref_raster, Raster) and isinstance(to_be_aligned_elev, PointCloud):
