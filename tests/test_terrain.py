@@ -353,3 +353,28 @@ class TestTiledTerrain:
         with pytest.raises(ValueError, match="cannot be tiled"):
             tiled_terrain_attribute(np.zeros((32, 32), np.float32), "texture_shading",
                                     TilingConfig(outdir=str(tmp_path)))
+
+
+class TestPallasFractal:
+    @pytest.mark.parametrize("window_size", [5, 13])
+    def test_matches_xla(self, window_size):
+        """The single-pass Pallas fractal kernel must match the XLA path (interpret mode)."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from xdem_tpu.terrain.pallas_kernels import fractal_roughness_pallas
+        from xdem_tpu.terrain.window import fractal_roughness
+
+        dem = examples.synthetic_dem_array(shape=(70, 90), seed=11)
+        dem[20:24, 30:35] = np.nan
+        want = np.asarray(fractal_roughness(dem, window_size=window_size))
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(fractal_roughness_pallas(dem, window_size=window_size))
+        assert (np.isfinite(got) == np.isfinite(want)).all()
+        both = np.isfinite(got)
+        np.testing.assert_allclose(got[both], want[both], rtol=2e-4, atol=2e-4)
+
+    def test_window_too_large_rejected(self):
+        from xdem_tpu.terrain.pallas_kernels import fractal_roughness_pallas
+
+        with pytest.raises(ValueError, match="window_size"):
+            fractal_roughness_pallas(np.zeros((32, 32), np.float32), window_size=19)

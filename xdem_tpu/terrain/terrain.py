@@ -189,6 +189,10 @@ def get_terrain_attribute(
                 lambda padded: _fractal_roughness_fn(padded, window_size=window_size_fractal)[None],
                 arr, halo=window_size_fractal // 2, mesh=mesh, out_leading=1,
             )[0]
+        elif engine == "pallas" and window_size_fractal // 2 <= 8:
+            from xdem_tpu.terrain.pallas_kernels import fractal_roughness_pallas
+
+            results["fractal_roughness"] = fractal_roughness_pallas(arr, window_size=window_size_fractal)
         else:
             results["fractal_roughness"] = _fractal_roughness_fn(arr, window_size=window_size_fractal)
 
