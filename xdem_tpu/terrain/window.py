@@ -138,8 +138,19 @@ def _rugosity(demp: jnp.ndarray, h: int, width: int, res: jnp.ndarray) -> jnp.nd
     return area / (L * L)
 
 
-@partial(jax.jit, static_argnames=("window_size",))
 def fractal_roughness(dem: jnp.ndarray, window_size: int = 13) -> jnp.ndarray:
+    """Fractal roughness with trace-time engine dispatch: on TPU backends the single-HBM-pass
+    Pallas kernel (2x the XLA path there); elsewhere the portable XLA path. Both are
+    equivalence-tested."""
+    if jax.default_backend() == "tpu" and 5 <= window_size and window_size // 2 <= 8:
+        from xdem_tpu.terrain.pallas_kernels import fractal_roughness_pallas
+
+        return fractal_roughness_pallas(dem, window_size=window_size)
+    return _fractal_roughness_xla(dem, window_size=window_size)
+
+
+@partial(jax.jit, static_argnames=("window_size",))
+def _fractal_roughness_xla(dem: jnp.ndarray, window_size: int = 13) -> jnp.ndarray:
     """Taud & Parrot (2005) fractal roughness via box counting, window >= 5.
 
     For each divisor q of w//2, the per-window voxel count is
