@@ -378,3 +378,28 @@ class TestPallasFractal:
 
         with pytest.raises(ValueError, match="window_size"):
             fractal_roughness_pallas(np.zeros((32, 32), np.float32), window_size=19)
+
+
+class TestPallasWindowed:
+    @pytest.mark.parametrize("window_size,tri_method", [(3, "Riley"), (5, "Wilson"), (7, "Riley")])
+    def test_matches_xla(self, window_size, tri_method):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from xdem_tpu.terrain.pallas_kernels import windowed_indexes_pallas
+        from xdem_tpu.terrain.window import windowed_indexes
+
+        dem = examples.synthetic_dem_array(shape=(70, 90), seed=12)
+        dem[20:24, 30:35] = np.nan
+        attrs = ("topographic_position_index", "terrain_ruggedness_index", "roughness")
+        if window_size == 3:
+            attrs = attrs + ("rugosity",)
+        want = np.asarray(windowed_indexes(dem, 20.0, attrs, window_size=window_size,
+                                           tri_method=tri_method))
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(windowed_indexes_pallas(dem, 20.0, attrs, window_size=window_size,
+                                                     tri_method=tri_method))
+        for k, a in enumerate(attrs):
+            assert (np.isfinite(got[k]) == np.isfinite(want[k])).all(), a
+            both = np.isfinite(got[k])
+            np.testing.assert_allclose(got[k][both], want[k][both], rtol=2e-4, atol=2e-4,
+                                       err_msg=a)

@@ -346,3 +346,160 @@ def fractal_roughness_pallas(dem: jnp.ndarray, window_size: int = 13, tile_rows:
         ],
     )(demp)
     return out[:h, :width]
+
+
+# --------------------------------------------------------------------------------------
+# Windowed indexes: fused single-HBM-pass reducers (SURVEY P6)
+# --------------------------------------------------------------------------------------
+# TPI / TRI / roughness accumulate over all w^2 window offsets; the XLA path reads the
+# raster once per offset (w^2 passes). Here every requested reducer runs over one
+# double-buffered VMEM tile, so HBM traffic stays at read + n_attrs writes for any w.
+
+
+def _make_windowed_kernel(attrs: tuple, w: int, riley: bool, tr: int, tc: int):
+    hw = w // 2
+    need_sum = "topographic_position_index" in attrs
+    need_tri = "terrain_ruggedness_index" in attrs
+    need_rough = "roughness" in attrs
+    need_rug = "rugosity" in attrs
+
+    def kernel(res_ref, dem_hbm, out_ref, scratch, sem):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        gh = pl.num_programs(0)
+        gw = pl.num_programs(1)
+        step = i * gw + j
+        slot = jax.lax.rem(step, 2)
+
+        def dma_for(s, r, c):
+            return pltpu.make_async_copy(
+                dem_hbm.at[pl.ds(r * tr, tr + 2 * _PADR), pl.ds(c * tc, tc + 2 * _PADC)],
+                scratch.at[s],
+                sem.at[s],
+            )
+
+        @pl.when(step == 0)
+        def _():
+            dma_for(slot, i, j).start()
+
+        nstep = step + 1
+        ni = jnp.minimum(nstep // gw, gh - 1)
+        nj = nstep % gw
+
+        @pl.when(nstep < gh * gw)
+        def _():
+            dma_for(1 - slot, ni, nj).start()
+
+        dma_for(slot, i, j).wait()
+
+        off_r = _PADR - hw
+        off_c = _PADC - hw
+
+        def sl(d1, d2):
+            return scratch[slot, off_r + d1: off_r + d1 + tr, off_c + d2: off_c + d2 + tc]
+
+        center = scratch[slot, _PADR: _PADR + tr, _PADC: _PADC + tc]
+        acc_sum = jnp.zeros((tr, tc), jnp.float32) if need_sum else None
+        acc_tri = jnp.zeros((tr, tc), jnp.float32) if need_tri else None
+        acc_max = jnp.full((tr, tc), -jnp.inf, jnp.float32) if need_rough else None
+        acc_min = jnp.full((tr, tc), jnp.inf, jnp.float32) if need_rough else None
+        nan_seen = jnp.zeros((tr, tc), jnp.bool_) if need_rough else None
+
+        if need_sum or need_tri or need_rough:
+            for u in range(w):
+                for v in range(w):
+                    s_uv = sl(u, v)
+                    if need_sum:
+                        acc_sum = acc_sum + s_uv
+                    if need_tri:
+                        d = s_uv - center
+                        acc_tri = acc_tri + (d * d if riley else jnp.abs(d))
+                    if need_rough:
+                        acc_max = jnp.maximum(acc_max, s_uv)
+                        acc_min = jnp.minimum(acc_min, s_uv)
+                        nan_seen = nan_seen | jnp.isnan(s_uv)
+
+        rug = None
+        if need_rug:
+            L = res_ref[0]
+            sqrt2 = float(np.sqrt(2.0))
+            Z = {(u, v): sl(u, v) for u in range(3) for v in range(3)}
+            center_segs = [
+                ((0, 0), sqrt2), ((0, 1), 1.0), ((0, 2), sqrt2), ((1, 0), 1.0),
+                ((1, 2), 1.0), ((2, 0), sqrt2), ((2, 1), 1.0), ((2, 2), sqrt2),
+            ]
+            edge_segs = [
+                ((0, 0), (0, 1)), ((0, 1), (0, 2)), ((2, 0), (2, 1)), ((2, 1), (2, 2)),
+                ((0, 0), (1, 0)), ((1, 0), (2, 0)), ((0, 2), (1, 2)), ((1, 2), (2, 2)),
+            ]
+            hsl = []
+            for (pos, lfac) in center_segs:
+                dz = center - Z[pos]
+                hsl.append(jnp.sqrt(dz * dz + (lfac * L) ** 2) / 2)
+            for (p0, p1) in edge_segs:
+                dz = Z[p0] - Z[p1]
+                hsl.append(jnp.sqrt(dz * dz + L * L) / 2)
+            tris = [(3, 0, 12), (0, 1, 8), (1, 2, 9), (2, 4, 14),
+                    (4, 7, 15), (7, 6, 11), (6, 5, 10), (5, 3, 13)]
+            area = jnp.zeros((tr, tc), jnp.float32)
+            for (ia, ib, ic) in tris:
+                a, b, c = hsl[ia], hsl[ib], hsl[ic]
+                s_h = (a + b + c) / 2
+                area = area + jnp.sqrt(jnp.maximum(s_h * (s_h - a) * (s_h - b) * (s_h - c), 0.0))
+            rug = area / (L * L)
+
+        for a_idx, a in enumerate(attrs):
+            if a == "topographic_position_index":
+                val = center - (acc_sum - center) / (w * w - 1)
+            elif a == "terrain_ruggedness_index":
+                val = jnp.sqrt(acc_tri) if riley else acc_tri / (w * w - 1)
+            elif a == "roughness":
+                val = jnp.where(nan_seen, jnp.nan, acc_max - acc_min)
+            else:  # rugosity
+                val = rug
+            out_ref[a_idx, :, :] = val
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("attrs", "window_size", "tri_method", "tile_rows", "tile_cols"))
+def windowed_indexes_pallas(
+    dem: jnp.ndarray,
+    resolution: jnp.ndarray | float,
+    attrs: tuple[str, ...],
+    window_size: int = 3,
+    tri_method: str = "Riley",
+    tile_rows: int = 32,
+    tile_cols: int = 256,
+) -> jnp.ndarray:
+    """Fused Pallas windowed indexes; identical semantics to window.windowed_indexes."""
+    w = int(window_size)
+    if w // 2 > _PADR:
+        raise ValueError(f"Pallas windowed indexes support window_size <= {2 * _PADR + 1}.")
+    if "rugosity" in attrs and w != 3:
+        raise ValueError("Rugosity is only defined on a 3x3 window.")
+    tr, tc = int(tile_rows), int(tile_cols)
+    dem = jnp.asarray(dem, dtype=jnp.float32)
+    h, width = dem.shape
+    gh = -(-h // tr)
+    gw = -(-width // tc)
+    demp = jnp.pad(
+        dem, ((_PADR, _PADR + gh * tr - h), (_PADC, _PADC + gw * tc - width)),
+        constant_values=jnp.nan,
+    )
+    res = jnp.asarray([resolution], dtype=jnp.float32)
+    out = pl.pallas_call(
+        _make_windowed_kernel(tuple(attrs), w, tri_method.lower() == "riley", tr, tc),
+        grid=(gh, gw),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((len(attrs), tr, tc), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((len(attrs), gh * tr, gw * tc), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, tr + 2 * _PADR, tc + 2 * _PADC), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(res, demp)
+    return out[:, :h, :width]

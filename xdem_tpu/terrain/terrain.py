@@ -175,6 +175,11 @@ def get_terrain_attribute(
                                                 window_size=window_size, tri_method=tri_method),
                 arr, halo=window_size // 2, mesh=mesh, out_leading=len(win_attrs),
             )
+        elif engine == "pallas" and window_size // 2 <= 8:
+            from xdem_tpu.terrain.pallas_kernels import windowed_indexes_pallas
+
+            stack = windowed_indexes_pallas(arr, resolution, tuple(win_attrs),
+                                            window_size=window_size, tri_method=tri_method)
         else:
             stack = windowed_indexes(arr, resolution, tuple(win_attrs), window_size=window_size,
                                      tri_method=tri_method)
