@@ -618,3 +618,19 @@ class TestPixelInterpretation:
         c = coreg.VerticalShift(subsample=5000)
         c.fit(ref_tba, tba, random_state=1)  # no warning = no error under -W error
         assert np.isfinite(c.meta["outputs"]["affine"]["shift_z"])
+
+
+class TestBlockwiseTiledApply:
+    def test_apply_tiled_equals_apply(self, ref_tba, tmp_path):
+        from xdem_tpu.coreg.blockwise import BlockwiseNuthKaab
+        from xdem_tpu.io import read_raster
+
+        tba = _shifted(ref_tba, 6.0, -4.0, 1.5)
+        bw = BlockwiseNuthKaab(block_size_fit=256, subsample_per_tile=15000, random_state=42)
+        bw.fit(ref_tba, tba)
+        whole = np.asarray(bw.apply(tba).data)
+        path = bw.apply_tiled(tba, str(tmp_path / "bw.tif"), tile_rows=100)
+        tiled = np.asarray(read_raster(path).data)
+        assert (np.isfinite(tiled) == np.isfinite(whole)).all()
+        both = np.isfinite(tiled)
+        np.testing.assert_allclose(tiled[both], whole[both], atol=1e-3)

@@ -184,6 +184,58 @@ class BlockwiseCoreg:
         self.fit(reference_elev, to_be_aligned_elev, inlier_mask=inlier_mask)
         return self.apply(to_be_aligned_elev)
 
+    def apply_tiled(self, elev: Raster, out_path: str, tile_rows: int = 1024,
+                    resampling: str = "linear", nodata: float = -9999.0) -> str:
+        """Out-of-core apply: warp row bands and stream them into a GeoTIFF.
+
+        The whole-array apply materializes ~7 full-raster intermediates; here each output
+        band samples only its source band plus a halo bounded by the plane shift field's
+        extremes (evaluated at the raster corners), so memory stays O(band) at any raster
+        size — the blockwise counterpart of terrain.tiled_terrain_attribute.
+        """
+        import numpy as np
+
+        from xdem_tpu.io import StreamingRasterWriter
+
+        coeff_x, coeff_y, coeff_z = self.ransac_all()
+        h, w = elev.shape
+        t = elev.transform
+        # The shift planes are linear, so their extrema over the raster are at the corners
+        corners_x, corners_y = zip(*(t.xy(r, c) for r in (0, h) for c in (0, w)))
+        cx = np.asarray(corners_x, np.float64)
+        cy = np.asarray(corners_y, np.float64)
+        max_sy = float(np.max(np.abs(coeff_y[0] * cx + coeff_y[1] * cy + coeff_y[2])))
+        halo = int(np.ceil(max_sy / abs(t.yres))) + 2
+
+        a, b, c_, d, e, f = (float(v) for v in tuple(t))
+        inv = t.invert()
+        data_np = np.asarray(elev.data)
+        writer = StreamingRasterWriter(out_path, (h, w), t, crs=elev.crs, nodata=nodata)
+        try:
+            for r0 in range(0, h, tile_rows):
+                nrows = min(tile_rows, h - r0)
+                lo = max(0, r0 - halo)
+                hi = min(h, r0 + nrows + halo)
+                band = jnp.asarray(data_np[lo:hi])
+                cols = jnp.arange(w, dtype=jnp.float32) + 0.5
+                rows = jnp.arange(r0, r0 + nrows, dtype=jnp.float32) + 0.5
+                cgrid, rgrid = jnp.meshgrid(cols, rows)
+                X = a * cgrid + b * rgrid + c_
+                Y = d * cgrid + e * rgrid + f
+                sx = coeff_x[0] * X + coeff_x[1] * Y + coeff_x[2]
+                sy = coeff_y[0] * X + coeff_y[1] * Y + coeff_y[2]
+                src_x = X - sx
+                src_y = Y - sy
+                src_c = inv.a * src_x + inv.b * src_y + inv.c - 0.5
+                src_r = inv.d * src_x + inv.e * src_y + inv.f - 0.5 - lo
+                out = interp_rowcol(band, src_r, src_c, method=resampling)
+                if self.apply_z_correction:
+                    out = out + (coeff_z[0] * X + coeff_z[1] * Y + coeff_z[2])
+                writer.write_rows(r0, np.asarray(out))
+        finally:
+            writer.close()
+        return out_path
+
 
 class BlockwiseNuthKaab(BlockwiseCoreg):
     """Blockwise NuthKaab with ALL tile solves batched in a single vmapped device program.
