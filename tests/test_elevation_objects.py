@@ -193,3 +193,42 @@ class TestSurfaceCompleteness:
         assert "EGM08" in epc.ccrs
         c = epc.copy()
         assert isinstance(c, EPC) or hasattr(c, "z")
+
+
+class TestReviewRegressions:
+    def test_builtin_geoid_does_not_clobber_user_grid(self):
+        from xdem_tpu import vcrs as vcrs_mod
+        from xdem_tpu.vcrs import _geoid_undulation, register_geoid_grid
+
+        for alias in vcrs_mod._BUILTIN_GEOIDS:
+            vcrs_mod._GEOID_GRIDS.pop(alias, None)
+        # User registers a precise EGM96 grid (a recognizable constant field)
+        lons = np.linspace(-180, 180, 19)
+        lats = np.linspace(-90, 90, 10)
+        register_geoid_grid("EGM96", lons, lats, np.full((10, 19), 123.0))
+        # Requesting the sibling alias triggers the built-in registration...
+        _geoid_undulation("EGM08", np.array([10.0]), np.array([50.0]))
+        # ...which must NOT replace the user's EGM96 grid
+        got = _geoid_undulation("EGM96", np.array([10.0]), np.array([50.0]))
+        assert got[0] == pytest.approx(123.0)
+        for alias in vcrs_mod._BUILTIN_GEOIDS:
+            vcrs_mod._GEOID_GRIDS.pop(alias, None)
+
+    def test_degenerate_pointcloud_grid_falls_back(self):
+        from xdem_tpu.georef import Affine
+        from xdem_tpu.pointcloud import PointCloud
+
+        t = Affine(1.0, 0.0, 0.0, 0.0, -1.0, 4.0)
+        pc = PointCloud(np.array([1.2, 2.7]), np.array([1.5, 2.5]),
+                        np.array([5.0, 7.0]), crs=32633)
+        out = pc.grid(transform=t, shape=(4, 4), crs=32633)  # 2 points: no triangulation
+        assert np.isfinite(np.asarray(out.data)).any()
+
+    def test_fused_nuth_kaab_accepts_generator(self):
+        from xdem_tpu import coreg, examples
+
+        ref = examples.get_ref_dem_test()
+        tba = examples.get_tba_dem_test()
+        c = coreg.NuthKaab(subsample=30000)
+        c.fit(ref, tba, random_state=np.random.default_rng(42))
+        assert np.isfinite(c.meta["outputs"]["affine"]["shift_x"])

@@ -352,15 +352,20 @@ def nuth_kaab(
     # seeded top_k subsample, solver) — a single dispatch + readback. Fractional subsamples
     # need the valid count first and stay on the host path.
     if not isinstance(ref_elev, PointCloud) and not isinstance(tba_elev, PointCloud) and subsample > 1:
-        ref_arr = jnp.asarray(np.asarray(ref_elev), jnp.float32)
-        tba_arr = jnp.asarray(np.asarray(tba_elev), jnp.float32)
+        # jnp.asarray is a no-op for device-resident arrays (a np.asarray here would force
+        # a full device->host->device round trip through the tunnel)
+        ref_arr = jnp.asarray(ref_elev, jnp.float32)
+        tba_arr = jnp.asarray(tba_elev, jnp.float32)
         inlier = (
             jnp.asarray(inlier_mask, bool)
             if inlier_mask is not None
             else jnp.ones(ref_arr.shape, bool)
         )
         count = min(int(subsample), ref_arr.size)
-        seed = random_state if random_state is not None else int(np.random.default_rng().integers(2**31))
+        if isinstance(random_state, (int, np.integer)):
+            seed = int(random_state)
+        else:  # None or a np.random.Generator: draw the device seed from it
+            seed = int(np.random.default_rng(random_state).integers(2**31))
         res_dev = np.asarray(
             _nuth_kaab_rst_rst_device(
                 ref_arr, tba_arr, inlier, np.uint32(seed), count, res_x, res_y, tolerance,

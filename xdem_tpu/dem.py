@@ -75,17 +75,10 @@ class DEM(Raster):
 
     @property
     def vcrs_grid(self) -> str | None:
-        """Grid name of the vertical CRS (reference dem.py:277): the PROJ grid filename for
-        the standard geoid products, a user grid name if set from one, else None."""
-        from xdem_tpu.vcrs import _VCRS_GRIDS
+        """Grid name of the vertical CRS (reference dem.py:277)."""
+        from xdem_tpu.vcrs import grid_name_for
 
-        if self._vcrs is None:
-            return None
-        name = str(self._vcrs)
-        if name.endswith((".tif", ".gtx")):
-            return name
-        by_name = {v: k for k, v in _VCRS_GRIDS.items()}
-        return by_name.get(name.upper())
+        return grid_name_for(self._vcrs)
 
     @property
     def ccrs(self):

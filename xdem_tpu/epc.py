@@ -34,14 +34,9 @@ class EPC(PointCloud):
     @property
     def vcrs_grid(self) -> str | None:
         """Grid name of the vertical CRS (reference epc.py:135)."""
-        from xdem_tpu.vcrs import _VCRS_GRIDS
+        from xdem_tpu.vcrs import grid_name_for
 
-        if self._vcrs is None:
-            return None
-        name = str(self._vcrs)
-        if name.endswith((".tif", ".gtx")):
-            return name
-        return {v: k for k, v in _VCRS_GRIDS.items()}.get(name.upper())
+        return grid_name_for(self._vcrs)
 
     @property
     def ccrs(self):

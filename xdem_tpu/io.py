@@ -173,8 +173,8 @@ class StreamingRasterWriter:
 
         # Aux data blocks placed right after the IFD
         tags: list[tuple[int, int, int, object]] = [
-            (256, 3, 1, w),            # ImageWidth   (SHORT fits? use LONG for safety)
-            (257, 4, 1, h),
+            (256, 4, 1, w),            # ImageWidth
+            (257, 4, 1, h),            # ImageLength
             (258, 3, 1, 32),           # BitsPerSample
             (259, 3, 1, 1),            # Compression = none
             (262, 3, 1, 1),            # Photometric
@@ -189,7 +189,6 @@ class StreamingRasterWriter:
             (34735, 3, 16, geokeys),
             (42113, 2, len(nodata_str), nodata_str),
         ]
-        tags[0] = (256, 4, 1, w)
 
         header_size = 8
         ifd_size = 2 + len(tags) * 12 + 4
@@ -292,6 +291,9 @@ def read_rows(path: str, row0: int, nrows: int) -> np.ndarray:
             tags[tag] = (ttype, count, val)
 
         def _values(tag):
+            if tag not in tags:
+                raise OSError(f"'{path}': missing TIFF tag {tag} (windowed reads need the "
+                              f"StreamingRasterWriter layout).")
             ttype, count, val = tags[tag]
             size = {2: 1, 3: 2, 4: 4, 12: 8}[ttype] * count
             fmt = {2: "B", 3: "H", 4: "I", 12: "d"}[ttype]

@@ -96,13 +96,19 @@ class PointCloud:
 
         if resampling == "linear":
             from scipy.interpolate import LinearNDInterpolator
+            from scipy.spatial import QhullError
 
             h, w = shape
+            ok = np.isfinite(self.z)
+            try:
+                interp = LinearNDInterpolator(np.column_stack([self.x[ok], self.y[ok]]),
+                                              self.z[ok], fill_value=np.nan)
+            except (QhullError, ValueError):
+                # Fewer than 3 non-collinear points: no triangulation exists; fall back to
+                # the binned-mean gridding rather than crashing on degenerate clouds.
+                return self.grid(transform=transform, shape=shape, crs=crs, resampling="mean")
             rr, cc = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
             gx, gy = transform.xy(rr.ravel(), cc.ravel())
-            ok = np.isfinite(self.z)
-            interp = LinearNDInterpolator(np.column_stack([self.x[ok], self.y[ok]]),
-                                          self.z[ok], fill_value=np.nan)
             grid = interp(np.column_stack([gx, gy])).reshape(h, w).astype(np.float32)
             return Raster(grid, transform, crs if crs is not None else self.crs)
         if resampling != "mean":

@@ -122,13 +122,28 @@ class Raster:
     def dtype(self):
         return self.data.dtype
 
+    @property
+    def data(self):
+        """The elevation array (device-resident jax array, NaN nodata)."""
+        return self._data
+
+    @data.setter
+    def data(self, value) -> None:
+        self._data = value
+        self._np_cache = None
+
     def get_nanarray(self) -> np.ndarray:
-        """Host numpy array with NaN nodata."""
-        return np.asarray(self.data)
+        """Host numpy array with NaN nodata (returns a fresh copy; the device->host transfer
+        is cached because it costs hundreds of ms through a tunneled accelerator)."""
+        if getattr(self, "_np_cache", None) is None:
+            self._np_cache = np.asarray(self.data)
+        return self._np_cache.copy()
 
     def get_mask(self) -> np.ndarray:
         """Host boolean mask of invalid (nodata) pixels."""
-        return ~np.isfinite(np.asarray(self.data))
+        if getattr(self, "_np_cache", None) is None:
+            self._np_cache = np.asarray(self.data)
+        return ~np.isfinite(self._np_cache)
 
     def copy(self, new_array: Any = None) -> "Raster":
         out = _copy.copy(self)

@@ -199,7 +199,10 @@ def get_terrain_attribute(
 
             results["fractal_roughness"] = fractal_roughness_pallas(arr, window_size=window_size_fractal)
         else:
-            results["fractal_roughness"] = _fractal_roughness_fn(arr, window_size=window_size_fractal)
+            # engine="xla" is an explicit request: disable the TPU auto-dispatch
+            results["fractal_roughness"] = _fractal_roughness_fn(
+                arr, window_size=window_size_fractal, engine="xla" if engine == "xla" else None
+            )
 
     for a in freq_attrs:
         results[a] = _texture_shading_fn(arr, alpha=texture_alpha)

@@ -138,11 +138,18 @@ def _rugosity(demp: jnp.ndarray, h: int, width: int, res: jnp.ndarray) -> jnp.nd
     return area / (L * L)
 
 
-def fractal_roughness(dem: jnp.ndarray, window_size: int = 13) -> jnp.ndarray:
-    """Fractal roughness with trace-time engine dispatch: on TPU backends the single-HBM-pass
-    Pallas kernel (2x the XLA path there); elsewhere the portable XLA path. Both are
-    equivalence-tested."""
-    if jax.default_backend() == "tpu" and 5 <= window_size and window_size // 2 <= 8:
+def fractal_roughness(dem: jnp.ndarray, window_size: int = 13, engine: str | None = None) -> jnp.ndarray:
+    """Fractal roughness with trace-time engine dispatch.
+
+    engine=None (auto): TPU backends get the single-HBM-pass Pallas kernel (2x the XLA path
+    there), other platforms the portable XLA path. engine="xla"/"pallas" forces a path —
+    useful to bisect a miscompare or sidestep the Pallas tile-size VMEM constraints. Both
+    engines are equivalence-tested.
+    """
+    if engine is None:
+        engine = ("pallas" if jax.default_backend() == "tpu" and 5 <= window_size
+                  and window_size // 2 <= 8 else "xla")
+    if engine == "pallas":
         from xdem_tpu.terrain.pallas_kernels import fractal_roughness_pallas
 
         return fractal_roughness_pallas(dem, window_size=window_size)

@@ -65,6 +65,17 @@ def register_geoid_grid(name: str, lons: np.ndarray, lats: np.ndarray, undulatio
     _GEOID_GRIDS[name.upper()] = (np.asarray(lons, float), np.asarray(lats, float), np.asarray(undulations, float))
 
 
+def grid_name_for(vcrs: "VerticalCRS | str | None") -> str | None:
+    """PROJ grid filename for a vertical CRS: the name itself if set from a grid file, the
+    standard product grid for known geoids, else None (shared by DEM/EPC .vcrs_grid)."""
+    if vcrs is None:
+        return None
+    name = str(vcrs)
+    if name.endswith((".tif", ".gtx")):
+        return name
+    return {v: k for k, v in _VCRS_GRIDS.items()}.get(name.upper())
+
+
 def _parse_vcrs_from_product(product: str) -> str | None:
     return _PRODUCT_VCRS.get(product)
 
@@ -106,7 +117,8 @@ def _geoid_undulation(name: str, lon: np.ndarray, lat: np.ndarray) -> np.ndarray
 
         lons, lats, grid = builtin_geoid_grid(1.0)
         for alias in _BUILTIN_GEOIDS:
-            _GEOID_GRIDS[alias] = (lons, lats, grid)
+            # Never clobber a user-registered precise grid for a sibling alias
+            _GEOID_GRIDS.setdefault(alias, (lons, lats, grid))
         if key not in _warned_builtin:
             _warned_builtin.update(_BUILTIN_GEOIDS)
             logging.warning(
