@@ -177,3 +177,51 @@ class TestFormatCoverage:
         # Raster.open returns the calling class
         slope = dem.slope() if isinstance(dem, DEM) else None
         assert slope is not None
+
+
+class TestStreamingIO:
+    def test_out_of_order_writes_roundtrip(self, tmp_path):
+        from xdem_tpu.georef import Affine
+        from xdem_tpu.io import StreamingRasterWriter, read_raster, read_rows
+
+        rng = np.random.default_rng(3)
+        a = rng.normal(0, 10, (100, 37)).astype(np.float32)
+        a[3, 5] = np.nan
+        p = str(tmp_path / "s.tif")
+        t = Affine(5.0, 0.0, 100.0, 0.0, -5.0, 900.0)
+        with StreamingRasterWriter(p, a.shape, t, crs=32633, rows_per_strip=16) as w:
+            # Bands arrive out of order
+            for r0 in (60, 0, 30, 90):
+                w.write_rows(r0, a[r0: r0 + 30])
+        back = read_rows(p, 0, 100)
+        np.testing.assert_allclose(np.nan_to_num(back), np.nan_to_num(a))
+        assert np.isnan(back[3, 5])
+        # The native C++ codec reads the streamed file identically
+        r = read_raster(p)
+        assert r.crs.epsg == 32633 and tuple(r.transform) == tuple(t)
+        np.testing.assert_allclose(np.nan_to_num(np.asarray(r.data)), np.nan_to_num(a))
+
+    def test_window_read_crossing_strips(self, tmp_path):
+        from xdem_tpu.georef import Affine
+        from xdem_tpu.io import StreamingRasterWriter, read_rows
+
+        a = np.arange(64 * 20, dtype=np.float32).reshape(64, 20)
+        p = str(tmp_path / "w.tif")
+        with StreamingRasterWriter(p, a.shape, Affine.identity(), rows_per_strip=16) as w:
+            w.write_rows(0, a)
+        got = read_rows(p, 10, 40)  # spans strips 0..3
+        np.testing.assert_array_equal(got, a[10:50])
+        # Clamped at the end
+        got = read_rows(p, 60, 100)
+        np.testing.assert_array_equal(got, a[60:])
+
+    def test_compressed_file_rejected_for_windowed_reads(self, tmp_path):
+        from xdem_tpu.georef import Affine
+        from xdem_tpu.io import read_rows, write_raster
+        from xdem_tpu.raster import Raster
+
+        r = Raster(np.ones((20, 20), np.float32), Affine.identity(), 32633)
+        p = str(tmp_path / "c.tif")
+        write_raster(p, r)  # DEFLATE-compressed by the native codec
+        with pytest.raises(OSError, match="uncompressed|missing TIFF tag"):
+            read_rows(p, 0, 5)
