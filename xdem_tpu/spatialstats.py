@@ -246,7 +246,45 @@ def interp_nd_binning(
         out = rgi(pts)
         return out.reshape(np.asarray(args[0]).shape)
 
+    # Exposed so device-resident pipelines can evaluate the same grid without a host
+    # round-trip (see _interp_grid_device / infer_heteroscedasticity_from_stable)
+    interpolator.mids_ext = mids_ext
+    interpolator.grid_ext = grid_ext
     return interpolator
+
+
+def _interp_grid_device(mids_ext: list[np.ndarray], grid_ext: np.ndarray, vars_dev: list) -> jnp.ndarray:
+    """Multilinear interpolation of a small binned grid at device-resident coordinates.
+
+    Equivalent to interp_nd_binning's host interpolator (the edge-padded grid makes
+    out-of-hull extrapolation flat, so clamping reproduces it); NaN coordinates give NaN.
+    """
+    import itertools
+
+    grid_j = jnp.asarray(grid_ext, jnp.float32)
+    idxs = []
+    fracs = []
+    nan_any = None
+    for d, m in enumerate(mids_ext):
+        mj = jnp.asarray(m, jnp.float32)
+        x = jnp.asarray(vars_dev[d], jnp.float32)
+        isnan = jnp.isnan(x)
+        nan_any = isnan if nan_any is None else (nan_any | isnan)
+        xc = jnp.clip(jnp.where(isnan, mj[0], x), mj[0], mj[-1])
+        i = jnp.clip(jnp.searchsorted(mj, xc, side="right") - 1, 0, len(m) - 2)
+        f = (xc - mj[i]) / (mj[i + 1] - mj[i])
+        idxs.append(i)
+        fracs.append(f)
+    out = jnp.zeros_like(fracs[0])
+    for corner in itertools.product((0, 1), repeat=len(mids_ext)):
+        wgt = None
+        idx = []
+        for d, c in enumerate(corner):
+            w_d = fracs[d] if c else (1.0 - fracs[d])
+            wgt = w_d if wgt is None else wgt * w_d
+            idx.append(idxs[d] + c)
+        out = out + wgt * grid_j[tuple(idx)]
+    return jnp.where(nan_any, jnp.nan, out)
 
 
 def get_perbin_nd_binning(
@@ -298,6 +336,9 @@ def two_step_standardization(
 
     def error_fun(*args: np.ndarray) -> np.ndarray:
         return scale * unscaled_error_fun(*args)
+
+    error_fun.scale = scale
+    error_fun.unscaled = unscaled_error_fun
 
     return zscores, error_fun
 
@@ -392,6 +433,62 @@ def infer_heteroscedasticity_from_stable(
     """
     if list_var_names is None:
         list_var_names = [f"var{i+1}" for i in range(len(list_var))]
+
+    # Device-resident fast path: the subsample is gathered on device and the error raster is
+    # evaluated on device, so no full raster ever crosses the host boundary (at 1e8 px each
+    # transfer costs tens of seconds through a tunneled chip). Requires raster/array inputs
+    # living on device and an absolute subsample count.
+    device_ok = (
+        subsample is not None
+        and isinstance(dvalues, Raster)
+        and all(isinstance(v, Raster) or hasattr(v, "device") for v in list_var)
+    )
+    if device_ok:
+        from xdem_tpu.vector import Vector
+
+        def _mask_np(m):
+            if m is None:
+                return None
+            if isinstance(m, Vector):
+                return m.create_mask(dvalues)
+            if isinstance(m, Raster):
+                return np.asarray(m.data) > 0
+            return np.asarray(m, dtype=bool)
+
+        d_j = jnp.asarray(dvalues.data, jnp.float32)
+        vars_j = [jnp.asarray(v.data if isinstance(v, Raster) else v, jnp.float32) for v in list_var]
+        valid = jnp.isfinite(d_j)
+        for vj in vars_j:
+            valid = valid & jnp.isfinite(vj)
+        inc = _mask_np(stable_mask)
+        exc = _mask_np(unstable_mask)
+        if inc is not None:
+            valid = valid & jnp.asarray(inc)
+        if exc is not None:
+            valid = valid & ~jnp.asarray(exc)
+
+        count = int(min(subsample, d_j.size))
+        seed = (int(random_state) if isinstance(random_state, (int, np.integer))
+                else int(np.random.default_rng(random_state).integers(2**31)))
+        key = jax.random.PRNGKey(np.uint32(seed))
+        scores = jnp.where(valid.ravel(), jax.random.uniform(key, (d_j.size,)), -jnp.inf)
+        _, idx = jax.lax.top_k(scores, count)
+        picked_ok = valid.ravel()[idx]
+        gathered = jnp.stack(
+            [jnp.where(picked_ok, a.ravel()[idx], jnp.nan) for a in [d_j] + vars_j]
+        )
+        gathered_np = np.asarray(gathered, dtype=np.float64)
+        d_stable = gathered_np[0]
+        vars_stable = list(gathered_np[1:])
+
+        df, error_fun = _estimate_model_heteroscedasticity(
+            d_stable, vars_stable, list_var_names,
+            spread_statistic=spread_statistic, list_var_bins=list_var_bins,
+            min_count=min_count, fac_spread_outliers=fac_spread_outliers,
+        )
+        unscaled = error_fun.unscaled
+        sig_dev = error_fun.scale * _interp_grid_device(unscaled.mids_ext, unscaled.grid_ext, vars_j)
+        return Raster(sig_dev.astype(jnp.float32), dvalues.transform, dvalues.crs), error_fun, df
 
     all_arrays, _ = _preprocess_values_with_mask_to_array(
         [dvalues] + list(list_var), include_mask=stable_mask, exclude_mask=unstable_mask
@@ -1058,12 +1155,37 @@ def infer_spatial_correlation_from_stable(
     **kwargs: Any,
 ) -> tuple[pd.DataFrame, pd.DataFrame, Callable[[np.ndarray], np.ndarray]]:
     """Infer the spatial correlation of dh errors from stable terrain (reference :1876)."""
-    d_stable, gsd = _preprocess_values_with_mask_to_array(
-        values=dvalues, include_mask=stable_mask, exclude_mask=unstable_mask, gsd=gsd
-    )
-    if errors is not None:
-        err_arr = errors.get_nanarray() if isinstance(errors, Raster) else np.asarray(errors)
-        d_stable = d_stable / err_arr
+    if isinstance(dvalues, Raster) and isinstance(errors, Raster):
+        # Standardize on device and cross the host boundary once: dh / sigma with the stable
+        # mask applied is one elementwise kernel, vs pulling both full rasters separately.
+        from xdem_tpu.vector import Vector
+
+        def _mask_np(m):
+            if m is None:
+                return None
+            if isinstance(m, Vector):
+                return m.create_mask(dvalues)
+            if isinstance(m, Raster):
+                return np.asarray(m.data) > 0
+            return np.asarray(m, dtype=bool)
+
+        z = jnp.asarray(dvalues.data, jnp.float32) / jnp.asarray(errors.data, jnp.float32)
+        inc = _mask_np(stable_mask)
+        exc = _mask_np(unstable_mask)
+        if inc is not None:
+            z = jnp.where(jnp.asarray(inc), z, jnp.nan)
+        if exc is not None:
+            z = jnp.where(jnp.asarray(exc), jnp.nan, z)
+        d_stable = np.asarray(z, dtype=np.float64)
+        if gsd is None:
+            gsd = dvalues.res[0]
+    else:
+        d_stable, gsd = _preprocess_values_with_mask_to_array(
+            values=dvalues, include_mask=stable_mask, exclude_mask=unstable_mask, gsd=gsd
+        )
+        if errors is not None:
+            err_arr = errors.get_nanarray() if isinstance(errors, Raster) else np.asarray(errors)
+            d_stable = d_stable / err_arr
     return _estimate_model_spatial_correlation(
         dvalues=d_stable, list_models=list_models, estimator=estimator, gsd=gsd, coords=coords,
         subsample=subsample, subsample_method=subsample_method, n_variograms=n_variograms,

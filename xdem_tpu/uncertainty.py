@@ -95,6 +95,6 @@ def estimate_uncertainty(
 
     # For a same-precision pair, each DEM contributes half the error variance
     if precision_of_other == "same":
-        sig_dh = Raster(np.asarray(sig_dh.data) / np.sqrt(2), sig_dh.transform, sig_dh.crs)
+        sig_dh = Raster(sig_dh.data / np.float32(np.sqrt(2)), sig_dh.transform, sig_dh.crs)
 
     return sig_dh, rho
