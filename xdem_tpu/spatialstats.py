@@ -830,25 +830,46 @@ def sample_empirical_variogram(
     """
     from xdem_tpu.raster import Raster
 
+    arr_dev = None  # device-resident values (grid equidistant mode only)
     if isinstance(values, Raster):
         gsd = values.res[0]
-        arr = values.get_nanarray()
+        if subsample_method == "cdist_equidistant":
+            arr_dev = jnp.asarray(values.data, jnp.float32)
+        arr = None if arr_dev is not None else values.get_nanarray()
+    elif isinstance(values, jnp.ndarray) and subsample_method == "cdist_equidistant" and values.ndim == 2:
+        arr_dev = values
+        arr = None
     else:
         arr = np.asarray(values, dtype=np.float64)
-    arr = np.squeeze(arr)
+    if arr_dev is not None:
+        # Device grid mode: only the finite-mask (bool) and the sampled values ever cross the
+        # host boundary — the f32 raster itself stays in HBM (a 400 MB pull costs ~25 s
+        # through the tunneled chip at the 10k^2 uncertainty config).
+        grid_valid_dev = np.asarray(jnp.isfinite(arr_dev))
+        arr = None
+    else:
+        arr = np.squeeze(arr)
+        grid_valid_dev = None
 
     if subsample_method not in ("cdist_equidistant", "cdist_point", "pdist_point", "pdist_disk", "pdist_ring"):
         raise TypeError(
             'The subsampling method must be one of "cdist_equidistant, "cdist_point", "pdist_point", '
             '"pdist_disk" or "pdist_ring".'
         )
-    if arr.ndim == 1 and coords is None:
+    ndim = 2 if arr_dev is not None else arr.ndim
+    if ndim == 1 and coords is None:
         raise ValueError("Coordinates must be provided for 1D value arrays.")
-    if arr.ndim == 2 and gsd is None:
+    if ndim == 2 and gsd is None:
         raise ValueError("The ground sampling distance must be defined when passing a 2D values array.")
 
     grid_valid: np.ndarray | None = None
-    if arr.ndim == 2:
+    if arr_dev is not None:
+        nx, ny = arr_dev.shape
+        shape = (nx, ny)
+        grid_valid = grid_valid_dev
+        extent = (0.0, (nx - 1) * gsd, 0.0, (ny - 1) * gsd)
+        coords_v = vals_v = None
+    elif arr.ndim == 2:
         # Grid mode: keep the 2-D structure (coordinates are analytic), never materialize an
         # O(N) coordinate array — at 1e8 pixels that alone is gigabytes.
         nx, ny = arr.shape
@@ -945,7 +966,12 @@ def sample_empirical_variogram(
                     ok_ij = ij[..., 0] >= 0
                     ii = np.clip(ij[..., 0], 0, nx_g - 1)
                     jj = np.clip(ij[..., 1], 0, ny_g - 1)
-                    z = np.where(ok_ij, arr[ii, jj], np.nan)
+                    if arr_dev is not None:
+                        # Device gather: only (runs x samples) values cross the boundary
+                        z_g = np.asarray(arr_dev[jnp.asarray(ii), jnp.asarray(jj)], np.float64)
+                    else:
+                        z_g = arr[ii, jj]
+                    z = np.where(ok_ij, z_g, np.nan)
                     co = np.stack([np.where(ok_ij, ii * gsd, np.nan),
                                    np.where(ok_ij, jj * gsd, np.nan)], axis=-1)
                     return z, co
@@ -1176,7 +1202,8 @@ def infer_spatial_correlation_from_stable(
             z = jnp.where(jnp.asarray(inc), z, jnp.nan)
         if exc is not None:
             z = jnp.where(jnp.asarray(exc), jnp.nan, z)
-        d_stable = np.asarray(z, dtype=np.float64)
+        # Stay on device: the variogram sampler's grid mode gathers straight from HBM
+        d_stable = z
         if gsd is None:
             gsd = dvalues.res[0]
     else:
