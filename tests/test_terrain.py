@@ -403,3 +403,19 @@ class TestPallasWindowed:
             both = np.isfinite(got[k])
             np.testing.assert_allclose(got[k][both], want[k][both], rtol=2e-4, atol=2e-4,
                                        err_msg=a)
+
+
+def test_tiled_kwarg_on_dispatcher(tmp_path):
+    """get_terrain_attribute(tiled=TilingConfig) is the mp_config-analog entry point."""
+    from xdem_tpu.io import read_raster
+    from xdem_tpu.terrain import TilingConfig, get_terrain_attribute
+
+    dem = examples.synthetic_dem_array(shape=(150, 130), seed=4)
+    paths = get_terrain_attribute(dem, ["slope", "roughness"], resolution=20.0,
+                                  tiled=TilingConfig(tile_rows=64, outdir=str(tmp_path)))
+    whole = get_terrain_attribute(dem, ["slope", "roughness"], resolution=20.0)
+    for p, w in zip(paths, whole):
+        got = np.asarray(read_raster(p).data)
+        ref = np.asarray(w)
+        both = np.isfinite(got) & np.isfinite(ref)
+        np.testing.assert_allclose(got[both], ref[both], rtol=1e-4, atol=1e-3)

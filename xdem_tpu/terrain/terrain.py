@@ -58,13 +58,26 @@ def get_terrain_attribute(
     out_dtype: Any = None,
     mesh: Any = None,
     engine: Literal["xla", "pallas"] = "xla",
+    tiled: Any = None,
 ) -> Any:
     """Derive one or multiple terrain attributes from a DEM (array or Raster).
 
     See the reference docstring (terrain.py:195-281) for attribute definitions; numerics and
     defaults are identical. `mesh` optionally shards the stencil computation over a JAX device
-    mesh with halo exchange instead of the reference's tiled multiprocessing.
+    mesh with halo exchange instead of the reference's tiled multiprocessing. `tiled` (a
+    terrain.TilingConfig, the analog of the reference's mp_config) streams out-of-core row
+    bands into per-attribute GeoTIFFs and returns their paths instead of arrays.
     """
+    if tiled is not None:
+        from xdem_tpu.terrain.tiled import tiled_terrain_attribute
+
+        return tiled_terrain_attribute(
+            dem, attribute, tiled, resolution=resolution,
+            surface_fit=surface_fit, curv_method=curv_method, tri_method=tri_method,
+            window_size=window_size, window_size_fractal=window_size_fractal,
+            degrees=degrees, hillshade_altitude=hillshade_altitude,
+            hillshade_azimuth=hillshade_azimuth, hillshade_z_factor=hillshade_z_factor,
+        )
     # Deprecated alias
     if slope_method is not None:
         warnings.warn("'slope_method' is deprecated, use 'surface_fit' instead.", DeprecationWarning, stacklevel=2)
