@@ -77,7 +77,7 @@ _PADR = 8
 _PADC = 128
 
 
-def _make_kernel(attrs, roles, names, ksize, geometric, hs_alt, hs_az, hs_zf, tile, halo):
+def _make_kernel(attrs, roles, names, ksize, geometric, hs_alt, hs_az, hs_zf, tr, tc, halo):
     """Build the pallas kernel body for a fixed attribute/method configuration."""
     kernels = {name: ALL_STENCILS[name] for name in names}
     k = ksize
@@ -98,7 +98,7 @@ def _make_kernel(attrs, roles, names, ksize, geometric, hs_alt, hs_az, hs_zf, ti
 
         def dma_for(s, r, c):
             return pltpu.make_async_copy(
-                dem_hbm.at[pl.ds(r * tile, tile + 2 * _PADR), pl.ds(c * tile, tile + 2 * _PADC)],
+                dem_hbm.at[pl.ds(r * tr, tr + 2 * _PADR), pl.ds(c * tc, tc + 2 * _PADC)],
                 scratch.at[s],
                 sem.at[s],
             )
@@ -122,14 +122,14 @@ def _make_kernel(attrs, roles, names, ksize, geometric, hs_alt, hs_az, hs_zf, ti
         inv_res = 1.0 / res_ref[0]
 
         # Derivative stencils as shifted-slice multiply-adds; slices shared across stencils.
-        accs = {role: jnp.zeros((tile, tile), dtype=block.dtype) for role in roles}
-        valid = jnp.ones((tile, tile), dtype=jnp.bool_)
+        accs = {role: jnp.zeros((tr, tc), dtype=block.dtype) for role in roles}
+        valid = jnp.ones((tr, tc), dtype=jnp.bool_)
         off_r = _PADR - pad
         off_c = _PADC - pad
         for u in range(k):
             for v in range(k):
-                sl = z[off_r + u : off_r + u + tile, off_c + v : off_c + v + tile]
-                fl = finite[off_r + u : off_r + u + tile, off_c + v : off_c + v + tile]
+                sl = z[off_r + u : off_r + u + tr, off_c + v : off_c + v + tc]
+                fl = finite[off_r + u : off_r + u + tr, off_c + v : off_c + v + tc]
                 valid = valid & fl
                 for role, name in zip(roles, names):
                     w = float(kernels[name][k - 1 - u, k - 1 - v])
@@ -157,7 +157,7 @@ def _make_kernel(attrs, roles, names, ksize, geometric, hs_alt, hs_az, hs_zf, ti
     jax.jit,
     static_argnames=(
         "attrs", "surface_fit", "curv_method",
-        "hillshade_altitude", "hillshade_azimuth", "hillshade_z_factor", "tile",
+        "hillshade_altitude", "hillshade_azimuth", "hillshade_z_factor", "tile", "tile_cols",
     ),
 )
 def surface_attributes_pallas(
@@ -170,8 +170,11 @@ def surface_attributes_pallas(
     hillshade_azimuth: float = 315.0,
     hillshade_z_factor: float = 1.0,
     tile: int = 256,
+    tile_cols: int | None = None,
 ) -> jnp.ndarray:
-    """Fused Pallas surface-fit attributes; identical semantics to surfit.surface_attributes."""
+    """Fused Pallas surface-fit attributes; identical semantics to surfit.surface_attributes.
+
+    Tiles are (tile, tile_cols or tile); wider lanes cut the aligned over-fetch ratio."""
     fit = surface_fit.lower()
     geometric = curv_method.lower() == "geometric"
     if fit == "horn" and any(a in _CURVATURE_ATTRS for a in attrs):
@@ -188,11 +191,16 @@ def surface_attributes_pallas(
     center = jnp.where(jnp.any(valid_in), jnp.nanmean(jnp.where(valid_in, dem, jnp.nan)), 0.0)
     dem_c = jnp.where(valid_in, dem - center, jnp.nan)
 
-    # Pad: aligned over-fetch margins of NaN plus rounding the extent up to tile multiples
-    gh = -(-h // tile)
-    gw = -(-w // tile)
-    ph = gh * tile - h
-    pw = gw * tile - w
+    # Pad: aligned over-fetch margins of NaN plus rounding the extent up to tile multiples.
+    # Wider lanes amortize the 128-lane aligned over-fetch (256x512 beats the XLA fused pass
+    # at 3 attributes), but many simultaneous attributes blow Mosaic's scoped-VMEM stack —
+    # fall back to square tiles then.
+    tr = int(tile)
+    tc = int(tile_cols) if tile_cols is not None else (512 if len(attrs) <= 5 and tr >= 256 else tr)
+    gh = -(-h // tr)
+    gw = -(-w // tc)
+    ph = gh * tr - h
+    pw = gw * tc - w
     demp = jnp.pad(
         dem_c, ((_PADR, _PADR + ph), (_PADC, _PADC + pw)), constant_values=jnp.nan
     )
@@ -202,7 +210,7 @@ def surface_attributes_pallas(
     kernel = _make_kernel(
         attrs, tuple(roles), names, ksize, geometric,
         float(hillshade_altitude), float(hillshade_azimuth), float(hillshade_z_factor),
-        tile, halo,
+        tr, tc, halo,
     )
 
     out = pl.pallas_call(
@@ -213,13 +221,13 @@ def surface_attributes_pallas(
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (len(attrs), tile, tile),
+            (len(attrs), tr, tc),
             lambda i, j: (0, i, j),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((len(attrs), gh * tile, gw * tile), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((len(attrs), gh * tr, gw * tc), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, tile + 2 * _PADR, tile + 2 * _PADC), jnp.float32),
+            pltpu.VMEM((2, tr + 2 * _PADR, tc + 2 * _PADC), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )(res, demp)
