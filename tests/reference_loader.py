@@ -237,3 +237,76 @@ def load_reference_modules() -> dict[str, types.ModuleType]:
         "coreg_base": coreg_base,
         "terrain": terrain_disp,
     }
+
+
+def install_functional_raster_stub() -> None:
+    """Replace the placeholder gu.Raster with a functional mini-raster good enough to RUN
+    the reference's raster apply_matrix path (_iterate_affine_regrid_small_rotations):
+    from_array, to_pointcloud, coords, res, from_pointcloud_regular."""
+    import sys
+
+    gu = sys.modules["geoutils"]
+
+    class _Col:
+        def __init__(self, arr):
+            self.values = np.asarray(arr)
+
+        def __array__(self, dtype=None):
+            return np.asarray(self.values, dtype=dtype)
+
+    class _Geometry:
+        def __init__(self, x, y):
+            self.x = _Col(x)
+            self.y = _Col(y)
+
+    class _EPC:
+        def __init__(self, x, y, z):
+            self.geometry = _Geometry(x, y)
+            self.z = _Col(z)
+
+    class _PC:
+        def __init__(self, ds):
+            self.ds = ds
+
+    class _MiniRaster:
+        def __init__(self, arr, transform, nodata=None):
+            self._arr = np.asarray(arr, dtype=np.float64)
+            self.transform = transform
+            self.nodata = nodata
+            self.data = np.ma.masked_invalid(self._arr)
+
+        @classmethod
+        def from_array(cls, data, transform, crs=None, nodata=None):
+            return cls(data, transform, nodata=nodata)
+
+        @property
+        def res(self):
+            return (abs(self.transform.a), abs(self.transform.e))
+
+        def _centers(self):
+            h, w = self._arr.shape
+            t = self.transform
+            x = t.c + (np.arange(w) + 0.5) * t.a
+            y = t.f + (np.arange(h) + 0.5) * t.e  # descending for north-up transforms
+            return x, y
+
+        def coords(self, grid=False):
+            # geoutils convention: 1-D x ascending and y ascending (bottom-up); the
+            # reference then flips y to pair descending coordinates with row order.
+            x, y = self._centers()
+            return (x, y[::-1])
+
+        def to_pointcloud(self, data_column_name="z", skip_nodata=False):
+            x, y = self._centers()
+            xx, yy = np.meshgrid(x, y)
+            return _PC(_EPC(xx.ravel(), yy.ravel(), self._arr.ravel()))
+
+        def from_pointcloud_regular(self, epc, transform=None, shape=None,
+                                    data_column_name="z", nodata=None):
+            z = np.asarray(getattr(epc, "z"), dtype=np.float64).reshape(shape)
+            if nodata is not None:
+                z = np.where(z == nodata, np.nan, z)
+            return _MiniRaster(z, transform or self.transform, nodata=nodata)
+
+    gu.Raster = _MiniRaster
+    sys.modules["geoutils.raster"].Raster = _MiniRaster
