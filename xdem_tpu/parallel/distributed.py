@@ -84,6 +84,36 @@ def multihost_variogram_bins(
     return sharded_variogram_bins(za_g, zb_g, ca_g, cb_g, bin_edges, mesh, estimator=estimator)
 
 
+def multihost_surface_attributes(
+    dem_local_rows: np.ndarray,
+    mesh,
+    resolution: float,
+    attrs: tuple[str, ...],
+    **kwargs,
+):
+    """Halo-exchange terrain stencil over a 2-D mesh spanning every process (DCN path).
+
+    Each process contributes its horizontal band of the raster; the ppermute halo exchange
+    crosses process boundaries through the same collective path as on a pod slice. Returns
+    the (len(attrs), H, W) result replicated on every process.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from xdem_tpu.parallel.halo import sharded_surface_attributes
+
+    ry, rx = mesh.axis_names
+    sharding = NamedSharding(mesh, P(ry, rx))
+    global_arr = jax.make_array_from_process_local_data(
+        sharding, jnp.asarray(dem_local_rows, jnp.float32)
+    )
+    out = sharded_surface_attributes(global_arr, resolution, mesh=mesh, attrs=attrs, **kwargs)
+    # Replicate so every process can read the full result
+    rep = jax.device_put(out, NamedSharding(mesh, P()))
+    return np.asarray(rep)
+
+
 def _make_run_data(seed: int, n_runs: int, n: int, m: int):
     rng = np.random.default_rng(seed)
     za = rng.normal(0, 2.0, (n_runs, n)).astype(np.float32)
@@ -96,6 +126,7 @@ def _make_run_data(seed: int, n_runs: int, n: int, m: int):
 def _worker_main(coordinator: str, num_processes: int, process_id: int, local_devices: int) -> None:
     initialize_multihost(coordinator, num_processes, process_id, local_devices)
     import jax
+    import jax.numpy as jnp
 
     mesh = global_mesh()
     n_dev = mesh.devices.size
@@ -120,11 +151,33 @@ def _worker_main(coordinator: str, num_processes: int, process_id: int, local_de
     g1, c1 = sharded_variogram_bins(za, zb, ca, cb, edges, mesh1, estimator="dowd")
     assert (np.asarray(counts) == np.asarray(c1)).all(), (counts, c1)
     assert np.allclose(np.asarray(gamma), np.asarray(g1), rtol=1e-6, equal_nan=True), (gamma, g1)
+
+    # Spatial decomposition across processes: halo-exchange stencil on a 2-D mesh whose row
+    # axis spans the process boundary (the pod-scale large-raster path)
+    from xdem_tpu.parallel.mesh import make_mesh
+    from xdem_tpu.terrain.surfit import surface_attributes
+
+    H = 16 * num_processes
+    W = 128
+    rng2 = np.random.default_rng(11)
+    dem_full = np.cumsum(rng2.normal(0, 1, (H, W)), axis=0).astype(np.float32) * 3 + 500
+    mesh2 = make_mesh(shape=(num_processes, local_devices), devices=list(jax.devices()))
+    lo = process_id * (H // num_processes)
+    local_rows = dem_full[lo: lo + H // num_processes]
+    out2 = multihost_surface_attributes(local_rows, mesh2, 20.0,
+                                        ("slope", "aspect", "hillshade"), surface_fit="Florinsky")
+    want = np.asarray(surface_attributes(jnp.asarray(dem_full), 20.0,
+                                         ("slope", "aspect", "hillshade"), surface_fit="Florinsky"))
+    both = np.isfinite(out2) & np.isfinite(want)
+    assert (np.isfinite(out2) == np.isfinite(want)).all()
+    assert np.allclose(out2[both], want[both], atol=1e-3), np.abs(out2[both] - want[both]).max()
+
     if process_id == 0:
         print(
             f"DISTRIBUTED OK: {num_processes} processes x {local_devices} devices = "
             f"{n_dev} global devices; dowd bins {np.round(np.asarray(gamma), 4).tolist()} "
-            f"counts {np.asarray(counts).tolist()}",
+            f"counts {np.asarray(counts).tolist()}; cross-process halo stencil "
+            f"{out2.shape} matches single-device",
             flush=True,
         )
 
