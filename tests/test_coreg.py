@@ -634,3 +634,17 @@ class TestBlockwiseTiledApply:
         assert (np.isfinite(tiled) == np.isfinite(whole)).all()
         both = np.isfinite(tiled)
         np.testing.assert_allclose(tiled[both], whole[both], atol=1e-3)
+
+
+def test_nuth_kaab_nonconvergence_warns(caplog):
+    """NuthKaab warns when max_iterations is hit without reaching the offset tolerance —
+    e.g. unmasked moving terrain makes the model diverge silently otherwise."""
+    import logging
+
+    from xdem_tpu import examples
+
+    ref = examples.get_ref_dem().icrop((100, 400), (200, 500))
+    tba = examples.get_tba_dem().icrop((100, 400), (200, 500))
+    with caplog.at_level(logging.WARNING):
+        coreg.NuthKaab(subsample=50000).fit(ref, tba, random_state=42)  # no inlier mask
+    assert any("did not converge" in r.message for r in caplog.records)

@@ -376,6 +376,13 @@ def nuth_kaab(
         sx, sy, vshift, _stat, it, n_valid, populated = (float(v) for v in res_dev)
         if n_valid == 0:
             raise ValueError("No valid (finite, inlier) pixels in common between the elevation data.")
+        if it >= max_iterations and _stat > tolerance:
+            logging.warning(
+                "Nuth and Kääb did not converge after %d iterations (last offset step %.3f px > "
+                "tolerance %.3f px); the estimated shift (%.1f, %.1f) m may be unreliable. "
+                "Moving terrain in the inputs (pass a stable-terrain inlier_mask) is the most "
+                "common cause.", int(it), _stat, tolerance, sx, sy,
+            )
         if populated < n_bins // 4:
             logging.warning(
                 "Only %d/%d aspect bins are well-populated: the terrain faces few directions, so "
@@ -433,6 +440,13 @@ def nuth_kaab(
             "No valid points remain in the subsample: either the shift to correct moved the grids "
             "out of overlap, or the solver diverged. Passing subsample=1 keeps every valid pixel "
             "available at each iteration."
+        )
+    if int(it) >= int(max_iterations) and float(_stat) > tolerance:
+        logging.warning(
+            "Nuth and Kääb did not converge after %d iterations (last offset step %.3f px > "
+            "tolerance %.3f px); the estimated shift (%.1f, %.1f) m may be unreliable. "
+            "Moving terrain in the inputs (pass a stable-terrain inlier_mask) is the most "
+            "common cause.", int(it), float(_stat), tolerance, float(sx), float(sy),
         )
     return (float(sx), float(sy), float(vshift)), sub["count"], int(it)
 
