@@ -19,9 +19,12 @@ if _os.environ.get("XDEM_TPU_PLATFORM"):
 
     _jax.config.update("jax_platforms", _os.environ["XDEM_TPU_PLATFORM"])
 
-if not _os.environ.get("XDEM_TPU_NO_COMPILE_CACHE"):
+_cpu_forced = "cpu" in (_os.environ.get("XDEM_TPU_PLATFORM", "") + _os.environ.get("JAX_PLATFORMS", "")).lower()
+if not _os.environ.get("XDEM_TPU_NO_COMPILE_CACHE") and not _cpu_forced:
     # Persistent compilation cache: every new raster shape otherwise costs a fresh XLA compile
-    # (3-30 s through a tunneled TPU). Harmless if the backend ignores it.
+    # (3-30 s through a tunneled TPU; warm shapes re-hit the cache across processes). CPU runs
+    # skip it — their compiles are fast and reloading CPU AOT entries logs machine-feature
+    # mismatch noise.
     import jax as _jax
 
     try:
