@@ -648,3 +648,16 @@ def test_nuth_kaab_nonconvergence_warns(caplog):
     with caplog.at_level(logging.WARNING):
         coreg.NuthKaab(subsample=50000).fit(ref, tba, random_state=42)  # no inlier mask
     assert any("did not converge" in r.message for r in caplog.records)
+
+
+def test_cpd_degenerate_em_stops_gracefully(ref_tba, caplog):
+    """Variance collapse in the CPD EM (near-identical clouds) must stop with the previous
+    estimate and a warning, not crash in SVD on NaN."""
+    import logging
+
+    shifted = ref_tba.translate(6.0, -4.0, 1.5)
+    tba = ref_tba.copy(new_array=shifted.reproject(ref_tba).data)
+    c = coreg.CPD(subsample=500)
+    with caplog.at_level(logging.WARNING):
+        c.fit(ref_tba, tba, random_state=42)
+    assert np.all(np.isfinite(c.meta["outputs"]["affine"]["matrix"]))

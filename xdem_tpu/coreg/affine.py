@@ -1062,9 +1062,19 @@ def cpd(
         TY = jnp.asarray(_apply_matrix_pts_mat(tba_epc, matrix=matrix, invert=True).T, dtype=jnp.float32)
         R, t, sigma2, new_q = _cpd_em_step(X, Y, TY, float(weight_cpd), sigma2, float(sigma2_min),
                                            only_translation=only_translation)
+        R_np = np.asarray(R, dtype=np.float64)
+        t_np = np.asarray(t, dtype=np.float64)
+        if not (np.all(np.isfinite(R_np)) and np.all(np.isfinite(t_np))):
+            # Responsibilities underflow once the variance collapses (e.g. near-identical
+            # clouds); the previous estimate is the converged answer.
+            logging.warning(
+                "CPD EM step became degenerate (variance collapsed) at iteration %d; "
+                "stopping with the previous estimate.", it + 1,
+            )
+            break
         new_matrix = np.eye(4)
-        new_matrix[:3, :3] = np.asarray(R, dtype=np.float64)
-        new_matrix[:3, 3] = -np.asarray(t, dtype=np.float64)
+        new_matrix[:3, :3] = R_np
+        new_matrix[:3, 3] = -t_np
         stat = abs(float(new_q) - q)
         matrix, q = new_matrix, float(new_q)
         logging.info("CPD iteration %d: objective change %.6f", it + 1, stat)
