@@ -591,6 +591,79 @@ def _nmad_dev(x: jnp.ndarray) -> jnp.ndarray:
     return 1.4826 * jnp.nanmedian(jnp.abs(x - med))
 
 
+@partial(jax.jit, static_argnames=("invert",))
+def _dh_minimize_nm_device(pts_z, rows, cols, raster, res_x, res_y, invert: bool):
+    """Whole Nelder-Mead minimization of NMAD(dh(sx, sy)) as ONE jitted lax.while_loop.
+
+    Mirrors scipy's defaults (reflect/expand/contract/shrink with alpha=1, gamma=2, rho=0.5,
+    sigma=0.5; xatol=fatol=1e-4; maxiter=400) starting from (1, 1) with the standard 5%
+    initial simplex. The host loop cost 50 ms of tunnel latency per objective call (~3.5 s);
+    this runs in a single dispatch.
+    """
+    res = jnp.asarray([res_x, res_y], jnp.float32)
+
+    def f(v):
+        return _nmad_dev(_dh_device(pts_z, rows, cols, raster, v[0] / res[0], v[1] / res[1], invert))
+
+    x0 = jnp.asarray([1.0, 1.0], jnp.float32)
+    simplex = jnp.stack([x0, x0 + jnp.asarray([0.05, 0.0], jnp.float32),
+                         x0 + jnp.asarray([0.0, 0.05], jnp.float32)])
+    fvals = jnp.stack([f(simplex[0]), f(simplex[1]), f(simplex[2])])
+
+    def _sorted(s, fv):
+        idx = jnp.argsort(fv)
+        return s[idx], fv[idx]
+
+    def cond(carry):
+        s, fv, it = carry
+        s, fv = _sorted(s, fv)
+        xa = jnp.max(jnp.abs(s[1:] - s[0]))
+        fa = jnp.max(jnp.abs(fv[1:] - fv[0]))
+        return (it < 400) & ((xa > 1e-4) | (fa > 1e-4))
+
+    def body(carry):
+        s, fv, it = carry
+        s, fv = _sorted(s, fv)
+        centroid = (s[0] + s[1]) / 2.0
+        xr = centroid + (centroid - s[2])
+        fr = f(xr)
+
+        def expand(args):
+            s, fv = args
+            xe = centroid + 2.0 * (centroid - s[2])
+            fe = f(xe)
+            better = fe < fr
+            return (s.at[2].set(jnp.where(better, xe, xr)), fv.at[2].set(jnp.where(better, fe, fr)))
+
+        def reflect(args):
+            s, fv = args
+            return (s.at[2].set(xr), fv.at[2].set(fr))
+
+        def contract(args):
+            s, fv = args
+            outside = fr < fv[2]
+            xc = jnp.where(outside, centroid + 0.5 * (centroid - s[2]),
+                           centroid - 0.5 * (centroid - s[2]))
+            fc = f(xc)
+            accept = fc < jnp.where(outside, fr, fv[2])
+            s_acc = s.at[2].set(xc)
+            fv_acc = fv.at[2].set(fc)
+            s_shr = jnp.stack([s[0], s[0] + 0.5 * (s[1] - s[0]), s[0] + 0.5 * (s[2] - s[0])])
+            fv_shr = jnp.stack([fv[0], f(s_shr[1]), f(s_shr[2])])
+            return (jnp.where(accept, s_acc, s_shr), jnp.where(accept, fv_acc, fv_shr))
+
+        s_new, fv_new = jax.lax.cond(
+            fr < fv[0], expand,
+            lambda args: jax.lax.cond(fr < fv[1], reflect, contract, args),
+            (s, fv),
+        )
+        return (s_new, fv_new, it + 1)
+
+    s, fv, it = jax.lax.while_loop(cond, body, (simplex, fvals, jnp.asarray(0)))
+    s, fv = _sorted(s, fv)
+    return s[0], fv[0], it
+
+
 class DhMinimize(AffineCoreg):
     """Direct 2-D minimization of a dispersion loss of dh (reference affine.py:2667).
 
@@ -638,12 +711,21 @@ class DhMinimize(AffineCoreg):
             def objective(v):
                 return float(loss(np.asarray(dh_fn(v[0] / res_x, v[1] / res_y))))
 
-        minimizer = self._meta["inputs"]["fitorbin"]["fit_minimizer"] or minimize
-        # Nelder-Mead struggles from exactly (0, 0) (reference :664-666)
-        result = minimizer(objective, (1.0, 1.0), method="Nelder-Mead") if minimizer is minimize \
-            else minimizer(objective, (1.0, 1.0))
-        offset_east = -float(result.x[0])
-        offset_north = -float(result.x[1])
+        minimizer = self._meta["inputs"]["fitorbin"]["fit_minimizer"]
+        if minimizer is None and loss is None:
+            # Default path: the whole Nelder-Mead runs as one jitted while_loop (a host NM
+            # costs ~50 ms of tunnel latency per objective evaluation)
+            best, _fbest, _it = _dh_minimize_nm_device(pts_z, rows, cols, raster, res_x, res_y,
+                                                       bool(invert))
+            offset_east = -float(best[0])
+            offset_north = -float(best[1])
+        else:
+            minimizer = minimizer or minimize
+            # Nelder-Mead struggles from exactly (0, 0) (reference :664-666)
+            result = minimizer(objective, (1.0, 1.0), method="Nelder-Mead") if minimizer is minimize \
+                else minimizer(objective, (1.0, 1.0))
+            offset_east = -float(result.x[0])
+            offset_north = -float(result.x[1])
         vshift = float(np.nanmedian(np.asarray(dh_fn(-offset_east / res_x, -offset_north / res_y))))
 
         self._meta["outputs"]["affine"] = {"shift_x": offset_east, "shift_y": offset_north, "shift_z": vshift}
