@@ -19,7 +19,12 @@ if _os.environ.get("XDEM_TPU_PLATFORM"):
 
     _jax.config.update("jax_platforms", _os.environ["XDEM_TPU_PLATFORM"])
 
-_cpu_forced = "cpu" in (_os.environ.get("XDEM_TPU_PLATFORM", "") + _os.environ.get("JAX_PLATFORMS", "")).lower()
+import jax as _jax
+
+# CPU is "forced" only when the resolved platform list leads with cpu (env-list syntax like
+# "tpu,cpu" keeps the cache on; config-API-forced cpu is detected via the jax config value).
+_platforms = (_jax.config.jax_platforms or _os.environ.get("JAX_PLATFORMS", "") or "")
+_cpu_forced = _platforms.split(",")[0].strip().lower() == "cpu"
 if not _os.environ.get("XDEM_TPU_NO_COMPILE_CACHE") and not _cpu_forced:
     # Persistent compilation cache: every new raster shape otherwise costs a fresh XLA compile
     # (3-30 s through a tunneled TPU; warm shapes re-hit the cache across processes). CPU runs

@@ -53,6 +53,17 @@ def _grad_slope_aspect(dem: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return slope_tan, aspect
 
 
+def _warn_if_not_converged(it: int, max_iterations: int, stat: float, tolerance: float,
+                           sx: float, sy: float) -> None:
+    if it >= max_iterations and stat > tolerance:
+        logging.warning(
+            "Nuth and Kääb did not converge after %d iterations (last offset step %.3f px > "
+            "tolerance %.3f px); the estimated shift (%.1f, %.1f) m may be unreliable. "
+            "Moving terrain in the inputs (pass a stable-terrain inlier_mask) is the most "
+            "common cause.", int(it), float(stat), float(tolerance), float(sx), float(sy),
+        )
+
+
 def _count_from_subsample(subsample: float | int, n_valid: int) -> int:
     if subsample <= 1:
         return max(int(subsample * n_valid), 1)
@@ -376,13 +387,7 @@ def nuth_kaab(
         sx, sy, vshift, _stat, it, n_valid, populated = (float(v) for v in res_dev)
         if n_valid == 0:
             raise ValueError("No valid (finite, inlier) pixels in common between the elevation data.")
-        if it >= max_iterations and _stat > tolerance:
-            logging.warning(
-                "Nuth and Kääb did not converge after %d iterations (last offset step %.3f px > "
-                "tolerance %.3f px); the estimated shift (%.1f, %.1f) m may be unreliable. "
-                "Moving terrain in the inputs (pass a stable-terrain inlier_mask) is the most "
-                "common cause.", int(it), _stat, tolerance, sx, sy,
-            )
+        _warn_if_not_converged(int(it), int(max_iterations), _stat, tolerance, sx, sy)
         if populated < n_bins // 4:
             logging.warning(
                 "Only %d/%d aspect bins are well-populated: the terrain faces few directions, so "
@@ -441,13 +446,8 @@ def nuth_kaab(
             "out of overlap, or the solver diverged. Passing subsample=1 keeps every valid pixel "
             "available at each iteration."
         )
-    if int(it) >= int(max_iterations) and float(_stat) > tolerance:
-        logging.warning(
-            "Nuth and Kääb did not converge after %d iterations (last offset step %.3f px > "
-            "tolerance %.3f px); the estimated shift (%.1f, %.1f) m may be unreliable. "
-            "Moving terrain in the inputs (pass a stable-terrain inlier_mask) is the most "
-            "common cause.", int(it), float(_stat), tolerance, float(sx), float(sy),
-        )
+    _warn_if_not_converged(int(it), int(max_iterations), float(_stat), tolerance,
+                           float(sx), float(sy))
     return (float(sx), float(sy), float(vshift)), sub["count"], int(it)
 
 
@@ -646,11 +646,19 @@ def _dh_minimize_nm_device(pts_z, rows, cols, raster, res_x, res_y, invert: bool
                            centroid - 0.5 * (centroid - s[2]))
             fc = f(xc)
             accept = fc < jnp.where(outside, fr, fv[2])
-            s_acc = s.at[2].set(xc)
-            fv_acc = fv.at[2].set(fc)
-            s_shr = jnp.stack([s[0], s[0] + 0.5 * (s[1] - s[0]), s[0] + 0.5 * (s[2] - s[0])])
-            fv_shr = jnp.stack([fv[0], f(s_shr[1]), f(s_shr[2])])
-            return (jnp.where(accept, s_acc, s_shr), jnp.where(accept, fv_acc, fv_shr))
+
+            def accepted(args):
+                s, fv = args
+                return (s.at[2].set(xc), fv.at[2].set(fc))
+
+            def shrink(args):
+                # Only evaluated when the contraction is rejected (cond skips the two extra
+                # objective evaluations on the common accept path)
+                s, fv = args
+                s_shr = jnp.stack([s[0], s[0] + 0.5 * (s[1] - s[0]), s[0] + 0.5 * (s[2] - s[0])])
+                return (s_shr, jnp.stack([fv[0], f(s_shr[1]), f(s_shr[2])]))
+
+            return jax.lax.cond(accept, accepted, shrink, (s, fv))
 
         s_new, fv_new = jax.lax.cond(
             fr < fv[0], expand,

@@ -343,6 +343,21 @@ def two_step_standardization(
     return zscores, error_fun
 
 
+def _coerce_mask(m: Any, ref_raster: Any = None) -> np.ndarray | None:
+    """Normalize a Vector / Raster / boolean-array mask into a boolean numpy array."""
+    from xdem_tpu.vector import Vector
+
+    if m is None:
+        return None
+    if isinstance(m, Vector):
+        if ref_raster is None:
+            raise ValueError("A raster is needed to rasterize vector masks.")
+        return m.create_mask(ref_raster)
+    if isinstance(m, Raster):
+        return np.asarray(m.data) > 0
+    return np.asarray(m, dtype=bool)
+
+
 def _preprocess_values_with_mask_to_array(
     values: Sequence[Any] | Any,
     include_mask: Any = None,
@@ -352,8 +367,6 @@ def _preprocess_values_with_mask_to_array(
 ) -> tuple[list[np.ndarray] | np.ndarray, float | None]:
     """Normalize rasters/arrays + vector or boolean masks into NaN-masked arrays
     (reference :653)."""
-    from xdem_tpu.vector import Vector
-
     single = not isinstance(values, (list, tuple))
     vals_list = [values] if single else list(values)
 
@@ -364,19 +377,8 @@ def _preprocess_values_with_mask_to_array(
     if gsd is None and ref_raster is not None:
         gsd = ref_raster.res[0]
 
-    def _to_mask(m: Any) -> np.ndarray | None:
-        if m is None:
-            return None
-        if isinstance(m, Vector):
-            if ref_raster is None:
-                raise ValueError("A raster is needed to rasterize vector masks.")
-            return m.create_mask(ref_raster)
-        if isinstance(m, Raster):
-            return np.asarray(m.data) > 0
-        return np.asarray(m, dtype=bool)
-
-    inc = _to_mask(include_mask)
-    exc = _to_mask(exclude_mask)
+    inc = _coerce_mask(include_mask, ref_raster)
+    exc = _coerce_mask(exclude_mask, ref_raster)
     stable = np.ones(arrays[0].shape, dtype=bool)
     if inc is not None:
         stable &= inc
@@ -441,19 +443,10 @@ def infer_heteroscedasticity_from_stable(
     device_ok = (
         subsample is not None
         and isinstance(dvalues, Raster)
-        and all(isinstance(v, Raster) or hasattr(v, "device") for v in list_var)
+        and all(isinstance(v, (Raster, jax.Array)) for v in list_var)
     )
     if device_ok:
-        from xdem_tpu.vector import Vector
-
-        def _mask_np(m):
-            if m is None:
-                return None
-            if isinstance(m, Vector):
-                return m.create_mask(dvalues)
-            if isinstance(m, Raster):
-                return np.asarray(m.data) > 0
-            return np.asarray(m, dtype=bool)
+        _mask_np = lambda m: _coerce_mask(m, dvalues)  # noqa: E731
 
         d_j = jnp.asarray(dvalues.data, jnp.float32)
         vars_j = [jnp.asarray(v.data if isinstance(v, Raster) else v, jnp.float32) for v in list_var]
@@ -1184,16 +1177,7 @@ def infer_spatial_correlation_from_stable(
     if isinstance(dvalues, Raster) and isinstance(errors, Raster):
         # Standardize on device and cross the host boundary once: dh / sigma with the stable
         # mask applied is one elementwise kernel, vs pulling both full rasters separately.
-        from xdem_tpu.vector import Vector
-
-        def _mask_np(m):
-            if m is None:
-                return None
-            if isinstance(m, Vector):
-                return m.create_mask(dvalues)
-            if isinstance(m, Raster):
-                return np.asarray(m.data) > 0
-            return np.asarray(m, dtype=bool)
+        _mask_np = lambda m: _coerce_mask(m, dvalues)  # noqa: E731
 
         z = jnp.asarray(dvalues.data, jnp.float32) / jnp.asarray(errors.data, jnp.float32)
         inc = _mask_np(stable_mask)

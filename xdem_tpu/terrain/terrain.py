@@ -68,7 +68,14 @@ def get_terrain_attribute(
     terrain.TilingConfig, the analog of the reference's mp_config) streams out-of-core row
     bands into per-attribute GeoTIFFs and returns their paths instead of arrays.
     """
+    # Deprecated alias (must run before any dispatch so tiled= sees the resolved fit)
+    if slope_method is not None:
+        warnings.warn("'slope_method' is deprecated, use 'surface_fit' instead.", DeprecationWarning, stacklevel=2)
+        surface_fit = slope_method
+
     if tiled is not None:
+        if mesh is not None:
+            raise ValueError("tiled= (out-of-core streaming) and mesh= (device sharding) are exclusive.")
         from xdem_tpu.terrain.tiled import tiled_terrain_attribute
 
         return tiled_terrain_attribute(
@@ -77,11 +84,8 @@ def get_terrain_attribute(
             window_size=window_size, window_size_fractal=window_size_fractal,
             degrees=degrees, hillshade_altitude=hillshade_altitude,
             hillshade_azimuth=hillshade_azimuth, hillshade_z_factor=hillshade_z_factor,
+            engine=engine,
         )
-    # Deprecated alias
-    if slope_method is not None:
-        warnings.warn("'slope_method' is deprecated, use 'surface_fit' instead.", DeprecationWarning, stacklevel=2)
-        surface_fit = slope_method
 
     single = isinstance(attribute, str)
     attrs = [attribute] if single else list(attribute)
