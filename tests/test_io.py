@@ -225,3 +225,40 @@ class TestStreamingIO:
         write_raster(p, r)  # DEFLATE-compressed by the native codec
         with pytest.raises(OSError, match="uncompressed|missing TIFF tag"):
             read_rows(p, 0, 5)
+
+
+class TestMetadataTags:
+    def test_tags_roundtrip(self, tmp_path):
+        from xdem_tpu.georef import Affine
+        from xdem_tpu.io import read_raster
+        from xdem_tpu.raster import Raster
+
+        r = Raster(np.ones((20, 30), np.float32), Affine(10.0, 0, 0, 0, -10.0, 200.0), 32633)
+        r.tags["PRODUCT"] = "COPDEM"
+        p = str(tmp_path / "t.tif")
+        r.save(p)
+        back = read_raster(p)
+        assert back.tags["PRODUCT"] == "COPDEM"
+
+    def test_dem_vcrs_persists_through_file(self, tmp_path):
+        from xdem_tpu.dem import DEM
+        from xdem_tpu.georef import Affine
+
+        dem = DEM(np.ones((10, 10), np.float32), Affine(10.0, 0, 0, 0, -10.0, 100.0), 32633)
+        dem.set_vcrs("EGM96")
+        p = str(tmp_path / "d.tif")
+        dem.save(p)
+        back = DEM.open(p)
+        assert back.vcrs_name == "EGM96"
+
+    def test_product_tag_sets_vcrs_on_open(self, tmp_path):
+        from xdem_tpu.dem import DEM
+        from xdem_tpu.georef import Affine
+        from xdem_tpu.raster import Raster
+
+        r = Raster(np.ones((10, 10), np.float32), Affine(10.0, 0, 0, 0, -10.0, 100.0), 32633)
+        r.tags["PRODUCT"] = "COPDEM"
+        p = str(tmp_path / "c.tif")
+        r.save(p)
+        dem = DEM.open(p)
+        assert dem.vcrs_name == "EGM08"  # COPDEM -> EGM08 (reference vcrs table)

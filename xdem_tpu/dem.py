@@ -35,7 +35,10 @@ class DEM(Raster):
     def __init__(self, *args: Any, vcrs: Any = None, **kwargs: Any):
         super().__init__(*args, **kwargs)
         self._vcrs = None
-        # Parse vcrs priority: user input > product tag (reference dem.py:150-173)
+        # Parse vcrs priority: user input > VCRS file tag > product tag
+        # (reference dem.py:150-173; the VCRS tag is our file-persistence of set_vcrs)
+        if vcrs is None:
+            vcrs = self.tags.get("VCRS")
         if vcrs is None:
             product = self.tags.get("PRODUCT")
             if product is not None:
@@ -86,6 +89,12 @@ class DEM(Raster):
         if self._vcrs is None:
             return None
         return f"{self.crs!r} + {self._vcrs}"
+
+    def save(self, path: str, **kwargs) -> None:
+        """Write the DEM as GeoTIFF, persisting the vertical CRS in the file metadata."""
+        if self._vcrs is not None:
+            self.tags["VCRS"] = str(self._vcrs)
+        super().save(path, **kwargs)
 
     def info(self, verbose: bool = False) -> str:
         """Summary of the DEM's georeferencing (reference Raster.info/dem parity).

@@ -65,9 +65,12 @@ def _lib() -> ctypes.CDLL:
             ctypes.c_int32,
             ctypes.c_double,
             ctypes.c_int32,
+            ctypes.c_char_p,
         ]
         lib.gt_write.restype = ctypes.c_int
         lib.gt_last_error.restype = ctypes.c_char_p
+        lib.gt_metadata.argtypes = [ctypes.c_char_p]
+        lib.gt_metadata.restype = ctypes.c_char_p
         _LIB = lib
     return _LIB
 
@@ -95,7 +98,15 @@ def read_raster(path: str, raster_cls=None):
             data = np.where(data == np.float32(nodata), np.nan, data)
     transform = Affine(*info.transform)
     crs = int(info.epsg) if info.epsg else 4326
-    out = raster_cls(data, transform=transform, crs=crs, nodata=nodata)
+    md = lib.gt_metadata(path.encode()).decode(errors="replace")
+    tags = {}
+    if md:
+        import re as _re
+
+        tags = {m.group(1): m.group(2)
+                for m in _re.finditer(r'<Item name="([^"]+)">([^<]*)</Item>', md)}
+    # Tags must reach the constructor: DEM parses its vertical CRS from them at init
+    out = raster_cls(data, transform=transform, crs=crs, nodata=nodata, tags=tags)
     return out
 
 
@@ -107,6 +118,12 @@ def write_raster(path: str, raster, nodata: float | None = None) -> None:
     data = np.where(np.isfinite(data), data, np.float32(use_nodata))
     transform = (ctypes.c_double * 6)(*[float(v) for v in tuple(raster.transform)])
     epsg = int(raster.crs.epsg) if raster.crs is not None else 0
+    tags = getattr(raster, "tags", None) or {}
+    if tags:
+        items = "".join(f'<Item name="{k}">{v}</Item>' for k, v in sorted(tags.items()))
+        metadata = f"<GDALMetadata>{items}</GDALMetadata>".encode()
+    else:
+        metadata = b""
     rc = lib.gt_write(
         path.encode(),
         data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
@@ -116,6 +133,7 @@ def write_raster(path: str, raster, nodata: float | None = None) -> None:
         epsg,
         float(use_nodata),
         1,
+        metadata,
     )
     if rc != 0:
         raise OSError(f"Cannot write GeoTIFF '{path}': {_err()}")

@@ -259,6 +259,10 @@ struct GtInfo {
 
 const char* gt_last_error() { return g_last_error.c_str(); }
 
+// GDAL metadata XML (tag 42112), empty string when absent; static buffer like gt_last_error.
+static std::string g_metadata;
+const char* gt_metadata(const char* path);
+
 // Parse header + georeferencing only; returns 0 on success.
 int gt_info(const char* path, GtInfo* info) {
     Tiff t;
@@ -474,7 +478,8 @@ int gt_read(const char* path, float* out) {
 
 // Write a single-band float32 GeoTIFF with DEFLATE strips; returns 0 on success.
 int gt_write(const char* path, const float* data, uint32_t height, uint32_t width,
-             const double* transform, int32_t epsg, double nodata, int32_t has_nodata) {
+             const double* transform, int32_t epsg, double nodata, int32_t has_nodata,
+             const char* metadata) {
     // Compress each strip (64 rows) with zlib
     const uint32_t rps = 64;
     uint32_t n_strips = (height + rps - 1) / rps;
@@ -582,6 +587,12 @@ int gt_write(const char* path, const float* data, uint32_t height, uint32_t widt
         tags.push_back({42113, 2, (uint32_t)nodata_str.size(), 0});
         add_payload(std::vector<uint8_t>(nodata_str.begin(), nodata_str.end()));
     }
+    if (metadata && metadata[0]) {
+        std::string md(metadata);
+        md.push_back('\0');
+        tags.push_back({42112, 2, (uint32_t)md.size(), 0});  // GDAL_METADATA
+        add_payload(std::vector<uint8_t>(md.begin(), md.end()));
+    }
     (void)ps_tag; (void)tp_tag; (void)gk_tag; (void)nd_tag; (void)n_tags;
 
     // Sort tags ascending (TIFF requirement); remember payload tag-index remapping
@@ -674,6 +685,23 @@ int gt_write(const char* path, const float* data, uint32_t height, uint32_t widt
     }
     fclose(f);
     return 0;
+}
+
+const char* gt_metadata(const char* path) {
+    g_metadata.clear();
+    Tiff t;
+    if (!read_file(path, t.buf)) return g_metadata.c_str();
+    t.big_endian = (t.buf[0] == 'M');
+    if (t.buf.size() < 8) return g_metadata.c_str();
+    std::vector<Ifd_entry> e;
+    if (!parse_ifd(t, t.u32(4), e)) return g_metadata.c_str();
+    const Ifd_entry* md = find_tag(e, 42112);
+    if (md && !md->data.empty()) {
+        g_metadata.assign(reinterpret_cast<const char*>(md->data.data()), md->data.size());
+        // Trim the trailing NUL(s)
+        while (!g_metadata.empty() && g_metadata.back() == '\0') g_metadata.pop_back();
+    }
+    return g_metadata.c_str();
 }
 
 }  // extern "C"

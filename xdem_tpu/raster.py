@@ -44,6 +44,7 @@ class Raster:
         crs: CRS | int | str,
         nodata: float | None = None,
         area_or_point: Literal["Area", "Point"] = "Area",
+        tags: dict[str, str] | None = None,
     ):
         arr = jnp.asarray(data)
         if arr.ndim != 2:
@@ -55,7 +56,7 @@ class Raster:
         self.crs = CRS(crs)
         self.nodata = nodata
         self.area_or_point = area_or_point
-        self.tags: dict[str, str] = {}
+        self.tags: dict[str, str] = dict(tags or {})
 
     # ---------------------------------------------------------------- constructors
 
