@@ -431,3 +431,38 @@ class TestInterpNdBinning3D:
         qs = (rng.uniform(0, 10, 7), rng.uniform(-4, 4, 7), rng.uniform(100, 200, 7))
         assert np.asarray(f(qs)).shape == (7,)
         assert np.isfinite(np.asarray(f(qs))).all()
+
+
+class TestHeteroscedasticityDevicePath:
+    def test_device_path_matches_host_path(self):
+        """The device-resident fast path (top_k subsample + device sigma interpolation) must
+        agree with the host path (np choice + scipy RGI) on the same Raster inputs."""
+        from xdem_tpu.georef import Affine
+        from xdem_tpu.raster import Raster
+
+        rng = np.random.default_rng(9)
+        n = 300
+        slope = np.tile(np.linspace(0, 20, n), (n, 1)).astype(np.float32)
+        sigma_true = 0.4 + 0.08 * slope
+        dh = (rng.normal(size=(n, n)) * sigma_true).astype(np.float32)
+        t = Affine(20.0, 0, 0, 0, -20.0, n * 20.0)
+        dh_r = Raster(dh, t, 32633)
+        slope_r = Raster(slope, t, 32633)
+
+        # Device path (Raster inputs + subsample)
+        sig_dev, fun_dev, _ = ss.infer_heteroscedasticity_from_stable(
+            dh_r, [slope_r], list_var_names=["slope"], subsample=60000, random_state=42
+        )
+        # Host path (plain arrays)
+        sig_host, fun_host, _ = ss.infer_heteroscedasticity_from_stable(
+            dh, [slope.astype(np.float64)], list_var_names=["slope"],
+            subsample=60000, random_state=42,
+        )
+        q = np.array([3.0, 10.0, 17.0])
+        np.testing.assert_allclose(fun_dev(q), fun_host(q), rtol=0.1)
+        np.testing.assert_allclose(fun_dev(q), 0.4 + 0.08 * q, rtol=0.15)
+        # Device sigma raster == device error function evaluated over the grid
+        d = np.asarray(sig_dev.data)
+        h = fun_dev(slope)
+        both = np.isfinite(d) & np.isfinite(h)
+        np.testing.assert_allclose(d[both], h[both], rtol=5e-3, atol=5e-3)
