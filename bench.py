@@ -245,20 +245,23 @@ def bench_table() -> list[dict]:
                  "value": round(best, 3), "unit": "s", "vs_baseline": None})
 
     # Config 5: uncertainty pipeline (heteroscedasticity + variogram) on the bundled pair
-    def uncert():
+    def uncert(seed):
         dem_r = examples.get_ref_dem()
         sig, rho = dem_r.estimate_uncertainty(
             examples.get_tba_dem(), stable_terrain=~examples.get_glacier_mask(),
-            random_state=42, subsample=10000,
+            random_state=seed, subsample=10000,
         )
-        return float(np.nanmedian(np.asarray(sig.data)))
+        return float(np.nanmedian(np.asarray(sig.data[::10, ::10])))
 
     t0 = time.perf_counter()
-    uncert()
-    dt = time.perf_counter() - t0
-    log(f"uncertainty pipeline 985x1332: {dt:.1f}s (incl. compiles)")
+    uncert(42)
+    first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    uncert(43)
+    steady = time.perf_counter() - t0
+    log(f"uncertainty pipeline 985x1332: first {first:.1f}s, steady {steady:.1f}s")
     rows.append({"metric": "uncertainty_pipeline_985x1332_seconds",
-                 "value": round(dt, 2), "unit": "s", "vs_baseline": None})
+                 "value": round(steady, 2), "unit": "s", "vs_baseline": None})
     return rows
 
 
