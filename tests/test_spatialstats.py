@@ -466,3 +466,31 @@ class TestHeteroscedasticityDevicePath:
         h = fun_dev(slope)
         both = np.isfinite(d) & np.isfinite(h)
         np.testing.assert_allclose(d[both], h[both], rtol=5e-3, atol=5e-3)
+
+
+class TestShardedGenton:
+    def test_sharded_genton_mesh_invariant(self):
+        """Genton on 8 devices equals 1 device exactly: the 400-sample reservoir is selected
+        by deterministic global-index scores, so any mesh picks the identical sample."""
+        import jax
+        from jax.sharding import Mesh
+
+        from xdem_tpu.parallel.variogram import sharded_variogram_bins
+
+        rng = np.random.default_rng(14)
+        R, N, M = 8, 50, 90
+        sigma = 1.5
+        za = rng.normal(0, sigma, (R, N)).astype(np.float32)
+        zb = rng.normal(0, sigma, (R, M)).astype(np.float32)
+        ca = rng.uniform(0, 1000, (R, N, 2)).astype(np.float32)
+        cb = rng.uniform(0, 1000, (R, M, 2)).astype(np.float32)
+        edges = [0.0, 400.0, 900.0, 1500.0]
+        mesh8 = Mesh(np.asarray(jax.devices()[:8]), axis_names=("p",))
+        mesh1 = Mesh(np.asarray(jax.devices()[:1]), axis_names=("p",))
+        g8, c8 = sharded_variogram_bins(za, zb, ca, cb, edges, mesh8, estimator="genton")
+        g1, c1 = sharded_variogram_bins(za, zb, ca, cb, edges, mesh1, estimator="genton")
+        np.testing.assert_array_equal(c8, c1)
+        np.testing.assert_allclose(g8, g1, rtol=1e-6, equal_nan=True)
+        # White noise: Qn-based variogram sits near the sill = sigma^2
+        ok = c8 > 500
+        assert np.allclose(g8[ok], sigma**2, rtol=0.25)

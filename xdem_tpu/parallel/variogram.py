@@ -72,18 +72,79 @@ def _median_by_bin_distributed(d, parked, counts, n_bins, axis):
     return 0.5 * (m_lo + m_hi)
 
 
+_GENTON_CAP = 400  # single-chip _binned_genton subsamples each bin to 400 values
+
+
+def _genton_distributed(d, parked, counts, run0, n_local_runs, n, m, n_bins, axis):
+    """Genton (1998) Qn per lag bin with a distributed uniform reservoir.
+
+    The single-chip estimator subsamples each bin to 400 values before the O(n^2) Qn; here
+    each pair gets a deterministic pseudo-random score from its GLOBAL index (golden-ratio
+    scrambling), every shard keeps its local top-400 per bin, and an all_gather + merge takes
+    the global top-400 — the same uniform-without-replacement sample regardless of mesh
+    size, so any device count produces identical results.
+    """
+    # Global pair index -> deterministic uniform score in [0, 1)
+    local_run = jnp.arange(n_local_runs, dtype=jnp.uint32)[:, None, None]
+    ii = jnp.arange(n, dtype=jnp.uint32)[None, :, None]
+    jj = jnp.arange(m, dtype=jnp.uint32)[None, None, :]
+    gidx = ((run0.astype(jnp.uint32) + local_run) * jnp.uint32(n * m)
+            + ii * jnp.uint32(m) + jj).ravel()
+    golden = jnp.uint32(2654435769)  # 2^32 / phi (Knuth multiplicative hash)
+    score = ((gidx * golden) >> jnp.uint32(8)).astype(jnp.float32) / jnp.float32(1 << 24)
+    score = jnp.where(parked < n_bins, score, -1.0)
+
+    # Local top-CAP per bin: one lexsort by (bin, -score), then gather per-bin segment heads
+    order = jnp.lexsort((-score, parked))
+    d_s = d[order]
+    score_s = score[order]
+    counts_local = jnp.bincount(parked, length=n_bins + 1)[:n_bins]
+    starts = jnp.cumsum(counts_local) - counts_local
+    take = jnp.minimum(counts_local, _GENTON_CAP)
+    offs = jnp.arange(_GENTON_CAP)[None, :]
+    pos = jnp.clip(starts[:, None] + offs, 0, d.size - 1)
+    loc_vals = jnp.where(offs < take[:, None], d_s[pos], jnp.nan)
+    loc_scores = jnp.where(offs < take[:, None], score_s[pos], -1.0)
+
+    # Merge across shards: global top-CAP by score per bin
+    all_vals = jax.lax.all_gather(loc_vals, axis)      # (n_dev, n_bins, CAP)
+    all_scores = jax.lax.all_gather(loc_scores, axis)
+    n_dev = all_vals.shape[0]
+    merged_v = jnp.transpose(all_vals, (1, 0, 2)).reshape(n_bins, n_dev * _GENTON_CAP)
+    merged_s = jnp.transpose(all_scores, (1, 0, 2)).reshape(n_bins, n_dev * _GENTON_CAP)
+    top = jnp.argsort(-merged_s, axis=1)[:, :_GENTON_CAP]
+    x = jnp.take_along_axis(merged_v, top, axis=1)          # (n_bins, CAP), NaN-padded
+    n_samp = jnp.minimum(counts, _GENTON_CAP)
+
+    # Qn: k-th smallest of the upper-triangle pairwise |x_i - x_j|, k = C(h, 2), h = n//2 + 1
+    diffs = jnp.abs(x[:, :, None] - x[:, None, :])
+    iu = jnp.arange(_GENTON_CAP)
+    upper = iu[None, :, None] < iu[None, None, :]
+    valid_pair = jnp.isfinite(diffs) & upper
+    flat = jnp.where(valid_pair, diffs, jnp.inf).reshape(n_bins, -1)
+    flat = jnp.sort(flat, axis=1)
+    h = n_samp // 2 + 1
+    k = (h * (h - 1)) // 2
+    n_pairs = (n_samp * (n_samp - 1)) // 2
+    k = jnp.clip(jnp.maximum(k, 1), 1, jnp.maximum(n_pairs, 1))
+    qn = jnp.take_along_axis(flat, (k - 1)[:, None].astype(jnp.int32), axis=1)[:, 0]
+    gamma = (2.2191 * qn) ** 2 / 2
+    return jnp.where(counts > 1, gamma, jnp.nan)
+
+
 def _pair_bins(za, zb, ca, cb, edges, n_bins):
-    """Flattened |pair diff| and lag-bin index over batched (R_local, N, M) pairwise blocks."""
-    diffs = za[:, :, None] - zb[:, None, :]
+    """Flattened pair diffs (absolute and signed) and lag-bin index over batched
+    (R_local, N, M) pairwise blocks."""
+    diffs = (za[:, :, None] - zb[:, None, :]).ravel()
     d2 = jnp.sum((ca[:, :, None, :] - cb[:, None, :, :]) ** 2, axis=-1)
     dists = jnp.sqrt(d2)
     dists = jnp.where(dists <= 0, jnp.nan, dists)
-    d = jnp.abs(diffs.ravel())
+    d = jnp.abs(diffs)
     h = dists.ravel()
     valid = jnp.isfinite(d) & jnp.isfinite(h) & (h >= edges[0]) & (h <= edges[-1])
     idx = jnp.clip(jnp.searchsorted(edges, h, side="right") - 1, 0, n_bins - 1)
     parked = jnp.where(valid, idx, n_bins)
-    return d, parked, valid
+    return d, diffs, parked, valid
 
 
 def sharded_variogram_bins(
@@ -116,8 +177,16 @@ def sharded_variogram_bins(
     edges = jnp.asarray(np.asarray(bin_edges, dtype=np.float32))
     n_bins = len(bin_edges) - 1
 
-    if estimator not in ("matheron", "cressie", "dowd"):
+    if estimator not in ("matheron", "cressie", "dowd", "genton"):
         raise ValueError(f"Estimator '{estimator}' not supported for the sharded variogram.")
+    n_local_runs = (R + pad) // n_dev
+    n_pts, m_pts = za.shape[1], zb.shape[1]
+
+    # genton computes its result from an all_gather'd reservoir: the output IS replicated,
+    # but shard_map's static replication checker cannot prove it — disable the check there.
+    _smap_kwargs = {}
+    if estimator == "genton":
+        _smap_kwargs = {"check_vma": False}
 
     @jax.jit
     @partial(
@@ -125,9 +194,10 @@ def sharded_variogram_bins(
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis)),
         out_specs=(P(), P()),
+        **_smap_kwargs,
     )
     def run(za_s, zb_s, ca_s, cb_s):
-        d, parked, valid = _pair_bins(za_s, zb_s, ca_s, cb_s, edges, n_bins)
+        d, d_signed, parked, valid = _pair_bins(za_s, zb_s, ca_s, cb_s, edges, n_bins)
         counts = jax.lax.psum(jnp.bincount(parked, length=n_bins + 1)[:n_bins], axis)
         if estimator == "matheron":
             acc = jnp.bincount(parked, weights=jnp.where(valid, d * d, 0.0), length=n_bins + 1)[:n_bins]
@@ -135,6 +205,12 @@ def sharded_variogram_bins(
         if estimator == "cressie":
             acc = jnp.bincount(parked, weights=jnp.where(valid, jnp.sqrt(d), 0.0), length=n_bins + 1)[:n_bins]
             return jax.lax.psum(acc, axis), counts
+        if estimator == "genton":
+            # Qn is a scale estimator of the SIGNED pair differences (like the single-chip
+            # _binned_genton): gamma = Qn(d_signed)^2 / 2 estimates the semivariance
+            run0 = jax.lax.axis_index(axis) * n_local_runs
+            return _genton_distributed(d_signed, parked, counts, run0, n_local_runs,
+                                       n_pts, m_pts, n_bins, axis), counts
         # dowd: exact global per-bin median via distributed bit-space selection
         med = _median_by_bin_distributed(d, parked, counts, n_bins, axis)
         return med, counts
@@ -151,6 +227,8 @@ def sharded_variogram_bins(
         elif estimator == "cressie":
             n = np.maximum(counts_np, 1)
             gamma = np.where(counts_np > 0, ((acc / n) ** 4) / (0.457 + 0.494 / n + 0.045 / n**2) / 2, np.nan)
+        elif estimator == "genton":
+            gamma = acc  # already finalized on device
         else:  # dowd on the exact global median
             gamma = np.where(counts_np > 0, 2.198 * acc**2 / 2, np.nan)
     return gamma, counts_np
