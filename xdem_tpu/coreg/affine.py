@@ -1114,6 +1114,36 @@ def _cpd_em_step(X: jnp.ndarray, Y: jnp.ndarray, TY: jnp.ndarray, weight_cpd: fl
     return R, t, new_sigma2, q
 
 
+@partial(jax.jit, static_argnames=("only_translation", "max_iterations"))
+def _cpd_solve(X, Y, weight_cpd, sigma2_init, sigma2_min, tolerance, max_iterations: int,
+               only_translation: bool):
+    """The full CPD EM iteration as one lax.while_loop (reference re-fits the whole transform
+    each step, no compounding). Returns (R, t, iterations, degenerate_flag)."""
+
+    def cond(c):
+        R, t, s2, q, it, stat = c
+        return (it < max_iterations) & ~((it > 2) & (stat < tolerance))
+
+    def body(c):
+        R, t, s2, q, it, _ = c
+        # TY = R^T (y + t) for row vectors; the previous step's matrix is [R | -t], and its
+        # rigid inverse is [R^T | R^T t] (no SVD needed: R is det-corrected orthonormal)
+        TY = (Y + t[None, :]) @ R
+        Rn, tn, s2n, qn = _cpd_em_step(X, Y, TY, weight_cpd, s2, sigma2_min,
+                                       only_translation=only_translation)
+        ok = jnp.all(jnp.isfinite(Rn)) & jnp.all(jnp.isfinite(tn))
+        stat = jnp.abs(qn - q)
+        # Degenerate EM (variance collapse): keep the previous estimate and force a stop
+        return (jnp.where(ok, Rn, R), jnp.where(ok, tn, t), jnp.where(ok, s2n, s2),
+                jnp.where(ok, qn, q), it + 1, jnp.where(ok, stat, -jnp.inf))
+
+    init = (jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32),
+            jnp.asarray(sigma2_init, jnp.float32), jnp.asarray(jnp.inf, jnp.float32),
+            jnp.asarray(0), jnp.asarray(jnp.inf, jnp.float32))
+    R, t, s2, q, it, stat = jax.lax.while_loop(cond, body, init)
+    return R, t, it, stat == -jnp.inf
+
+
 def cpd(
     ref_elev: Any,
     tba_elev: Any,
@@ -1142,34 +1172,24 @@ def cpd(
     X = jnp.asarray(ref_epc.T, dtype=jnp.float32)
     Y = jnp.asarray(tba_epc.T, dtype=jnp.float32)
 
-    matrix = np.eye(4)
-    q = np.inf
     # Initialize variance as mean pairwise squared distance (reference :1216-1218)
     diff2 = float(jnp.mean(jnp.sum(Y * Y, axis=1)) + jnp.mean(jnp.sum(X * X, axis=1))
                   - 2 * float(jnp.mean(Y @ jnp.mean(X, axis=0))))
-    sigma2 = jnp.asarray(diff2, dtype=jnp.float32)
-    for it in range(max_iterations):
-        TY = jnp.asarray(_apply_matrix_pts_mat(tba_epc, matrix=matrix, invert=True).T, dtype=jnp.float32)
-        R, t, sigma2, new_q = _cpd_em_step(X, Y, TY, float(weight_cpd), sigma2, float(sigma2_min),
-                                           only_translation=only_translation)
-        R_np = np.asarray(R, dtype=np.float64)
-        t_np = np.asarray(t, dtype=np.float64)
-        if not (np.all(np.isfinite(R_np)) and np.all(np.isfinite(t_np))):
-            # Responsibilities underflow once the variance collapses (e.g. near-identical
-            # clouds); the previous estimate is the converged answer.
-            logging.warning(
-                "CPD EM step became degenerate (variance collapsed) at iteration %d; "
-                "stopping with the previous estimate.", it + 1,
-            )
-            break
-        new_matrix = np.eye(4)
-        new_matrix[:3, :3] = R_np
-        new_matrix[:3, 3] = -t_np
-        stat = abs(float(new_q) - q)
-        matrix, q = new_matrix, float(new_q)
-        logging.info("CPD iteration %d: objective change %.6f", it + 1, stat)
-        if it > 1 and stat < tolerance:
-            break
+    # The full EM iteration runs as ONE jitted while_loop (a host loop pays ~50 ms of tunnel
+    # latency per step)
+    R_d, t_d, it_d, degenerate = _cpd_solve(
+        X, Y, float(weight_cpd), diff2, float(sigma2_min), float(tolerance),
+        int(max_iterations), bool(only_translation),
+    )
+    if bool(degenerate):
+        logging.warning(
+            "CPD EM step became degenerate (variance collapsed) at iteration %d; "
+            "stopping with the previous estimate.", int(it_d),
+        )
+    logging.info("CPD converged in %d iterations", int(it_d))
+    matrix = np.eye(4)
+    matrix[:3, :3] = np.asarray(R_d, dtype=np.float64)
+    matrix[:3, 3] = -np.asarray(t_d, dtype=np.float64)
 
     final_matrix = invert_matrix(matrix)
     final_matrix[:3, 3] *= std_fac
