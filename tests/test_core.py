@@ -175,6 +175,19 @@ class TestExamplePaths:
         with pytest.raises(ValueError, match="not in available"):
             ex.get_path("bogus_dataset")
 
+    def test_get_all_data(self, tmp_path):
+        """get_all_data generates every dataset and can copy them out (reference
+        examples.py:204-212)."""
+        import os
+
+        from xdem_tpu import examples as ex
+
+        out = ex.get_all_data(output_dir=str(tmp_path / "copyto"))
+        files = os.listdir(out)
+        # One file per available dataset, names preserved
+        for name in ex.available:
+            assert any(f.startswith(name) for f in files), name
+
 
 class TestConicAndDatumCRS:
     """LCC / Albers / non-WGS84 UTM datums, validated by self-consistent oracles:

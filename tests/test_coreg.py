@@ -661,3 +661,49 @@ def test_cpd_degenerate_em_stops_gracefully(ref_tba, caplog):
     with caplog.at_level(logging.WARNING):
         c.fit(ref_tba, tba, random_state=42)
     assert np.all(np.isfinite(c.meta["outputs"]["affine"]["matrix"]))
+
+
+def test_is_translation(ref_tba):
+    """is_translation: None before fit, True for shift methods, False after a rotation fit
+    (reference base.py:2036-2050)."""
+    c = coreg.NuthKaab()
+    assert c.is_translation is None
+    tba = _shifted(ref_tba, 12.0, -8.0, 2.0)
+    c.fit(ref_tba, tba, random_state=42)
+    assert c.is_translation is True
+
+    rot = coreg.LZD()
+    m = matrix_from_translations_rotations(5, 3, 1, 0.2, 0.1, 0.05)
+    rotated = apply_matrix(ref_tba, m)
+    rot.fit(ref_tba, rotated, subsample=50000, random_state=42)
+    assert rot.is_translation is False
+
+
+class TestFunctionalEntryPoints:
+    """Module-level functional forms mirroring the reference's (affine.py:677,721)."""
+
+    def test_vertical_shift_function(self, ref_tba):
+        from xdem_tpu.coreg.affine import vertical_shift
+
+        tba = ref_tba + 3.5
+        vshift, count = vertical_shift(
+            np.asarray(ref_tba.data), np.asarray(tba.data), None, ref_tba.transform,
+            subsample=1.0, random_state=42,
+        )
+        assert vshift == pytest.approx(-3.5, abs=1e-3)
+        assert count > 0
+
+    def test_dh_minimize_function(self, ref_tba):
+        from xdem_tpu.coreg.affine import dh_minimize
+
+        sx, sy, sz = 14.0, -8.0, 2.0
+        tba = _shifted(ref_tba, sx, sy, sz)
+        (east, north, vert), count = dh_minimize(
+            np.asarray(ref_tba.data), np.asarray(tba.data), None, ref_tba.transform,
+            subsample=50000, random_state=42,
+        )
+        mag = np.hypot(sx, sy)
+        assert east == pytest.approx(-sx, abs=0.05 * mag)
+        assert north == pytest.approx(-sy, abs=0.05 * mag)
+        assert vert == pytest.approx(-sz, abs=0.2)
+        assert count > 0

@@ -120,9 +120,24 @@ class TestDDEM:
         arr = rng.normal(5, 1, (40, 40)).astype(np.float32)
         arr[10:14, 10:14] = np.nan
         d = dDEM(Raster(arr, Affine.from_origin(0, 400, 10, 10), 32633))
+        # Gappy and not yet interpolated: filled_data is None (reference ddem.py:118-131)
+        assert d.filled_data is None
+        assert d.fill_method == ""
         filled = d.interpolate(method="idw")
         assert np.isfinite(filled[11, 11])
         assert d.filled_data is not None
+        assert d.fill_method == "idw"
+
+    def test_filled_data_semantics(self, rng):
+        arr = rng.normal(5, 1, (20, 20)).astype(np.float32)
+        d = dDEM(Raster(arr, Affine.from_origin(0, 200, 10, 10), 32633))
+        # Gap-free: filled_data is the original data without interpolating
+        np.testing.assert_array_equal(d.filled_data, arr)
+        # Setter validates size
+        with pytest.raises(ValueError, match="differs from the data shape"):
+            d.filled_data = np.zeros((3, 3))
+        d.filled_data = np.zeros(arr.size)
+        assert d.filled_data.shape == arr.shape
 
 
 class TestDEMCollection:
@@ -136,6 +151,8 @@ class TestDEMCollection:
         d2 = DEM(base - 12, t, 32633)
         times = [datetime.datetime(y, 8, 1) for y in (1990, 2000, 2010)]
         col = DEMCollection([d0, d1, d2], timestamps=times, reference_dem=0)
+        assert col.reference_dem is d0
+        assert col.reference_timestamp == times[0]
         ddems = col.subtract_dems_intervalwise()
         assert len(ddems) == 2
         dh = col.get_dh_series(nans_ok=True)

@@ -494,6 +494,30 @@ class AffineCoreg(Coreg):
         return self._meta["outputs"].get("affine", {}).get("centroid")
 
 
+def vertical_shift(
+    ref_elev: Any,
+    tba_elev: Any,
+    inlier_mask: np.ndarray | None,
+    transform: Affine,
+    subsample: float | int,
+    random_state: int | None,
+    vshift_reduc_func: Callable[[np.ndarray], Any] = np.median,
+    z_name: str = "z",
+) -> tuple[float, int]:
+    """Vertical shift coregistration for any point-raster or raster-raster input
+    (reference affine.py:721): reduce the subsampled elevation differences.
+
+    :return: (vertical shift in georeferenced units, final subsample count).
+    """
+    logging.info("Running vertical shift coregistration")
+    sub = _subsample_pair(ref_elev, tba_elev, inlier_mask, transform,
+                          subsample, random_state, z_name=z_name)
+    dh = np.asarray(_dh_device(jnp.asarray(sub["pts_z"]), jnp.asarray(sub["rows"]),
+                               jnp.asarray(sub["cols"]), sub["raster"], 0.0, 0.0, sub["invert"]))
+    dh = dh[np.isfinite(dh)]
+    return float(vshift_reduc_func(dh)), sub["count"]
+
+
 class VerticalShift(AffineCoreg):
     """Vertical translation alignment (reference affine.py:2002). Default reductor: median."""
 
@@ -509,16 +533,13 @@ class VerticalShift(AffineCoreg):
         self._fit_any(ref_elev, tba_elev, inlier_mask, transform, z_name=z_name)
 
     def _fit_any(self, ref_elev, tba_elev, inlier_mask, transform, z_name="z"):
-        logging.info("Running vertical shift coregistration")
         p = self._meta["inputs"]["random"]
-        sub = _subsample_pair(ref_elev, tba_elev, inlier_mask, transform,
-                              p["subsample"], p["random_state"], z_name=z_name)
-        dh = np.asarray(_dh_device(jnp.asarray(sub["pts_z"]), jnp.asarray(sub["rows"]),
-                                   jnp.asarray(sub["cols"]), sub["raster"], 0.0, 0.0, sub["invert"]))
-        dh = dh[np.isfinite(dh)]
-        vshift = float(self._meta["inputs"]["affine"]["vshift_reduc_func"](dh))
+        vshift, count = vertical_shift(
+            ref_elev, tba_elev, inlier_mask, transform, p["subsample"], p["random_state"],
+            vshift_reduc_func=self._meta["inputs"]["affine"]["vshift_reduc_func"], z_name=z_name,
+        )
         self._meta["outputs"]["affine"] = {"shift_z": vshift}
-        self._meta["outputs"]["random"] = {"subsample_final": sub["count"]}
+        self._meta["outputs"]["random"] = {"subsample_final": count}
 
     def _to_matrix_func(self) -> np.ndarray:
         m = np.eye(4)
@@ -672,6 +693,68 @@ def _dh_minimize_nm_device(pts_z, rows, cols, raster, res_x, res_y, invert: bool
     return s[0], fv[0], it
 
 
+def dh_minimize(
+    ref_elev: Any,
+    tba_elev: Any,
+    inlier_mask: np.ndarray | None,
+    transform: Affine,
+    subsample: float | int,
+    random_state: int | None,
+    fit_minimizer: Any = None,
+    fit_loss_func: Callable | None = None,
+    z_name: str = "z",
+) -> tuple[tuple[float, float, float], int]:
+    """Elevation-difference minimization coregistration for any point-raster or raster-raster
+    input (reference affine.py:677): minimize a dispersion loss (default NMAD) of dh over a
+    2-D shift. The default path runs the whole Nelder-Mead as one jitted while_loop.
+
+    :return: ((east, north, vertical) offsets in georeferenced units, final subsample count).
+    """
+    logging.info("Running dh minimization coregistration.")
+    from scipy.optimize import minimize
+
+    sub = _subsample_pair(ref_elev, tba_elev, inlier_mask, transform, subsample, random_state,
+                          z_name=z_name)
+    pts_z = jnp.asarray(sub["pts_z"])
+    rows = jnp.asarray(sub["rows"])
+    cols = jnp.asarray(sub["cols"])
+    raster = sub["raster"]
+    invert = sub["invert"]
+    res_x, res_y = transform.xres, transform.yres
+
+    @partial(jax.jit)
+    def dh_fn(sx_px, sy_px):
+        return _dh_device(pts_z, rows, cols, raster, sx_px, sy_px, invert)
+
+    if fit_loss_func is None:
+        @jax.jit
+        def loss_fn(sx_px, sy_px):
+            return _nmad_dev(dh_fn(sx_px, sy_px))
+
+        def objective(v):
+            return float(loss_fn(v[0] / res_x, v[1] / res_y))
+    else:
+        def objective(v):
+            return float(fit_loss_func(np.asarray(dh_fn(v[0] / res_x, v[1] / res_y))))
+
+    if fit_minimizer is None and fit_loss_func is None:
+        # Default path: the whole Nelder-Mead runs as one jitted while_loop (a host NM
+        # costs ~50 ms of tunnel latency per objective evaluation)
+        best, _fbest, _it = _dh_minimize_nm_device(pts_z, rows, cols, raster, res_x, res_y,
+                                                   bool(invert))
+        offset_east = -float(best[0])
+        offset_north = -float(best[1])
+    else:
+        minimizer = fit_minimizer or minimize
+        # Nelder-Mead struggles from exactly (0, 0) (reference :664-666)
+        result = minimizer(objective, (1.0, 1.0), method="Nelder-Mead") if minimizer is minimize \
+            else minimizer(objective, (1.0, 1.0))
+        offset_east = -float(result.x[0])
+        offset_north = -float(result.x[1])
+    vshift = float(np.nanmedian(np.asarray(dh_fn(-offset_east / res_x, -offset_north / res_y))))
+    return (offset_east, offset_north, vshift), sub["count"]
+
+
 class DhMinimize(AffineCoreg):
     """Direct 2-D minimization of a dispersion loss of dh (reference affine.py:2667).
 
@@ -690,54 +773,14 @@ class DhMinimize(AffineCoreg):
         self._fit_any(ref_elev, tba_elev, inlier_mask, transform, z_name=z_name)
 
     def _fit_any(self, ref_elev, tba_elev, inlier_mask, transform, z_name="z"):
-        logging.info("Running dh minimization coregistration.")
-        from scipy.optimize import minimize
-
         p = self._meta["inputs"]["random"]
-        sub = _subsample_pair(ref_elev, tba_elev, inlier_mask, transform, p["subsample"], p["random_state"],
-                              z_name=z_name)
-        pts_z = jnp.asarray(sub["pts_z"])
-        rows = jnp.asarray(sub["rows"])
-        cols = jnp.asarray(sub["cols"])
-        raster = sub["raster"]
-        invert = sub["invert"]
-        res_x, res_y = transform.xres, transform.yres
-        loss = self._meta["inputs"]["fitorbin"]["fit_loss_func"]
-
-        @partial(jax.jit)
-        def dh_fn(sx_px, sy_px):
-            return _dh_device(pts_z, rows, cols, raster, sx_px, sy_px, invert)
-
-        if loss is None:
-            @jax.jit
-            def loss_fn(sx_px, sy_px):
-                return _nmad_dev(dh_fn(sx_px, sy_px))
-
-            def objective(v):
-                return float(loss_fn(v[0] / res_x, v[1] / res_y))
-        else:
-            def objective(v):
-                return float(loss(np.asarray(dh_fn(v[0] / res_x, v[1] / res_y))))
-
-        minimizer = self._meta["inputs"]["fitorbin"]["fit_minimizer"]
-        if minimizer is None and loss is None:
-            # Default path: the whole Nelder-Mead runs as one jitted while_loop (a host NM
-            # costs ~50 ms of tunnel latency per objective evaluation)
-            best, _fbest, _it = _dh_minimize_nm_device(pts_z, rows, cols, raster, res_x, res_y,
-                                                       bool(invert))
-            offset_east = -float(best[0])
-            offset_north = -float(best[1])
-        else:
-            minimizer = minimizer or minimize
-            # Nelder-Mead struggles from exactly (0, 0) (reference :664-666)
-            result = minimizer(objective, (1.0, 1.0), method="Nelder-Mead") if minimizer is minimize \
-                else minimizer(objective, (1.0, 1.0))
-            offset_east = -float(result.x[0])
-            offset_north = -float(result.x[1])
-        vshift = float(np.nanmedian(np.asarray(dh_fn(-offset_east / res_x, -offset_north / res_y))))
-
+        fb = self._meta["inputs"]["fitorbin"]
+        (offset_east, offset_north, vshift), count = dh_minimize(
+            ref_elev, tba_elev, inlier_mask, transform, p["subsample"], p["random_state"],
+            fit_minimizer=fb["fit_minimizer"], fit_loss_func=fb["fit_loss_func"], z_name=z_name,
+        )
         self._meta["outputs"]["affine"] = {"shift_x": offset_east, "shift_y": offset_north, "shift_z": vshift}
-        self._meta["outputs"]["random"] = {"subsample_final": sub["count"]}
+        self._meta["outputs"]["random"] = {"subsample_final": count}
 
     def _to_matrix_func(self) -> np.ndarray:
         m = np.eye(4)

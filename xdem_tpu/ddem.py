@@ -27,8 +27,36 @@ class dDEM(Raster):
         self.start_time = start_time
         self.end_time = end_time
         self.error = error
-        self.filled_data: np.ndarray | None = None
+        self._filled_data: np.ndarray | None = None
         self._fill_method = ""
+
+    @property
+    def filled_data(self) -> np.ndarray | None:
+        """The gap-filled array if interpolate() ran — else the original data when it has no
+        gaps, else None (reference ddem.py:118-131)."""
+        if self._filled_data is not None:
+            return self._filled_data
+        arr = self.get_nanarray()
+        if np.any(np.isnan(arr)):
+            return None
+        return np.asarray(arr)
+
+    @filled_data.setter
+    def filled_data(self, array: np.ndarray | None) -> None:
+        if array is None:
+            self._filled_data = None
+            return
+        array = np.asarray(array)
+        if self.data.size != array.size:
+            raise ValueError(
+                f"Array shape '{array.shape}' differs from the data shape '{self.data.shape}'"
+            )
+        self._filled_data = array.reshape(self.data.shape)
+
+    @property
+    def fill_method(self) -> str:
+        """The fill method used for filled_data (reference ddem.py:144)."""
+        return self._fill_method
 
     @property
     def time(self) -> Any:

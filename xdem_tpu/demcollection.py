@@ -47,6 +47,11 @@ class DEMCollection:
     def reference_index(self) -> int:
         return self.dems.index(self.reference_dem)
 
+    @property
+    def reference_timestamp(self) -> Any:
+        """Timestamp of the reference DEM (reference demcollection.py:100)."""
+        return self.timestamps[self.reference_index]
+
     def subtract_dems(self, resampling_method: str = "cubic") -> list[dDEM]:
         """dDEMs between the reference DEM and every other DEM (reference demcollection.py:104)."""
         ddems = []

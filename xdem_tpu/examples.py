@@ -275,6 +275,24 @@ def _generate(name: str, test: bool = False) -> str:
     return path
 
 
+def get_all_data(output_dir: str | None = None) -> str:
+    """Generate (and cache) every example dataset; return the directory holding them.
+
+    Parity with reference examples.py:204-212, which downloads the pinned data tarball; here
+    the datasets are synthesized deterministically. With ``output_dir`` the cached files are
+    copied there.
+    """
+    import shutil
+
+    paths = [_generate(name) for name in available]
+    if output_dir is not None:
+        _os.makedirs(output_dir, exist_ok=True)
+        for p in paths:
+            shutil.copy2(p, output_dir)
+        return output_dir
+    return _CACHE_DIR
+
+
 def get_path(name: str) -> str:
     """File path of an example dataset, generated and cached on first use."""
     return _generate(name, test=False)

@@ -18,7 +18,7 @@ import logging
 import math
 import warnings
 from functools import partial
-from typing import Any, Callable, Iterable, Literal, Sequence
+from typing import Any, Callable, Iterable, Literal, Sequence, TypedDict
 
 import jax
 import jax.numpy as jnp
@@ -789,6 +789,18 @@ def _sample_with_pad(rng: np.random.Generator, candidates: np.ndarray, n: int) -
     take = min(n, len(candidates))
     out[:take] = rng.choice(candidates, take, replace=False)
     return out
+
+
+class EmpiricalVariogramKArgs(TypedDict, total=False):
+    """Optional keyword arguments of sample_empirical_variogram, for forwarding through
+    higher-level wrappers (reference spatialstats.py:1284-1292)."""
+
+    runs: int
+    samples: int
+    nb_rings: int
+    maxlag: float
+    bin_func: Sequence[float]
+    estimator: str
 
 
 def sample_empirical_variogram(

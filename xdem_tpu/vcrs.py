@@ -12,11 +12,19 @@ error at transform time (parsing and metadata round-trip still work).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Dict
+from typing import Any, Dict, TypedDict
 
 import numpy as np
 
 from xdem_tpu.georef import CRS, transform_points
+
+class VCRSMetaDict(TypedDict, total=False):
+    """Metadata of a common vertical CRS: PROJ grid file name and EPSG code
+    (reference vcrs.py:199-202)."""
+
+    grid: str
+    epsg: int
+
 
 # EPSG codes for common vertical CRSs
 _VCRS_EPSG = {5773: "EGM96", 3855: "EGM08", 4979: "Ellipsoid", 5703: "NAVD88"}
