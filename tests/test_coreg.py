@@ -247,6 +247,120 @@ class TestBiasCorr:
             c.fit(ref_tba, ref_tba)
 
 
+class TestBaseBehaviors:
+    """Coreg base-class behaviors (reference test_base.py:328-455)."""
+
+    def test_cropped_mask_regridded(self, ref_tba):
+        """An inlier-mask raster on a smaller grid is regridded onto the fit grid; outside
+        pixels are excluded, and the fit still recovers the shift."""
+        from xdem_tpu.raster import Raster
+
+        tba = _shifted(ref_tba, 10.0, -6.0, 1.5)
+        mask_full = Raster(np.ones(ref_tba.shape, np.float32), ref_tba.transform, ref_tba.crs)
+        mask_cropped = mask_full.icrop((50, 450), (50, 450))
+        c = coreg.NuthKaab(subsample=30000)
+        c.fit(ref_tba, tba, inlier_mask=mask_cropped, random_state=42)
+        aff = c.meta["outputs"]["affine"]
+        assert aff["shift_x"] == pytest.approx(-10.0, abs=0.5)
+        assert aff["shift_y"] == pytest.approx(6.0, abs=0.5)
+
+    def test_apply_resample_false(self, ref_tba):
+        """resample=False applies a translation by updating the geotransform (no regridding):
+        the output grid is shifted and the data are only vertically corrected."""
+        tba = _shifted(ref_tba, 10.0, -6.0, 1.5)
+        c = coreg.NuthKaab(subsample=30000)
+        c.fit(ref_tba, tba, random_state=42)
+        out = c.apply(tba, resample=False)
+        assert out.transform != tba.transform
+        aff = c.meta["outputs"]["affine"]
+        assert out.transform.c == pytest.approx(tba.transform.c + aff["shift_x"], abs=1e-6)
+        assert out.transform.f == pytest.approx(tba.transform.f + aff["shift_y"], abs=1e-6)
+        # Data only changed by the vertical shift (tba has NaN edges from its own regridding)
+        diff = np.asarray(out.data) - np.asarray(tba.data)
+        np.testing.assert_allclose(diff[np.isfinite(diff)], aff["shift_z"], rtol=0, atol=1e-4)
+
+    def test_apply_matrix_nodata_propagates(self, ref_tba):
+        """apply_matrix on a gappy raster: NaN holes survive (possibly dilated), no fill-in
+        with garbage (reference test_base.py:990)."""
+        arr = np.asarray(ref_tba.data).copy()
+        arr[100:140, 100:140] = np.nan
+        gappy = ref_tba.copy(new_array=arr)
+        m = matrix_from_translations_rotations(5, 3, 1, 0.05, 0.03, 0.01)
+        out = apply_matrix(gappy, m)
+        out_arr = np.asarray(out.data)
+        # The hole interior must still be NaN after the small-rotation regrid
+        assert np.isnan(out_arr[115:125, 115:125]).all()
+        # And valid terrain away from the hole stays finite
+        assert np.isfinite(out_arr[200:260, 200:260]).all()
+
+
+class TestBiasCorrEngine:
+    """The generic bin/fit engine across every fit_or_bin mode and dimensionality
+    (reference test_biascorr.py:203-365): a synthetic elevation-dependent bias must be
+    recovered and removed, and the declared outputs must be populated."""
+
+    @staticmethod
+    def _biased(ref):
+        """Bias = smooth function of elevation (quadratic in the z-score)."""
+        z = np.asarray(ref.data)
+        zc = (z - np.nanmean(z)) / np.nanstd(z)
+        bias = 1.5 * zc + 0.8 * zc**2
+        return ref + (-bias), bias
+
+    @pytest.mark.parametrize("fit_or_bin", ["fit", "bin", "bin_and_fit"])
+    def test_engine_1d(self, ref_tba, fit_or_bin):
+        tba, bias = self._biased(ref_tba)
+        c = coreg.BiasCorr(fit_or_bin=fit_or_bin, bin_sizes=60, subsample=50000)
+        bias_vars = {"elevation": np.asarray(ref_tba.data)}
+        aligned = c.fit_and_apply(ref_tba, tba, bias_vars=bias_vars, random_state=42)
+
+        fob = c.meta["outputs"]["fitorbin"]
+        if fit_or_bin in ("fit", "bin_and_fit"):
+            assert fob["fit_params"] is not None
+        if fit_or_bin in ("bin", "bin_and_fit"):
+            df = fob["bin_dataframe"]
+            assert df is not None and (df["nd"] == 1).sum() == 60
+        assert c.meta["outputs"]["random"]["subsample_final"] > 0
+
+        dh_after = np.asarray((ref_tba - aligned).data)
+        assert np.nanstd(dh_after) < 0.25 * np.nanstd(bias)
+
+    @pytest.mark.parametrize("fit_or_bin", ["bin", "bin_and_fit"])
+    @pytest.mark.parametrize("bin_apply_method", ["linear", "per_bin"])
+    def test_engine_2d(self, ref_tba, fit_or_bin, bin_apply_method):
+        from xdem_tpu.fit import polynomial_2d
+
+        h, w = ref_tba.shape
+        xx, yy = np.meshgrid(np.arange(w, dtype=np.float64), np.arange(h, dtype=np.float64))
+        bias = 2.0 * (xx / w) + 1.0 * (yy / h) ** 2
+        tba = ref_tba + (-bias.astype(np.float32))
+        kwargs = dict(fit_or_bin=fit_or_bin, bin_sizes={"xx": 20, "yy": 20},
+                      bin_apply_method=bin_apply_method, subsample=50000)
+        if fit_or_bin == "bin_and_fit":
+            kwargs["fit_func"] = polynomial_2d
+            kwargs["fit_optimizer"] = None
+        c = coreg.BiasCorr(**kwargs)
+        bias_vars = {"xx": xx, "yy": yy}
+        p0 = [0.0] * 4 if fit_or_bin == "bin_and_fit" else None
+        c.fit(ref_tba, tba, bias_vars=bias_vars, random_state=42, p0=p0)
+        aligned = c.apply(tba, bias_vars=bias_vars)
+
+        df = c.meta["outputs"]["fitorbin"]["bin_dataframe"]
+        assert (df["nd"] == 2).sum() == 400
+
+        dh_after = np.asarray((ref_tba - aligned).data)
+        assert np.nanstd(dh_after) < 0.25 * np.nanstd(bias)
+
+    def test_apply_wrong_vars_raises(self, ref_tba):
+        tba, _ = self._biased(ref_tba)
+        c = coreg.BiasCorr(fit_or_bin="bin", bin_sizes=20)
+        c.fit(ref_tba, tba, bias_vars={"elevation": np.asarray(ref_tba.data)}, random_state=42)
+        with pytest.raises(ValueError, match="do not match"):
+            c.apply(tba, bias_vars={"slope": np.asarray(ref_tba.data)})
+        with pytest.raises(ValueError, match="should be passed"):
+            c.apply(tba)
+
+
 class TestBlockwise:
     def test_blockwise_recovery(self, ref_tba):
         sx, sy, sz = (-8.0, 6.0, 1.5)

@@ -334,6 +334,11 @@ def _mask_to_array(inlier_mask: Any, ref: Raster | None) -> np.ndarray | None:
             raise ValueError("A raster reference is needed to rasterize a vector inlier mask.")
         return inlier_mask.create_mask(ref)
     if isinstance(inlier_mask, Raster):
+        # A mask raster on a different grid (e.g. cropped) is regridded onto the reference
+        # grid first, everything outside its extent excluded (reference test_base.py:455).
+        if ref is not None and (inlier_mask.shape != ref.shape or inlier_mask.transform != ref.transform):
+            regridded = inlier_mask.reproject(ref, resampling="nearest")
+            return np.nan_to_num(np.asarray(regridded.data), nan=0.0) > 0
         return np.asarray(inlier_mask.data) > 0
     return np.asarray(inlier_mask, dtype=bool)
 
