@@ -796,6 +796,17 @@ class DhMinimize(AffineCoreg):
 # ======================================================================================
 
 
+@jax.jit
+def _interp_stack_valid(stack: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray):
+    """Bilinear-interpolate a (K, H, W) stack at shared point coords in one dispatch.
+
+    Returns (vals (K, N), joint finite-validity (N,) over all K grids)."""
+    from xdem_tpu.ops.interp import interp_rowcol as _ir
+
+    vals = jax.vmap(lambda a: _ir(a, rows, cols, method="linear"))(stack)
+    return vals, jnp.all(jnp.isfinite(vals), axis=0)
+
+
 def _subsample_pair_values(
     ref_elev: Any,
     tba_elev: Any,
@@ -834,35 +845,36 @@ def _subsample_pair_values(
         return ref_arr[rr, cc].astype(np.float64), tba_arr[rr, cc].astype(np.float64), x, y, aux
 
     pts: PointCloud = ref_elev if ref_is_pts else tba_elev
-    # Keep the raster on device: only point-sized arrays cross the host boundary (the raster
-    # itself may already live in HBM; a full round-trip costs seconds through a tunneled chip)
+    # Keep the raster (and every interpolant) on device: the coords go up ONCE, all K grids
+    # are interpolated in one dispatch, and only a 1-byte/pt validity mask plus the final
+    # subsample-sized gathers cross the host boundary. (Per-grid interp calls with a full
+    # f64 value readback each cost ~1.2 s of tunnel transfers at 1e6 points.)
     rst = jnp.asarray(tba_elev if ref_is_pts else ref_elev, jnp.float32)
-    from xdem_tpu.ops.interp import interp_rowcol as _ir
 
     rows_f, cols_f = transform.rowcol(pts.x, pts.y)
-    rst_at_pts = np.asarray(_ir(rst, jnp.asarray(rows_f, jnp.float32),
-                                jnp.asarray(cols_f, jnp.float32), method="linear"), dtype=np.float64)
-    valid = np.isfinite(pts.z) & np.isfinite(rst_at_pts)
+    rows_j = jnp.asarray(np.asarray(rows_f, np.float32))
+    cols_j = jnp.asarray(np.asarray(cols_f, np.float32))
+    aux_keys = list(aux_vars.keys()) if aux_vars is not None else []
+    # Aux grids share the raster's shape; stack so one vmapped interp covers everything
+    stack = jnp.stack([rst] + [jnp.asarray(aux_vars[k], jnp.float32) for k in aux_keys])
+    vals_dev, valid_dev = _interp_stack_valid(stack, rows_j, cols_j)
+
+    valid = np.asarray(valid_dev) & np.isfinite(pts.z)
     h, w = rst.shape
     if inlier_mask is not None:
         ri = np.clip(np.round(rows_f).astype(int), 0, h - 1)
         ci = np.clip(np.round(cols_f).astype(int), 0, w - 1)
         valid &= inlier_mask[ri, ci]
-    aux_at_pts = {}
-    if aux_vars is not None:
-        for k, v in aux_vars.items():
-            aux_at_pts[k] = np.asarray(_ir(jnp.asarray(v, jnp.float32), jnp.asarray(rows_f, jnp.float32),
-                                           jnp.asarray(cols_f, jnp.float32), method="linear"), dtype=np.float64)
-            valid &= np.isfinite(aux_at_pts[k])
     idx = np.flatnonzero(valid)
     if idx.size == 0:
         raise ValueError("No valid points overlapping the raster.")
     count = _count_from_subsample(subsample, idx.size)
     choice = rng.choice(idx, count, replace=False) if count < idx.size else idx
+    sub_vals = np.asarray(vals_dev[:, jnp.asarray(choice)], dtype=np.float64)
     sub_pts_z = pts.z[choice]
-    sub_rst_z = rst_at_pts[choice]
+    sub_rst_z = sub_vals[0]
     x, y = pts.x[choice], pts.y[choice]
-    aux = {k: v[choice] for k, v in aux_at_pts.items()}
+    aux = {k: sub_vals[1 + i] for i, k in enumerate(aux_keys)}
     sub_ref = sub_pts_z if ref_is_pts else sub_rst_z
     sub_tba = sub_rst_z if ref_is_pts else sub_pts_z
     return sub_ref, sub_tba, x, y, aux
@@ -920,6 +932,109 @@ def _brute_nearest(ref_pts: jnp.ndarray, query_pts: jnp.ndarray, chunk: int = 10
 
     idxs, dists = jax.lax.map(one_chunk, q_chunks)
     return idxs.reshape(-1)[:m], dists.reshape(-1)[:m]
+
+
+@partial(jax.jit, static_argnames=("max_iterations", "method", "picky", "only_translation", "chunk"))
+def _icp_solve_device(
+    ref: jnp.ndarray,
+    tba: jnp.ndarray,
+    norms: jnp.ndarray,
+    tolerance,
+    max_iterations: int,
+    method: str = "point-to-plane",
+    picky: bool = True,
+    only_translation: bool = False,
+    chunk: int = 2048,
+):
+    """The FULL ICP iteration as one jitted lax.while_loop: blocked MXU distance argmin,
+    Picky duplicate removal as segment-min, and the Low (2004) point-to-plane solve (or the
+    Besl-McKay SVD for point-to-point) via masked normal equations — a single dispatch for
+    the whole registration instead of per-iteration host<->device round trips.
+
+    Matches the host loop's semantics (reference affine.py:977-1081): transform the original
+    cloud by the running matrix each iteration, compose the step estimate, stop once the
+    tolerance statistic drops below `tolerance` after the second iteration.
+    """
+    n = ref.shape[0]
+    m = tba.shape[0]
+    ref_sq = jnp.sum(ref * ref, axis=1)  # (N,)
+
+    def nn(q):
+        pad = (-m) % chunk
+        qp = jnp.pad(q, ((0, pad), (0, 0)))
+        qc = qp.reshape(-1, chunk, 3)
+
+        def one_chunk(c):
+            d2 = jnp.sum(c * c, axis=1)[:, None] + ref_sq[None, :] - 2.0 * c @ ref.T
+            idx = jnp.argmin(d2, axis=1)
+            return idx, jnp.take_along_axis(d2, idx[:, None], axis=1)[:, 0]
+
+        idxs, d2s = jax.lax.map(one_chunk, qc)
+        return idxs.reshape(-1)[:m], d2s.reshape(-1)[:m]
+
+    def body(carry):
+        matrix, it, _stat = carry
+        tq = tba @ matrix[:3, :3].T + matrix[:3, 3]  # (M,3)
+        ind, d2 = nn(tq)
+        if picky:
+            # Zinsser et al. (2003): one query per matched reference point — the closest,
+            # ties broken to the lowest query index (pandas idxmin parity)
+            dmin = jax.ops.segment_min(d2, ind, num_segments=n)
+            is_min = d2 <= dmin[ind]
+            qidx = jnp.arange(m)
+            qmin = jax.ops.segment_min(jnp.where(is_min, qidx, m), ind, num_segments=n)
+            keep = is_min & (qidx == qmin[ind])
+        else:
+            keep = jnp.ones(m, bool)
+        w = keep.astype(jnp.float32)
+        r = ref[ind]
+
+        if method == "point-to-plane":
+            nrm = norms[ind]
+            B = jnp.sum((r - tq) * nrm, axis=1)
+            if only_translation:
+                A = nrm
+            else:
+                A = jnp.concatenate([jnp.cross(tq, nrm), nrm], axis=1)  # (M,6)
+            Aw = A * w[:, None]
+            x = jnp.linalg.solve(Aw.T @ A + 1e-8 * jnp.eye(A.shape[1], dtype=A.dtype), Aw.T @ B)
+            if only_translation:
+                R = jnp.eye(3, dtype=A.dtype)
+                t = x
+            else:
+                ca, sa = jnp.cos(x[0]), jnp.sin(x[0])
+                cb, sb = jnp.cos(x[1]), jnp.sin(x[1])
+                cg, sg = jnp.cos(x[2]), jnp.sin(x[2])
+                Rx = jnp.array([[1, 0, 0], [0, ca, -sa], [0, sa, ca]], dtype=A.dtype)
+                Ry = jnp.array([[cb, 0, sb], [0, 1, 0], [-sb, 0, cb]], dtype=A.dtype)
+                Rz = jnp.array([[cg, -sg, 0], [sg, cg, 0], [0, 0, 1]], dtype=A.dtype)
+                R = Rz @ Ry @ Rx
+                t = x[3:]
+        else:
+            # Point-to-point closed form (Besl & McKay via SVD of the cross-covariance)
+            wsum = jnp.maximum(w.sum(), 1.0)
+            mu_r = (r * w[:, None]).sum(axis=0) / wsum
+            mu_t = (tq * w[:, None]).sum(axis=0) / wsum
+            H = ((tq - mu_t) * w[:, None]).T @ (r - mu_r)
+            U, _s, Vt = jnp.linalg.svd(H)
+            d = jnp.sign(jnp.linalg.det(Vt.T @ U.T))
+            R = Vt.T @ jnp.diag(jnp.array([1.0, 1.0, 0.0], H.dtype) + jnp.array([0.0, 0.0, 1.0], H.dtype) * d) @ U.T
+            if only_translation:
+                R = jnp.eye(3, dtype=H.dtype)
+            t = mu_r - R @ mu_t
+
+        step = jnp.eye(4, dtype=ref.dtype).at[:3, :3].set(R).at[:3, 3].set(t)
+        new_matrix = step @ matrix
+        stat = jnp.abs(jnp.sum(step[:3, 3]))  # reference's tolerance statistic (affine.py:1044)
+        return new_matrix, it + 1, stat
+
+    def cond(carry):
+        _matrix, it, stat = carry
+        return (it < max_iterations) & ((it <= 2) | (stat >= tolerance))
+
+    matrix0 = jnp.eye(4, dtype=ref.dtype)
+    matrix, it, stat = jax.lax.while_loop(cond, body, (matrix0, jnp.asarray(0), jnp.asarray(jnp.inf, ref.dtype)))
+    return matrix, it, stat
 
 
 @jax.jit
@@ -1002,17 +1117,34 @@ def icp(
     ref_epc, tba_epc, centroid, std_fac = _standardize_epc(ref_epc, tba_epc, scale_std=standardize)
     tolerance = tolerance / std_fac
 
-    tree = KDTree(ref_epc.T) if nn_method == "kdtree" else None
-    ref_dev = jnp.asarray(ref_epc.T, jnp.float32) if nn_method == "brute" else None
+    if nn_method == "brute":
+        # The whole registration runs as ONE jitted while_loop on device (per-iteration host
+        # KD-tree queries + pandas dedup cost ~60 ms each through the tunnel)
+        norms_dev = (
+            jnp.asarray(norms.T, jnp.float32)
+            if norms is not None
+            else jnp.zeros((ref_epc.shape[1], 3), jnp.float32)
+        )
+        matrix_dev, n_it, _stat = _icp_solve_device(
+            jnp.asarray(ref_epc.T, jnp.float32),
+            jnp.asarray(tba_epc.T, jnp.float32),
+            norms_dev,
+            jnp.float32(tolerance),
+            max_iterations=int(max_iterations),
+            method=method,
+            picky=picky,
+            only_translation=only_translation,
+        )
+        matrix = np.asarray(matrix_dev, dtype=np.float64)
+        logging.info("ICP converged in %d device iterations", int(n_it))
+        matrix[:3, 3] *= std_fac
+        return matrix, centroid, len(sub_ref)
+
+    tree = KDTree(ref_epc.T)
     matrix = np.eye(4)
     for it in range(max_iterations):
         trans_tba = _apply_matrix_pts_mat(tba_epc, matrix=matrix)
-        if nn_method == "brute":
-            ind_j, dists_j = _brute_nearest(ref_dev, jnp.asarray(trans_tba.T, jnp.float32))
-            ind = np.asarray(ind_j)
-            dists = np.asarray(dists_j, dtype=np.float64)
-        else:
-            dists, ind = tree.query(trans_tba.T, k=1)
+        dists, ind = tree.query(trans_tba.T, k=1)
         if picky:
             # Zinsser et al. (2003): for duplicated nearest-reference indices keep the closest
             import pandas as pd
