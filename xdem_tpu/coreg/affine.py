@@ -30,6 +30,7 @@ from xdem_tpu.coreg.base import (
     Coreg,
     NotImplementedCoregFit,
     _apply_matrix_pts_arr,
+    _make_matrix_valid,
     invert_matrix,
     matrix_from_translations_rotations,
     translations_rotations_from_matrix,
@@ -1135,7 +1136,8 @@ def icp(
             picky=picky,
             only_translation=only_translation,
         )
-        matrix = np.asarray(matrix_dev, dtype=np.float64)
+        # f32 rotation composition drifts off orthogonality by ~1e-6; re-orthogonalize (SVD)
+        matrix = _make_matrix_valid(np.asarray(matrix_dev, dtype=np.float64))
         logging.info("ICP converged in %d device iterations", int(n_it))
         matrix[:3, 3] *= std_fac
         return matrix, centroid, len(sub_ref)
@@ -1429,6 +1431,90 @@ def _lzd_eval(raster: jnp.ndarray, gradx: jnp.ndarray, grady: jnp.ndarray,
     )
 
 
+@partial(jax.jit, static_argnames=("max_iterations", "only_translation"))
+def _lzd_solve_device(
+    raster: jnp.ndarray,
+    gradx: jnp.ndarray,
+    grady: jnp.ndarray,
+    xc0: jnp.ndarray,
+    yc0: jnp.ndarray,
+    zc0: jnp.ndarray,
+    cz,
+    inv_transform: jnp.ndarray,
+    tolerance,
+    max_iterations: int,
+    only_translation: bool = False,
+):
+    """The FULL LZD iteration as one jitted lax.while_loop: transform the points by the
+    running matrix (rotation around the centroid), gather-interpolate the DEM and its
+    gradients at the transformed coords, and solve the linearized 6-parameter model by
+    column-equilibrated masked normal equations (the raw columns mix ~1e4 m coordinates
+    with ~0.1 gradients, ill-conditioned in f32 without the scaling).
+
+    Coordinates arrive CENTROID-CENTERED: absolute UTM eastings/northings (~1e6-1e7 m) lose
+    ~0.5 m to f32 rounding, far above the method's precision. `inv_transform` is the
+    6-vector (a, b, c, d, e, f) of the inverted georeferencing transform with the centroid
+    folded into the constants: col = a*xc + b*yc + c, row = d*xc + e*yc + f.
+    """
+    pts = jnp.stack([xc0, yc0, zc0])  # (3, N), centered on the centroid
+
+    def body(carry):
+        matrix, it, _stat, _nvalid = carry
+        trans = matrix[:3, :3] @ pts + matrix[:3, 3][:, None]
+        xc, yc, zc = trans
+        cols = inv_transform[0] * xc + inv_transform[1] * yc + inv_transform[2]
+        rows = inv_transform[3] * xc + inv_transform[4] * yc + inv_transform[5]
+        z_rst = interp_rowcol(raster, rows, cols, method="linear")
+        gx = interp_rowcol(gradx, rows, cols, method="linear")
+        gy = interp_rowcol(grady, rows, cols, method="linear")
+        dh = z_rst - (zc + cz)
+        w = (jnp.isfinite(dh) & jnp.isfinite(gx) & jnp.isfinite(gy) & jnp.isfinite(zc)).astype(raster.dtype)
+        dh = jnp.where(w > 0, dh, 0.0)
+        gx = jnp.where(w > 0, gx, 0.0)
+        gy = jnp.where(w > 0, gy, 0.0)
+        ones = jnp.ones_like(gx)
+        if only_translation:
+            A = jnp.stack([-gx, -gy, ones], axis=1)
+        else:
+            A = jnp.stack(
+                [-gx, -gy, ones, yc + gy * zc, -xc - gx * zc, gx * yc - gy * xc], axis=1
+            )
+        # Column equilibration keeps the f32 normal equations well-conditioned
+        scale = jnp.sqrt(jnp.maximum((A * A * w[:, None]).mean(axis=0), 1e-12))
+        As = A / scale[None, :]
+        Aw = As * w[:, None]
+        sol = jnp.linalg.solve(
+            Aw.T @ As + 1e-7 * jnp.eye(As.shape[1], dtype=As.dtype), Aw.T @ dh
+        ) / scale
+        t = sol[:3]
+        if only_translation:
+            R = jnp.eye(3, dtype=raster.dtype)
+        else:
+            # Same extrinsic-euler composition as the host path's
+            # matrix_from_translations_rotations(alpha=sol[3], beta=sol[4], gamma=sol[5])
+            ca, sa = jnp.cos(sol[3]), jnp.sin(sol[3])
+            cb, sb = jnp.cos(sol[4]), jnp.sin(sol[4])
+            cg, sg = jnp.cos(sol[5]), jnp.sin(sol[5])
+            Rx = jnp.array([[1, 0, 0], [0, ca, -sa], [0, sa, ca]], dtype=raster.dtype)
+            Ry = jnp.array([[cb, 0, sb], [0, 1, 0], [-sb, 0, cb]], dtype=raster.dtype)
+            Rz = jnp.array([[cg, -sg, 0], [sg, cg, 0], [0, 0, 1]], dtype=raster.dtype)
+            R = Rz @ Ry @ Rx
+        step = jnp.eye(4, dtype=raster.dtype).at[:3, :3].set(R).at[:3, 3].set(t)
+        new_matrix = step @ matrix
+        stat = jnp.abs(jnp.sum(step[:3, 3]))
+        return new_matrix, it + 1, stat, w.sum()
+
+    def cond(carry):
+        _matrix, it, stat, nvalid = carry
+        return (it < max_iterations) & ((it <= 2) | (stat >= tolerance)) & ((it == 0) | (nvalid > 0))
+
+    matrix0 = jnp.eye(4, dtype=raster.dtype)
+    return jax.lax.while_loop(
+        cond, body,
+        (matrix0, jnp.asarray(0), jnp.asarray(jnp.inf, raster.dtype), jnp.asarray(1.0, raster.dtype)),
+    )
+
+
 def lzd(
     ref_elev: Any,
     tba_elev: Any,
@@ -1474,54 +1560,34 @@ def lzd(
 
     centroid = (float(np.nanmean(x)), float(np.nanmean(y)), float(np.nanmean(sub_pts)))
 
-    matrix = np.eye(4)
-    pts_epc = np.vstack((x, y, sub_pts))
-    for it in range(max_iterations):
-        trans = _apply_matrix_pts_mat(pts_epc, matrix=matrix, invert=False)
-        # Rotation around the centroid
-        trans = _apply_matrix_pts_mat(pts_epc - np.asarray(centroid)[:, None], matrix=matrix) \
-            + np.asarray(centroid)[:, None]
-        xt, yt, zt = trans
-        rows_f, cols_f = transform.rowcol(xt, yt)
-        z_rst, gx_s, gy_s = _lzd_eval(raster_j, gradx_j, grady_j,
-                                      jnp.asarray(rows_f, jnp.float32), jnp.asarray(cols_f, jnp.float32))
-        z_rst = np.asarray(z_rst, dtype=np.float64)
-        gx_s = np.asarray(gx_s, dtype=np.float64)
-        gy_s = np.asarray(gy_s, dtype=np.float64)
-        dh = z_rst - zt
-        xc = xt - centroid[0]
-        yc = yt - centroid[1]
-        zc = zt - centroid[2]
-        valid = np.isfinite(dh) & np.isfinite(gx_s) & np.isfinite(gy_s) & np.isfinite(zc)
-        if valid.sum() == 0:
-            raise ValueError(
-                "The subsample contains no more valid values. This can happen if the affine transformation "
-                "to correct is larger than the data extent, or if the algorithm diverged."
-            )
-        xc, yc, zc, dhv, gxv, gyv = xc[valid], yc[valid], zc[valid], dh[valid], gx_s[valid], gy_s[valid]
-        if only_translation:
-            A = np.column_stack([-gxv, -gyv, np.ones_like(gxv)])
-        else:
-            A = np.column_stack([
-                -gxv,
-                -gyv,
-                np.ones_like(gxv),
-                yc + gyv * zc,
-                -xc - gxv * zc,
-                gxv * yc - gyv * xc,
-            ])
-        sol, *_ = np.linalg.lstsq(A, dhv, rcond=None)
-        if only_translation:
-            step_matrix = matrix_from_translations_rotations(t_x=sol[0], t_y=sol[1], t_z=sol[2], use_degrees=False)
-        else:
-            step_matrix = matrix_from_translations_rotations(
-                t_x=sol[0], t_y=sol[1], t_z=sol[2], alpha=sol[3], beta=sol[4], gamma=sol[5], use_degrees=False
-            )
-        matrix = step_matrix @ matrix
-        stat = np.sqrt(np.sum(step_matrix[:3, 3]) ** 2)
-        logging.info("LZD iteration %d: tolerance statistic %.6f", it + 1, stat)
-        if it > 1 and stat < tolerance:
-            break
+    # The whole iteration runs as ONE jitted while_loop on device: transform points, gather
+    # DEM/gradient interpolants, solve the linear 6-parameter model, compose — a per-iteration
+    # host loop costs several tunnel round trips each.
+    inv = transform.invert()
+    cx, cy, cz = centroid
+    # Fold the centroid into the inverse-transform constants (f64 on host) so the device
+    # works entirely in small centered coordinates: col = a*xc + b*yc + cc, row = d*xc + ...
+    cc = inv.a * cx + inv.b * cy + inv.c - 0.5
+    cf = inv.d * cx + inv.e * cy + inv.f - 0.5
+    matrix_dev, n_it, stat_dev, nvalid = _lzd_solve_device(
+        raster_j, gradx_j, grady_j,
+        jnp.asarray(np.asarray(x - cx, np.float32)),
+        jnp.asarray(np.asarray(y - cy, np.float32)),
+        jnp.asarray(np.asarray(sub_pts - cz, np.float32)),
+        jnp.float32(cz),
+        jnp.asarray(np.asarray([inv.a, inv.b, cc, inv.d, inv.e, cf], np.float32)),
+        jnp.float32(tolerance),
+        max_iterations=int(max_iterations),
+        only_translation=only_translation,
+    )
+    if float(nvalid) == 0.0:
+        raise ValueError(
+            "The subsample contains no more valid values. This can happen if the affine transformation "
+            "to correct is larger than the data extent, or if the algorithm diverged."
+        )
+    # f32 rotation composition drifts off orthogonality by ~1e-6; re-orthogonalize (SVD)
+    matrix = _make_matrix_valid(np.asarray(matrix_dev, dtype=np.float64))
+    logging.info("LZD converged in %d device iterations (statistic %.6f)", int(n_it), float(stat_dev))
 
     if ref_is_pts:
         matrix = invert_matrix(matrix)
