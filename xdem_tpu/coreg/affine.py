@@ -808,6 +808,18 @@ def _interp_stack_valid(stack: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray
     return vals, jnp.all(jnp.isfinite(vals), axis=0)
 
 
+@jax.jit
+def _finite_all(stack: jnp.ndarray) -> jnp.ndarray:
+    """Joint finite mask over a (K, H, W) stack."""
+    return jnp.all(jnp.isfinite(stack), axis=0)
+
+
+@jax.jit
+def _gather_flat(stack: jnp.ndarray, flat_idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather flat pixel indices from every grid of a (K, H, W) stack in one dispatch."""
+    return stack.reshape(stack.shape[0], -1)[:, flat_idx]
+
+
 def _subsample_pair_values(
     ref_elev: Any,
     tba_elev: Any,
@@ -827,23 +839,40 @@ def _subsample_pair_values(
     tba_is_pts = isinstance(tba_elev, PointCloud)
 
     if not ref_is_pts and not tba_is_pts:
-        ref_arr = np.asarray(ref_elev)
-        tba_arr = np.asarray(tba_elev)
-        valid = np.isfinite(ref_arr) & np.isfinite(tba_arr)
+        # Split grids by residence: device-resident members contribute a single joint finite
+        # mask (1 byte/px) and one gather dispatch at the chosen pixels; host members are
+        # indexed in numpy. Neither side crosses the host boundary at full-raster f32 size
+        # (two 2048^2 rasters cost ~2 s of tunnel transfers).
+        items = [("__ref__", ref_elev), ("__tba__", tba_elev)]
+        items += [(k, v) for k, v in (aux_vars or {}).items()]
+        dev = {k: v for k, v in items if isinstance(v, jnp.ndarray)}
+        host = {k: np.asarray(v) for k, v in items if not isinstance(v, jnp.ndarray)}
+        shape = items[0][1].shape
+        valid = np.ones(shape, bool)
+        stack_dev = None
+        if dev:
+            stack_dev = jnp.stack([v.astype(jnp.float32) for v in dev.values()])
+            valid &= np.asarray(_finite_all(stack_dev))
+        for v in host.values():
+            valid &= np.isfinite(v)
         if inlier_mask is not None:
             valid &= inlier_mask
-        if aux_vars is not None:
-            for v in aux_vars.values():
-                valid &= np.isfinite(v)
         idx_flat = np.flatnonzero(valid)
         if idx_flat.size == 0:
             raise ValueError("No valid (finite, inlier) pixels in common between the elevation data.")
         count = _count_from_subsample(subsample, idx_flat.size)
         choice = rng.choice(idx_flat, count, replace=False) if count < idx_flat.size else idx_flat
-        rr, cc = np.unravel_index(choice, ref_arr.shape)
+        rr, cc = np.unravel_index(choice, shape)
+        out: dict[str, np.ndarray] = {}
+        if dev:
+            gathered = np.asarray(_gather_flat(stack_dev, jnp.asarray(choice)), dtype=np.float64)
+            for i, k in enumerate(dev):
+                out[k] = gathered[i]
+        for k, v in host.items():
+            out[k] = v[rr, cc].astype(np.float64)
         x, y = transform.xy(rr, cc)
-        aux = {k: v[rr, cc] for k, v in (aux_vars or {}).items()}
-        return ref_arr[rr, cc].astype(np.float64), tba_arr[rr, cc].astype(np.float64), x, y, aux
+        aux = {k: out[k] for k in (aux_vars or {})}
+        return out["__ref__"], out["__tba__"], x, y, aux
 
     pts: PointCloud = ref_elev if ref_is_pts else tba_elev
     # Keep the raster (and every interpolant) on device: the coords go up ONCE, all K grids
