@@ -93,42 +93,60 @@ def _subsample_pair(
     tba_is_pts = isinstance(tba_elev, PointCloud)
 
     if not ref_is_pts and not tba_is_pts:
-        ref_arr = np.asarray(ref_elev)
-        tba_arr = np.asarray(tba_elev)
-        valid = np.isfinite(ref_arr) & np.isfinite(tba_arr)
+        # Residence-split transfers (see _subsample_pair_values): device grids contribute one
+        # joint finite mask + one gather dispatch; host grids are indexed in numpy. Full
+        # f32 raster readbacks cost ~1 s each through a tunneled chip at 2048^2.
+        items = [("__ref__", ref_elev)] + [(k, v) for k, v in (aux_vars or {}).items()]
+        dev = {k: v for k, v in items if isinstance(v, jnp.ndarray)}
+        host = {k: np.asarray(v) for k, v in items if not isinstance(v, jnp.ndarray)}
+        tba_j = jnp.asarray(tba_elev, jnp.float32)
+        valid = np.array(
+            _finite_all(jnp.stack([tba_j] + [v.astype(jnp.float32) for v in dev.values()]))
+        )  # np.array: the device readback is read-only, and the mask is &='d below
+        for v in host.values():
+            valid &= np.isfinite(v)
         if inlier_mask is not None:
             valid &= inlier_mask
-        if aux_vars is not None:
-            for v in aux_vars.values():
-                valid &= np.isfinite(v)
         idx_flat = np.flatnonzero(valid)
         if idx_flat.size == 0:
             raise ValueError("No valid (finite, inlier) pixels in common between the elevation data.")
         count = _count_from_subsample(subsample, idx_flat.size)
         choice = rng.choice(idx_flat, count, replace=False) if count < idx_flat.size else idx_flat
-        rr, cc = np.unravel_index(choice, ref_arr.shape)
+        rr, cc = np.unravel_index(choice, valid.shape)
+        vals: dict[str, np.ndarray] = {}
+        if dev:
+            gathered = np.asarray(
+                _gather_flat(jnp.stack([v.astype(jnp.float32) for v in dev.values()]),
+                             jnp.asarray(choice))
+            )
+            for i, k in enumerate(dev):
+                vals[k] = gathered[i]
+        for k, v in host.items():
+            vals[k] = v[rr, cc].astype(np.float32)
         out = {
-            "pts_z": ref_arr[rr, cc].astype(np.float32),
+            "pts_z": vals["__ref__"],
             "rows": rr.astype(np.float32),
             "cols": cc.astype(np.float32),
-            "raster": jnp.asarray(tba_arr, dtype=jnp.float32),
+            "raster": tba_j,
             "invert": False,
             "count": int(count),
         }
         if aux_vars is not None:
-            out["aux"] = {k: v[rr, cc].astype(np.float32) for k, v in aux_vars.items()}
+            out["aux"] = {k: vals[k] for k in aux_vars}
         return out
 
     # Raster-point: identify sides
     pts: PointCloud = ref_elev if ref_is_pts else tba_elev
-    rst = np.asarray(tba_elev if ref_is_pts else ref_elev)
+    rst_in = tba_elev if ref_is_pts else ref_elev
+    rst_j = jnp.asarray(rst_in, jnp.float32)
     rows_f, cols_f = transform.rowcol(pts.x, pts.y)
-    h, w = rst.shape
+    h, w = rst_j.shape
     # Validity mirrors the reference (base.py:676-705): the joint raster-side valid mask is
     # interpolated at the point coords with NaN poisoning, so a point only passes when ALL
     # FOUR bilinear neighbors are valid — a rounded-pixel check would admit points next to
-    # nodata edges whose interpolated dh is NaN.
-    rst_valid = np.isfinite(rst)
+    # nodata edges whose interpolated dh is NaN. (The finite mask crosses the tunnel as
+    # 1 byte/px; the f32 raster itself stays in HBM.)
+    rst_valid = np.array(jnp.isfinite(rst_j))  # writable: &='d below
     if inlier_mask is not None:
         rst_valid &= inlier_mask
     if aux_vars is not None:
@@ -154,7 +172,7 @@ def _subsample_pair(
         "pts_z": pts.z[choice].astype(np.float32),
         "rows": rows_f[choice].astype(np.float32),
         "cols": cols_f[choice].astype(np.float32),
-        "raster": jnp.asarray(rst, dtype=jnp.float32),
+        "raster": rst_j,
         "invert": not ref_is_pts,  # raster side is the reference
         "count": int(count),
     }
@@ -495,6 +513,15 @@ class AffineCoreg(Coreg):
         return self._meta["outputs"].get("affine", {}).get("centroid")
 
 
+@jax.jit
+def _masked_median_diff(ref: jnp.ndarray, tba: jnp.ndarray, inlier: jnp.ndarray):
+    """Median of (ref - tba) over inlier+finite pixels, plus the valid count — the whole
+    default VerticalShift fit as one elementwise device reduction (no gathers, no value
+    readback beyond two scalars)."""
+    dh = jnp.where(inlier, ref - tba, jnp.nan)
+    return jnp.nanmedian(dh), jnp.isfinite(dh).sum()
+
+
 def vertical_shift(
     ref_elev: Any,
     tba_elev: Any,
@@ -511,6 +538,21 @@ def vertical_shift(
     :return: (vertical shift in georeferenced units, final subsample count).
     """
     logging.info("Running vertical shift coregistration")
+    # Default config on a raster pair (all valid pixels, median reductor): a single
+    # elementwise device reduction — the subsample/gather machinery would move tens of MB
+    # of values for an answer that is one scalar.
+    full = isinstance(subsample, float) and subsample == 1.0
+    if (full and vshift_reduc_func in (np.median, np.nanmedian)
+            and not isinstance(ref_elev, PointCloud) and not isinstance(tba_elev, PointCloud)):
+        inlier = jnp.asarray(inlier_mask, bool) if inlier_mask is not None \
+            else jnp.ones(np.shape(ref_elev), bool)
+        med, n_valid = _masked_median_diff(
+            jnp.asarray(ref_elev, jnp.float32), jnp.asarray(tba_elev, jnp.float32), inlier
+        )
+        res = np.asarray(jnp.stack([med.astype(jnp.float32), n_valid.astype(jnp.float32)]))
+        if res[1] == 0:
+            raise ValueError("No valid (finite, inlier) pixels in common between the elevation data.")
+        return float(res[0]), int(res[1])
     sub = _subsample_pair(ref_elev, tba_elev, inlier_mask, transform,
                           subsample, random_state, z_name=z_name)
     dh = np.asarray(_dh_device(jnp.asarray(sub["pts_z"]), jnp.asarray(sub["rows"]),
@@ -691,7 +733,10 @@ def _dh_minimize_nm_device(pts_z, rows, cols, raster, res_x, res_y, invert: bool
 
     s, fv, it = jax.lax.while_loop(cond, body, (simplex, fvals, jnp.asarray(0)))
     s, fv = _sorted(s, fv)
-    return s[0], fv[0], it
+    # Median dh at the optimum — part of the same dispatch (a separate jitted call costs a
+    # retrace + an extra tunnel round trip)
+    vshift = jnp.nanmedian(_dh_device(pts_z, rows, cols, raster, s[0][0] / res[0], s[0][1] / res[1], invert))
+    return s[0], fv[0], it, vshift
 
 
 def dh_minimize(
@@ -739,12 +784,15 @@ def dh_minimize(
             return float(fit_loss_func(np.asarray(dh_fn(v[0] / res_x, v[1] / res_y))))
 
     if fit_minimizer is None and fit_loss_func is None:
-        # Default path: the whole Nelder-Mead runs as one jitted while_loop (a host NM
-        # costs ~50 ms of tunnel latency per objective evaluation)
-        best, _fbest, _it = _dh_minimize_nm_device(pts_z, rows, cols, raster, res_x, res_y,
-                                                   bool(invert))
-        offset_east = -float(best[0])
-        offset_north = -float(best[1])
+        # Default path: the whole Nelder-Mead runs as one jitted while_loop, vshift included
+        # (a host NM costs ~50 ms of tunnel latency per objective evaluation)
+        res_dev = np.asarray(jnp.concatenate(
+            [v.reshape(-1).astype(jnp.float32) for v in
+             _dh_minimize_nm_device(pts_z, rows, cols, raster, res_x, res_y, bool(invert))]
+        ))
+        offset_east = -float(res_dev[0])
+        offset_north = -float(res_dev[1])
+        vshift = float(res_dev[4])
     else:
         minimizer = fit_minimizer or minimize
         # Nelder-Mead struggles from exactly (0, 0) (reference :664-666)
@@ -752,7 +800,7 @@ def dh_minimize(
             else minimizer(objective, (1.0, 1.0))
         offset_east = -float(result.x[0])
         offset_north = -float(result.x[1])
-    vshift = float(np.nanmedian(np.asarray(dh_fn(-offset_east / res_x, -offset_north / res_y))))
+        vshift = float(np.nanmedian(np.asarray(dh_fn(-offset_east / res_x, -offset_north / res_y))))
     return (offset_east, offset_north, vshift), sub["count"]
 
 
