@@ -9,8 +9,11 @@ of pixel coords, default order 2, subsample 5e5).
 from __future__ import annotations
 
 import logging
+from functools import partial
 from typing import Any, Callable, Iterable, Literal
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from xdem_tpu.coreg.affine import _subsample_pair_values
@@ -31,6 +34,13 @@ fit_workflows = {
     "norder_polynomial": {"func": polynomial_1d, "optimizer": robust_norder_polynomial_fit},
     "nfreq_sumsin": {"func": sumsin_1d, "optimizer": robust_nfreq_sumsin_fit},
 }
+
+
+@partial(jax.jit, static_argnames=("func", "n"))
+def _eval_fit_func_device(func, x_in, params, n: int):
+    """Evaluate a jnp-capable model function on device with traced parameters (static only in
+    the function identity and parameter count, so XLA caches across applies)."""
+    return func(x_in, *[params[i] for i in range(n)])
 
 
 def _get_xy_rotated(shape: tuple[int, int], transform: Affine, along_track_angle: float):
@@ -199,13 +209,53 @@ class BiasCorr(Coreg):
         is_raster = isinstance(elev, Raster)
         if isinstance(elev, PointCloud):
             raise NotImplementedCoregApply("BiasCorr apply is implemented for rasters.")
-        arr = np.asarray(elev.data if is_raster else elev, dtype=np.float64)
+        data = elev.data if is_raster else elev
         transform = elev.transform if is_raster else transform
+        # Device fast path: fitted functional corrections (polynomial/sumsin) evaluate as a
+        # jitted program with the raster resident — the host path round-trips the full array
+        corr_dev = self._compute_correction_device(np.shape(data), transform, bias_vars)
+        if corr_dev is not None:
+            out_dev = jnp.asarray(data, jnp.float32) + corr_dev
+            if is_raster:
+                return elev.copy(new_array=out_dev)
+            return np.asarray(out_dev, dtype=np.float64)
+        arr = np.asarray(data, dtype=np.float64)
         corr = self._compute_correction(arr, transform, crs, bias_vars, **kwargs)
         out_arr = arr + corr
         if is_raster:
             return elev.copy(new_array=out_arr.astype(np.float32))
         return out_arr
+
+    def _device_bias_vars(self, shape, transform, bias_vars) -> dict[str, Any] | None:
+        """Device-resident bias variables for the apply fast path, or None for the host path.
+        Subclasses that can synthesize their variable on device (pixel coords, rotated
+        coords) override this."""
+        if bias_vars is not None and all(isinstance(v, jnp.ndarray) for v in bias_vars.values()):
+            return dict(bias_vars)
+        return None
+
+    def _compute_correction_device(self, shape, transform, bias_vars):
+        """The fitted correction as a device array, or None when only the host path applies
+        (bin modes, custom fit functions, host-resident bias variables)."""
+        fb = self._meta["inputs"]["fitorbin"]
+        if fb["fit_or_bin"] not in ("fit", "bin_and_fit") or fb["fit_func"] not in (
+            polynomial_1d, polynomial_2d, sumsin_1d,
+        ):
+            return None
+        dev_vars = self._device_bias_vars(shape, transform, bias_vars)
+        if dev_vars is None:
+            return None
+        names = fb["bias_var_names"]
+        if sorted(dev_vars.keys()) != sorted(names):
+            raise ValueError(
+                "The keys of `bias_vars` do not match the `bias_var_names` defined during "
+                "instantiation or fitting: {}.".format(names)
+            )
+        vars_tuple = tuple(jnp.asarray(dev_vars[k], jnp.float32) for k in names)
+        x_in = vars_tuple[0] if len(vars_tuple) == 1 else vars_tuple
+        params = jnp.asarray(np.asarray(self._meta["outputs"]["fitorbin"]["fit_params"],
+                                        np.float32))
+        return _eval_fit_func_device(fb["fit_func"], x_in, params, int(params.shape[0])).reshape(shape)
 
     def _compute_correction(self, arr, transform, crs, bias_vars, **kwargs):
         from xdem_tpu import spatialstats
@@ -280,6 +330,24 @@ class DirectionalBias(BiasCorr):
     def _compute_correction(self, arr, transform, crs, bias_vars, **kwargs):
         x, _ = _get_xy_rotated(arr.shape, transform, self._meta["inputs"]["specific"]["angle"])
         return super()._compute_correction(arr, transform, crs, {"angle": x}, **kwargs)
+
+    def _device_bias_vars(self, shape, transform, bias_vars):
+        # The rotated along-track coordinate is affine in (row, col): fold the georeferencing
+        # and rotation into f64 host coefficients, then synthesize on device from iota grids
+        h, w = shape
+        theta = np.deg2rad(self._meta["inputs"]["specific"]["angle"])
+        # x = a*cc + b*rr + c ; y = d*cc + e*rr + f at pixel centers (cc+0.5, rr+0.5)
+        t = transform
+        xs = [t.xy(r, c) for r, c in ((0, 0), (0, w - 1), (h - 1, 0), (h - 1, w - 1))]
+        x0 = min(p[0] for p in xs)
+        y0 = min(p[1] for p in xs)
+        kc = (t.a * np.cos(theta) + t.d * np.sin(theta))
+        kr = (t.b * np.cos(theta) + t.e * np.sin(theta))
+        k0 = ((t.a * 0.5 + t.b * 0.5 + t.c - x0) * np.cos(theta)
+              + (t.d * 0.5 + t.e * 0.5 + t.f - y0) * np.sin(theta))
+        cc = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :], (h, w))
+        rr = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None], (h, w))
+        return {"angle": jnp.float32(kc) * cc + jnp.float32(kr) * rr + jnp.float32(k0)}
 
     def _apply_func(self, elev, bias_vars=None, transform=None, crs=None, **kwargs):
         return super()._apply_func(elev, bias_vars=None if bias_vars is None else bias_vars,
@@ -398,6 +466,14 @@ class Deramp(BiasCorr):
     def _compute_correction(self, arr, transform, crs, bias_vars, **kwargs):
         xx, yy = np.meshgrid(np.arange(0, arr.shape[1]), np.arange(0, arr.shape[0]))
         return super()._compute_correction(arr, transform, crs, {"xx": xx, "yy": yy}, **kwargs)
+
+    def _device_bias_vars(self, shape, transform, bias_vars):
+        # Pixel coordinates synthesize on device (iota): the whole deramp apply runs with the
+        # raster resident
+        h, w = shape
+        xx = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :], (h, w))
+        yy = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None], (h, w))
+        return {"xx": xx, "yy": yy}
 
     def _apply_func(self, elev, bias_vars=None, transform=None, crs=None, **kwargs):
         return super()._apply_func(elev, bias_vars=bias_vars, transform=transform, crs=crs, **kwargs)
