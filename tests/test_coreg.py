@@ -279,6 +279,50 @@ class TestBaseBehaviors:
         diff = np.asarray(out.data) - np.asarray(tba.data)
         np.testing.assert_allclose(diff[np.isfinite(diff)], aff["shift_z"], rtol=0, atol=1e-4)
 
+    def test_ndarray_args_match_raster_args(self, ref_tba):
+        """Arrays + transform/crs kwargs give the same fit as Raster inputs
+        (reference test_base.py:259)."""
+        tba = _shifted(ref_tba, 10.0, -6.0, 1.5)
+        c_rst = coreg.NuthKaab(subsample=30000)
+        c_rst.fit(ref_tba, tba, random_state=42)
+        c_arr = coreg.NuthKaab(subsample=30000)
+        c_arr.fit(np.asarray(ref_tba.data), np.asarray(tba.data),
+                  transform=ref_tba.transform, crs=ref_tba.crs, random_state=42)
+        np.testing.assert_allclose(
+            c_rst.to_translations(), c_arr.to_translations(), atol=1e-5
+        )
+        # Array apply returns (array, transform)
+        out, out_transform = c_arr.apply(np.asarray(tba.data), transform=tba.transform, crs=tba.crs)
+        assert np.shape(out) == tba.shape
+
+    def test_fit_and_apply_equals_fit_then_apply(self, ref_tba):
+        """fit_and_apply is exactly fit + apply (reference test_base.py:376,651)."""
+        tba = _shifted(ref_tba, 10.0, -6.0, 1.5)
+        c1 = coreg.NuthKaab(subsample=30000)
+        out1 = c1.fit_and_apply(ref_tba, tba, random_state=42)
+        c2 = coreg.NuthKaab(subsample=30000)
+        c2.fit(ref_tba, tba, random_state=42)
+        out2 = c2.apply(tba)
+        a1, a2 = np.asarray(out1.data), np.asarray(out2.data)
+        both = np.isfinite(a1) & np.isfinite(a2)
+        np.testing.assert_allclose(a1[both], a2[both], atol=1e-5)
+        np.testing.assert_array_equal(np.isfinite(a1), np.isfinite(a2))
+
+    def test_pipeline_matches_sequential(self, ref_tba):
+        """A two-step pipeline's output matrix equals the matmul of sequentially fitted
+        steps (reference test_base.py:854)."""
+        tba = _shifted(ref_tba, 8.0, -5.0, 2.0)
+        pipe = coreg.VerticalShift() + coreg.NuthKaab(subsample=30000)
+        pipe.fit(ref_tba, tba, random_state=42)
+        m_pipe = pipe.to_matrix()
+
+        v = coreg.VerticalShift()
+        mid = v.fit_and_apply(ref_tba, tba, random_state=42)
+        nk = coreg.NuthKaab(subsample=30000)
+        nk.fit(ref_tba, mid, random_state=42)
+        m_seq = nk.to_matrix() @ v.to_matrix()
+        np.testing.assert_allclose(m_pipe, m_seq, atol=1e-2)
+
     def test_apply_matrix_nodata_propagates(self, ref_tba):
         """apply_matrix on a gappy raster: NaN holes survive (possibly dilated), no fill-in
         with garbage (reference test_base.py:990)."""
