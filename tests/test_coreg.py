@@ -865,3 +865,52 @@ class TestFunctionalEntryPoints:
         assert north == pytest.approx(-sy, abs=0.05 * mag)
         assert vert == pytest.approx(-sz, abs=0.2)
         assert count > 0
+
+
+class TestShardedCPD:
+    """The sharded CPD EM step must match the single-device step exactly (the E-step's
+    per-reference normalization is shard-local, the M-step moments psum)."""
+
+    def _inputs(self, n, m, seed=0):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(seed)
+        X = rng.normal(0, 1.0, (n, 3))
+        Y = X[rng.choice(n, m, replace=False)] + rng.normal(0, 0.05, (m, 3)) + [0.3, -0.2, 0.1]
+        return jnp.asarray(X, jnp.float32), jnp.asarray(Y, jnp.float32)
+
+    def test_matches_single_device(self):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import Mesh
+
+        from xdem_tpu.coreg.affine import _cpd_em_step
+        from xdem_tpu.parallel.cpd import cpd_em_step_sharded
+
+        X, Y = self._inputs(512, 128)
+        mesh = Mesh(np.asarray(jax.devices()[:8]), axis_names=("p",))
+        sigma2, sigma2_min = 0.5, 1e-4
+        R1, t1, s1, q1 = _cpd_em_step(X, Y, Y, 0.1, jnp.float32(sigma2), sigma2_min)
+        R2, t2, s2, q2 = cpd_em_step_sharded(X, Y, Y, 0.1, sigma2, sigma2_min, mesh)
+        np.testing.assert_allclose(np.asarray(R1), np.asarray(R2), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), atol=1e-5)
+        assert float(s1) == pytest.approx(float(s2), rel=1e-4)
+        assert float(q1) == pytest.approx(float(q2), rel=1e-4)
+
+    def test_nan_padding(self):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import Mesh
+
+        from xdem_tpu.coreg.affine import _cpd_em_step
+        from xdem_tpu.parallel.cpd import cpd_em_step_sharded
+
+        X, Y = self._inputs(500, 100, seed=1)  # 500 does not divide by 8
+        pad = (-500) % 8
+        Xp = jnp.concatenate([X, jnp.full((pad, 3), jnp.nan, jnp.float32)])
+        mesh = Mesh(np.asarray(jax.devices()[:8]), axis_names=("p",))
+        R1, t1, s1, _ = _cpd_em_step(X, Y, Y, 0.1, jnp.float32(0.5), 1e-4)
+        R2, t2, s2, _ = cpd_em_step_sharded(Xp, Y, Y, 0.1, 0.5, 1e-4, mesh, n_true=500)
+        np.testing.assert_allclose(np.asarray(R1), np.asarray(R2), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), atol=1e-5)
+        assert float(s1) == pytest.approx(float(s2), rel=1e-4)
