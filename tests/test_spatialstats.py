@@ -494,3 +494,39 @@ class TestShardedGenton:
         # White noise: Qn-based variogram sits near the sill = sigma^2
         ok = c8 > 500
         assert np.allclose(g8[ok], sigma**2, rtol=0.25)
+
+
+class TestShardedNeff:
+    """Sharded n_eff double sums match the single-device chunked kernel exactly."""
+
+    def _params(self):
+        return pd.DataFrame({"model": ["spherical"], "range": [300.0], "psill": [1.0],
+                             "smooth": [None]})
+
+    def test_exact_matches(self):
+        import jax
+        from jax.sharding import Mesh
+
+        rng = np.random.default_rng(5)
+        coords = rng.uniform(0, 1000, (700, 2)).astype(np.float32)  # 700: not 8-divisible
+        errors = rng.uniform(0.5, 2.0, 700).astype(np.float32)
+        params = self._params()
+        mesh = Mesh(np.asarray(jax.devices()[:8]), axis_names=("p",))
+        single = ss.neff_exact(coords, errors, params)
+        sharded = ss.neff_exact(coords, errors, params, mesh=mesh)
+        assert sharded == pytest.approx(single, rel=1e-4)
+
+    def test_hugonnet_matches(self):
+        import jax
+        from jax.sharding import Mesh
+
+        rng = np.random.default_rng(6)
+        coords = rng.uniform(0, 1000, (1200, 2)).astype(np.float32)
+        errors = rng.uniform(0.5, 2.0, 1200).astype(np.float32)
+        params = self._params()
+        mesh = Mesh(np.asarray(jax.devices()[:8]), axis_names=("p",))
+        single = ss.neff_hugonnet_approx(coords, errors, params, subsample=300,
+                                                   random_state=7)
+        sharded = ss.neff_hugonnet_approx(coords, errors, params, subsample=300,
+                                                    random_state=7, mesh=mesh)
+        assert sharded == pytest.approx(single, rel=1e-4)

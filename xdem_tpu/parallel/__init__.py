@@ -9,5 +9,12 @@ shard_map + ppermute halo exchange over ICI.
 from xdem_tpu.parallel.mesh import make_mesh
 from xdem_tpu.parallel.halo import sharded_stencil, sharded_surface_attributes
 from xdem_tpu.parallel.cpd import cpd_em_step_sharded
+from xdem_tpu.parallel.neff import weighted_rho_sum_sharded
 
-__all__ = ["make_mesh", "sharded_stencil", "sharded_surface_attributes", "cpd_em_step_sharded"]
+__all__ = [
+    "make_mesh",
+    "sharded_stencil",
+    "sharded_surface_attributes",
+    "cpd_em_step_sharded",
+    "weighted_rho_sum_sharded",
+]

@@ -1329,15 +1329,22 @@ def _chunked_weighted_rho_sum(
 
 
 def neff_exact(
-    coords: np.ndarray, errors: np.ndarray, params_variogram_model: pd.DataFrame, vectorized: bool = True
+    coords: np.ndarray, errors: np.ndarray, params_variogram_model: pd.DataFrame,
+    vectorized: bool = True, mesh: Any = None,
 ) -> float:
     """Exact double covariance sum over all pixel pairs (reference :2175), as a tiled device
     kernel: sum_ij err_i err_j rho(d_ij) — chunked matmul-shaped distances + elementwise rho,
-    memory bounded by the chunk size (not N^2)."""
+    memory bounded by the chunk size (not N^2). Pass `mesh` (jax.sharding.Mesh) to shard the
+    row axis across devices (xdem_tpu.parallel.neff)."""
     _check_validity_params_variogram(params_variogram_model)
     coords = np.asarray(coords, np.float32)
     errors = np.asarray(errors, np.float32)
-    var = _chunked_weighted_rho_sum(coords, errors, coords, errors, params_variogram_model)
+    if mesh is not None:
+        from xdem_tpu.parallel.neff import weighted_rho_sum_sharded
+
+        var = weighted_rho_sum_sharded(coords, errors, coords, errors, params_variogram_model, mesh)
+    else:
+        var = _chunked_weighted_rho_sum(coords, errors, coords, errors, params_variogram_model)
     n = len(errors)
     squared_se = var / n**2
     return float(np.mean(errors)) ** 2 / squared_se
@@ -1350,9 +1357,11 @@ def neff_hugonnet_approx(
     subsample: int = 1000,
     vectorized: bool = True,
     random_state: int | None = None,
+    mesh: Any = None,
 ) -> float:
     """Hugonnet et al. (2022) approximation: one sum subsetted randomly (reference :2239).
-    Chunked accumulation bounds memory at chunk x subsample instead of N x subsample."""
+    Chunked accumulation bounds memory at chunk x subsample instead of N x subsample. Pass
+    `mesh` to shard the row axis across devices."""
     _check_validity_params_variogram(params_variogram_model)
     rng = np.random.default_rng(random_state)
     n = len(coords)
@@ -1360,9 +1369,16 @@ def neff_hugonnet_approx(
     sel = rng.choice(n, size=subsample, replace=False)
     coords = np.asarray(coords, np.float32)
     errors = np.asarray(errors, np.float32)
-    var = _chunked_weighted_rho_sum(
-        coords, errors, coords[sel], errors[sel], params_variogram_model
-    )
+    if mesh is not None:
+        from xdem_tpu.parallel.neff import weighted_rho_sum_sharded
+
+        var = weighted_rho_sum_sharded(
+            coords, errors, coords[sel], errors[sel], params_variogram_model, mesh
+        )
+    else:
+        var = _chunked_weighted_rho_sum(
+            coords, errors, coords[sel], errors[sel], params_variogram_model
+        )
     squared_se = var / (n * subsample)
     return float(np.mean(errors)) ** 2 / squared_se
 
