@@ -318,6 +318,84 @@ def get_perbin_nd_binning(
 # ---------------------------------------------------------------------- heteroscedasticity
 
 
+def _segment_median_sorted(vals_sorted: jnp.ndarray, starts: jnp.ndarray, counts: jnp.ndarray):
+    """Midpoint median of contiguous sorted segments (np.median semantics); NaN when empty."""
+    lo = starts + jnp.maximum((counts - 1) // 2, 0)
+    hi = starts + jnp.maximum(counts // 2, 0)
+    med = (vals_sorted[lo] + vals_sorted[hi]) / 2.0
+    return jnp.where(counts > 0, med, jnp.nan)
+
+
+def _binned_count_med_nmad(vals: jnp.ndarray, ids: jnp.ndarray, n_bins: int):
+    """Per-bin (count, median, NMAD) via two segment sorts — the device analog of
+    nd_binning's group-sorted host loop. `ids` in [0, n_bins), n_bins marks invalid."""
+    counts_all = jnp.zeros(n_bins + 1, jnp.int32).at[ids].add(1)
+    counts = counts_all[:n_bins]
+    starts = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts_all)[:-1]])[:n_bins]
+    _, vals_s = jax.lax.sort((ids, vals), num_keys=2)
+    med = _segment_median_sorted(vals_s, starts, counts)
+    absdev = jnp.abs(vals - med[jnp.clip(ids, 0, n_bins - 1)])
+    _, dev_s = jax.lax.sort((ids, absdev), num_keys=2)
+    nmad = 1.4826 * _segment_median_sorted(dev_s, starts, counts)
+    return counts, med, nmad
+
+
+@partial(jax.jit, static_argnames=("n_bins",))
+def _hetero_bin_tables_device(gathered: jnp.ndarray, edges: jnp.ndarray, n_bins: int):
+    """All nd_binning combos (each 1-D, each 2-D pair, the full N-D) of a gathered stable
+    sample, computed on device: only the tiny per-bin tables cross the host boundary.
+
+    gathered: (1 + nvars, N) with row 0 = dh; edges: (nvars, n_bins + 1).
+    Returns a flat list of (counts, median, nmad) per combo, in nd_binning's frame order.
+    """
+    d = gathered[0]
+    nvars = gathered.shape[0] - 1
+    valid = jnp.isfinite(d)
+    for i in range(nvars):
+        valid = valid & jnp.isfinite(gathered[1 + i])
+
+    def var_ids(i):
+        # Edges derive from the jointly-valid sample min/max, so every valid value is in
+        # range: digitize reduces to a clipped right-side searchsorted (host parity)
+        idx = jnp.searchsorted(edges[i], gathered[1 + i], side="right") - 1
+        return jnp.clip(idx, 0, n_bins - 1)
+
+    combos: list[tuple[int, ...]] = [(i,) for i in range(nvars)]
+    if nvars > 1:
+        combos += list(itertools.combinations(range(nvars), 2))
+    if nvars > 2:
+        combos.append(tuple(range(nvars)))
+
+    out = []
+    for combo in combos:
+        ids = jnp.zeros_like(d, dtype=jnp.int32)
+        tot = 1
+        for i in combo:
+            ids = ids * n_bins + var_ids(i).astype(jnp.int32)
+            tot *= n_bins
+        ids = jnp.where(valid, ids, tot)
+        out.append(_binned_count_med_nmad(d, ids, tot))
+    return out
+
+
+@jax.jit
+def _two_step_scale_device(gathered: jnp.ndarray, mids_ext: tuple, grid_ext: jnp.ndarray,
+                           fac_spread_outliers) -> jnp.ndarray:
+    """two_step_standardization's scale on device: z-score the gathered dh by the interpolated
+    unscaled error, clip outliers at fac * NMAD, return the re-normalizing NMAD."""
+    d = gathered[0]
+    err = _interp_grid_device(mids_ext, grid_ext, [gathered[1 + i] for i in range(gathered.shape[0] - 1)])
+    z = d / err
+
+    def _nmad(v):
+        med = jnp.nanmedian(v)
+        return 1.4826 * jnp.nanmedian(jnp.abs(v - med))
+
+    spread0 = _nmad(z)
+    z = jnp.where(jnp.abs(z) > fac_spread_outliers * spread0, jnp.nan, z)
+    return _nmad(z)
+
+
 def two_step_standardization(
     dvalues: np.ndarray,
     list_var: Sequence[np.ndarray],
@@ -470,16 +548,83 @@ def infer_heteroscedasticity_from_stable(
         gathered = jnp.stack(
             [jnp.where(picked_ok, a.ravel()[idx], jnp.nan) for a in [d_j] + vars_j]
         )
-        gathered_np = np.asarray(gathered, dtype=np.float64)
-        d_stable = gathered_np[0]
-        vars_stable = list(gathered_np[1:])
 
-        df, error_fun = _estimate_model_heteroscedasticity(
-            d_stable, vars_stable, list_var_names,
-            spread_statistic=spread_statistic, list_var_bins=list_var_bins,
-            min_count=min_count, fac_spread_outliers=fac_spread_outliers,
+        # Fully-device statistics for the default config (int bins, NMAD spread): the binned
+        # count/median/NMAD tables are computed by segment sorts on device and only ~1e2-row
+        # tables plus one scale scalar cross the tunnel. Custom statistics fall back to
+        # pulling the gathered sample.
+        device_stats = (
+            spread_statistic is _stat_nmad
+            and (list_var_bins is None or isinstance(list_var_bins, (int, np.integer)))
+            and fac_spread_outliers is not None
         )
-        unscaled = error_fun.unscaled
+        if device_stats:
+            n_bins = int(list_var_bins) if list_var_bins is not None else 10
+            nvars = len(vars_j)
+            # Bin edges from the jointly-valid sample min/max (host nd_binning parity)
+            gvalid = jnp.all(jnp.isfinite(gathered), axis=0)
+            gmin = jnp.min(jnp.where(gvalid[None, :], gathered[1:], jnp.inf), axis=1)
+            gmax = jnp.max(jnp.where(gvalid[None, :], gathered[1:], -jnp.inf), axis=1)
+            lohi = np.asarray(jnp.stack([gmin, gmax]), np.float64)
+            edges_np = np.stack([np.linspace(lohi[0, i], lohi[1, i], n_bins + 1) for i in range(nvars)])
+            tables = _hetero_bin_tables_device(gathered, jnp.asarray(edges_np, jnp.float32), n_bins)
+            tables_np = [[np.asarray(t, np.float64) for t in tab] for tab in tables]
+
+            combos: list[tuple[int, ...]] = [(i,) for i in range(nvars)]
+            if nvars > 1:
+                combos += list(itertools.combinations(range(nvars), 2))
+            if nvars > 2:
+                combos.append(tuple(range(nvars)))
+            spread_name = spread_statistic.__name__
+            frames = []
+            for combo, (counts, med, nmad) in zip(combos, tables_np):
+                tot = n_bins ** len(combo)
+                rec: dict[str, Any] = {
+                    "count": counts.astype(int),
+                    "nanmedian": med,
+                    spread_name: nmad,
+                }
+                # Decompose flat ids into per-var bin intervals (first var most significant)
+                rem = np.arange(tot)
+                per = []
+                for _ in combo:
+                    per.append(rem % n_bins)
+                    rem //= n_bins
+                per = per[::-1]
+                for k, i_var in enumerate(combo):
+                    e = edges_np[i_var]
+                    rec[list_var_names[i_var]] = pd.arrays.IntervalArray.from_arrays(
+                        e[per[k]], e[per[k] + 1], closed="left"
+                    )
+                f = pd.DataFrame(rec)
+                f["nd"] = len(combo)
+                frames.append(f)
+            df = pd.concat(frames, ignore_index=True)
+            cols = ["count", "nanmedian", spread_name] + list(list_var_names) + ["nd"]
+            df = df[cols]
+
+            unscaled = interp_nd_binning(df, list_var_names=list(list_var_names),
+                                         statistic=spread_name, min_count=min_count)
+            scale = float(_two_step_scale_device(
+                gathered, tuple(unscaled.mids_ext), jnp.asarray(unscaled.grid_ext),
+                jnp.float32(fac_spread_outliers),
+            ))
+
+            def error_fun(*args: np.ndarray) -> np.ndarray:
+                return scale * unscaled(*args)
+
+            error_fun.scale = scale
+            error_fun.unscaled = unscaled
+        else:
+            gathered_np = np.asarray(gathered, dtype=np.float64)
+            d_stable = gathered_np[0]
+            vars_stable = list(gathered_np[1:])
+            df, error_fun = _estimate_model_heteroscedasticity(
+                d_stable, vars_stable, list_var_names,
+                spread_statistic=spread_statistic, list_var_bins=list_var_bins,
+                min_count=min_count, fac_spread_outliers=fac_spread_outliers,
+            )
+            unscaled = error_fun.unscaled
         sig_dev = error_fun.scale * _interp_grid_device(unscaled.mids_ext, unscaled.grid_ext, vars_j)
         return Raster(sig_dev.astype(jnp.float32), dvalues.transform, dvalues.crs), error_fun, df
 
@@ -697,8 +842,16 @@ def _binned_pair_estimator(
     """
     if estimator == "genton":
         return _binned_genton(diffs, dists, bin_edges)
-    edges = jnp.asarray(bin_edges, dtype=jnp.float32)
-    n_bins = len(bin_edges) - 1
+    gamma, counts = _binned_pair_core(
+        diffs, dists, jnp.asarray(bin_edges, jnp.float32), estimator, len(bin_edges) - 1
+    )
+    return np.asarray(gamma, dtype=np.float64), np.asarray(counts, dtype=np.int64)
+
+
+def _binned_pair_core(
+    diffs: jnp.ndarray, dists: jnp.ndarray, edges: jnp.ndarray, estimator: str, n_bins: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """jnp-only estimator body, traceable inside larger jitted programs."""
     d = jnp.abs(diffs.ravel())
     h = dists.ravel()
     valid = jnp.isfinite(d) & jnp.isfinite(h) & (h >= edges[0]) & (h <= edges[-1])
@@ -717,9 +870,9 @@ def _binned_pair_estimator(
             counts > 0, (mean_sqrt**4) / (0.457 + 0.494 / n + 0.045 / n**2) / 2, jnp.nan
         )
     elif estimator == "dowd":
-        # Median of |d| per bin via one lexsort + gathers
-        order = jnp.lexsort((d, parked))
-        ds = d[order]
+        # Median of |d| per bin: one two-key sort (the payload comes out sorted — an
+        # argsort + random gather of 5e7 elements costs ~2x more on TPU)
+        _, ds = jax.lax.sort((parked, d), num_keys=2)
         starts = jnp.cumsum(counts) - counts
         lo = ds[jnp.clip(starts + (counts - 1) // 2, 0, d.size - 1)]
         hi = ds[jnp.clip(starts + counts // 2, 0, d.size - 1)]
@@ -729,7 +882,40 @@ def _binned_pair_estimator(
         raise ValueError(
             f"Estimator '{estimator}' not supported; use 'matheron', 'dowd', 'cressie' or 'genton'."
         )
-    return np.asarray(gamma, dtype=np.float64), np.asarray(counts, dtype=np.int64)
+    return gamma, counts
+
+
+@partial(jax.jit, static_argnames=("estimator", "n_bins"))
+def _grid_variogram_device(
+    arr: jnp.ndarray,
+    ija: jnp.ndarray,
+    ijb: jnp.ndarray,
+    gsd,
+    edges: jnp.ndarray,
+    estimator: str,
+    n_bins: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One dispatch for the grid equidistant variogram: gather the sampled pixels, form the
+    batched pairwise diffs/dists, and reduce to per-lag-bin (gamma, counts). Only two n_bins
+    vectors cross the host boundary (the eager per-op chain costs ~20 tunnel round trips)."""
+
+    def gz(ij):
+        ok = ij[..., 0] >= 0
+        ii = jnp.clip(ij[..., 0], 0, arr.shape[0] - 1)
+        jj = jnp.clip(ij[..., 1], 0, arr.shape[1] - 1)
+        z = jnp.where(ok, arr[ii, jj], jnp.nan)
+        ci = jnp.where(ok, ii.astype(jnp.float32) * gsd, jnp.nan)
+        cj = jnp.where(ok, jj.astype(jnp.float32) * gsd, jnp.nan)
+        return z, ci, cj
+
+    za, cai, caj = gz(ija)
+    zb, cbi, cbj = gz(ijb)
+    diffs = za[:, :, None] - zb[:, None, :]
+    dists = jnp.sqrt(
+        (cai[:, :, None] - cbi[:, None, :]) ** 2 + (caj[:, :, None] - cbj[:, None, :]) ** 2
+    )
+    dists = jnp.where(dists <= 0, jnp.nan, dists)
+    return _binned_pair_core(diffs, dists, edges, estimator, n_bins)
 
 
 def _binned_genton(diffs: jnp.ndarray, dists: jnp.ndarray, bin_edges: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -966,6 +1152,21 @@ def sample_empirical_variogram(
                         ring = annulus(center, radius0 * np.sqrt(2) ** (k - 1),
                                        radius0 * np.sqrt(2) ** k, samples_)
                         ijb[r_i, k * samples_:(k + 1) * samples_] = ring
+
+                if arr_dev is not None and estimator != "genton":
+                    # Gather + pairwise + binned estimator as ONE device dispatch
+                    gamma_d, counts_d = _grid_variogram_device(
+                        arr_dev,
+                        jnp.asarray(ija.astype(np.int32)),
+                        jnp.asarray(ijb.astype(np.int32)),
+                        jnp.float32(gsd),
+                        jnp.asarray(bin_edges, jnp.float32),
+                        estimator,
+                        len(bin_edges) - 1,
+                    )
+                    packed = np.asarray(jnp.concatenate([gamma_d, counts_d.astype(jnp.float32)]))
+                    nb = len(bin_edges) - 1
+                    return packed[:nb].astype(np.float64), packed[nb:].astype(np.int64)
 
                 def gather(ij):
                     ok_ij = ij[..., 0] >= 0
