@@ -16,6 +16,9 @@ import itertools
 import logging
 from typing import Any
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -113,8 +116,12 @@ class BlockwiseCoreg:
         shifts: np.ndarray,
         threshold: float = 0.01,
         max_iterations: int = 2000,
+        random_state: int = 42,
     ) -> tuple[float, float, float]:
-        """RANSAC plane fit shift = a*x + b*y + c (reference blockwise.py:225-289)."""
+        """RANSAC plane fit shift = a*x + b*y + c (reference blockwise.py:225-289).
+
+        Seeded: an unseeded consensus search makes apply() nondeterministic run-to-run.
+        """
         from sklearn.linear_model import LinearRegression, RANSACRegressor
 
         if np.isnan(shifts).all():
@@ -142,7 +149,8 @@ class BlockwiseCoreg:
             b, c = np.polyfit(points[:, 1], points[:, 2], 1)
             return 0.0, float(b), float(c)
         ransac = RANSACRegressor(
-            estimator=LinearRegression(), residual_threshold=threshold, max_trials=max_iterations
+            estimator=LinearRegression(), residual_threshold=threshold, max_trials=max_iterations,
+            random_state=random_state,
         )
         ransac.fit(points[:, :2], points[:, 2])
         a, b = ransac.estimator_.coef_
@@ -237,6 +245,68 @@ class BlockwiseCoreg:
         return out_path
 
 
+@partial(jax.jit, static_argnames=("bs", "n_rows", "n_cols", "K", "max_iterations"))
+def _blockwise_nuth_kaab_device(
+    ref, tba, inlier, seed, bs: int, n_rows: int, n_cols: int, K: int,
+    res_x, res_y, tolerance, max_iterations: int,
+):
+    """The ENTIRE blockwise fit as one device program: gradients, per-tile seeded
+    subsampling (top_k over uniform scores, as the fused single-tile path), and every tile's
+    NuthKaab while_loop vmapped — a single dispatch + one small readback.
+
+    Returns (sx, sy, vshift, n_valid) per tile, tiles in row-major order.
+    """
+    from xdem_tpu.coreg.affine import _nuth_kaab_solve
+
+    n_tiles = n_rows * n_cols
+    ref_c = ref - jnp.nanmean(ref)
+    gy, gx = jnp.gradient(ref_c)
+    slope_tan = jnp.hypot(gx, gy)
+    aspect = jnp.arctan2(-gx, gy) + jnp.pi
+    slope_tan = jnp.where(jnp.isclose(slope_tan, 0.0), jnp.nan, slope_tan)
+    valid = jnp.isfinite(ref) & jnp.isfinite(tba) & inlier & jnp.isfinite(slope_tan)
+
+    def tiled(a):
+        return (
+            a[: n_rows * bs, : n_cols * bs]
+            .reshape(n_rows, bs, n_cols, bs)
+            .transpose(0, 2, 1, 3)
+            .reshape(n_tiles, bs, bs)
+        )
+
+    vt = tiled(valid)
+    rt = tiled(ref)
+    tt = tiled(tba)
+    st_t = tiled(slope_tan).reshape(n_tiles, -1)
+    at = tiled(aspect).reshape(n_tiles, -1)
+    n_valid_t = vt.reshape(n_tiles, -1).sum(axis=1)
+
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_tiles)
+
+    def sample(key, v_flat):
+        scores = jnp.where(v_flat, jax.random.uniform(key, (bs * bs,)), -jnp.inf)
+        _, idx = jax.lax.top_k(scores, K)
+        return idx, v_flat[idx]
+
+    idxs, ok = jax.vmap(sample)(keys, vt.reshape(n_tiles, -1))
+    rr = (idxs // bs).astype(jnp.float32)
+    cc = (idxs % bs).astype(jnp.float32)
+    # NaN-poison slots whose pick fell outside the valid mask (tiles with < K valid pixels)
+    # so neither the vshift median nor the cosine fit sees them.
+    pts_z = jnp.where(ok, jnp.take_along_axis(rt.reshape(n_tiles, -1), idxs, axis=1), jnp.nan)
+    st = jnp.where(ok, jnp.take_along_axis(st_t, idxs, axis=1), jnp.nan)
+    asp = jnp.take_along_axis(at, idxs, axis=1)
+
+    solve = jax.vmap(
+        lambda z, r, c, rast, s, a: _nuth_kaab_solve(
+            z, r, c, rast, s, a, res_x, res_y, tolerance,
+            max_iterations=max_iterations, invert=False,
+        )
+    )
+    sx, sy, vs, _stat, _it = solve(pts_z, rr, cc, tt, st, asp)
+    return jnp.stack([sx, sy, vs, n_valid_t.astype(jnp.float32)])
+
+
 class BlockwiseNuthKaab(BlockwiseCoreg):
     """Blockwise NuthKaab with ALL tile solves batched in a single vmapped device program.
 
@@ -259,9 +329,6 @@ class BlockwiseNuthKaab(BlockwiseCoreg):
 
     def fit(self, reference_elev: Raster, to_be_aligned_elev: Raster,
             inlier_mask: np.ndarray | None = None) -> "BlockwiseNuthKaab":
-        import jax
-        from xdem_tpu.coreg.affine import _grad_slope_aspect, _nuth_kaab_solve
-
         ref = reference_elev
         tba = to_be_aligned_elev
         if tba.shape != ref.shape or not tba.transform.almost_equals(ref.transform):
@@ -274,70 +341,36 @@ class BlockwiseNuthKaab(BlockwiseCoreg):
             raise ValueError(f"Raster {ref.shape} smaller than block_size_fit={bs}.")
         self.shape_tiling_grid = (n_rows, n_cols)
 
-        ref_arr = np.asarray(ref.data)
-        tba_arr = np.asarray(tba.data)
-        slope_tan, aspect = _grad_slope_aspect(ref_arr)
-        slope_tan[np.isclose(slope_tan, 0)] = np.nan
-
-        valid = np.isfinite(ref_arr) & np.isfinite(tba_arr) & np.isfinite(slope_tan)
-        if inlier_mask is not None:
-            valid &= inlier_mask
-
-        rng = np.random.default_rng(self.random_state)
         K = self.subsample_per_tile
         n_tiles = n_rows * n_cols
 
-        pts_z = np.full((n_tiles, K), np.nan, np.float32)
-        rows_l = np.zeros((n_tiles, K), np.float32)
-        cols_l = np.zeros((n_tiles, K), np.float32)
-        st = np.full((n_tiles, K), np.nan, np.float32)
-        asp = np.full((n_tiles, K), np.nan, np.float32)
-        tiles = np.zeros((n_tiles, bs, bs), np.float32)
         xs, ys = [], []
-
-        t = 0
         for ti in range(n_rows):
             for tj in range(n_cols):
-                r0, c0 = ti * bs, tj * bs
-                sl = np.s_[r0:r0 + bs, c0:c0 + bs]
-                tiles[t] = tba_arr[sl]
-                v = np.flatnonzero(valid[sl])
-                if v.size >= 100:
-                    take = min(K, v.size)
-                    choice = rng.choice(v, take, replace=False)
-                    rr, cc = np.unravel_index(choice, (bs, bs))
-                    pts_z[t, :take] = ref_arr[sl][rr, cc]
-                    rows_l[t, :take] = rr
-                    cols_l[t, :take] = cc
-                    st[t, :take] = slope_tan[sl][rr, cc]
-                    asp[t, :take] = aspect[sl][rr, cc]
-                x, y = ref.transform.xy(r0 + bs / 2, c0 + bs / 2, offset="ul")
+                x, y = ref.transform.xy(ti * bs + bs / 2, tj * bs + bs / 2, offset="ul")
                 xs.append(x)
                 ys.append(y)
-                t += 1
 
         res_x, res_y = ref.transform.xres, ref.transform.yres
         it_cfg = self.procstep.meta["inputs"]["iterative"]
-
-        solve = jax.vmap(
-            lambda z, r, c, rast, s, a: _nuth_kaab_solve(
-                z, r, c, rast, s, a, res_x, res_y, it_cfg["tolerance"],
-                max_iterations=it_cfg["max_iterations"], invert=False,
-            )
-        )
-        sx, sy, vs, _stat, _it = jax.jit(solve)(
-            pts_z, rows_l, cols_l, tiles, st, asp
-        )
-        sx = np.asarray(sx, np.float64)
-        sy = np.asarray(sy, np.float64)
-        vs = np.asarray(vs, np.float64)
+        seed = (int(self.random_state) if isinstance(self.random_state, (int, np.integer))
+                else int(np.random.default_rng(self.random_state).integers(2**31)))
+        inlier = (jnp.asarray(inlier_mask, bool) if inlier_mask is not None
+                  else jnp.ones((h, w), bool))
+        # One dispatch for the whole fit: gradients, per-tile device sampling, vmapped solves
+        out = np.asarray(_blockwise_nuth_kaab_device(
+            jnp.asarray(ref.data, jnp.float32), jnp.asarray(tba.data, jnp.float32), inlier,
+            np.uint32(seed), bs, n_rows, n_cols, min(K, bs * bs),
+            res_x, res_y, it_cfg["tolerance"], max_iterations=int(it_cfg["max_iterations"]),
+        ), dtype=np.float64)
+        sx, sy, vs, n_valid_t = out
         # NuthKaab sampling offsets -> apply translations (sign flip), like the single-tile class
         self.x_coords = np.asarray(xs)
         self.y_coords = np.asarray(ys)
         self.shifts_x = -sx
         self.shifts_y = -sy
-        self.shifts_z = vs
-        empty = ~np.isfinite(pts_z).any(axis=1)
+        self.shifts_z = vs.copy()
+        empty = n_valid_t < 100  # same sparse-tile gate as the host path
         self.shifts_x[empty] = np.nan
         self.shifts_y[empty] = np.nan
         self.shifts_z[empty] = np.nan
