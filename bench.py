@@ -244,6 +244,18 @@ def bench_table() -> list[dict]:
     rows.append({"metric": "icp_dem_vs_1e6pt_epc_seconds",
                  "value": round(best, 3), "unit": "s", "vs_baseline": None})
 
+    # Config 4b: BlockwiseNuthKaab — the whole tiled fit as one device program
+    from xdem_tpu.coreg import BlockwiseNuthKaab
+
+    def bw_fit(seed):
+        return BlockwiseNuthKaab(block_size_fit=256, subsample_per_tile=4000,
+                                 random_state=seed).fit(ref, tba)
+
+    first, best = _timed(bw_fit, 42, n=2)
+    log(f"BlockwiseNuthKaab fit (15 tiles): first {first:.1f}s, steady {best:.3f}s")
+    rows.append({"metric": "blockwise_nuth_kaab_fit_985x1332_seconds",
+                 "value": round(best, 3), "unit": "s", "vs_baseline": None})
+
     # Config 5: uncertainty pipeline (heteroscedasticity + variogram) on the bundled pair
     def uncert(seed):
         dem_r = examples.get_ref_dem()
