@@ -46,20 +46,92 @@ class TestRoundTrip:
         assert back.crs.epsg == 4326
 
 
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encoder (MSB-first codes, early change) — independent oracle for
+    the C++ decoder."""
+    CLEAR, EOI = 256, 257
+    codes = []  # (code, bit width)
+    table = {bytes([i]): i for i in range(256)}
+    next_code, bits = 258, 9
+    codes.append((CLEAR, bits))
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        codes.append((table[w], bits))
+        table[wc] = next_code
+        next_code += 1
+        # Widen once a code needing the next width exists (libtiff early-change pairing)
+        if next_code == (1 << bits) and bits < 12:
+            bits += 1
+        if next_code == 4094:  # table nearly full: emit Clear and restart
+            codes.append((CLEAR, bits))
+            table = {bytes([i]): i for i in range(256)}
+            next_code, bits = 258, 9
+        w = bytes([ch])
+    if w:
+        codes.append((table[w], bits))
+    codes.append((EOI, bits))
+    out = bytearray()
+    acc = nacc = 0
+    for code, nb in codes:
+        acc = (acc << nb) | code
+        nacc += nb
+        while nacc >= 8:
+            out.append((acc >> (nacc - 8)) & 0xFF)
+            nacc -= 8
+    if nacc:
+        out.append((acc << (8 - nacc)) & 0xFF)
+    return bytes(out)
+
+
+def _fp_predict_row(row: bytes, n_samples: int, bps: int) -> bytes:
+    """TIFF floating-point predictor (3) encoder for one row of native-LE samples:
+    reorder into byte planes (MSB plane first), then byte-wise horizontal differencing."""
+    a = np.frombuffer(row, np.uint8).reshape(n_samples, bps)
+    planes = np.ascontiguousarray(a[:, ::-1].T).reshape(-1)
+    diff = planes.copy()
+    diff[1:] = planes[1:] - planes[:-1]
+    return diff.tobytes()
+
+
+def _hdiff_row(row: bytes, n_samples: int, bps: int, bo: str) -> bytes:
+    """Horizontal differencing predictor (2) encoder for one row of integer samples."""
+    kind = {1: "u1", 2: "u2", 4: "u4"}[bps]
+    a = np.frombuffer(row, bo + kind).astype(np.int64)
+    d = a.copy()
+    d[1:] = a[1:] - a[:-1]
+    return (d & ((1 << (8 * bps)) - 1)).astype(bo + kind).tobytes()
+
+
 def _write_tiff(path, width, height, data_bytes, extra_tags=(), bits=32, fmt=3,
-                compression=1, rows_per_strip=None, big_endian=False):
+                compression=1, rows_per_strip=None, big_endian=False, predictor=None):
     """Hand-rolled minimal TIFF writer for exercising the reader's format coverage."""
     bo = ">" if big_endian else "<"
     rows_per_strip = rows_per_strip or height
     n_strips = (height + rows_per_strip - 1) // rows_per_strip
     bps = bits // 8
+    row_bytes = width * bps
     strips = []
     for s in range(n_strips):
         rows = min(rows_per_strip, height - s * rows_per_strip)
-        raw = data_bytes[s * rows_per_strip * width * bps:(s * rows_per_strip + rows) * width * bps]
-        strips.append(zlib.compress(raw) if compression == 8 else raw)
+        raw = data_bytes[s * rows_per_strip * row_bytes:(s * rows_per_strip + rows) * row_bytes]
+        if predictor == 3:
+            raw = b"".join(_fp_predict_row(raw[r * row_bytes:(r + 1) * row_bytes], width, bps)
+                           for r in range(rows))
+        elif predictor == 2:
+            raw = b"".join(_hdiff_row(raw[r * row_bytes:(r + 1) * row_bytes], width, bps, bo)
+                           for r in range(rows))
+        if compression == 8:
+            strips.append(zlib.compress(raw))
+        elif compression == 5:
+            strips.append(_lzw_encode(raw))
+        else:
+            strips.append(raw)
 
-    tags = [
+    tags = ([(317, 3, 1, predictor)] if predictor else []) + [
         (256, 4, 1, width),
         (257, 4, 1, height),
         (258, 3, 1, bits),
@@ -159,6 +231,71 @@ class TestFormatCoverage:
         _write_tiff(path, w, h, data.tobytes(), bits=bits, fmt=fmt)
         back = Raster.open(path)
         assert np.allclose(np.asarray(back.data), data.astype(np.float32))
+
+    @pytest.mark.parametrize("rows_per_strip", [None, 3])
+    def test_lzw_float_strips(self, tmp_path, rows_per_strip):
+        h, w = (9, 7)
+        rng = np.random.default_rng(7)
+        # Repetitive data (quantized) exercises long LZW dictionary chains incl. KwKwK
+        data = np.round(rng.normal(0, 3, (h, w))).astype(np.float32)
+        path = str(tmp_path / "lzw.tif")
+        _write_tiff(path, w, h, data.tobytes(), compression=5, rows_per_strip=rows_per_strip)
+        back = Raster.open(path)
+        assert np.allclose(np.asarray(back.data), data)
+
+    def test_lzw_long_stream_dictionary_growth(self, tmp_path):
+        # > 4094 dictionary entries forces width growth through 10/11/12 bits and a
+        # mid-stream Clear; a varied-but-repetitive pattern grows the table quickly.
+        h, w = (64, 256)
+        base = np.arange(w, dtype=np.float32)
+        data = np.stack([np.roll(base, i) + (i % 7) for i in range(h)]).astype(np.float32)
+        path = str(tmp_path / "big_lzw.tif")
+        _write_tiff(path, w, h, data.tobytes(), compression=5)
+        back = Raster.open(path)
+        assert np.array_equal(np.asarray(back.data), data)
+
+    @pytest.mark.parametrize("compression", [5, 8])
+    def test_float_predictor(self, tmp_path, compression):
+        # GDAL's common creation profile for float DEMs: COMPRESS=DEFLATE/LZW PREDICTOR=3
+        h, w = (11, 6)
+        rng = np.random.default_rng(11)
+        data = rng.normal(500, 80, (h, w)).astype(np.float32)
+        path = str(tmp_path / "fp.tif")
+        _write_tiff(path, w, h, data.tobytes(), compression=compression, predictor=3,
+                    rows_per_strip=4)
+        back = Raster.open(path)
+        assert np.array_equal(np.asarray(back.data), data)
+
+    def test_float_predictor_float64_big_endian(self, tmp_path):
+        # Predictor-3 byte planes are endianness-independent (most-significant plane first)
+        h, w = (5, 4)
+        data = (np.arange(h * w, dtype=np.float64).reshape(h, w) * np.pi)
+        path = str(tmp_path / "fp64.tif")
+        _write_tiff(path, w, h, data.tobytes(), bits=64, fmt=3, compression=8, predictor=3,
+                    big_endian=True)
+        back = Raster.open(path)
+        assert np.allclose(np.asarray(back.data), data.astype(np.float32))
+
+    @pytest.mark.parametrize("dtype,bits,fmt", [(np.uint16, 16, 1), (np.int32, 32, 2)])
+    def test_lzw_horizontal_predictor_ints(self, tmp_path, dtype, bits, fmt):
+        h, w = (6, 9)
+        data = (np.arange(h * w).reshape(h, w) * 3 - 11).astype(dtype)
+        path = str(tmp_path / "hd.tif")
+        _write_tiff(path, w, h, data.tobytes(), bits=bits, fmt=fmt, compression=5, predictor=2)
+        back = Raster.open(path)
+        assert np.array_equal(np.asarray(back.data), data.astype(np.float32))
+
+    def test_lzw_against_libtiff_stream(self, tmp_path):
+        # Independent oracle: Pillow writes LZW through libtiff, pinning the real-world
+        # early-change convention (widths widen at decoder entries 511/1023/2047).
+        Image = pytest.importorskip("PIL.Image")
+        from xdem_tpu.io import read_raster
+
+        data = (np.arange(97 * 53, dtype=np.float32).reshape(97, 53) * 0.5)
+        path = str(tmp_path / "libtiff_lzw.tif")
+        Image.fromarray(data, mode="F").save(path, compression="tiff_lzw")
+        r = read_raster(path)
+        assert np.array_equal(np.asarray(r.data), data)
 
     def test_reader_rejects_bad_file(self, tmp_path):
         path = str(tmp_path / "bad.tif")

@@ -3,8 +3,9 @@
 // The reference delegates raster I/O to GDAL through rasterio/geoutils; this standalone
 // implementation covers the DEM-relevant GeoTIFF subset:
 //   * Read: classic TIFF (little/big endian), striped or tiled layout, compression none (1),
-//     DEFLATE (8/32946) and PackBits (32773), sample formats u8/u16/u32/i16/i32/f32/f64,
-//     single-band or first band of contiguous multi-band, horizontal differencing predictor.
+//     LZW (5), DEFLATE (8/32946) and PackBits (32773), sample formats
+//     u8/u16/u32/i16/i32/f32/f64, single-band or first band of contiguous multi-band,
+//     horizontal differencing (2) and floating-point (3) predictors.
 //   * Write: single-band float32, DEFLATE strips, predictor none, with ModelPixelScale,
 //     ModelTiepoint, GeoKeyDirectory (EPSG), and GDAL_NODATA.
 //
@@ -163,6 +164,81 @@ bool packbits_decode(const uint8_t* src, size_t src_len, uint8_t* dst, size_t ds
     return di == dst_len;
 }
 
+// TIFF LZW (compression 5): MSB-first variable-width codes starting at 9 bits,
+// ClearCode=256, EOI=257, dictionary entries from 258, with the TIFF "early change"
+// (the code width grows one code earlier than plain LZW). Decoder per TIFF 6.0 §13.
+bool lzw_decode(const uint8_t* src, size_t src_len, uint8_t* dst, size_t dst_len) {
+    constexpr uint32_t kClear = 256, kEoi = 257;
+    // Dictionary as (prefix, suffix) pairs; entry i<256 is the literal byte i.
+    std::vector<int32_t> prefix(4096, -1);
+    std::vector<uint8_t> suffix(4096);
+    for (uint32_t i = 0; i < 256; i++) suffix[i] = (uint8_t)i;
+    uint32_t next_code = 258, code_bits = 9;
+    uint64_t bitbuf = 0;
+    uint32_t bitcnt = 0;
+    size_t si = 0, di = 0;
+    int32_t old_code = -1;
+    std::vector<uint8_t> stack;
+    stack.reserve(4096);
+
+    auto reset = [&]() {
+        next_code = 258;
+        code_bits = 9;
+        old_code = -1;
+    };
+
+    while (true) {
+        while (bitcnt < code_bits) {
+            if (si >= src_len) return di == dst_len;  // stream may omit a trailing EOI
+            bitbuf = (bitbuf << 8) | src[si++];
+            bitcnt += 8;
+        }
+        uint32_t code = (uint32_t)((bitbuf >> (bitcnt - code_bits)) & ((1u << code_bits) - 1));
+        bitcnt -= code_bits;
+
+        if (code == kEoi) return di == dst_len;
+        if (code == kClear) {
+            reset();
+            continue;
+        }
+        if (old_code < 0) {
+            if (code > 255) return false;  // first code after clear must be a literal
+            if (di >= dst_len) return false;
+            dst[di++] = (uint8_t)code;
+            old_code = (int32_t)code;
+        } else {
+            uint32_t in_code = code;
+            stack.clear();
+            if (code >= next_code) {
+                if (code != next_code) return false;  // only the KwKwK case is legal
+                // Emit old string + its first byte: resolve after walking old_code.
+                code = (uint32_t)old_code;
+                stack.push_back(0);  // placeholder for the repeated first byte
+            }
+            while (code > 255) {
+                if (code >= 4096) return false;
+                stack.push_back(suffix[code]);
+                code = (uint32_t)prefix[code];
+            }
+            uint8_t first = (uint8_t)code;
+            if (in_code >= (uint32_t)next_code) stack[0] = first;  // fill the KwKwK placeholder
+            if (di + stack.size() + 1 > dst_len) return false;
+            dst[di++] = first;
+            for (size_t k = stack.size(); k-- > 0;) dst[di++] = stack[k];
+            if (next_code < 4096) {
+                prefix[next_code] = old_code;
+                suffix[next_code] = first;
+                next_code++;
+            }
+            old_code = (int32_t)in_code;
+        }
+        // TIFF early change (libtiff convention, validated against libtiff/Pillow streams):
+        // widen the read width once the decoder's next free entry reaches 511/1023/2047.
+        if (next_code >= (1u << code_bits) - 1 && code_bits < 12) code_bits++;
+        if (di == dst_len) return true;
+    }
+}
+
 // Convert raw sample bytes to float32 (handles endianness + sample format).
 void samples_to_float(const uint8_t* src, size_t n, uint16_t bits, uint16_t fmt, bool be, float* dst) {
     auto swap16 = [](uint16_t v) { return (uint16_t)((v << 8) | (v >> 8)); };
@@ -240,6 +316,24 @@ void undo_predictor(uint8_t* data, size_t rows, size_t cols, uint16_t bits, bool
                 memcpy(p + 4 * c, &nv, 4);
             }
         }
+    }
+}
+
+// Floating-point predictor (predictor == 3, TIFF technical note 3 / libtiff fpAcc):
+// each row is stored as byte planes (MSB plane first) after byte-wise horizontal
+// differencing with stride = samples-per-pixel. Undo: cumulative byte sum across the
+// row, then gather planes back into native little-endian sample order.
+void undo_fp_predictor(uint8_t* data, size_t rows, size_t cols, size_t bytes_per_sample,
+                       size_t stride, std::vector<uint8_t>& scratch) {
+    const size_t row_bytes = cols * bytes_per_sample;
+    scratch.resize(row_bytes);
+    for (size_t r = 0; r < rows; r++) {
+        uint8_t* p = data + r * row_bytes;
+        for (size_t i = stride; i < row_bytes; i++) p[i] = (uint8_t)(p[i] + p[i - stride]);
+        memcpy(scratch.data(), p, row_bytes);
+        for (size_t i = 0; i < cols; i++)
+            for (size_t b = 0; b < bytes_per_sample; b++)
+                p[i * bytes_per_sample + b] = scratch[(bytes_per_sample - 1 - b) * cols + i];
     }
 }
 
@@ -382,17 +476,14 @@ int gt_read(const char* path, float* out) {
     const Ifd_entry* planar_e = find_tag(e, 284);
     uint16_t planar = planar_e ? (uint16_t)entry_uint(t, *planar_e, 0) : 1;
 
-    if (comp != 1 && comp != 8 && comp != 32946 && comp != 32773) {
+    if (comp != 1 && comp != 5 && comp != 8 && comp != 32946 && comp != 32773) {
         g_last_error = "unsupported compression " + std::to_string(comp) +
-                       " (supported: none, DEFLATE, PackBits)";
-        return 2;
-    }
-    if (predictor == 3) {
-        g_last_error = "floating-point predictor unsupported";
+                       " (supported: none, LZW, DEFLATE, PackBits)";
         return 2;
     }
     size_t bytes_per_sample = bits / 8;
     size_t samples_per_px = (planar == 1) ? spp : 1;
+    std::vector<uint8_t> fp_scratch;
 
     auto decode_block = [&](const uint8_t* src, size_t src_len, std::vector<uint8_t>& dst,
                             size_t expect) -> bool {
@@ -403,6 +494,7 @@ int gt_read(const char* path, float* out) {
             return true;
         }
         if (comp == 32773) return packbits_decode(src, src_len, dst.data(), expect);
+        if (comp == 5) return lzw_decode(src, src_len, dst.data(), expect);
         return inflate_block(src, src_len, dst.data(), expect);
     };
 
@@ -429,8 +521,12 @@ int gt_read(const char* path, float* out) {
                 }
                 if (predictor == 2 && fmt != 3)
                     undo_predictor(block.data(), th, (size_t)tw * samples_per_px, bits, t.big_endian);
+                else if (predictor == 3)
+                    undo_fp_predictor(block.data(), th, (size_t)tw * samples_per_px,
+                                      bytes_per_sample, samples_per_px, fp_scratch);
+                // predictor 3 reassembles bytes into NATIVE order regardless of file endianness
                 samples_to_float(block.data(), (size_t)tw * th * samples_per_px, bits, fmt,
-                                 t.big_endian, fbuf.data());
+                                 predictor == 3 ? false : t.big_endian, fbuf.data());
                 for (uint32_t r = 0; r < th; r++) {
                     uint32_t gr = ty * th + r;
                     if (gr >= height) break;
@@ -467,8 +563,12 @@ int gt_read(const char* path, float* out) {
         }
         if (predictor == 2 && fmt != 3)
             undo_predictor(block.data(), rows, (size_t)width * samples_per_px, bits, t.big_endian);
+        else if (predictor == 3)
+            undo_fp_predictor(block.data(), rows, (size_t)width * samples_per_px,
+                              bytes_per_sample, samples_per_px, fp_scratch);
         std::vector<float> fbuf((size_t)rows * width * samples_per_px);
-        samples_to_float(block.data(), fbuf.size(), bits, fmt, t.big_endian, fbuf.data());
+        samples_to_float(block.data(), fbuf.size(), bits, fmt,
+                         predictor == 3 ? false : t.big_endian, fbuf.data());
         for (uint32_t r = 0; r < rows; r++)
             for (uint32_t c = 0; c < width; c++)
                 out[((size_t)(s * rps + r)) * width + c] = fbuf[((size_t)r * width + c) * samples_per_px];
