@@ -352,6 +352,40 @@ class TestStreamingIO:
         got = read_rows(p, 60, 100)
         np.testing.assert_array_equal(got, a[60:])
 
+    def test_bigtiff_roundtrip_both_readers(self, tmp_path):
+        from xdem_tpu.georef import Affine
+        from xdem_tpu.io import StreamingRasterWriter, read_raster, read_rows
+
+        rng = np.random.default_rng(5)
+        a = rng.normal(100, 10, (50, 23)).astype(np.float32)
+        a[7, 2] = np.nan
+        p = str(tmp_path / "big.tif")
+        t = Affine(2.0, 0.0, 10.0, 0.0, -2.0, 500.0)
+        with StreamingRasterWriter(p, a.shape, t, crs=32633, rows_per_strip=16,
+                                   bigtiff=True) as w:
+            for r0 in (16, 0, 32, 48):
+                w.write_rows(r0, a[r0: r0 + 16])
+        with open(p, "rb") as f:
+            assert f.read(4) == b"II+\x00"  # really a BigTIFF
+        back = read_rows(p, 0, 50)
+        np.testing.assert_allclose(np.nan_to_num(back), np.nan_to_num(a))
+        assert np.isnan(back[7, 2])
+        # Windowed read crossing strips
+        np.testing.assert_allclose(np.nan_to_num(read_rows(p, 10, 30)),
+                                   np.nan_to_num(a[10:40]))
+        # The native C++ codec reads BigTIFF too, with georeferencing intact
+        r = read_raster(p)
+        assert r.crs.epsg == 32633 and tuple(r.transform) == tuple(t)
+        np.testing.assert_allclose(np.nan_to_num(np.asarray(r.data)), np.nan_to_num(a))
+
+    def test_bigtiff_auto_threshold(self, tmp_path):
+        from xdem_tpu.georef import Affine
+        from xdem_tpu.io import StreamingRasterWriter
+
+        small = StreamingRasterWriter(str(tmp_path / "s.tif"), (4, 4), Affine.identity())
+        small.close()
+        assert not small.bigtiff  # tiny rasters stay classic TIFF
+
     def test_compressed_file_rejected_for_windowed_reads(self, tmp_path):
         from xdem_tpu.georef import Affine
         from xdem_tpu.io import read_rows, write_raster

@@ -157,16 +157,22 @@ class StreamingRasterWriter:
     The full IFD (with precomputed strip offsets) is written at creation; `write_rows` then
     pwrites pixel data at the right offsets, so tiles may arrive in any order and peak memory
     is one row band. Tag layout mirrors native/geotiff.cpp so the C++ reader round-trips it.
+
+    Rasters whose pixel data would overflow classic TIFF's 32-bit offsets are written as
+    BigTIFF automatically (or force with ``bigtiff=True``); both readers here handle it.
     """
 
     def __init__(self, path: str, shape: tuple[int, int], transform: Affine, crs=None,
-                 nodata: float = -9999.0, rows_per_strip: int = 64):
+                 nodata: float = -9999.0, rows_per_strip: int = 64, bigtiff: bool | None = None):
         h, w = int(shape[0]), int(shape[1])
         self.path = path
         self.shape = (h, w)
         self.nodata = float(nodata)
         self.rows_per_strip = int(rows_per_strip)
         n_strips = (h + rows_per_strip - 1) // rows_per_strip
+        if bigtiff is None:  # header+IFD never approach 1 MB; leave margin under 2**32
+            bigtiff = (h * w * 4 + 1_048_576) >= 2**32
+        self.bigtiff = bool(bigtiff)
 
         from xdem_tpu.georef import CRS as _CRS
 
@@ -190,6 +196,8 @@ class StreamingRasterWriter:
             (2048 if geographic else 3072), 0, 1, epsg,
         )
 
+        big = self.bigtiff
+        off_type = 16 if big else 4  # strip offsets/counts: LONG8 in BigTIFF
         # Aux data blocks placed right after the IFD
         tags: list[tuple[int, int, int, object]] = [
             (256, 4, 1, w),            # ImageWidth
@@ -197,10 +205,10 @@ class StreamingRasterWriter:
             (258, 3, 1, 32),           # BitsPerSample
             (259, 3, 1, 1),            # Compression = none
             (262, 3, 1, 1),            # Photometric
-            (273, 4, n_strips, "strip_offsets"),
+            (273, off_type, n_strips, "strip_offsets"),
             (277, 3, 1, 1),            # SamplesPerPixel
             (278, 4, 1, rows_per_strip),
-            (279, 4, n_strips, "strip_counts"),
+            (279, off_type, n_strips, "strip_counts"),
             (284, 3, 1, 1),            # PlanarConfig
             (339, 3, 1, 3),            # SampleFormat = IEEE float
             (33550, 12, 3, pixel_scale),
@@ -209,23 +217,23 @@ class StreamingRasterWriter:
             (42113, 2, len(nodata_str), nodata_str),
         ]
 
-        header_size = 8
-        ifd_size = 2 + len(tags) * 12 + 4
+        header_size = 16 if big else 8
+        entry_size = 20 if big else 12
+        ifd_size = (8 + len(tags) * entry_size + 8) if big else (2 + len(tags) * entry_size + 4)
         aux_off = header_size + ifd_size
+        inline_cap = 8 if big else 4
 
-        # Layout aux arrays
-        aux_blobs: list[bytes] = []
         strip_counts = [min(rows_per_strip, h - i * rows_per_strip) * w * 4 for i in range(n_strips)]
 
         def _sizeof(ttype, count):
-            return {2: 1, 3: 2, 4: 4, 12: 8}[ttype] * count
+            return {2: 1, 3: 2, 4: 4, 12: 8, 16: 8}[ttype] * count
 
         # First pass: compute offsets for oversized values
         offsets: dict[int, int] = {}
         pos = aux_off
         for tag, ttype, count, val in tags:
             size = _sizeof(ttype, count)
-            if size > 4:
+            if size > inline_cap:
                 offsets[tag] = pos
                 pos += size + (size % 2)
         data_start = pos
@@ -238,35 +246,41 @@ class StreamingRasterWriter:
 
         def _pack_value(tag, ttype, count, val) -> bytes:
             if val == "strip_offsets":
-                return _struct.pack(f"<{count}I", *strip_offsets)
+                return _struct.pack(f"<{count}{'Q' if big else 'I'}", *strip_offsets)
             if val == "strip_counts":
-                return _struct.pack(f"<{count}I", *strip_counts)
+                return _struct.pack(f"<{count}{'Q' if big else 'I'}", *strip_counts)
             if ttype == 12:
                 return _struct.pack(f"<{count}d", *val)
             if ttype == 2:
                 return bytes(val)
             if isinstance(val, bytes):
                 return val
-            fmt = {3: "H", 4: "I"}[ttype]
+            fmt = {3: "H", 4: "I", 16: "Q"}[ttype]
             vals = val if isinstance(val, (tuple, list)) else (val,)
             return _struct.pack(f"<{count}{fmt}", *vals)
 
         buf = bytearray()
-        buf += b"II*\x00" + _struct.pack("<I", 8)
-        buf += _struct.pack("<H", len(tags))
+        if big:
+            buf += b"II+\x00" + _struct.pack("<HHQ", 8, 0, 16)
+            buf += _struct.pack("<Q", len(tags))
+        else:
+            buf += b"II*\x00" + _struct.pack("<I", 8)
+            buf += _struct.pack("<H", len(tags))
+        ptr_fmt = "Q" if big else "I"
         aux_bytes = bytearray()
         for tag, ttype, count, val in tags:
             size = _sizeof(ttype, count)
             packed = _pack_value(tag, ttype, count, val)
-            if size > 4:
+            cnt_fmt = "Q" if big else "I"
+            if size > inline_cap:
                 off = offsets[tag]
-                buf += _struct.pack("<HHII", tag, ttype, count, off)
+                buf += _struct.pack(f"<HH{cnt_fmt}{ptr_fmt}", tag, ttype, count, off)
                 aux_bytes += packed
                 if size % 2:
                     aux_bytes += b"\x00"
             else:
-                buf += _struct.pack("<HHI", tag, ttype, count) + packed.ljust(4, b"\x00")
-        buf += _struct.pack("<I", 0)  # next IFD
+                buf += _struct.pack(f"<HH{cnt_fmt}", tag, ttype, count) + packed.ljust(inline_cap, b"\x00")
+        buf += _struct.pack(f"<{ptr_fmt}", 0)  # next IFD
         buf += aux_bytes
         assert len(buf) == data_start, (len(buf), data_start)
 
@@ -298,15 +312,25 @@ def read_rows(path: str, row0: int, nrows: int) -> np.ndarray:
     """Read rows [row0, row0+nrows) of band 1 from an uncompressed striped float32 GeoTIFF
     (as produced by StreamingRasterWriter). Nodata is converted to NaN."""
     with open(path, "rb") as f:
-        head = f.read(8)
-        if head[:4] != b"II*\x00":
-            raise OSError(f"'{path}' is not a little-endian classic TIFF.")
-        (ifd_off,) = _struct.unpack("<I", head[4:])
-        f.seek(ifd_off)
-        (n_tags,) = _struct.unpack("<H", f.read(2))
+        head = f.read(16)
+        if head[:4] == b"II*\x00":
+            big = False
+            (ifd_off,) = _struct.unpack("<I", head[4:8])
+            f.seek(ifd_off)
+            (n_tags,) = _struct.unpack("<H", f.read(2))
+        elif head[:4] == b"II+\x00" and _struct.unpack("<HH", head[4:8]) == (8, 0):
+            big = True
+            (ifd_off,) = _struct.unpack("<Q", head[8:16])
+            f.seek(ifd_off)
+            (n_tags,) = _struct.unpack("<Q", f.read(8))
+        else:
+            raise OSError(f"'{path}' is not a little-endian classic TIFF or BigTIFF.")
+        inline_cap = 8 if big else 4
+        entry_fmt = "<HHQ8s" if big else "<HHI4s"
+        entry_size = 20 if big else 12
         tags = {}
         for _ in range(n_tags):
-            tag, ttype, count, val = _struct.unpack("<HHII", f.read(12))
+            tag, ttype, count, val = _struct.unpack(entry_fmt, f.read(entry_size))
             tags[tag] = (ttype, count, val)
 
         def _values(tag):
@@ -314,20 +338,22 @@ def read_rows(path: str, row0: int, nrows: int) -> np.ndarray:
                 raise OSError(f"'{path}': missing TIFF tag {tag} (windowed reads need the "
                               f"StreamingRasterWriter layout).")
             ttype, count, val = tags[tag]
-            size = {2: 1, 3: 2, 4: 4, 12: 8}[ttype] * count
-            fmt = {2: "B", 3: "H", 4: "I", 12: "d"}[ttype]
-            if size <= 4:
-                raw = _struct.pack("<I", val)[:size]
+            size = {2: 1, 3: 2, 4: 4, 12: 8, 16: 8}[ttype] * count
+            fmt = {2: "B", 3: "H", 4: "I", 12: "d", 16: "Q"}[ttype]
+            if size <= inline_cap:
+                raw = val[:size]
             else:
+                (off,) = _struct.unpack("<Q" if big else "<I", val)
                 pos = f.tell()
-                f.seek(val)
+                f.seek(off)
                 raw = f.read(size)
                 f.seek(pos)
             return _struct.unpack(f"<{count}{fmt}", raw)
 
         w = _values(256)[0]
         h = _values(257)[0]
-        if tags.get(259, (0, 0, 1))[2] != 1 or _values(339)[0] != 3 or _values(258)[0] != 32:
+        comp = _values(259)[0] if 259 in tags else 1
+        if comp != 1 or _values(339)[0] != 3 or _values(258)[0] != 32:
             raise OSError(f"'{path}': windowed reads need an uncompressed float32 TIFF.")
         rps = _values(278)[0]
         strip_offsets = _values(273)

@@ -24,14 +24,14 @@ namespace {
 struct Ifd_entry {
     uint16_t tag;
     uint16_t type;
-    uint32_t count;
-    uint32_t value_offset;
+    uint64_t count;
     std::vector<uint8_t> data;  // resolved payload bytes
 };
 
 struct Tiff {
     std::vector<uint8_t> buf;
     bool big_endian = false;
+    bool bigtiff = false;  // BigTIFF (magic 43): 8-byte offsets, 20-byte IFD entries
 
     uint16_t u16(size_t off) const {
         const uint8_t* p = buf.data() + off;
@@ -41,6 +41,10 @@ struct Tiff {
         const uint8_t* p = buf.data() + off;
         return big_endian ? ((uint32_t)p[0] << 24 | (uint32_t)p[1] << 16 | (uint32_t)p[2] << 8 | p[3])
                           : ((uint32_t)p[0] | (uint32_t)p[1] << 8 | (uint32_t)p[2] << 16 | (uint32_t)p[3] << 24);
+    }
+    uint64_t u64(size_t off) const {
+        return big_endian ? ((uint64_t)u32(off) << 32) | u32(off + 4)
+                          : ((uint64_t)u32(off + 4) << 32) | u32(off);
     }
     double f64(size_t off) const {
         uint8_t tmp[8];
@@ -58,8 +62,9 @@ size_t type_size(uint16_t t) {
     switch (t) {
         case 1: case 2: case 6: case 7: return 1;  // BYTE/ASCII/SBYTE/UNDEF
         case 3: case 8: return 2;                  // SHORT/SSHORT
-        case 4: case 9: case 11: return 4;         // LONG/SLONG/FLOAT
+        case 4: case 9: case 11: case 13: return 4;  // LONG/SLONG/FLOAT/IFD
         case 5: case 10: case 12: return 8;        // RATIONAL/SRATIONAL/DOUBLE
+        case 16: case 17: case 18: return 8;       // LONG8/SLONG8/IFD8 (BigTIFF)
         default: return 1;
     }
 }
@@ -82,26 +87,73 @@ bool read_file(const char* path, std::vector<uint8_t>& out) {
     return got == (size_t)sz;
 }
 
-// Resolve IFD entries into a tag -> entry map with payloads loaded.
-bool parse_ifd(const Tiff& t, size_t ifd_off, std::vector<Ifd_entry>& entries) {
-    if (ifd_off + 2 > t.buf.size()) return false;
-    uint16_t n = t.u16(ifd_off);
+// Validate the TIFF/BigTIFF header; sets t.big_endian/t.bigtiff and returns the first IFD
+// offset, or 0 (never a valid IFD position) with g_last_error set.
+uint64_t open_tiff(Tiff& t);
+
+// Resolve IFD entries into a tag -> entry map with payloads loaded (classic and BigTIFF).
+bool parse_ifd(const Tiff& t, uint64_t ifd_off, std::vector<Ifd_entry>& entries) {
+    const size_t entry_size = t.bigtiff ? 20 : 12;
+    uint64_t n;
+    size_t base;
+    if (t.bigtiff) {
+        if (ifd_off + 8 > t.buf.size()) return false;
+        n = t.u64((size_t)ifd_off);
+        base = (size_t)ifd_off + 8;
+    } else {
+        if (ifd_off + 2 > t.buf.size()) return false;
+        n = t.u16((size_t)ifd_off);
+        base = (size_t)ifd_off + 2;
+    }
     entries.clear();
-    for (uint16_t i = 0; i < n; i++) {
-        size_t e = ifd_off + 2 + 12 * (size_t)i;
-        if (e + 12 > t.buf.size()) return false;
+    for (uint64_t i = 0; i < n; i++) {
+        size_t e = base + entry_size * (size_t)i;
+        if (e + entry_size > t.buf.size()) return false;
         Ifd_entry ent;
         ent.tag = t.u16(e);
         ent.type = t.u16(e + 2);
-        ent.count = t.u32(e + 4);
+        ent.count = t.bigtiff ? t.u64(e + 4) : t.u32(e + 4);
         size_t nbytes = type_size(ent.type) * (size_t)ent.count;
-        size_t payload_off = (nbytes <= 4) ? e + 8 : t.u32(e + 8);
-        ent.value_offset = t.u32(e + 8);
+        const size_t inline_cap = t.bigtiff ? 8 : 4;
+        const size_t voff_pos = t.bigtiff ? e + 12 : e + 8;
+        size_t payload_off = (nbytes <= inline_cap)
+                                 ? voff_pos
+                                 : (size_t)(t.bigtiff ? t.u64(voff_pos) : t.u32(voff_pos));
         if (payload_off + nbytes > t.buf.size()) return false;
         ent.data.assign(t.buf.begin() + payload_off, t.buf.begin() + payload_off + nbytes);
         entries.push_back(std::move(ent));
     }
     return true;
+}
+
+uint64_t open_tiff(Tiff& t) {
+    if (t.buf.size() < 8) {
+        g_last_error = "not a TIFF file";
+        return 0;
+    }
+    if (t.buf[0] == 'I' && t.buf[1] == 'I')
+        t.big_endian = false;
+    else if (t.buf[0] == 'M' && t.buf[1] == 'M')
+        t.big_endian = true;
+    else {
+        g_last_error = "not a TIFF file";
+        return 0;
+    }
+    uint16_t magic = t.u16(2);
+    if (magic == 42) {
+        t.bigtiff = false;
+        return t.u32(4);
+    }
+    if (magic == 43) {
+        if (t.buf.size() < 16 || t.u16(4) != 8 || t.u16(6) != 0) {
+            g_last_error = "unsupported BigTIFF header layout";
+            return 0;
+        }
+        t.bigtiff = true;
+        return t.u64(8);
+    }
+    g_last_error = "not a TIFF file";
+    return 0;
 }
 
 const Ifd_entry* find_tag(const std::vector<Ifd_entry>& entries, uint16_t tag) {
@@ -110,15 +162,23 @@ const Ifd_entry* find_tag(const std::vector<Ifd_entry>& entries, uint16_t tag) {
     return nullptr;
 }
 
-// Read the i-th integer value of an entry (SHORT or LONG), honoring endianness.
-uint32_t entry_uint(const Tiff& t, const Ifd_entry& e, size_t i) {
+// Read the i-th integer value of an entry (SHORT, LONG, or BigTIFF LONG8), honoring endianness.
+uint64_t entry_uint(const Tiff& t, const Ifd_entry& e, size_t i) {
     if (e.type == 3) {  // SHORT
         const uint8_t* p = e.data.data() + 2 * i;
-        return t.big_endian ? (uint32_t)((p[0] << 8) | p[1]) : (uint32_t)(p[0] | (p[1] << 8));
+        return t.big_endian ? (uint64_t)((p[0] << 8) | p[1]) : (uint64_t)(p[0] | (p[1] << 8));
     }
-    const uint8_t* p = e.data.data() + 4 * i;  // LONG
-    return t.big_endian ? ((uint32_t)p[0] << 24 | (uint32_t)p[1] << 16 | (uint32_t)p[2] << 8 | p[3])
-                        : ((uint32_t)p[0] | (uint32_t)p[1] << 8 | (uint32_t)p[2] << 16 | (uint32_t)p[3] << 24);
+    auto rd32 = [&](const uint8_t* p) -> uint32_t {
+        return t.big_endian
+                   ? ((uint32_t)p[0] << 24 | (uint32_t)p[1] << 16 | (uint32_t)p[2] << 8 | p[3])
+                   : ((uint32_t)p[0] | (uint32_t)p[1] << 8 | (uint32_t)p[2] << 16 | (uint32_t)p[3] << 24);
+    };
+    if (e.type == 16 || e.type == 17 || e.type == 18) {  // LONG8/SLONG8/IFD8
+        const uint8_t* p = e.data.data() + 8 * i;
+        return t.big_endian ? ((uint64_t)rd32(p) << 32) | rd32(p + 4)
+                            : ((uint64_t)rd32(p + 4) << 32) | rd32(p);
+    }
+    return rd32(e.data.data() + 4 * i);  // LONG
 }
 
 double entry_double(const Tiff& t, const Ifd_entry& e, size_t i) {
@@ -364,20 +424,10 @@ int gt_info(const char* path, GtInfo* info) {
         g_last_error = "cannot read file";
         return 1;
     }
-    if (t.buf[0] == 'I' && t.buf[1] == 'I')
-        t.big_endian = false;
-    else if (t.buf[0] == 'M' && t.buf[1] == 'M')
-        t.big_endian = true;
-    else {
-        g_last_error = "not a TIFF file";
-        return 1;
-    }
-    if (t.u16(2) != 42) {
-        g_last_error = "not a classic TIFF (BigTIFF unsupported)";
-        return 1;
-    }
+    uint64_t ifd0 = open_tiff(t);
+    if (!ifd0) return 1;
     std::vector<Ifd_entry> e;
-    if (!parse_ifd(t, t.u32(4), e)) {
+    if (!parse_ifd(t, ifd0, e)) {
         g_last_error = "corrupt IFD";
         return 1;
     }
@@ -455,9 +505,10 @@ int gt_read(const char* path, float* out) {
         g_last_error = "cannot read file";
         return 1;
     }
-    t.big_endian = (t.buf[0] == 'M');
+    uint64_t ifd0 = open_tiff(t);
+    if (!ifd0) return 1;
     std::vector<Ifd_entry> e;
-    if (!parse_ifd(t, t.u32(4), e)) {
+    if (!parse_ifd(t, ifd0, e)) {
         g_last_error = "corrupt IFD";
         return 1;
     }
@@ -791,10 +842,10 @@ const char* gt_metadata(const char* path) {
     g_metadata.clear();
     Tiff t;
     if (!read_file(path, t.buf)) return g_metadata.c_str();
-    t.big_endian = (t.buf[0] == 'M');
-    if (t.buf.size() < 8) return g_metadata.c_str();
+    uint64_t ifd0 = open_tiff(t);
+    if (!ifd0) return g_metadata.c_str();
     std::vector<Ifd_entry> e;
-    if (!parse_ifd(t, t.u32(4), e)) return g_metadata.c_str();
+    if (!parse_ifd(t, ifd0, e)) return g_metadata.c_str();
     const Ifd_entry* md = find_tag(e, 42112);
     if (md && !md->data.empty()) {
         g_metadata.assign(reinterpret_cast<const char*>(md->data.data()), md->data.size());
