@@ -281,6 +281,28 @@ def _nuth_kaab_solve(
     return sx * res_x, sy * res_y, vshift, stat, it
 
 
+def _nk_slope_aspect_valid(ref, tba, inlier):
+    """Slope-tangent/aspect gradients and the joint valid mask for device NuthKaab paths
+    (shared by the fused raster-raster program and the blockwise tile batch)."""
+    # Gradients are translation-invariant: mean-center so f32 differencing stays accurate.
+    ref_c = ref - jnp.nanmean(ref)
+    gy, gx = jnp.gradient(ref_c)
+    slope_tan = jnp.hypot(gx, gy)
+    aspect = jnp.arctan2(-gx, gy) + jnp.pi
+    slope_tan = jnp.where(jnp.isclose(slope_tan, 0.0), jnp.nan, slope_tan)
+    valid = jnp.isfinite(ref) & jnp.isfinite(tba) & inlier & jnp.isfinite(slope_tan)
+    return slope_tan, aspect, valid
+
+
+def _topk_subsample(key, valid_flat, count: int):
+    """Seeded fixed-size subsample without replacement: uniform scores with invalid slots
+    parked at -inf, then top_k. Returns (indices, picked_valid); when count exceeds the
+    valid population the overflow picks have picked_valid=False and must be NaN-poisoned."""
+    scores = jnp.where(valid_flat, jax.random.uniform(key, valid_flat.shape), -jnp.inf)
+    _, idx = jax.lax.top_k(scores, count)
+    return idx, valid_flat[idx]
+
+
 @partial(jax.jit, static_argnames=("count", "max_iterations", "n_bins", "bin_before_fit"))
 def _nuth_kaab_rst_rst_device(
     ref: jnp.ndarray,
@@ -302,28 +324,18 @@ def _nuth_kaab_rst_rst_device(
     Returns f32 [shift_x_m, shift_y_m, vshift, stat, iterations, n_valid, populated_bins].
     """
     h, w = ref.shape
-    # Gradients are translation-invariant: mean-center so f32 differencing stays accurate.
-    ref_c = ref - jnp.nanmean(ref)
-    gy, gx = jnp.gradient(ref_c)
-    slope_tan = jnp.hypot(gx, gy)
-    aspect = jnp.arctan2(-gx, gy) + jnp.pi
-    slope_tan = jnp.where(jnp.isclose(slope_tan, 0.0), jnp.nan, slope_tan)
-
-    valid = jnp.isfinite(ref) & jnp.isfinite(tba) & inlier & jnp.isfinite(slope_tan)
+    slope_tan, aspect, valid = _nk_slope_aspect_valid(ref, tba, inlier)
     n_valid = valid.sum()
 
     # Seeded subsample without replacement: uniform scores, invalid parked at -inf, top_k.
-    # If count > n_valid the extra picks land on invalid pixels whose NaN slope_tan removes
-    # them inside the solver (fixed shapes keep this one compiled program per raster shape).
-    key = jax.random.PRNGKey(seed)
-    scores = jnp.where(valid.ravel(), jax.random.uniform(key, (h * w,)), -jnp.inf)
-    _, idx = jax.lax.top_k(scores, count)
+    # Fixed shapes keep this one compiled program per raster shape.
+    idx, picked_ok = _topk_subsample(jax.random.PRNGKey(seed), valid.ravel(), count)
     rr = (idx // w).astype(jnp.float32)
     cc = (idx % w).astype(jnp.float32)
     # When count > n_valid the overflow picks land on non-valid pixels (masked-out inliers can
-    # still have finite z and slope) — poison their slope so the solver excludes them.
-    picked_ok = valid.ravel()[idx]
-    pts_z = ref.ravel()[idx]
+    # still have finite z and slope) — NaN-poison both their height (so the solver's vshift
+    # median never sees them) and their slope (so the cosine fit excludes them).
+    pts_z = jnp.where(picked_ok, ref.ravel()[idx], jnp.nan)
     st = jnp.where(picked_ok, slope_tan.ravel()[idx], jnp.nan)
     asp = aspect.ravel()[idx]
 

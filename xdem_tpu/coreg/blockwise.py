@@ -256,15 +256,10 @@ def _blockwise_nuth_kaab_device(
 
     Returns (sx, sy, vshift, n_valid) per tile, tiles in row-major order.
     """
-    from xdem_tpu.coreg.affine import _nuth_kaab_solve
+    from xdem_tpu.coreg.affine import _nk_slope_aspect_valid, _nuth_kaab_solve, _topk_subsample
 
     n_tiles = n_rows * n_cols
-    ref_c = ref - jnp.nanmean(ref)
-    gy, gx = jnp.gradient(ref_c)
-    slope_tan = jnp.hypot(gx, gy)
-    aspect = jnp.arctan2(-gx, gy) + jnp.pi
-    slope_tan = jnp.where(jnp.isclose(slope_tan, 0.0), jnp.nan, slope_tan)
-    valid = jnp.isfinite(ref) & jnp.isfinite(tba) & inlier & jnp.isfinite(slope_tan)
+    slope_tan, aspect, valid = _nk_slope_aspect_valid(ref, tba, inlier)
 
     def tiled(a):
         return (
@@ -282,13 +277,7 @@ def _blockwise_nuth_kaab_device(
     n_valid_t = vt.reshape(n_tiles, -1).sum(axis=1)
 
     keys = jax.random.split(jax.random.PRNGKey(seed), n_tiles)
-
-    def sample(key, v_flat):
-        scores = jnp.where(v_flat, jax.random.uniform(key, (bs * bs,)), -jnp.inf)
-        _, idx = jax.lax.top_k(scores, K)
-        return idx, v_flat[idx]
-
-    idxs, ok = jax.vmap(sample)(keys, vt.reshape(n_tiles, -1))
+    idxs, ok = jax.vmap(lambda k, v: _topk_subsample(k, v, K))(keys, vt.reshape(n_tiles, -1))
     rr = (idxs // bs).astype(jnp.float32)
     cc = (idxs % bs).astype(jnp.float32)
     # NaN-poison slots whose pick fell outside the valid mask (tiles with < K valid pixels)

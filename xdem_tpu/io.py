@@ -170,8 +170,11 @@ class StreamingRasterWriter:
         self.nodata = float(nodata)
         self.rows_per_strip = int(rows_per_strip)
         n_strips = (h + rows_per_strip - 1) // rows_per_strip
-        if bigtiff is None:  # header+IFD never approach 1 MB; leave margin under 2**32
-            bigtiff = (h * w * 4 + 1_048_576) >= 2**32
+        if bigtiff is None:
+            # Everything before the last byte must fit 32-bit offsets: pixel data plus the
+            # strip offset/count arrays (8 bytes/strip classic, and tall-skinny rasters can
+            # have millions of strips) plus a generous fixed-tag allowance.
+            bigtiff = (h * w * 4 + n_strips * 16 + 65_536) >= 2**32
         self.bigtiff = bool(bigtiff)
 
         from xdem_tpu.georef import CRS as _CRS

@@ -113,13 +113,16 @@ bool parse_ifd(const Tiff& t, uint64_t ifd_off, std::vector<Ifd_entry>& entries)
         ent.tag = t.u16(e);
         ent.type = t.u16(e + 2);
         ent.count = t.bigtiff ? t.u64(e + 4) : t.u32(e + 4);
+        // Overflow-safe sizing: counts/offsets are attacker-controlled 64-bit values in
+        // BigTIFF; reject anything that could not fit in the file instead of wrapping.
+        if (ent.count > t.buf.size() / type_size(ent.type)) return false;
         size_t nbytes = type_size(ent.type) * (size_t)ent.count;
         const size_t inline_cap = t.bigtiff ? 8 : 4;
         const size_t voff_pos = t.bigtiff ? e + 12 : e + 8;
         size_t payload_off = (nbytes <= inline_cap)
                                  ? voff_pos
                                  : (size_t)(t.bigtiff ? t.u64(voff_pos) : t.u32(voff_pos));
-        if (payload_off + nbytes > t.buf.size()) return false;
+        if (payload_off > t.buf.size() || nbytes > t.buf.size() - payload_off) return false;
         ent.data.assign(t.buf.begin() + payload_off, t.buf.begin() + payload_off + nbytes);
         entries.push_back(std::move(ent));
     }
@@ -565,6 +568,10 @@ int gt_read(const char* path, float* out) {
                 uint32_t ti = ty * tiles_x + tx;
                 size_t off = entry_uint(t, *offs, ti);
                 size_t len = entry_uint(t, *cnts, ti);
+                if (off > t.buf.size() || len > t.buf.size() - off) {
+                    g_last_error = "tile data out of bounds";
+                    return 3;
+                }
                 size_t expect = (size_t)tw * th * samples_per_px * bytes_per_sample;
                 if (!decode_block(t.buf.data() + off, len, block, expect)) {
                     g_last_error = "tile decode failed";
@@ -607,6 +614,10 @@ int gt_read(const char* path, float* out) {
         uint32_t rows = (s == n_strips - 1) ? height - s * rps : rps;
         size_t off = entry_uint(t, *offs, s);
         size_t len = entry_uint(t, *cnts, s);
+        if (off > t.buf.size() || len > t.buf.size() - off) {
+            g_last_error = "strip data out of bounds";
+            return 3;
+        }
         size_t expect = (size_t)rows * width * samples_per_px * bytes_per_sample;
         if (!decode_block(t.buf.data() + off, len, block, expect)) {
             g_last_error = "strip decode failed";

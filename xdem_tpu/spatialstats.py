@@ -1126,32 +1126,30 @@ def sample_empirical_variogram(
                 nx_g, ny_g = grid_valid.shape
                 rr_v, cc_v = np.nonzero(grid_valid)
 
-                def annulus(center, rmin, rmax, n):
-                    m = 8 * n
-                    theta = rng.uniform(0, 2 * np.pi, m)
-                    r = np.sqrt(rng.uniform(rmin**2, rmax**2, m)) / gsd
-                    ii = np.round(center[0] + r * np.cos(theta)).astype(np.int64)
-                    jj = np.round(center[1] + r * np.sin(theta)).astype(np.int64)
-                    okm = (ii >= 0) & (ii < nx_g) & (jj >= 0) & (jj < ny_g)
-                    okm[okm] &= grid_valid[ii[okm], jj[okm]]
-                    sel = np.flatnonzero(okm)[:n]
-                    out = np.full((n, 2), -1, dtype=np.int64)
-                    out[: len(sel), 0] = ii[sel]
-                    out[: len(sel), 1] = jj[sel]
-                    return out
-
-                ija = np.full((runs_, samples_, 2), -1, dtype=np.int64)
-                ijb = np.full((runs_, samples_ * (nb_rings + 1), 2), -1, dtype=np.int64)
-                for r_i in range(runs_):
-                    ci = rng.integers(0, len(rr_v))
-                    center = (rr_v[ci], cc_v[ci])
-                    disk = annulus(center, 0.0, radius0, samples_)
-                    ija[r_i] = disk
-                    ijb[r_i, :samples_] = disk
-                    for k in range(1, nb_rings + 1):
-                        ring = annulus(center, radius0 * np.sqrt(2) ** (k - 1),
-                                       radius0 * np.sqrt(2) ** k, samples_)
-                        ijb[r_i, k * samples_:(k + 1) * samples_] = ring
+                # All (run, ring) annuli sampled in one vectorized batch: draw 8x candidates
+                # per slot, keep the first `samples_` landing on valid pixels (a stable
+                # argsort on the invalid mask moves hits to the front of each slot).
+                n_rings1 = nb_rings + 1
+                m = 8 * samples_
+                ci = rng.integers(0, len(rr_v), runs_)
+                centers = np.stack([rr_v[ci], cc_v[ci]], axis=1).astype(np.float64)
+                ring_hi = radius0 * np.sqrt(2.0) ** np.arange(n_rings1)  # ring k max radius
+                ring_lo = np.concatenate([[0.0], ring_hi[:-1]])          # ring 0 is the disk
+                theta = rng.uniform(0, 2 * np.pi, (runs_, n_rings1, m))
+                r = np.sqrt(rng.uniform(ring_lo[:, None] ** 2, ring_hi[:, None] ** 2,
+                                        (runs_, n_rings1, m))) / gsd
+                ii = np.round(centers[:, None, None, 0] + r * np.cos(theta)).astype(np.int64)
+                jj = np.round(centers[:, None, None, 1] + r * np.sin(theta)).astype(np.int64)
+                okm = (ii >= 0) & (ii < nx_g) & (jj >= 0) & (jj < ny_g)
+                okm &= grid_valid[np.clip(ii, 0, nx_g - 1), np.clip(jj, 0, ny_g - 1)]
+                order = np.argsort(~okm, axis=-1, kind="stable")[..., :samples_]
+                n_ok = okm.sum(axis=-1, keepdims=True)
+                keep = np.arange(samples_) < n_ok  # slots past the hit count stay empty
+                rings = np.full((runs_, n_rings1, samples_, 2), -1, dtype=np.int64)
+                rings[..., 0] = np.where(keep, np.take_along_axis(ii, order, -1), -1)
+                rings[..., 1] = np.where(keep, np.take_along_axis(jj, order, -1), -1)
+                ija = rings[:, 0]
+                ijb = rings.reshape(runs_, n_rings1 * samples_, 2)
 
                 if arr_dev is not None and estimator != "genton":
                     # Gather + pairwise + binned estimator as ONE device dispatch
