@@ -398,6 +398,104 @@ class TestStreamingIO:
             read_rows(p, 0, 5)
 
 
+def _write_las(path, x, y, z, epsg=None, version=(1, 2), point_format=0):
+    """Minimal LAS writer for exercising read_epc's LAS path."""
+    import struct
+
+    x = np.asarray(x, np.float64)
+    n = len(x)
+    scale = (0.001, 0.001, 0.001)
+    off = (float(np.floor(x.min())), float(np.floor(np.asarray(y).min())),
+           float(np.floor(np.asarray(z).min())))
+    header_size = 227 if version[1] < 3 else 375
+    vlr = b""
+    if epsg is not None:
+        keys = struct.pack("<16H",
+                           1, 1, 0, 3,
+                           1024, 0, 1, 1,       # ModelTypeProjected
+                           3072, 0, 1, epsg,    # ProjectedCSType
+                           4099, 0, 1, 9001)    # VerticalUnits (filler key)
+        vlr = (struct.pack("<H", 0) + b"LASF_Projection".ljust(16, b"\x00")
+               + struct.pack("<HH", 34735, len(keys)) + b"\x00" * 32 + keys)
+    point_offset = header_size + len(vlr)
+    point_len = 20
+    hdr = bytearray(header_size)
+    hdr[0:4] = b"LASF"
+    hdr[24] = version[0]
+    hdr[25] = version[1]
+    struct.pack_into("<H", hdr, 94, header_size)
+    struct.pack_into("<I", hdr, 96, point_offset)
+    struct.pack_into("<I", hdr, 100, 1 if vlr else 0)
+    hdr[104] = point_format
+    struct.pack_into("<H", hdr, 105, point_len)
+    struct.pack_into("<I", hdr, 107, n if version[1] < 4 else 0)
+    struct.pack_into("<6d", hdr, 131, *scale, *off)
+    if version[1] >= 4:
+        struct.pack_into("<Q", hdr, 247, n)
+    pts = bytearray()
+    for xi, yi, zi in zip(x, np.asarray(y, np.float64), np.asarray(z, np.float64)):
+        pts += struct.pack("<3i", round((xi - off[0]) / scale[0]),
+                           round((yi - off[1]) / scale[1]), round((zi - off[2]) / scale[2]))
+        pts += b"\x00" * (point_len - 12)
+    with open(path, "wb") as f:
+        f.write(bytes(hdr) + vlr + bytes(pts))
+
+
+class TestEPCFormats:
+    def _pts(self):
+        rng = np.random.default_rng(9)
+        x = 5e5 + rng.uniform(0, 1000, 40)
+        y = 8.8e6 + rng.uniform(0, 1000, 40)
+        z = rng.uniform(100, 500, 40)
+        return x, y, z
+
+    @pytest.mark.parametrize("version", [(1, 2), (1, 4)])
+    def test_las_roundtrip_with_geokey_epsg(self, tmp_path, version):
+        from xdem_tpu.epc import read_epc
+
+        x, y, z = self._pts()
+        p = str(tmp_path / "p.las")
+        _write_las(p, x, y, z, epsg=32633, version=version)
+        epc = read_epc(p)
+        assert epc.crs.epsg == 32633
+        np.testing.assert_allclose(epc.x, x, atol=1e-3)
+        np.testing.assert_allclose(epc.y, y, atol=1e-3)
+        np.testing.assert_allclose(epc.z, z, atol=1e-3)
+
+    def test_las_without_crs_requires_kwarg(self, tmp_path):
+        from xdem_tpu.epc import read_epc
+
+        x, y, z = self._pts()
+        p = str(tmp_path / "nocrs.las")
+        _write_las(p, x, y, z, epsg=None)
+        with pytest.raises(ValueError, match="crs"):
+            read_epc(p)
+        epc = read_epc(p, crs=32633)
+        assert epc.crs.epsg == 32633
+
+    @pytest.mark.parametrize("ext", ["csv", "xyz"])
+    def test_text_roundtrip(self, tmp_path, ext):
+        from xdem_tpu.epc import read_epc, write_epc
+
+        x, y, z = self._pts()
+        from xdem_tpu.epc import EPC
+
+        src = EPC(x=x, y=y, z=z, crs=32633)
+        p = str(tmp_path / f"p.{ext}")
+        write_epc(p, src)
+        back = read_epc(p, crs=32633)
+        np.testing.assert_allclose(back.x, x, rtol=1e-8)
+        np.testing.assert_allclose(back.z, z, rtol=1e-8)
+
+    def test_laz_rejected(self, tmp_path):
+        from xdem_tpu.epc import read_epc
+
+        p = str(tmp_path / "c.laz")
+        open(p, "wb").close()
+        with pytest.raises(OSError, match="LAZ"):
+            read_epc(p)
+
+
 class TestMetadataTags:
     def test_tags_roundtrip(self, tmp_path):
         from xdem_tpu.georef import Affine
