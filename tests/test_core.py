@@ -87,6 +87,28 @@ class TestInterp:
         assert got_c[0] == pytest.approx(data[3, 4], abs=1e-5)
 
 
+class TestDeviceMask:
+    def test_packed_upload_matches(self):
+        from xdem_tpu.ops import device_mask
+
+        rng = np.random.default_rng(2)
+        for shape in [(7, 13), (64, 33), (5, 8)]:  # incl. non-multiple-of-8 sizes
+            m = rng.random(shape) > 0.4
+            got = np.asarray(device_mask(m))
+            np.testing.assert_array_equal(got, m)
+
+    def test_none_and_passthrough(self):
+        import jax.numpy as jnp
+
+        from xdem_tpu.ops import device_mask
+
+        assert np.asarray(device_mask(None, (3, 4))).all()
+        dev = jnp.zeros((2, 2), bool)
+        assert device_mask(dev) is not None and not np.asarray(device_mask(dev)).any()
+        with pytest.raises(ValueError, match="shape"):
+            device_mask(None)
+
+
 class TestRaster:
     def test_reproject_to_self_grid(self, ref_dem_test):
         back = ref_dem_test.reproject(ref_dem_test)

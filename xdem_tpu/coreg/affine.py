@@ -37,6 +37,7 @@ from xdem_tpu.coreg.base import (
 )
 from xdem_tpu.georef import Affine
 from xdem_tpu.ops.interp import interp_rowcol
+from xdem_tpu.ops.transfer import device_mask
 from xdem_tpu.pointcloud import PointCloud
 from xdem_tpu.raster import Raster
 
@@ -398,11 +399,7 @@ def nuth_kaab(
         # a full device->host->device round trip through the tunnel)
         ref_arr = jnp.asarray(ref_elev, jnp.float32)
         tba_arr = jnp.asarray(tba_elev, jnp.float32)
-        inlier = (
-            jnp.asarray(inlier_mask, bool)
-            if inlier_mask is not None
-            else jnp.ones(ref_arr.shape, bool)
-        )
+        inlier = device_mask(inlier_mask, ref_arr.shape)  # bit-packed upload, 8x smaller
         count = min(int(subsample), ref_arr.size)
         if isinstance(random_state, (int, np.integer)):
             seed = int(random_state)
@@ -556,8 +553,7 @@ def vertical_shift(
     full = isinstance(subsample, float) and subsample == 1.0
     if (full and vshift_reduc_func in (np.median, np.nanmedian)
             and not isinstance(ref_elev, PointCloud) and not isinstance(tba_elev, PointCloud)):
-        inlier = jnp.asarray(inlier_mask, bool) if inlier_mask is not None \
-            else jnp.ones(np.shape(ref_elev), bool)
+        inlier = device_mask(inlier_mask, tuple(np.shape(ref_elev)))
         med, n_valid = _masked_median_diff(
             jnp.asarray(ref_elev, jnp.float32), jnp.asarray(tba_elev, jnp.float32), inlier
         )

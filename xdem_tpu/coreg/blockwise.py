@@ -25,6 +25,7 @@ import numpy as np
 from xdem_tpu.coreg.base import Coreg
 from xdem_tpu.georef import Affine
 from xdem_tpu.ops.interp import interp_rowcol
+from xdem_tpu.ops.transfer import device_mask
 from xdem_tpu.raster import Raster
 
 
@@ -344,8 +345,7 @@ class BlockwiseNuthKaab(BlockwiseCoreg):
         it_cfg = self.procstep.meta["inputs"]["iterative"]
         seed = (int(self.random_state) if isinstance(self.random_state, (int, np.integer))
                 else int(np.random.default_rng(self.random_state).integers(2**31)))
-        inlier = (jnp.asarray(inlier_mask, bool) if inlier_mask is not None
-                  else jnp.ones((h, w), bool))
+        inlier = device_mask(inlier_mask, (h, w))
         # One dispatch for the whole fit: gradients, per-tile device sampling, vmapped solves
         out = np.asarray(_blockwise_nuth_kaab_device(
             jnp.asarray(ref.data, jnp.float32), jnp.asarray(tba.data, jnp.float32), inlier,
