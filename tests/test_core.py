@@ -87,6 +87,52 @@ class TestInterp:
         assert got_c[0] == pytest.approx(data[3, 4], abs=1e-5)
 
 
+class TestPackageConfig:
+    def test_default_resampling_flows_into_reproject(self):
+        import xdem_tpu
+        from xdem_tpu.georef import Affine
+        from xdem_tpu.raster import Raster
+
+        data = np.arange(36, dtype=np.float32).reshape(6, 6)
+        src = Raster(data, Affine(10.0, 0, 0, 0, -10.0, 60.0), 32633)
+        dst = Raster(np.zeros((3, 3), np.float32), Affine(20.0, 0, 0, 0, -20.0, 60.0), 32633)
+        linear = np.asarray(src.reproject(dst).data)
+        with xdem_tpu.config_context(resampling="nearest"):
+            nearest = np.asarray(src.reproject(dst).data)
+        assert not np.allclose(linear, nearest)
+        np.testing.assert_allclose(np.asarray(src.reproject(dst, resampling="nearest").data),
+                                   nearest)
+        # context restored the default
+        np.testing.assert_allclose(np.asarray(src.reproject(dst).data), linear)
+
+    def test_validation(self):
+        import xdem_tpu
+
+        with pytest.raises(KeyError, match="Unknown config key"):
+            xdem_tpu.config["not_a_key"] = 1
+        with pytest.raises(ValueError, match="resampling"):
+            xdem_tpu.config["resampling"] = "sinc"
+
+    def test_warn_area_or_point_toggle(self):
+        import warnings
+
+        import xdem_tpu
+        from xdem_tpu.coreg import VerticalShift
+        from xdem_tpu.georef import Affine
+        from xdem_tpu.raster import Raster
+
+        t = Affine(10.0, 0, 0, 0, -10.0, 100.0)
+        ref = Raster(np.random.default_rng(0).normal(0, 1, (10, 10)).astype(np.float32), t,
+                     32633, area_or_point="Area")
+        tba = Raster(np.asarray(ref.data) + 1.0, t, 32633, area_or_point="Point")
+        with pytest.warns(UserWarning, match="pixel interpretations"):
+            VerticalShift().fit(ref, tba)
+        with xdem_tpu.config_context(warn_area_or_point=False):
+            with warnings.catch_warnings():
+                warnings.simplefilter("error")
+                VerticalShift().fit(ref, tba)
+
+
 class TestDeviceMask:
     def test_packed_upload_matches(self):
         from xdem_tpu.ops import device_mask

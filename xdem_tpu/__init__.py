@@ -53,6 +53,7 @@ from xdem_tpu.georef import CRS, Affine  # noqa: F401
 from xdem_tpu.pointcloud import PointCloud  # noqa: F401
 from xdem_tpu.raster import Raster  # noqa: F401
 from xdem_tpu.vector import Vector  # noqa: F401
+from xdem_tpu.config import config, config_context  # noqa: F401
 
 def __getattr__(name: str):
     # Lazy submodule imports (coreg pulls in the full solver stack; workflows pulls in reporting)
@@ -75,6 +76,8 @@ __all__ = [
     "Vector",
     "CRS",
     "Affine",
+    "config",
+    "config_context",
     "coreg",
     "terrain",
     "spatialstats",

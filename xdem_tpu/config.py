@@ -1,0 +1,66 @@
+"""Package-level behavior configuration.
+
+The reference inherits two user-facing knobs from geoutils' config (reference
+doc/source/config.md:60-66): the default resampling algorithm applied by reprojection /
+gridded interpolation, and the behavior around raster pixel interpretation
+(Area vs Point) during raster-point comparison. Here they live in a plain dict with a
+context-manager override, so e.g.::
+
+    import xdem_tpu
+    xdem_tpu.config["resampling"] = "cubic"           # package-wide default
+    with xdem_tpu.config_context(resampling="nearest"):
+        dem.reproject(other)                           # scoped override
+
+Keys
+----
+resampling : {"nearest", "linear", "bilinear", "cubic"}
+    Default resampling for Raster.reproject and coreg post-processing when the call does
+    not pass one explicitly.
+warn_area_or_point : bool
+    Warn when a raster pair mixes Area and Point pixel interpretations (the reference's
+    geoutils warns likewise before casting to undefined).
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+from typing import Any, Iterator
+
+_DEFAULTS: dict[str, Any] = {
+    "resampling": "bilinear",
+    "warn_area_or_point": True,
+}
+
+_VALID_RESAMPLING = ("nearest", "linear", "bilinear", "cubic")
+
+
+class _Config(dict):
+    """Validating dict: unknown keys and invalid values fail fast."""
+
+    def __setitem__(self, key: str, value: Any) -> None:
+        if key not in _DEFAULTS:
+            raise KeyError(f"Unknown config key {key!r}; valid keys: {sorted(_DEFAULTS)}.")
+        if key == "resampling" and value not in _VALID_RESAMPLING:
+            raise ValueError(f"resampling must be one of {_VALID_RESAMPLING}, got {value!r}.")
+        if key == "warn_area_or_point":
+            value = bool(value)
+        super().__setitem__(key, value)
+
+    def reset(self) -> None:
+        super().update(_DEFAULTS)
+
+
+config = _Config(_DEFAULTS)
+
+
+@contextmanager
+def config_context(**overrides: Any) -> Iterator[_Config]:
+    """Temporarily override package config keys within a `with` block."""
+    previous = {k: config[k] for k in overrides}
+    try:
+        for k, v in overrides.items():
+            config[k] = v
+        yield config
+    finally:
+        for k, v in previous.items():
+            config[k] = v

@@ -372,8 +372,12 @@ def _preprocess_coreg_fit(
         # Pixel-interpretation casting (reference base.py:163 via geoutils
         # _cast_pixel_interpretation): equal interpretations pass through; a mismatch warns
         # and drops to None (undefined) rather than silently preferring one side.
+        from xdem_tpu.config import config
+
         if ref_raster.area_or_point == tba_raster.area_or_point:
             area_or_point = ref_raster.area_or_point
+        elif not config["warn_area_or_point"]:
+            area_or_point = None
         else:
             warnings.warn(
                 f"The reference and to-be-aligned rasters have different pixel interpretations "

@@ -242,14 +242,19 @@ class Raster:
         crs: CRS | int | str | None = None,
         res: float | Tuple[float, float] | None = None,
         bounds: Tuple[float, float, float, float] | None = None,
-        resampling: Literal["nearest", "linear", "bilinear", "cubic"] = "bilinear",
+        resampling: Literal["nearest", "linear", "bilinear", "cubic"] | None = None,
         silent: bool = True,
     ) -> "Raster":
         """Reproject/regrid onto a reference raster's grid or an explicit crs/res/bounds.
 
         Implemented as inverse-coordinate gather interpolation on device (the reference
-        delegates to rasterio.warp; same pixel-center convention).
+        delegates to rasterio.warp; same pixel-center convention). `resampling=None` uses
+        the package default (`xdem_tpu.config["resampling"]`, bilinear out of the box).
         """
+        if resampling is None:
+            from xdem_tpu.config import config
+
+            resampling = config["resampling"]
         method = {"bilinear": "linear"}.get(resampling, resampling)
         if ref is not None:
             dst_crs, dst_transform, dst_shape = ref.crs, ref.transform, ref.shape
