@@ -87,6 +87,137 @@ class TestInterp:
         assert got_c[0] == pytest.approx(data[3, 4], abs=1e-5)
 
 
+class TestGeoutilsParitySurface:
+    """geoutils.Raster/PointCloud API members the reference documents (api.md autosummary)."""
+
+    def _raster(self, arr=None):
+        from xdem_tpu.georef import Affine
+        from xdem_tpu.raster import Raster
+
+        if arr is None:
+            arr = np.arange(30, dtype=np.float32).reshape(5, 6)
+        return Raster(arr, Affine(10.0, 0, 0, 0, -10.0, 50.0), 32633)
+
+    def test_polygonize_roundtrip_with_holes(self):
+        from xdem_tpu.georef import Affine
+        from xdem_tpu.raster import Raster
+
+        m = np.zeros((9, 9), bool)
+        m[1:8, 1:8] = True
+        m[3:5, 3:6] = False  # a hole
+        m[0, 0] = True  # separate single-pixel component
+        t = Affine(10.0, 0, 0, 0, -10.0, 200.0)
+        vec = Raster(m.astype(np.float32), t, 32633).polygonize(1)
+        assert len(vec) == 2  # two components; hole carried as an interior ring
+        back = vec.create_mask(transform=t, shape=m.shape)
+        np.testing.assert_array_equal(np.asarray(back), m)
+
+    def test_polygonize_random_roundtrips(self):
+        from xdem_tpu.georef import Affine
+        from xdem_tpu.raster import Raster
+
+        t = Affine(5.0, 0, 0, 0, -5.0, 500.0)
+        rng = np.random.default_rng(7)
+        for dens in (0.35, 0.65):
+            m = rng.random((30, 22)) > dens
+            back = Raster(m.astype(np.float32), t, 32633).polygonize(1).create_mask(
+                transform=t, shape=m.shape)
+            np.testing.assert_array_equal(np.asarray(back), m)
+
+    def test_proximity(self):
+        r = self._raster(np.full((5, 6), np.nan, np.float32))
+        arr = np.asarray(r.data).copy()
+        arr[2, 3] = 7.0
+        r.data = arr
+        prox = r.proximity()
+        got = np.asarray(prox.data)
+        assert got[2, 3] == 0.0
+        assert got[2, 4] == pytest.approx(10.0)  # one pixel = 10 m
+        assert got[0, 3] == pytest.approx(20.0)
+        px = np.asarray(r.proximity(distance_unit="pixel").data)
+        assert px[2, 5] == pytest.approx(2.0)
+        tv = np.asarray(r.proximity(target_values=[7.0]).data)
+        np.testing.assert_allclose(tv, got)
+
+    def test_set_nodata(self):
+        r = self._raster()
+        r.set_nodata(12.0)
+        assert np.isnan(np.asarray(r.data)[2, 0])  # value 12 recoded
+        assert r.nodata == 12.0
+
+    def test_set_area_or_point_shifts_georef(self):
+        r = self._raster()
+        c0 = r.transform.c
+        r.set_area_or_point("Point")
+        assert r.area_or_point == "Point"
+        assert r.transform.c == pytest.approx(c0 + 5.0)  # half of the 10 m pixel
+        r.set_area_or_point("Area")
+        assert r.transform.c == pytest.approx(c0)
+        with pytest.raises(ValueError, match="area_or_point"):
+            r.set_area_or_point("Corner")
+
+    def test_plot_and_to_file(self, tmp_path):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        r = self._raster()
+        ax = r.plot(cbar_title="elevation (m)")
+        assert ax is not None
+        plt.close("all")
+        p = str(tmp_path / "o.tif")
+        r.to_file(p)
+        from xdem_tpu.raster import Raster
+
+        assert Raster.open(p).shape == r.shape
+
+    def test_pointcloud_constructors_and_crop(self):
+        from xdem_tpu.pointcloud import PointCloud
+
+        x = np.array([0.0, 10.0, 20.0, 30.0]); y = np.array([0.0, 5.0, 9.0, 2.0])
+        z = np.array([1.0, 2.0, 3.0, 4.0])
+        for pc in (PointCloud.from_xyz(x, y, z, 32633),
+                   PointCloud.from_array(np.column_stack([x, y, z]), 32633),
+                   PointCloud.from_array(np.column_stack([x, y, z]).T, 32633),
+                   PointCloud.from_tuples(zip(x, y, z), 32633)):
+            assert pc.point_count == 4
+            np.testing.assert_allclose(pc.z, z)
+        cropped = pc.crop((5.0, 0.0, 25.0, 10.0))
+        assert cropped.point_count == 2 and cropped.z.tolist() == [2.0, 3.0]
+
+    def test_pointcloud_rasterize_stats_info(self, tmp_path):
+        from xdem_tpu.georef import Affine
+        from xdem_tpu.pointcloud import PointCloud
+
+        t = Affine(10.0, 0, 0, 0, -10.0, 30.0)
+        pc = PointCloud.from_xyz([5.0, 5.0, 25.0], [25.0, 25.0, 5.0], [2.0, 4.0, 9.0], 32633)
+        mean = np.asarray(pc.rasterize(transform=t, shape=(3, 3), statistic="mean").data)
+        assert mean[0, 0] == pytest.approx(3.0)  # two points binned
+        assert mean[2, 2] == pytest.approx(9.0)
+        assert np.isnan(mean[1, 1])
+        cnt = np.asarray(pc.rasterize(transform=t, shape=(3, 3), statistic="count").data)
+        assert cnt[0, 0] == 2.0
+        mn = np.asarray(pc.rasterize(transform=t, shape=(3, 3), statistic="min").data)
+        assert mn[0, 0] == 2.0
+        stats = pc.get_stats()
+        assert stats["valid_count"] == 3 and stats["max"] == 9.0
+        assert "3 points" in pc.info()
+        p = str(tmp_path / "pc.csv")
+        pc.to_file(p)
+        from xdem_tpu.epc import read_epc
+
+        assert read_epc(p, crs=32633).point_count == 3
+
+    def test_coreg_matrix_exports(self):
+        from xdem_tpu import coreg
+
+        m = coreg.matrix_from_translations_rotations(1.0, 2.0, 3.0, 0.0, 0.0, 0.0)
+        out = np.asarray(coreg.translations_rotations_from_matrix(m), dtype=float).ravel()
+        np.testing.assert_allclose(out[:3], (1.0, 2.0, 3.0), atol=1e-12)
+        np.testing.assert_allclose(out[3:6], 0.0, atol=1e-9)
+
+
 class TestPackageConfig:
     def test_default_resampling_flows_into_reproject(self):
         import xdem_tpu

@@ -1,6 +1,13 @@
 """3-D coregistration: affine methods, bias corrections, pipelines, and blockwise tiling."""
 
-from xdem_tpu.coreg.base import Coreg, CoregPipeline, apply_matrix, invert_matrix
+from xdem_tpu.coreg.base import (
+    Coreg,
+    CoregPipeline,
+    apply_matrix,
+    invert_matrix,
+    matrix_from_translations_rotations,
+    translations_rotations_from_matrix,
+)
 from xdem_tpu.coreg.affine import (
     CPD,
     ICP,
@@ -31,4 +38,6 @@ __all__ = [
     "BlockwiseNuthKaab",
     "apply_matrix",
     "invert_matrix",
+    "matrix_from_translations_rotations",
+    "translations_rotations_from_matrix",
 ]

@@ -139,3 +139,125 @@ class PointCloud:
                 neigh = nsum / ncnt
             grid = np.where(empty & (ncnt > 0), neigh, grid).astype(np.float32)
         return Raster(grid, transform, crs if crs is not None else self.crs)
+
+    # ------------------------------------------------------- geoutils.PointCloud parity
+
+    point_count = nb_points  # reference name (geoutils PointCloud.point_count)
+
+    @classmethod
+    def from_xyz(cls, x: Any, y: Any, z: Any, crs: CRS | int | str,
+                 data_column: str = "z") -> "PointCloud":
+        """Build from separate coordinate arrays (geoutils PointCloud.from_xyz)."""
+        return cls(x=x, y=y, z=z, crs=crs, data_column=data_column)
+
+    @classmethod
+    def from_array(cls, array: Any, crs: CRS | int | str,
+                   data_column: str = "z") -> "PointCloud":
+        """Build from an (N, 3) or (3, N) array of x, y, z (geoutils PointCloud.from_array)."""
+        arr = np.asarray(array, dtype=np.float64)
+        if arr.ndim != 2 or 3 not in arr.shape:
+            raise ValueError(f"Expected an (N, 3) or (3, N) array, got shape {arr.shape}.")
+        if arr.shape[0] == 3 and arr.shape[1] != 3:
+            arr = arr.T
+        return cls(x=arr[:, 0], y=arr[:, 1], z=arr[:, 2], crs=crs, data_column=data_column)
+
+    @classmethod
+    def from_tuples(cls, tuples: Any, crs: CRS | int | str,
+                    data_column: str = "z") -> "PointCloud":
+        """Build from an iterable of (x, y, z) tuples (geoutils PointCloud.from_tuples)."""
+        return cls.from_array(np.asarray(list(tuples), dtype=np.float64), crs,
+                              data_column=data_column)
+
+    def crop(self, bbox: Any) -> "PointCloud":
+        """Keep points inside (left, bottom, right, top) — a raster/vector with `.bounds`
+        also works (geoutils PointCloud.crop)."""
+        b = getattr(bbox, "bounds", bbox)
+        left, bottom, right, top = (float(v) for v in tuple(b))
+        keep = (self.x >= left) & (self.x <= right) & (self.y >= bottom) & (self.y <= top)
+        return self.subset(keep)
+
+    def reproject(self, crs: CRS | int | str) -> "PointCloud":
+        """Transform coordinates to another CRS (alias of to_crs; reference name)."""
+        return self.to_crs(crs)
+
+    def rasterize(self, ref=None, transform=None, shape=None, crs=None,
+                  statistic: str = "mean") -> Any:
+        """Bin points onto a raster grid with a per-cell statistic (mean/count/min/max);
+        unlike :meth:`grid` there is no interpolation — empty cells stay NaN."""
+        from xdem_tpu.raster import Raster
+
+        if ref is not None:
+            transform, shape, crs = ref.transform, ref.shape, ref.crs
+        h, w = shape
+        rows, cols = transform.rowcol(self.x, self.y)
+        ri = np.floor(np.asarray(rows)).astype(int)
+        ci = np.floor(np.asarray(cols)).astype(int)
+        ok = (ri >= 0) & (ri < h) & (ci >= 0) & (ci < w) & np.isfinite(self.z)
+        flat = ri[ok] * w + ci[ok]
+        counts = np.bincount(flat, minlength=h * w).astype(np.float64)
+        if statistic == "count":
+            grid = counts
+            grid[counts == 0] = np.nan
+        elif statistic == "mean":
+            sums = np.bincount(flat, weights=self.z[ok], minlength=h * w)
+            with np.errstate(invalid="ignore"):
+                grid = sums / counts
+        elif statistic in ("min", "max"):
+            grid = np.full(h * w, np.inf if statistic == "min" else -np.inf)
+            reduce = np.minimum if statistic == "min" else np.maximum
+            reduce.at(grid, flat, self.z[ok])
+            grid[counts == 0] = np.nan
+        else:
+            raise ValueError(f"statistic must be mean/count/min/max, got {statistic!r}.")
+        return Raster(grid.reshape(h, w).astype(np.float32), transform,
+                      crs if crs is not None else self.crs)
+
+    def get_stats(self, stats: Any = None) -> Dict[str, float]:
+        """Statistics of the data column over valid points (geoutils PointCloud.get_stats)."""
+        valid = self.z[np.isfinite(self.z)]
+        med = float(np.median(valid)) if valid.size else float("nan")
+        out = {
+            "mean": float(np.mean(valid)) if valid.size else float("nan"),
+            "median": med,
+            "max": float(np.max(valid)) if valid.size else float("nan"),
+            "min": float(np.min(valid)) if valid.size else float("nan"),
+            "sum": float(np.sum(valid)) if valid.size else float("nan"),
+            "std": float(np.std(valid)) if valid.size else float("nan"),
+            "nmad": float(1.4826 * np.median(np.abs(valid - med))) if valid.size else float("nan"),
+            "rmse": float(np.sqrt(np.mean(valid**2))) if valid.size else float("nan"),
+            "valid_count": int(valid.size),
+            "total_count": int(self.z.size),
+        }
+        if stats is not None:
+            return {k: out[k] for k in stats}
+        return out
+
+    def info(self) -> str:
+        """Human-readable summary (printed by geoutils PointCloud.info)."""
+        b = self.bounds
+        lines = [
+            f"{type(self).__name__} with {len(self)} points",
+            f"CRS: {self.crs}",
+            f"Bounds: left={b[0]:.3f} bottom={b[1]:.3f} right={b[2]:.3f} top={b[3]:.3f}",
+            f"Data column: {self.data_column!r}"
+            + (f" (+aux: {sorted(self.aux_columns)})" if self.aux_columns else ""),
+        ]
+        return "\n".join(lines)
+
+    def to_file(self, path: str) -> None:
+        """Write to .npz or delimited text (see xdem_tpu.epc.write_epc)."""
+        from xdem_tpu.epc import write_epc
+
+        write_epc(path, self)
+
+    def plot(self, ax: Any = None, cmap: str = "viridis", marker_size: float = 2.0,
+             add_cbar: bool = True, **kwargs: Any):
+        """Scatter the points colored by the data column; returns the axes."""
+        import matplotlib.pyplot as plt
+
+        if ax is None:
+            ax = plt.gca()
+        sc = ax.scatter(self.x, self.y, c=self.z, s=marker_size, cmap=cmap, **kwargs)
+        if add_cbar:
+            plt.colorbar(sc, ax=ax).set_label(self.data_column)
+        return ax

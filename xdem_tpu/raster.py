@@ -91,6 +91,96 @@ class Raster:
 
         _io.write_raster(path, self, **kwargs)
 
+    def to_file(self, path: str, **kwargs: Any) -> None:
+        """Write to a GeoTIFF (reference name for :meth:`save`, geoutils Raster.to_file)."""
+        self.save(path, **kwargs)
+
+    def set_nodata(self, new_nodata: float | None, update_array: bool = True) -> None:
+        """Set the nodata value; with `update_array`, pixels equal to it become NaN
+        (geoutils Raster.set_nodata semantics — nodata is NaN-coded on device here)."""
+        if new_nodata is not None and update_array:
+            arr = np.asarray(self.data).copy()
+            arr[arr == new_nodata] = np.nan
+            self.data = arr
+        self.nodata = None if new_nodata is None else float(new_nodata)
+
+    def set_area_or_point(self, new_area_or_point: str | None,
+                          shift_area_or_point: bool = True) -> None:
+        """Change the pixel interpretation; with `shift_area_or_point`, the georeferencing
+        moves by half a pixel so coordinates keep pointing at the same ground locations
+        (GDAL convention: Area anchors the transform at the corner, Point at the center)."""
+        if new_area_or_point not in ("Area", "Point", None):
+            raise ValueError(f"area_or_point must be 'Area', 'Point' or None, got {new_area_or_point!r}.")
+        old = self.area_or_point
+        if shift_area_or_point and old in ("Area", "Point") and new_area_or_point in ("Area", "Point") \
+                and old != new_area_or_point:
+            t = self.transform
+            s = 0.5 if (old == "Area" and new_area_or_point == "Point") else -0.5
+            self.transform = t.translation(s * (t.a + t.b), s * (t.d + t.e))
+        self.area_or_point = new_area_or_point
+
+    def plot(self, ax: Any = None, cmap: str = "viridis", cbar_title: str | None = None,
+             add_cbar: bool = True, **kwargs: Any):
+        """Show the raster with georeferenced extent (matplotlib imshow); returns the axes."""
+        import matplotlib.pyplot as plt
+
+        if ax is None:
+            ax = plt.gca()
+        b = self.bounds
+        im = ax.imshow(self.get_nanarray(), extent=(b.left, b.right, b.bottom, b.top),
+                       cmap=cmap, **kwargs)
+        if add_cbar:
+            cbar = plt.colorbar(im, ax=ax)
+            if cbar_title:
+                cbar.set_label(cbar_title)
+        return ax
+
+    def proximity(self, target_values: Any = None,
+                  distance_unit: str = "georeferenced") -> "Raster":
+        """Per-pixel distance to the nearest target pixel (geoutils Raster.proximity).
+
+        `target_values=None` targets all valid (finite) pixels; otherwise pixels whose value
+        is in `target_values`. `distance_unit` is 'georeferenced' (meters) or 'pixel'.
+        """
+        from scipy.ndimage import distance_transform_edt
+
+        arr = np.asarray(self.data)
+        if target_values is None:
+            target = np.isfinite(arr)
+        else:
+            target = np.isin(arr, np.atleast_1d(target_values))
+        if distance_unit == "georeferenced":
+            sampling = (abs(self.transform.yres), abs(self.transform.xres))
+        elif distance_unit == "pixel":
+            sampling = (1.0, 1.0)
+        else:
+            raise ValueError("distance_unit must be 'georeferenced' or 'pixel'.")
+        dist = distance_transform_edt(~target, sampling=sampling)
+        return self.copy(new_array=dist.astype(np.float32))
+
+    def polygonize(self, target_values: Any = 1) -> "Vector":
+        """Convert target pixels to polygons with holes (geoutils Raster.polygonize analog,
+        which goes through GDAL; here a pure boundary-tracing implementation).
+
+        `target_values='all'` polygonizes every valid (finite) pixel; a scalar or sequence
+        selects pixels by value. Round-trips with Vector.create_mask.
+        """
+        from xdem_tpu.vector import Vector
+
+        arr = np.asarray(self.data)
+        if isinstance(target_values, str) and target_values == "all":
+            mask = np.isfinite(arr)
+        else:
+            mask = np.isin(arr, np.atleast_1d(target_values))
+        polygons = []
+        for rings_px in _mask_to_polygons(mask):
+            rings_xy = []
+            for ring in rings_px:
+                x, y = self.transform.xy(ring[:, 1], ring[:, 0], offset="ul")
+                rings_xy.append(np.column_stack([x, y]))
+            polygons.append(rings_xy)
+        return Vector(polygons, crs=self.crs)
+
     # ---------------------------------------------------------------- properties
 
     @property
@@ -363,3 +453,86 @@ class Raster:
         if stats is not None:
             return {k: out[k] for k in stats}
         return out
+
+
+def _mask_to_polygons(mask: np.ndarray) -> list:
+    """Trace a binary mask into polygons: list of [exterior, *holes], each an (N, 2) array
+    of (col, row) pixel-corner coordinates.
+
+    Directed boundary edges are emitted per filled pixel against each empty 4-neighbor; at
+    checkerboard corners the turn toward the filled side is taken so diagonally-touching
+    regions stay separate loops. Hole rings are identified by orientation (opposite shoelace
+    sign from exteriors) and attached to the smallest exterior containing them.
+    """
+    h, w = mask.shape
+    if not mask.any():
+        return []
+    m = np.zeros((h + 2, w + 2), bool)
+    m[1:-1, 1:-1] = mask
+    rr, cc = np.nonzero(mask)
+    r1, c1 = rr + 1, cc + 1
+    edges: dict = {}
+
+    def add(sx, sy, ex, ey, sel):
+        for x0, y0, x1_, y1_ in zip(sx[sel], sy[sel], ex[sel], ey[sel]):
+            edges.setdefault((x0, y0), []).append((x1_, y1_))
+
+    # (col, row) corners; directions chosen so the filled pixel sits on the walker's right
+    add(cc, rr, cc + 1, rr, ~m[r1 - 1, c1])          # top edge, heading +x
+    add(cc + 1, rr, cc + 1, rr + 1, ~m[r1, c1 + 1])  # right edge, heading +y
+    add(cc + 1, rr + 1, cc, rr + 1, ~m[r1 + 1, c1])  # bottom edge, heading -x
+    add(cc, rr + 1, cc, rr, ~m[r1, c1 - 1])          # left edge, heading -y
+
+    loops = []
+    while edges:
+        start = next(iter(edges))
+        ring = [start]
+        prev = None
+        cur = start
+        while True:
+            outs = edges.get(cur)
+            if not outs:
+                break
+            if len(outs) == 1 or prev is None:
+                nxt = outs.pop()
+            else:
+                # Saddle (diagonally-touching pixels): keep hugging the SAME filled pixel by
+                # taking the right turn (positive cross in y-down screen coords), so separate
+                # components get separate loops and diagonal hole pairs pinch into one ring.
+                dx, dy = cur[0] - prev[0], cur[1] - prev[1]
+                nxt = max(outs, key=lambda e: dx * (e[1] - cur[1]) - dy * (e[0] - cur[0]))
+                outs.remove(nxt)
+            if not outs:
+                del edges[cur]
+            prev, cur = cur, nxt
+            if cur == start:
+                break
+            ring.append(cur)
+        if len(ring) >= 4:
+            loops.append(np.asarray(ring, dtype=np.float64))
+
+    def shoelace(ring):
+        x, y = ring[:, 0], ring[:, 1]
+        return 0.5 * float(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
+
+    from xdem_tpu.vector import _points_in_ring
+
+    areas = [shoelace(rg) for rg in loops]
+    # Exterior orientation: the edge directions walk the outermost loop of any component
+    # clockwise in screen coords, which is a POSITIVE shoelace in (x, y-down) coordinates;
+    # hole loops run the other way.
+    exteriors = [(rg, abs(a)) for rg, a in zip(loops, areas) if a > 0]
+    holes = [rg for rg, a in zip(loops, areas) if a <= 0]
+    exteriors.sort(key=lambda t: t[1])  # smallest first: holes attach to tightest container
+    polygons = [[rg] for rg, _a in exteriors]
+    for hole in holes:
+        # Probe strictly inside the hole region: the empty side is on the walker's LEFT,
+        # so step half a unit left of the first edge's midpoint (unit-length edges).
+        dx, dy = hole[1, 0] - hole[0, 0], hole[1, 1] - hole[0, 1]
+        probe = (0.5 * (hole[0, 0] + hole[1, 0]) + 0.5 * dy,
+                 0.5 * (hole[0, 1] + hole[1, 1]) - 0.5 * dx)
+        for k, (ext, _a) in enumerate(exteriors):
+            if _points_in_ring(np.array([probe[0]]), np.array([probe[1]]), ext)[0]:
+                polygons[k].append(hole)
+                break
+    return polygons
