@@ -244,6 +244,23 @@ class TestPackageConfig:
         with pytest.raises(ValueError, match="resampling"):
             xdem_tpu.config["resampling"] = "sinc"
 
+    def test_point_interpretation_half_pixel_shift(self):
+        import xdem_tpu
+        from xdem_tpu.georef import Affine
+        from xdem_tpu.raster import Raster
+
+        data = np.arange(16, dtype=np.float32).reshape(4, 4)
+        t = Affine(10.0, 0, 0, 0, -10.0, 40.0)
+        area = Raster(data, t, 32633, area_or_point="Area")
+        point = Raster(data, t, 32633, area_or_point="Point")
+        # Area: value 5 (row 1, col 1) sits at the pixel CENTER (15, 25)
+        assert float(area.interp_points(([15.0], [25.0]))[0]) == pytest.approx(5.0)
+        # Point: the same sample sits at the pixel CORNER (10, 30)
+        assert float(point.interp_points(([10.0], [30.0]))[0]) == pytest.approx(5.0)
+        # Toggle off -> Point behaves like Area again
+        with xdem_tpu.config_context(shift_area_or_point=False):
+            assert float(point.interp_points(([15.0], [25.0]))[0]) == pytest.approx(5.0)
+
     def test_warn_area_or_point_toggle(self):
         import warnings
 

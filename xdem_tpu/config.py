@@ -19,6 +19,9 @@ resampling : {"nearest", "linear", "bilinear", "cubic"}
 warn_area_or_point : bool
     Warn when a raster pair mixes Area and Point pixel interpretations (the reference's
     geoutils warns likewise before casting to undefined).
+shift_area_or_point : bool
+    Shift coordinates by half a pixel when interpolating a raster tagged "Point" (whose
+    samples sit at pixel corners, not centers) — geoutils' shift_area_or_point behavior.
 """
 
 from __future__ import annotations
@@ -29,6 +32,7 @@ from typing import Any, Iterator
 _DEFAULTS: dict[str, Any] = {
     "resampling": "bilinear",
     "warn_area_or_point": True,
+    "shift_area_or_point": True,
 }
 
 _VALID_RESAMPLING = ("nearest", "linear", "bilinear", "cubic")

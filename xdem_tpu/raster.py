@@ -291,10 +291,27 @@ class Raster:
         self,
         points: Tuple[Any, Any],
         method: Literal["nearest", "linear", "cubic"] = "linear",
+        shift_area_or_point: bool | None = None,
     ) -> jnp.ndarray:
-        """Interpolate raster values at world (x, y) points."""
+        """Interpolate raster values at world (x, y) points.
+
+        For a raster tagged `area_or_point="Point"` the samples sit at pixel corners rather
+        than centers, so coordinates are shifted by half a pixel before interpolating
+        (geoutils' shift_area_or_point behavior; default from
+        `xdem_tpu.config["shift_area_or_point"]`).
+        """
         x, y = points
-        return _interp_points_dev(self.data, self.transform, jnp.asarray(x), jnp.asarray(y), method=method)
+        x = jnp.asarray(x)
+        y = jnp.asarray(y)
+        if shift_area_or_point is None:
+            from xdem_tpu.config import config
+
+            shift_area_or_point = config["shift_area_or_point"]
+        if shift_area_or_point and self.area_or_point == "Point":
+            t = self.transform
+            x = x + 0.5 * (t.a + t.b)
+            y = y + 0.5 * (t.d + t.e)
+        return _interp_points_dev(self.data, self.transform, x, y, method=method)
 
     def xy2ij(self, x: Any, y: Any) -> Tuple[Any, Any]:
         return self.transform.rowcol(x, y)
