@@ -304,6 +304,36 @@ class TestFormatCoverage:
         with pytest.raises(OSError, match="not a TIFF"):
             Raster.open(path)
 
+    def test_fuzzed_headers_never_crash(self, tmp_path):
+        """Random mutations of valid files must fail cleanly (OSError), not segfault the
+        process — exercises the 64-bit overflow guards in the native parser."""
+        from xdem_tpu.io import read_raster
+
+        rng = np.random.default_rng(123)
+        data = np.arange(48, dtype=np.float32).reshape(6, 8)
+        base_classic = str(tmp_path / "c.tif")
+        _write_tiff(base_classic, 8, 6, data.tobytes(), compression=5)
+        from xdem_tpu.georef import Affine
+        from xdem_tpu.io import StreamingRasterWriter
+
+        base_big = str(tmp_path / "b.tif")
+        with StreamingRasterWriter(base_big, (6, 8), Affine.identity(), bigtiff=True) as w:
+            w.write_rows(0, data)
+        for src in (base_classic, base_big):
+            raw = np.frombuffer(open(src, "rb").read(), np.uint8).copy()
+            for trial in range(150):
+                mutated = raw.copy()
+                # Corrupt 1-8 bytes in the header/IFD region (first 400 bytes)
+                idx = rng.integers(0, min(400, len(mutated)), rng.integers(1, 9))
+                mutated[idx] = rng.integers(0, 256, len(idx))
+                p = str(tmp_path / "fz.tif")
+                with open(p, "wb") as f:
+                    f.write(mutated.tobytes())
+                try:
+                    read_raster(p)  # either decodes or raises cleanly
+                except (OSError, ValueError):
+                    pass
+
     def test_dem_from_file_keeps_vcrs_workflow(self, tmp_path):
         from xdem_tpu.dem import DEM
 

@@ -89,6 +89,15 @@ def read_raster(path: str, raster_cls=None):
     info = _GtInfo()
     if lib.gt_info(path.encode(), ctypes.byref(info)) != 0:
         raise OSError(f"Cannot read GeoTIFF '{path}': {_err()}")
+    # Plausibility guard before allocating: a corrupt header claiming billions of pixels
+    # would otherwise OOM the process on first touch (lazy overcommit + OOM killer). Even
+    # at extreme DEFLATE ratios, pixel bytes cannot exceed ~1e4x the file size.
+    n_px = int(info.height) * int(info.width)
+    if n_px == 0 or n_px * 4 > os.path.getsize(path) * 10_000 + (1 << 24):
+        raise OSError(
+            f"Cannot read GeoTIFF '{path}': implausible dimensions "
+            f"{info.height}x{info.width} for a {os.path.getsize(path)}-byte file."
+        )
     data = np.empty((info.height, info.width), dtype=np.float32)
     if lib.gt_read(path.encode(), data.ctypes.data_as(ctypes.POINTER(ctypes.c_float))) != 0:
         raise OSError(f"Cannot decode GeoTIFF '{path}': {_err()}")
@@ -358,6 +367,10 @@ def read_rows(path: str, row0: int, nrows: int) -> np.ndarray:
         comp = _values(259)[0] if 259 in tags else 1
         if comp != 1 or _values(339)[0] != 3 or _values(258)[0] != 32:
             raise OSError(f"'{path}': windowed reads need an uncompressed float32 TIFF.")
+        # Uncompressed pixels cannot exceed the file size; a corrupt header claiming huge
+        # dimensions must fail here rather than OOM on allocation.
+        if h * w * 4 > os.fstat(f.fileno()).st_size:
+            raise OSError(f"'{path}': implausible dimensions {h}x{w} for the file size.")
         rps = _values(278)[0]
         strip_offsets = _values(273)
         nodata = None
