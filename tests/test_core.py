@@ -244,6 +244,25 @@ class TestPackageConfig:
         with pytest.raises(ValueError, match="resampling"):
             xdem_tpu.config["resampling"] = "sinc"
 
+    def test_shape_bucketing_matches_unbucketed(self):
+        import xdem_tpu
+        from xdem_tpu import terrain
+
+        rng = np.random.default_rng(3)
+        for shape in [(100, 130), (101, 131), (97, 127)]:
+            d = rng.normal(0, 20, shape).astype(np.float32)
+            plain = terrain.get_terrain_attribute(
+                d, ["slope", "hillshade", "terrain_ruggedness_index"], resolution=10.0)
+            with xdem_tpu.config_context(shape_bucketing=64):
+                bucketed = terrain.get_terrain_attribute(
+                    d, ["slope", "hillshade", "terrain_ruggedness_index"], resolution=10.0)
+            for p, b in zip(plain, bucketed):
+                p, b = np.asarray(p), np.asarray(b)
+                assert p.shape == shape and b.shape == shape
+                np.testing.assert_array_equal(np.isnan(p), np.isnan(b))
+                ok = np.isfinite(p)
+                np.testing.assert_allclose(b[ok], p[ok], rtol=2e-4, atol=2e-4)
+
     def test_point_interpretation_half_pixel_shift(self):
         import xdem_tpu
         from xdem_tpu.georef import Affine

@@ -22,6 +22,11 @@ warn_area_or_point : bool
 shift_area_or_point : bool
     Shift coordinates by half a pixel when interpolating a raster tagged "Point" (whose
     samples sit at pixel corners, not centers) — geoutils' shift_area_or_point behavior.
+shape_bucketing : int
+    When > 0, terrain attributes NaN-pad inputs to the next multiple of this bucket size so
+    rasters of many slightly-different shapes share one compiled XLA program per bucket
+    (each new shape otherwise costs a fresh ~3-30 s compile on a remote TPU). 0 disables.
+    Results match the unpadded run to small f32 fusion-order differences (~1e-4 relative).
 """
 
 from __future__ import annotations
@@ -33,6 +38,7 @@ _DEFAULTS: dict[str, Any] = {
     "resampling": "bilinear",
     "warn_area_or_point": True,
     "shift_area_or_point": True,
+    "shape_bucketing": 0,
 }
 
 _VALID_RESAMPLING = ("nearest", "linear", "bilinear", "cubic")
@@ -46,8 +52,12 @@ class _Config(dict):
             raise KeyError(f"Unknown config key {key!r}; valid keys: {sorted(_DEFAULTS)}.")
         if key == "resampling" and value not in _VALID_RESAMPLING:
             raise ValueError(f"resampling must be one of {_VALID_RESAMPLING}, got {value!r}.")
-        if key == "warn_area_or_point":
+        if key in ("warn_area_or_point", "shift_area_or_point"):
             value = bool(value)
+        if key == "shape_bucketing":
+            value = int(value)
+            if value < 0:
+                raise ValueError(f"shape_bucketing must be >= 0, got {value}.")
         super().__setitem__(key, value)
 
     def reset(self) -> None:

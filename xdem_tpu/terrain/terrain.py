@@ -154,6 +154,19 @@ def get_terrain_attribute(
     if out_dtype is None:
         out_dtype = arr.dtype
 
+    # Shape bucketing (config["shape_bucketing"] = N): NaN-pad to the next multiple of N so
+    # rasters of many slightly-different sizes share one compiled program per bucket instead
+    # of one ~3-30 s (remote) compile each. NaN padding reproduces the unpadded result up to
+    # small f32 fusion-order differences: the stencils' edge semantics already treat
+    # beyond-edge as NaN. Sharded (mesh=) runs pad via their own halo logic.
+    from xdem_tpu.config import config as _pkg_config
+
+    bucket = int(_pkg_config["shape_bucketing"]) if mesh is None else 0
+    orig_hw = arr.shape
+    if bucket > 0 and (orig_hw[0] % bucket or orig_hw[1] % bucket):
+        arr = jnp.pad(arr, ((0, (-orig_hw[0]) % bucket), (0, (-orig_hw[1]) % bucket)),
+                      constant_values=jnp.nan)
+
     results: dict[str, jnp.ndarray] = {}
 
     if sf_attrs:
@@ -224,6 +237,8 @@ def get_terrain_attribute(
     for a in freq_attrs:
         results[a] = _texture_shading_fn(arr, alpha=texture_alpha)
 
+    if arr.shape != orig_hw:  # crop bucket padding back off
+        results = {a: v[: orig_hw[0], : orig_hw[1]] for a, v in results.items()}
     ordered = [results[a].astype(out_dtype) for a in attrs]
 
     if is_raster:
