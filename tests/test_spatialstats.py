@@ -138,6 +138,37 @@ class TestEmpiricalVariogram:
         assert 120 < params["range"].iloc[0] < 330
         assert params["psill"].iloc[0] == pytest.approx(sigma**2, rel=0.35)
 
+    @pytest.mark.parametrize("estimator", ["matheron", "cressie", "dowd"])
+    def test_chunked_grid_variogram_matches_flat(self, estimator):
+        """The memory-bounded scan path (used above ~2e8 pairs, where the flat sort OOMs a
+        16 GB chip) must reproduce the one-dispatch result exactly, incl. the radix-selected
+        global Dowd median."""
+        import jax.numpy as jnp
+
+        from xdem_tpu.spatialstats import (_grid_variogram_device,
+                                           _grid_variogram_device_chunked)
+
+        rng = np.random.default_rng(1)
+        arr = jnp.asarray(rng.normal(0, 5, (150, 220)).astype(np.float32))
+        R, N, M = 9, 13, 40
+        ija = np.stack([rng.integers(0, 150, (R, N)), rng.integers(0, 220, (R, N))], axis=-1)
+        ijb = np.stack([rng.integers(0, 150, (R, M)), rng.integers(0, 220, (R, M))], axis=-1)
+        ija[2, 5:] = -1
+        ijb[7, 30:] = -1
+        edges = jnp.asarray([0.0, 40.0, 110.0, 280.0, 700.0], jnp.float32)
+        g1, c1 = _grid_variogram_device(arr, jnp.asarray(ija, jnp.int32),
+                                        jnp.asarray(ijb, jnp.int32), jnp.float32(10.0),
+                                        edges, estimator, 4)
+        for chunk in (2, 9):
+            pad = (-R) % chunk
+            ija_p = np.pad(ija, ((0, pad), (0, 0), (0, 0)), constant_values=-1)
+            ijb_p = np.pad(ijb, ((0, pad), (0, 0), (0, 0)), constant_values=-1)
+            g2, c2 = _grid_variogram_device_chunked(
+                arr, jnp.asarray(ija_p, jnp.int32), jnp.asarray(ijb_p, jnp.int32),
+                jnp.float32(10.0), edges, estimator, 4, chunk)
+            np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+            np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-5, equal_nan=True)
+
     @pytest.mark.parametrize("estimator", ["matheron", "dowd", "cressie", "genton"])
     def test_estimators_on_white_noise(self, estimator):
         # White noise: variogram flat at sill = variance for all lags

@@ -918,6 +918,132 @@ def _grid_variogram_device(
     return _binned_pair_core(diffs, dists, edges, estimator, n_bins)
 
 
+@partial(jax.jit, static_argnames=("estimator", "n_bins", "chunk"))
+def _grid_variogram_device_chunked(
+    arr: jnp.ndarray,
+    ija: jnp.ndarray,
+    ijb: jnp.ndarray,
+    gsd,
+    edges: jnp.ndarray,
+    estimator: str,
+    n_bins: int,
+    chunk: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Memory-bounded variant of _grid_variogram_device for huge pair counts (1e9+ pairs at
+    the 1e8-px uncertainty config OOM the flat two-key sort): lax.scan over run chunks
+    accumulates per-bin counts and sums (matheron/cressie), and for dowd the exact global
+    per-bin median comes from two scans of 16-bit-radix histograms over the positive-f32 bit
+    pattern (the same selection as parallel.variogram's distributed median, with scan
+    accumulation replacing psum). HBM is O(chunk*N*M + n_bins*65536) regardless of pairs.
+
+    ija/ijb run counts must be padded to a multiple of `chunk` with -1 (invalid) rows.
+    """
+    n_chunks = ija.shape[0] // chunk
+    ija_c = ija.reshape(n_chunks, chunk, *ija.shape[1:])
+    ijb_c = ijb.reshape(n_chunks, chunk, *ijb.shape[1:])
+
+    def pair_block(ij_a, ij_b):
+        def gz(ij):
+            ok = ij[..., 0] >= 0
+            ii = jnp.clip(ij[..., 0], 0, arr.shape[0] - 1)
+            jj = jnp.clip(ij[..., 1], 0, arr.shape[1] - 1)
+            z = jnp.where(ok, arr[ii, jj], jnp.nan)
+            ci = jnp.where(ok, ii.astype(jnp.float32) * gsd, jnp.nan)
+            cj = jnp.where(ok, jj.astype(jnp.float32) * gsd, jnp.nan)
+            return z, ci, cj
+
+        za, cai, caj = gz(ij_a)
+        zb, cbi, cbj = gz(ij_b)
+        d = jnp.abs(za[:, :, None] - zb[:, None, :]).ravel()
+        h = jnp.sqrt((cai[:, :, None] - cbi[:, None, :]) ** 2
+                     + (caj[:, :, None] - cbj[:, None, :]) ** 2).ravel()
+        valid = jnp.isfinite(d) & jnp.isfinite(h) & (h > 0) & (h >= edges[0]) & (h <= edges[-1])
+        idx = jnp.clip(jnp.searchsorted(edges, h, side="right") - 1, 0, n_bins - 1)
+        parked = jnp.where(valid, idx, n_bins)
+        return d, parked, valid
+
+    def counts_sums_scan(weight_fn):
+        def body(carry, inputs):
+            counts_acc, sum_acc = carry
+            d, parked, valid = pair_block(*inputs)
+            counts_acc = counts_acc + jnp.bincount(parked, length=n_bins + 1)[:n_bins]
+            sum_acc = sum_acc + jnp.bincount(
+                parked, weights=jnp.where(valid, weight_fn(d), 0.0), length=n_bins + 1
+            )[:n_bins]
+            return (counts_acc, sum_acc), None
+
+        init = (jnp.zeros(n_bins, jnp.int64 if jax.config.x64_enabled else jnp.int32),
+                jnp.zeros(n_bins, jnp.float32))
+        (counts, sums), _ = jax.lax.scan(body, init, (ija_c, ijb_c))
+        return counts, sums
+
+    if estimator == "matheron":
+        counts, sums = counts_sums_scan(lambda d: d * d)
+        gamma = jnp.where(counts > 0, sums / (2 * jnp.maximum(counts, 1)), jnp.nan)
+        return gamma, counts
+    if estimator == "cressie":
+        counts, sums = counts_sums_scan(jnp.sqrt)
+        n = jnp.maximum(counts, 1)
+        gamma = jnp.where(counts > 0, ((sums / n) ** 4) / (0.457 + 0.494 / n + 0.045 / n**2) / 2,
+                          jnp.nan)
+        return gamma, counts
+    if estimator != "dowd":
+        raise ValueError(f"Estimator '{estimator}' not supported in the chunked device path.")
+
+    # ---- dowd: exact global per-bin median by two-level radix selection over scans
+    def hist_hi_scan():
+        def body(carry, inputs):
+            counts_acc, hist_acc = carry
+            d, parked, _valid = pair_block(*inputs)
+            counts_acc = counts_acc + jnp.bincount(parked, length=n_bins + 1)[:n_bins]
+            bits = jax.lax.bitcast_convert_type(d.astype(jnp.float32), jnp.int32)
+            hi = jnp.where(parked < n_bins, bits >> 16, 0)
+            flat = jnp.where(parked < n_bins, parked * 32768 + hi, n_bins * 32768)
+            hist_acc = hist_acc + jnp.bincount(flat, length=n_bins * 32768 + 1)[:-1].reshape(
+                n_bins, 32768)
+            return (counts_acc, hist_acc), None
+
+        init = (jnp.zeros(n_bins, jnp.int32), jnp.zeros((n_bins, 32768), jnp.int32))
+        (counts, hist), _ = jax.lax.scan(body, init, (ija_c, ijb_c))
+        return counts, hist
+
+    counts, hist_hi = hist_hi_scan()
+    cum_hi = jnp.cumsum(hist_hi, axis=1)
+    k_lo = jnp.maximum((counts - 1) // 2, 0)
+    k_hi = counts // 2
+
+    def select(k):
+        sel_hi = jnp.argmax(cum_hi > k[:, None], axis=1)
+        below = jnp.where(sel_hi > 0, jnp.take_along_axis(
+            cum_hi, jnp.maximum(sel_hi - 1, 0)[:, None], axis=1)[:, 0], 0)
+
+        def body(hist_acc, inputs):
+            d, parked, _valid = pair_block(*inputs)
+            bits = jax.lax.bitcast_convert_type(d.astype(jnp.float32), jnp.int32)
+            hi = bits >> 16
+            lo = bits & 0xFFFF
+            in_sel = (parked < n_bins) & (hi == sel_hi[jnp.clip(parked, 0, n_bins - 1)])
+            flat = jnp.where(in_sel, parked * 65536 + lo, n_bins * 65536)
+            hist_acc = hist_acc + jnp.bincount(flat, length=n_bins * 65536 + 1)[:-1].reshape(
+                n_bins, 65536)
+            return hist_acc, None
+
+        hist_lo, _ = jax.lax.scan(body, jnp.zeros((n_bins, 65536), jnp.int32), (ija_c, ijb_c))
+        cum_lo = jnp.cumsum(hist_lo, axis=1)
+        sel_lo = jnp.argmax(cum_lo > (k - below)[:, None], axis=1)
+        kth_bits = (sel_hi << 16) | sel_lo
+        return jax.lax.bitcast_convert_type(kth_bits.astype(jnp.int32), jnp.float32)
+
+    med = 0.5 * (select(k_lo) + select(k_hi))
+    med = jnp.where(counts > 0, med, jnp.nan)
+    return 2.198 * med**2 / 2, counts
+
+
+# Pair budget above which the one-dispatch grid variogram switches to the chunked scan
+# (the flat two-key sort needs ~20 B/pair of HBM; 2e8 pairs ~ 4 GB on this 16 GB chip).
+_PAIR_CHUNK_BUDGET = int(2e8)
+
+
 def _binned_genton(diffs: jnp.ndarray, dists: jnp.ndarray, bin_edges: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Genton (1998) highly-robust variogram: (2.2191 * Qn(d))^2 / 2 per lag bin, where Qn is
     the k-th order statistic (k = C(n//2+1, 2)) of the pairwise |d_i - d_j|."""
@@ -1152,16 +1278,31 @@ def sample_empirical_variogram(
                 ijb = rings.reshape(runs_, n_rings1 * samples_, 2)
 
                 if arr_dev is not None and estimator != "genton":
-                    # Gather + pairwise + binned estimator as ONE device dispatch
-                    gamma_d, counts_d = _grid_variogram_device(
-                        arr_dev,
-                        jnp.asarray(ija.astype(np.int32)),
-                        jnp.asarray(ijb.astype(np.int32)),
-                        jnp.float32(gsd),
-                        jnp.asarray(bin_edges, jnp.float32),
-                        estimator,
-                        len(bin_edges) - 1,
-                    )
+                    total_pairs = ija.shape[0] * ija.shape[1] * ijb.shape[1]
+                    if total_pairs > _PAIR_CHUNK_BUDGET:
+                        # Billions of pairs OOM the flat sort: scan run chunks instead
+                        per_run = ija.shape[1] * ijb.shape[1]
+                        chunk = max(1, _PAIR_CHUNK_BUDGET // (8 * per_run))
+                        pad_r = (-ija.shape[0]) % chunk
+                        ija_p = np.pad(ija, ((0, pad_r), (0, 0), (0, 0)), constant_values=-1)
+                        ijb_p = np.pad(ijb, ((0, pad_r), (0, 0), (0, 0)), constant_values=-1)
+                        gamma_d, counts_d = _grid_variogram_device_chunked(
+                            arr_dev, jnp.asarray(ija_p.astype(np.int32)),
+                            jnp.asarray(ijb_p.astype(np.int32)), jnp.float32(gsd),
+                            jnp.asarray(bin_edges, jnp.float32), estimator,
+                            len(bin_edges) - 1, chunk,
+                        )
+                    else:
+                        # Gather + pairwise + binned estimator as ONE device dispatch
+                        gamma_d, counts_d = _grid_variogram_device(
+                            arr_dev,
+                            jnp.asarray(ija.astype(np.int32)),
+                            jnp.asarray(ijb.astype(np.int32)),
+                            jnp.float32(gsd),
+                            jnp.asarray(bin_edges, jnp.float32),
+                            estimator,
+                            len(bin_edges) - 1,
+                        )
                     packed = np.asarray(jnp.concatenate([gamma_d, counts_d.astype(jnp.float32)]))
                     nb = len(bin_edges) - 1
                     return packed[:nb].astype(np.float64), packed[nb:].astype(np.int64)
