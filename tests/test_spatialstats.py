@@ -169,6 +169,39 @@ class TestEmpiricalVariogram:
             np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
             np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-5, equal_nan=True)
 
+    @pytest.mark.parametrize("estimator", ["matheron", "cressie", "dowd"])
+    def test_chunked_pairs_variogram_matches_flat(self, estimator):
+        """Same memory-bounded reduction for the non-grid (point-cloud) path."""
+        import jax.numpy as jnp
+
+        from xdem_tpu.spatialstats import (_binned_pair_estimator,
+                                           _pairs_variogram_device_chunked)
+
+        rng = np.random.default_rng(2)
+        R, N, M = 8, 15, 44
+        za = rng.normal(0, 3, (R, N)); zb = rng.normal(0, 3, (R, M))
+        ca = rng.uniform(0, 500, (R, N, 2)); cb = rng.uniform(0, 500, (R, M, 2))
+        za[3, 8:] = np.nan
+        cb[5, 30:] = np.nan
+        edges = np.array([0.0, 80.0, 200.0, 450.0, 900.0])
+        diffs = jnp.asarray(za, jnp.float32)[:, :, None] - jnp.asarray(zb, jnp.float32)[:, None, :]
+        dists = jnp.sqrt(jnp.sum((jnp.asarray(ca, jnp.float32)[:, :, None, :]
+                                  - jnp.asarray(cb, jnp.float32)[:, None, :, :]) ** 2, axis=-1))
+        dists = jnp.where(dists <= 0, jnp.nan, dists)
+        g1, c1 = _binned_pair_estimator(diffs, dists, edges, estimator)
+        chunk = 3
+        pad = (-R) % chunk
+
+        def pn(a):
+            return np.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1), constant_values=np.nan)
+
+        g2, c2 = _pairs_variogram_device_chunked(
+            jnp.asarray(pn(za), jnp.float32), jnp.asarray(pn(zb), jnp.float32),
+            jnp.asarray(pn(ca), jnp.float32), jnp.asarray(pn(cb), jnp.float32),
+            jnp.asarray(edges, jnp.float32), estimator, 4, chunk)
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+        np.testing.assert_allclose(np.asarray(g2), g1, rtol=1e-5, equal_nan=True)
+
     @pytest.mark.parametrize("estimator", ["matheron", "dowd", "cressie", "genton"])
     def test_estimators_on_white_noise(self, estimator):
         # White noise: variogram flat at sill = variance for all lags

@@ -962,6 +962,46 @@ def _grid_variogram_device_chunked(
         parked = jnp.where(valid, idx, n_bins)
         return d, parked, valid
 
+    return _chunked_pair_reduce(pair_block, (ija_c, ijb_c), estimator, n_bins)
+
+
+@partial(jax.jit, static_argnames=("estimator", "n_bins", "chunk"))
+def _pairs_variogram_device_chunked(
+    za: jnp.ndarray,
+    zb: jnp.ndarray,
+    ca: jnp.ndarray,
+    cb: jnp.ndarray,
+    edges: jnp.ndarray,
+    estimator: str,
+    n_bins: int,
+    chunk: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Chunked-scan variogram over explicit (R, N)/(R, M) sample arrays and (.., 2) coords
+    (the non-grid / point-cloud path) — same memory-bounded reduction as the grid variant.
+    Run counts must be padded to a multiple of `chunk` with NaN rows."""
+    n_chunks = za.shape[0] // chunk
+
+    def r(a):
+        return a.reshape(n_chunks, chunk, *a.shape[1:])
+
+    def pair_block(za_c, zb_c, ca_c, cb_c):
+        d = jnp.abs(za_c[:, :, None] - zb_c[:, None, :]).ravel()
+        h = jnp.sqrt(jnp.sum((ca_c[:, :, None, :] - cb_c[:, None, :, :]) ** 2, axis=-1)).ravel()
+        valid = jnp.isfinite(d) & jnp.isfinite(h) & (h > 0) & (h >= edges[0]) & (h <= edges[-1])
+        idx = jnp.clip(jnp.searchsorted(edges, h, side="right") - 1, 0, n_bins - 1)
+        parked = jnp.where(valid, idx, n_bins)
+        return d, parked, valid
+
+    return _chunked_pair_reduce(pair_block, (r(za), r(zb), r(ca), r(cb)), estimator, n_bins)
+
+
+def _chunked_pair_reduce(pair_block, xs, estimator: str, n_bins: int):
+    """Shared scan-accumulated estimator skeleton for the chunked variogram paths.
+
+    `pair_block(*chunk_inputs) -> (|diffs|, parked bin idx, valid)`; `xs` is the per-chunk
+    input pytree scanned over. Traceable only (called from jitted wrappers).
+    """
+
     def counts_sums_scan(weight_fn):
         def body(carry, inputs):
             counts_acc, sum_acc = carry
@@ -974,7 +1014,7 @@ def _grid_variogram_device_chunked(
 
         init = (jnp.zeros(n_bins, jnp.int64 if jax.config.x64_enabled else jnp.int32),
                 jnp.zeros(n_bins, jnp.float32))
-        (counts, sums), _ = jax.lax.scan(body, init, (ija_c, ijb_c))
+        (counts, sums), _ = jax.lax.scan(body, init, xs)
         return counts, sums
 
     if estimator == "matheron":
@@ -1004,7 +1044,7 @@ def _grid_variogram_device_chunked(
             return (counts_acc, hist_acc), None
 
         init = (jnp.zeros(n_bins, jnp.int32), jnp.zeros((n_bins, 32768), jnp.int32))
-        (counts, hist), _ = jax.lax.scan(body, init, (ija_c, ijb_c))
+        (counts, hist), _ = jax.lax.scan(body, init, xs)
         return counts, hist
 
     counts, hist_hi = hist_hi_scan()
@@ -1028,7 +1068,7 @@ def _grid_variogram_device_chunked(
                 n_bins, 65536)
             return hist_acc, None
 
-        hist_lo, _ = jax.lax.scan(body, jnp.zeros((n_bins, 65536), jnp.int32), (ija_c, ijb_c))
+        hist_lo, _ = jax.lax.scan(body, jnp.zeros((n_bins, 65536), jnp.int32), xs)
         cum_lo = jnp.cumsum(hist_lo, axis=1)
         sel_lo = jnp.argmax(cum_lo > (k - below)[:, None], axis=1)
         kth_bits = (sel_hi << 16) | sel_lo
@@ -1347,6 +1387,24 @@ def sample_empirical_variogram(
                 ca = np.where(ia[..., None] >= 0, coords_v[np.clip(ia, 0, None)], np.nan)
                 cb = np.where(ib[..., None] >= 0, coords_v[np.clip(ib, 0, None)], np.nan)
 
+            total_pairs = za.shape[0] * za.shape[1] * zb.shape[1]
+            if estimator != "genton" and total_pairs > _PAIR_CHUNK_BUDGET:
+                per_run = za.shape[1] * zb.shape[1]
+                chunk = max(1, _PAIR_CHUNK_BUDGET // (8 * per_run))
+                pad_r = (-za.shape[0]) % chunk
+
+                def padnan(a):
+                    return np.pad(a, ((0, pad_r),) + ((0, 0),) * (a.ndim - 1),
+                                  constant_values=np.nan)
+
+                gamma_d, counts_d = _pairs_variogram_device_chunked(
+                    jnp.asarray(padnan(za), jnp.float32), jnp.asarray(padnan(zb), jnp.float32),
+                    jnp.asarray(padnan(ca), jnp.float32), jnp.asarray(padnan(cb), jnp.float32),
+                    jnp.asarray(bin_edges, jnp.float32), estimator, len(bin_edges) - 1,
+                    chunk,
+                )
+                return (np.asarray(gamma_d, dtype=np.float64),
+                        np.asarray(counts_d, dtype=np.int64))
             za_j, zb_j = jnp.asarray(za, jnp.float32), jnp.asarray(zb, jnp.float32)
             ca_j, cb_j = jnp.asarray(ca, jnp.float32), jnp.asarray(cb, jnp.float32)
             # Batched pairwise over runs: (R, N, M)
