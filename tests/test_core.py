@@ -186,6 +186,17 @@ class TestGeoutilsParitySurface:
         cropped = pc.crop((5.0, 0.0, 25.0, 10.0))
         assert cropped.point_count == 2 and cropped.z.tolist() == [2.0, 3.0]
 
+    def test_rasterize_off_center_points(self):
+        # Points anywhere inside a pixel bin to THAT pixel (review regression: floor()
+        # pushed the left/top half into the neighbor and dropped the first row/col half)
+        from xdem_tpu.georef import Affine
+        from xdem_tpu.pointcloud import PointCloud
+
+        t = Affine(10.0, 0, 0, 0, -10.0, 30.0)
+        pc = PointCloud.from_xyz([4.0, 14.0], [26.0, 27.0], [1.0, 2.0], 32633)
+        cnt = np.asarray(pc.rasterize(transform=t, shape=(3, 3), statistic="count").data)
+        assert cnt[0, 0] == 1.0 and cnt[0, 1] == 1.0
+
     def test_pointcloud_rasterize_stats_info(self, tmp_path):
         from xdem_tpu.georef import Affine
         from xdem_tpu.pointcloud import PointCloud
@@ -262,6 +273,45 @@ class TestPackageConfig:
                 np.testing.assert_array_equal(np.isnan(p), np.isnan(b))
                 ok = np.isfinite(p)
                 np.testing.assert_allclose(b[ok], p[ok], rtol=2e-4, atol=2e-4)
+
+    def test_shape_bucketing_texture_shading_unaffected(self):
+        # The FFT attribute must not see the NaN pad band (review regression)
+        import xdem_tpu
+        from xdem_tpu import terrain
+
+        rng = np.random.default_rng(5)
+        from scipy.ndimage import gaussian_filter
+
+        d = gaussian_filter(rng.normal(0, 50, (100, 130)), 4).astype(np.float32)
+        plain = np.asarray(terrain.get_terrain_attribute(d, "texture_shading", resolution=10.0))
+        with xdem_tpu.config_context(shape_bucketing=64):
+            bucketed = np.asarray(terrain.get_terrain_attribute(d, "texture_shading",
+                                                                resolution=10.0))
+        np.testing.assert_allclose(bucketed, plain, rtol=1e-6, atol=1e-5)
+
+    def test_config_bulk_set_validates(self):
+        import xdem_tpu
+
+        with pytest.raises(ValueError, match="resampling"):
+            xdem_tpu.config.update(resampling="sinc")
+        with pytest.raises(KeyError, match="Unknown"):
+            xdem_tpu.config.update({"bogus": 1})
+        assert xdem_tpu.config["resampling"] == "bilinear"  # unchanged after failures
+
+    def test_coreg_apply_honors_config_resampling(self):
+        import xdem_tpu
+        from xdem_tpu.coreg import AffineCoreg
+        from xdem_tpu.georef import Affine
+        from xdem_tpu.raster import Raster
+
+        rng = np.random.default_rng(0)
+        t = Affine(10.0, 0, 0, 0, -10.0, 640.0)
+        dem = Raster(rng.normal(100, 20, (64, 64)).astype(np.float32), t, 32633)
+        step = AffineCoreg.from_translations(3.7, -2.2, 0.5)  # subpixel shift -> resampling
+        out_linear = np.asarray(step.apply(dem).data)
+        with xdem_tpu.config_context(resampling="nearest"):
+            out_nearest = np.asarray(step.apply(dem).data)
+        assert not np.allclose(np.nan_to_num(out_linear), np.nan_to_num(out_nearest))
 
     def test_point_interpretation_half_pixel_shift(self):
         import xdem_tpu

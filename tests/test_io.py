@@ -517,6 +517,24 @@ class TestEPCFormats:
         np.testing.assert_allclose(back.x, x, rtol=1e-8)
         np.testing.assert_allclose(back.z, z, rtol=1e-8)
 
+    def test_text_scientific_notation_first_row_kept(self, tmp_path):
+        # np.savetxt's default '%.18e' format must not be mistaken for a header row
+        from xdem_tpu.epc import read_epc
+
+        p = str(tmp_path / "sci.xyz")
+        np.savetxt(p, np.array([[1.5, 2.5, 3.5], [4.5, 5.5, 6.5]]))
+        epc = read_epc(p, crs=32633)
+        assert epc.point_count == 2
+        assert epc.z.tolist() == [3.5, 6.5]
+
+    def test_npz_write_requires_epsg(self, tmp_path):
+        from xdem_tpu.epc import EPC, write_epc
+
+        epc = EPC(x=[0.0], y=[0.0], z=[1.0], crs=32633)
+        epc.crs._epsg = None  # simulate a free-form CRS with no EPSG
+        with pytest.raises(ValueError, match="EPSG"):
+            write_epc(str(tmp_path / "x.npz"), epc)
+
     def test_laz_rejected(self, tmp_path):
         from xdem_tpu.epc import read_epc
 

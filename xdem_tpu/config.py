@@ -14,8 +14,8 @@ context-manager override, so e.g.::
 Keys
 ----
 resampling : {"nearest", "linear", "bilinear", "cubic"}
-    Default resampling for Raster.reproject and coreg post-processing when the call does
-    not pass one explicitly.
+    Default resampling for Raster.reproject and Coreg.apply when the call does not pass
+    one explicitly (resampling=None).
 warn_area_or_point : bool
     Warn when a raster pair mixes Area and Point pixel interpretations (the reference's
     geoutils warns likewise before casting to undefined).
@@ -60,8 +60,23 @@ class _Config(dict):
                 raise ValueError(f"shape_bucketing must be >= 0, got {value}.")
         super().__setitem__(key, value)
 
+    # Route every bulk-set API through the validating __setitem__
+    def update(self, *args: Any, **kwargs: Any) -> None:  # type: ignore[override]
+        for k, v in dict(*args, **kwargs).items():
+            self[k] = v
+
+    def setdefault(self, key: str, default: Any = None) -> Any:  # type: ignore[override]
+        if key not in self:
+            self[key] = default
+        return self[key]
+
+    def __ior__(self, other: Any) -> "_Config":
+        self.update(other)
+        return self
+
     def reset(self) -> None:
-        super().update(_DEFAULTS)
+        for k, v in _DEFAULTS.items():
+            dict.__setitem__(self, k, v)
 
 
 config = _Config(_DEFAULTS)

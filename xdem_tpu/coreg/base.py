@@ -796,15 +796,22 @@ class Coreg:
         elev: Any,
         bias_vars: dict[str, Any] | None = None,
         resample: bool = True,
-        resampling: str = "linear",
+        resampling: str | None = None,
         transform: Affine | None = None,
         crs: Any = None,
         z_name: str = "z",
         **kwargs: Any,
     ) -> Any:
-        """Apply the estimated transform to an elevation dataset (reference base.py:2409)."""
+        """Apply the estimated transform to an elevation dataset (reference base.py:2409).
+
+        `resampling=None` uses the package default (`xdem_tpu.config["resampling"]`)."""
         if not self._fit_called and not (self.is_affine and "matrix" in self._meta["outputs"].get("affine", {})):
             raise AssertionError(".fit() does not seem to have been called yet")
+        if resampling is None:
+            from xdem_tpu.config import config as _pkg_config
+
+            resampling = {"bilinear": "linear"}.get(_pkg_config["resampling"],
+                                                    _pkg_config["resampling"])
 
         if bias_vars is not None:
             bias_vars = {k: (v.data if isinstance(v, Raster) else jnp.asarray(v)) for k, v in bias_vars.items()}

@@ -107,7 +107,12 @@ def read_epc(path: str, crs: Any = None) -> EPC:
         with open(path) as f:
             first = f.readline()
         delim = "," if "," in first else None
-        has_header = not first.replace(",", " ").split()[0].lstrip("+-").replace(".", "", 1).isdigit()
+        tokens = first.replace(",", " ").split()
+        try:  # a header line is one whose first token is not a number (incl. 1.5e+00/nan)
+            float(tokens[0])
+            has_header = False
+        except (ValueError, IndexError):
+            has_header = bool(tokens)  # an empty first line is data-less, not a header
         arr = np.loadtxt(path, delimiter=delim, skiprows=1 if has_header else 0, ndmin=2)
         if arr.shape[1] < 3:
             raise ValueError(f"'{path}': expected at least 3 columns (x y z), got {arr.shape[1]}.")
@@ -119,7 +124,12 @@ def write_epc(path: str, epc: PointCloud) -> None:
     """Write an EPC to .npz or delimited text (.csv/.txt/.xyz; header x,y,z)."""
     lower = path.lower()
     if lower.endswith(".npz"):
-        np.savez(path, x=epc.x, y=epc.y, z=epc.z, crs=np.int64(epc.crs.epsg or 0))
+        if not epc.crs.epsg:
+            raise ValueError(
+                "The npz layout stores the CRS as an EPSG code, but this point cloud's CRS "
+                f"({epc.crs}) has none. Reproject to an EPSG-coded CRS first, or write text."
+            )
+        np.savez(path, x=epc.x, y=epc.y, z=epc.z, crs=np.int64(epc.crs.epsg))
     elif lower.endswith((".csv", ".txt", ".xyz")):
         delim = "," if lower.endswith(".csv") else " "
         np.savetxt(path, np.column_stack([epc.x, epc.y, epc.z]),
@@ -157,9 +167,11 @@ def _read_las(path: str) -> tuple[np.ndarray, np.ndarray, np.ndarray, int | None
         if pos + 54 > len(buf):
             break
         record_id, rec_len = struct.unpack_from("<HH", buf, pos + 18)
-        if record_id == 34735 and pos + 54 + rec_len <= len(buf):
+        if record_id == 34735 and rec_len >= 8 and pos + 54 + rec_len <= len(buf):
             keys = np.frombuffer(buf, "<u2", count=rec_len // 2, offset=pos + 54)
-            n_keys = int(keys[3])
+            # Clip the claimed key count to what the record actually holds (corrupt VLRs
+            # must degrade to "no CRS found", not crash)
+            n_keys = min(int(keys[3]), (len(keys) - 4) // 4)
             for k in range(n_keys):
                 key_id, loc, _cnt, val = keys[4 + 4 * k: 8 + 4 * k]
                 if key_id in (3072, 2048) and loc == 0:  # Projected / Geographic CS EPSG

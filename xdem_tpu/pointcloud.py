@@ -190,8 +190,10 @@ class PointCloud:
             transform, shape, crs = ref.transform, ref.shape, ref.crs
         h, w = shape
         rows, cols = transform.rowcol(self.x, self.y)
-        ri = np.floor(np.asarray(rows)).astype(int)
-        ci = np.floor(np.asarray(cols)).astype(int)
+        # rowcol returns center-convention fractional indices (integer AT the pixel center),
+        # so the containing cell is the nearest integer — like grid(), not floor()
+        ri = np.round(np.asarray(rows)).astype(int)
+        ci = np.round(np.asarray(cols)).astype(int)
         ok = (ri >= 0) & (ri < h) & (ci >= 0) & (ci < w) & np.isfinite(self.z)
         flat = ri[ok] * w + ci[ok]
         counts = np.bincount(flat, minlength=h * w).astype(np.float64)

@@ -934,7 +934,8 @@ def _grid_variogram_device_chunked(
     accumulates per-bin counts and sums (matheron/cressie), and for dowd the exact global
     per-bin median comes from two scans of 16-bit-radix histograms over the positive-f32 bit
     pattern (the same selection as parallel.variogram's distributed median, with scan
-    accumulation replacing psum). HBM is O(chunk*N*M + n_bins*65536) regardless of pairs.
+    accumulation replacing psum). HBM is O(chunk*N*M + n_bins*65536) regardless of pairs;
+    per-bin counts are int32, so callers guard total pairs <= 2^31-1 (_check_pair_count).
 
     ija/ijb run counts must be padded to a multiple of `chunk` with -1 (invalid) rows.
     """
@@ -1052,29 +1053,42 @@ def _chunked_pair_reduce(pair_block, xs, estimator: str, n_bins: int):
     k_lo = jnp.maximum((counts - 1) // 2, 0)
     k_hi = counts // 2
 
-    def select(k):
-        sel_hi = jnp.argmax(cum_hi > k[:, None], axis=1)
-        below = jnp.where(sel_hi > 0, jnp.take_along_axis(
-            cum_hi, jnp.maximum(sel_hi - 1, 0)[:, None], axis=1)[:, 0], 0)
+    def bucket_of(k):
+        sel = jnp.argmax(cum_hi > k[:, None], axis=1)
+        below = jnp.where(sel > 0, jnp.take_along_axis(
+            cum_hi, jnp.maximum(sel - 1, 0)[:, None], axis=1)[:, 0], 0)
+        return sel, below
 
-        def body(hist_acc, inputs):
-            d, parked, _valid = pair_block(*inputs)
-            bits = jax.lax.bitcast_convert_type(d.astype(jnp.float32), jnp.int32)
-            hi = bits >> 16
-            lo = bits & 0xFFFF
-            in_sel = (parked < n_bins) & (hi == sel_hi[jnp.clip(parked, 0, n_bins - 1)])
-            flat = jnp.where(in_sel, parked * 65536 + lo, n_bins * 65536)
-            hist_acc = hist_acc + jnp.bincount(flat, length=n_bins * 65536 + 1)[:-1].reshape(
-                n_bins, 65536)
-            return hist_acc, None
+    sel_a, below_a = bucket_of(k_lo)
+    sel_b, below_b = bucket_of(k_hi)
 
-        hist_lo, _ = jax.lax.scan(body, jnp.zeros((n_bins, 65536), jnp.int32), xs)
+    # One pass resolves BOTH median ranks: accumulate a lo-bits histogram per selected hi
+    # bucket (they usually coincide; when k_lo/k_hi straddle a bucket edge they differ).
+    def body(carry, inputs):
+        ha, hb = carry
+        d, parked, _valid = pair_block(*inputs)
+        bits = jax.lax.bitcast_convert_type(d.astype(jnp.float32), jnp.int32)
+        hi = bits >> 16
+        lo = bits & 0xFFFF
+        pk = jnp.clip(parked, 0, n_bins - 1)
+        in_a = (parked < n_bins) & (hi == sel_a[pk])
+        in_b = (parked < n_bins) & (hi == sel_b[pk])
+        flat_a = jnp.where(in_a, parked * 65536 + lo, n_bins * 65536)
+        flat_b = jnp.where(in_b, parked * 65536 + lo, n_bins * 65536)
+        ha = ha + jnp.bincount(flat_a, length=n_bins * 65536 + 1)[:-1].reshape(n_bins, 65536)
+        hb = hb + jnp.bincount(flat_b, length=n_bins * 65536 + 1)[:-1].reshape(n_bins, 65536)
+        return (ha, hb), None
+
+    zero = jnp.zeros((n_bins, 65536), jnp.int32)
+    (hist_a, hist_b), _ = jax.lax.scan(body, (zero, zero), xs)
+
+    def resolve(hist_lo, sel, below, k):
         cum_lo = jnp.cumsum(hist_lo, axis=1)
         sel_lo = jnp.argmax(cum_lo > (k - below)[:, None], axis=1)
-        kth_bits = (sel_hi << 16) | sel_lo
+        kth_bits = (sel << 16) | sel_lo
         return jax.lax.bitcast_convert_type(kth_bits.astype(jnp.int32), jnp.float32)
 
-    med = 0.5 * (select(k_lo) + select(k_hi))
+    med = 0.5 * (resolve(hist_a, sel_a, below_a, k_lo) + resolve(hist_b, sel_b, below_b, k_hi))
     med = jnp.where(counts > 0, med, jnp.nan)
     return 2.198 * med**2 / 2, counts
 
@@ -1082,6 +1096,18 @@ def _chunked_pair_reduce(pair_block, xs, estimator: str, n_bins: int):
 # Pair budget above which the one-dispatch grid variogram switches to the chunked scan
 # (the flat two-key sort needs ~20 B/pair of HBM; 2e8 pairs ~ 4 GB on this 16 GB chip).
 _PAIR_CHUNK_BUDGET = int(2e8)
+# Per-bin counts accumulate in on-device int32 (jax x64 is off): past 2^31-1 total pairs the
+# counts could wrap silently, so the dispatchers refuse instead.
+_PAIR_COUNT_LIMIT = 2**31 - 1
+
+
+def _check_pair_count(total_pairs: int) -> None:
+    if total_pairs > _PAIR_COUNT_LIMIT:
+        raise ValueError(
+            f"The requested variogram forms {total_pairs:.2e} pairwise comparisons, beyond "
+            f"the int32 per-bin count limit ({_PAIR_COUNT_LIMIT:.2e}). Reduce `subsample` "
+            f"(pairs grow ~subsample^2/2) or split into several `n_variograms` runs."
+        )
 
 
 def _binned_genton(diffs: jnp.ndarray, dists: jnp.ndarray, bin_edges: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -1319,6 +1345,7 @@ def sample_empirical_variogram(
 
                 if arr_dev is not None and estimator != "genton":
                     total_pairs = ija.shape[0] * ija.shape[1] * ijb.shape[1]
+                    _check_pair_count(total_pairs)
                     if total_pairs > _PAIR_CHUNK_BUDGET:
                         # Billions of pairs OOM the flat sort: scan run chunks instead
                         per_run = ija.shape[1] * ijb.shape[1]
@@ -1388,6 +1415,8 @@ def sample_empirical_variogram(
                 cb = np.where(ib[..., None] >= 0, coords_v[np.clip(ib, 0, None)], np.nan)
 
             total_pairs = za.shape[0] * za.shape[1] * zb.shape[1]
+            if estimator != "genton":
+                _check_pair_count(total_pairs)
             if estimator != "genton" and total_pairs > _PAIR_CHUNK_BUDGET:
                 per_run = za.shape[1] * zb.shape[1]
                 chunk = max(1, _PAIR_CHUNK_BUDGET // (8 * per_run))

@@ -163,6 +163,8 @@ def get_terrain_attribute(
 
     bucket = int(_pkg_config["shape_bucketing"]) if mesh is None else 0
     orig_hw = arr.shape
+    arr_unpadded = arr  # frequency-domain attributes must NOT see the NaN pad band: the FFT
+    # path mean-fills NaN, which would replace its symmetric-reflection boundary handling
     if bucket > 0 and (orig_hw[0] % bucket or orig_hw[1] % bucket):
         arr = jnp.pad(arr, ((0, (-orig_hw[0]) % bucket), (0, (-orig_hw[1]) % bucket)),
                       constant_values=jnp.nan)
@@ -235,10 +237,11 @@ def get_terrain_attribute(
             )
 
     for a in freq_attrs:
-        results[a] = _texture_shading_fn(arr, alpha=texture_alpha)
+        results[a] = _texture_shading_fn(arr_unpadded, alpha=texture_alpha)
 
-    if arr.shape != orig_hw:  # crop bucket padding back off
-        results = {a: v[: orig_hw[0], : orig_hw[1]] for a, v in results.items()}
+    if arr.shape != orig_hw:  # crop bucket padding back off (freq attrs are already unpadded)
+        results = {a: (v if v.shape == orig_hw else v[: orig_hw[0], : orig_hw[1]])
+                   for a, v in results.items()}
     ordered = [results[a].astype(out_dtype) for a in attrs]
 
     if is_raster:
