@@ -112,6 +112,20 @@ class TestGeoutilsParitySurface:
         back = vec.create_mask(transform=t, shape=m.shape)
         np.testing.assert_array_equal(np.asarray(back), m)
 
+    def test_polygonize_roundtrip_utm_scale_coordinates(self):
+        # Regression: np.allclose-based ring-closure detection called corners 20 m apart
+        # "equal" at UTM northings (~8.7e6 m), dropping a vertex and corrupting 4 pixels
+        # of the glacier mask; also exercises the scanline rasterization fast path.
+        from xdem_tpu import examples
+        from xdem_tpu.raster import Raster
+
+        dem = examples.get_ref_dem_test()
+        rng = np.random.default_rng(11)
+        mask = rng.random(dem.shape) > 0.55
+        vec = Raster(mask.astype(np.float32), dem.transform, dem.crs).polygonize(1)
+        back = np.asarray(vec.create_mask(dem))
+        np.testing.assert_array_equal(back, mask)
+
     def test_polygonize_random_roundtrips(self):
         from xdem_tpu.georef import Affine
         from xdem_tpu.raster import Raster

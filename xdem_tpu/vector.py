@@ -81,12 +81,21 @@ class Vector:
 
     def create_mask(self, ref: Any = None, transform: Affine | None = None, shape: Tuple[int, int] | None = None,
                     crs: CRS | int | str | None = None) -> np.ndarray:
-        """Rasterize to a boolean mask (True inside polygons) on a reference grid."""
+        """Rasterize to a boolean mask (True inside polygons) on a reference grid.
+
+        Axis-aligned (north-up) grids use an O(crossings + pixels) scanline fill with the
+        exact even-odd semantics of the general per-pixel test (which is O(edges x pixels)
+        and minutes-slow for polygonize outputs with one vertex per boundary pixel);
+        rotated transforms fall back to the general test.
+        """
         if ref is not None:
             transform, shape, crs = ref.transform, ref.shape, ref.crs
         assert transform is not None and shape is not None
         vec = self if crs is None or CRS(crs) == self.crs else self.to_crs(crs)
         h, w = shape
+        t = transform
+        if t.b == 0 and t.d == 0 and t.a > 0 and t.e < 0:
+            return _rasterize_scanline(vec.polygons, t, (h, w))
         rows = np.arange(h)
         cols = np.arange(w)
         cgrid, rgrid = np.meshgrid(cols, rows)
@@ -102,10 +111,77 @@ class Vector:
         return inside.reshape(h, w)
 
 
+def _rasterize_scanline(polygons: Sequence[Sequence[np.ndarray]], t: Affine,
+                        shape: Tuple[int, int]) -> np.ndarray:
+    """Even-odd scanline rasterization on a north-up grid, crossing-for-crossing identical
+    to `_points_in_ring` (a pixel center is inside iff an odd number of ring edges cross
+    the horizontal ray to its right).
+
+    Per edge: the pixel rows whose center y lies in [min(y0,y1), max(y0,y1)) each get one
+    crossing at the interpolated x; a crossing at x toggles every pixel with center < x,
+    realized as a scatter into column bucket j = #centers-below and a right-to-left cumsum.
+    """
+    h, w = shape
+    out = np.zeros((h, w), dtype=bool)
+    for poly in polygons:
+        T = np.zeros((h, w + 1), dtype=np.int64)
+        any_cross = False
+        for ring in poly:
+            closed = _ring_is_closed(ring)
+            x0 = ring[:-1, 0] if closed else ring[:, 0]
+            y0 = ring[:-1, 1] if closed else ring[:, 1]
+            x1 = np.roll(x0, -1)
+            y1 = np.roll(y0, -1)
+            keep = y0 != y1  # horizontal edges never satisfy (y0 > y) != (y1 > y)
+            x0, y0, x1, y1 = x0[keep], y0[keep], x1[keep], y1[keep]
+            if x0.size == 0:
+                continue
+            ylo = np.minimum(y0, y1)
+            yhi = np.maximum(y0, y1)
+            # Pixel rows with center y_r = f + e*(r + 0.5) in [ylo, yhi); e < 0 so y_r
+            # decreases with r: r ranges over (r_of(yhi), r_of(ylo)] with r_of(y)=(y-f)/e-0.5
+            r_hi_f = (yhi - t.f) / t.e - 0.5
+            r_lo_f = (ylo - t.f) / t.e - 0.5
+            r_start = np.maximum(np.floor(r_hi_f).astype(np.int64) + 1, 0)
+            # A center exactly AT ylo is included ([ylo, ...)): floor works except when
+            # r_lo_f is an exact integer row, which floor keeps — correct for inclusive.
+            r_end = np.minimum(np.floor(r_lo_f).astype(np.int64), h - 1)
+            n_rows = np.maximum(r_end - r_start + 1, 0)
+            total = int(n_rows.sum())
+            if total == 0:
+                continue
+            any_cross = True
+            edge_idx = np.repeat(np.arange(x0.size), n_rows)
+            offs = np.arange(total) - np.repeat(np.cumsum(n_rows) - n_rows, n_rows)
+            rows = r_start[edge_idx] + offs
+            y_r = t.f + t.e * (rows + 0.5)
+            xint = x0[edge_idx] + (y_r - y0[edge_idx]) / (y1[edge_idx] - y0[edge_idx]) * (
+                x1[edge_idx] - x0[edge_idx])
+            # Toggle pixels with center x strictly below xint: bucket = count of such centers
+            j = np.ceil((xint - t.c) / t.a - 0.5).astype(np.int64)
+            j = np.clip(j, 0, w)
+            np.add.at(T, (rows, j), 1)
+        if any_cross:
+            right = np.cumsum(T[:, ::-1], axis=1)[:, ::-1]  # right[r, c] = crossings at j >= c
+            out |= (right[:, 1:] % 2).astype(bool)
+    return out
+
+
+def _ring_is_closed(ring: np.ndarray) -> bool:
+    """Whether the ring repeats its first vertex at the end.
+
+    EXACT comparison: np.allclose's relative tolerance on projected coordinates (northings
+    ~1e7 m) calls vertices tens of meters apart "equal", silently dropping a real vertex
+    and replacing two edges with a diagonal closure.
+    """
+    return bool(np.all(ring[0] == ring[-1]))
+
+
 def _points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
     """Vectorized even-odd crossing-number point-in-polygon test for one ring."""
-    x0 = ring[:-1, 0] if np.allclose(ring[0], ring[-1]) else ring[:, 0]
-    y0 = ring[:-1, 1] if np.allclose(ring[0], ring[-1]) else ring[:, 1]
+    closed = _ring_is_closed(ring)
+    x0 = ring[:-1, 0] if closed else ring[:, 0]
+    y0 = ring[:-1, 1] if closed else ring[:, 1]
     x1 = np.roll(x0, -1)
     y1 = np.roll(y0, -1)
     inside = np.zeros(px.shape, dtype=bool)
