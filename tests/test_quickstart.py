@@ -38,6 +38,7 @@ def test_gallery_scripts_run(tmp_path, monkeypatch):
     monkeypatch.setattr(ex, "get_glacier_mask", lambda: orig_mask()[r0:r1, c0:c1])
 
     gallery = pathlib.Path(__file__).parent.parent / "examples_gallery"
-    for script in ["basic_terrain.py", "basic_coregistration.py", "advanced_out_of_core.py"]:
+    for script in ["basic_terrain.py", "basic_coregistration.py", "advanced_out_of_core.py",
+                   "basic_files_and_masks.py"]:
         runpy.run_path(str(gallery / script), run_name="__main__")
     assert (tmp_path / "gallery_outputs" / "terrain_attributes.png").exists()
