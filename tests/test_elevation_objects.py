@@ -120,6 +120,59 @@ class TestDEMObject:
             DEM(np.ones((2, 5, 5), np.float32), Affine.from_origin(0, 50, 10, 10), 32633)
 
 
+class TestGeoidGridFiles:
+    def _checker(self):
+        lons = np.arange(-180.0, 181.0, 10.0)
+        lats = np.arange(-90.0, 91.0, 10.0)
+        und = np.add.outer(lats * 0.1, lons * 0.01)  # smooth plane: exact bilinear recovery
+        return lons, lats, und
+
+    def test_gtx_grid_roundtrip(self, tmp_path):
+        import struct
+
+        from xdem_tpu.dem import DEM
+        from xdem_tpu.georef import Affine
+        from xdem_tpu.vcrs import register_geoid_grid_file
+
+        lons, lats, und = self._checker()
+        p = str(tmp_path / "geoid.gtx")
+        with open(p, "wb") as f:
+            f.write(struct.pack(">4d", lats[0], lons[0], 10.0, 10.0))
+            f.write(struct.pack(">2i", len(lats), len(lons)))
+            f.write(und.astype(">f4").tobytes())
+        register_geoid_grid_file("TESTGEOID_GTX", p)
+
+        dem = DEM(np.full((4, 4), 100.0, np.float32),
+                  Affine(0.5, 0, 15.0, 0, -0.5, 52.0), 4326, vcrs="Ellipsoid")
+        out = dem.to_vcrs("TESTGEOID_GTX")
+        # z_geoid = z_ell - N; N at (lon 16, lat 51.25) ~ 51.25*0.1 + 16*0.01
+        lon_c = 15.0 + 0.5 * 2.5
+        lat_c = 52.0 - 0.5 * 0.75  # row 0 center wrt descending transform... use interp check
+        got = float(np.asarray(out.data)[0, 2])
+        x, y = dem.transform.xy(0, 2)
+        expect = 100.0 - (y * 0.1 + x * 0.01)
+        assert got == pytest.approx(expect, abs=1e-3)
+
+    def test_geotiff_grid_and_filename_vcrs(self, tmp_path):
+        from xdem_tpu.dem import DEM
+        from xdem_tpu.georef import Affine
+        from xdem_tpu.raster import Raster
+
+        lons, lats, und = self._checker()
+        # north-up GeoTIFF grid (descending latitude rows)
+        t = Affine(10.0, 0, -185.0, 0, -10.0, 95.0)
+        grid = Raster(und[::-1].astype(np.float32), t, 4326)
+        p = str(tmp_path / "geoid_grid.tif")
+        grid.save(p)
+
+        dem = DEM(np.full((3, 3), 50.0, np.float32),
+                  Affine(1.0, 0, 10.0, 0, -1.0, 48.0), 4326, vcrs="Ellipsoid")
+        out = dem.to_vcrs(p)  # passing the existing grid path registers it automatically
+        x, y = dem.transform.xy(1, 1)
+        expect = 50.0 - (y * 0.1 + x * 0.01)
+        assert float(np.asarray(out.data)[1, 1]) == pytest.approx(expect, abs=1e-3)
+
+
 class TestBuiltinGeoid:
     """Built-in long-wavelength EGM96/EGM2008 model (geoid.py): out-of-the-box to_vcrs."""
 

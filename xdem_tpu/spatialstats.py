@@ -1101,7 +1101,15 @@ _PAIR_CHUNK_BUDGET = int(2e8)
 _PAIR_COUNT_LIMIT = 2**31 - 1
 
 
-def _check_pair_count(total_pairs: int) -> None:
+def _check_pair_count(total_pairs: int, estimator: str = "") -> None:
+    if estimator == "genton" and total_pairs > _PAIR_CHUNK_BUDGET:
+        # Genton's reservoir runs through host numpy blocks (no chunked device path yet):
+        # a 1e9-pair request would materialize tens of GB of host arrays.
+        raise ValueError(
+            f"The 'genton' estimator materializes all {total_pairs:.2e} pairwise "
+            f"comparisons on host (limit {_PAIR_CHUNK_BUDGET:.0e}). Reduce `subsample`, or "
+            f"use 'dowd' (also median-robust) which has a memory-bounded device path."
+        )
     if total_pairs > _PAIR_COUNT_LIMIT:
         raise ValueError(
             f"The requested variogram forms {total_pairs:.2e} pairwise comparisons, beyond "
@@ -1343,9 +1351,9 @@ def sample_empirical_variogram(
                 ija = rings[:, 0]
                 ijb = rings.reshape(runs_, n_rings1 * samples_, 2)
 
+                total_pairs = ija.shape[0] * ija.shape[1] * ijb.shape[1]
+                _check_pair_count(total_pairs, estimator)
                 if arr_dev is not None and estimator != "genton":
-                    total_pairs = ija.shape[0] * ija.shape[1] * ijb.shape[1]
-                    _check_pair_count(total_pairs)
                     if total_pairs > _PAIR_CHUNK_BUDGET:
                         # Billions of pairs OOM the flat sort: scan run chunks instead
                         per_run = ija.shape[1] * ijb.shape[1]
@@ -1415,8 +1423,7 @@ def sample_empirical_variogram(
                 cb = np.where(ib[..., None] >= 0, coords_v[np.clip(ib, 0, None)], np.nan)
 
             total_pairs = za.shape[0] * za.shape[1] * zb.shape[1]
-            if estimator != "genton":
-                _check_pair_count(total_pairs)
+            _check_pair_count(total_pairs, estimator)
             if estimator != "genton" and total_pairs > _PAIR_CHUNK_BUDGET:
                 per_run = za.shape[1] * zb.shape[1]
                 chunk = max(1, _PAIR_CHUNK_BUDGET // (8 * per_run))

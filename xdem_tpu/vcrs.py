@@ -73,6 +73,47 @@ def register_geoid_grid(name: str, lons: np.ndarray, lats: np.ndarray, undulatio
     _GEOID_GRIDS[name.upper()] = (np.asarray(lons, float), np.asarray(lats, float), np.asarray(undulations, float))
 
 
+def register_geoid_grid_file(name: str, path: str) -> None:
+    """Register a geoid undulation grid from a PROJ grid file for use in to_vcrs.
+
+    Supports the two formats PROJ ships geoid models in (reference vcrs.py:78-200 downloads
+    these from cdn.proj.org):
+      * ``.gtx`` — NOAA/VDatum binary: big-endian f64 header (ll_lat, ll_lon, dlat, dlon),
+        i32 (nrows, ncols), then f32 undulations row-major from the south-west corner.
+      * ``.tif`` — PROJ GeoTIFF grids, read through the native codec (the value band is the
+        undulation in meters; georeferencing gives the lon/lat axes).
+    """
+    lower = path.lower()
+    if lower.endswith(".gtx"):
+        import struct
+
+        with open(path, "rb") as f:
+            head = f.read(40)
+            ll_lat, ll_lon, dlat, dlon = struct.unpack(">4d", head[:32])
+            nrows, ncols = struct.unpack(">2i", head[32:40])
+            vals = np.frombuffer(f.read(nrows * ncols * 4), ">f4").reshape(nrows, ncols)
+        lats = ll_lat + dlat * np.arange(nrows)  # ascending from the SW corner
+        lons = ll_lon + dlon * np.arange(ncols)
+        und = np.asarray(vals, np.float64)
+    elif lower.endswith((".tif", ".tiff")):
+        from xdem_tpu.io import read_raster
+
+        r = read_raster(path)
+        t = r.transform
+        h, w = r.shape
+        lons = t.c + t.a * (np.arange(w) + 0.5)
+        lats = t.f + t.e * (np.arange(h) + 0.5)
+        und = np.asarray(r.data, np.float64)
+        if lats[0] > lats[-1]:  # store ascending-latitude rows
+            lats = lats[::-1]
+            und = und[::-1]
+    else:
+        raise ValueError(f"Unsupported geoid grid format: '{path}' (use .gtx or .tif).")
+    lons = np.where(lons > 180.0, lons - 360.0, lons)  # PROJ grids often span 0..360
+    order = np.argsort(lons)
+    register_geoid_grid(name, lons[order], lats, und[:, order])
+
+
 def grid_name_for(vcrs: "VerticalCRS | str | None") -> str | None:
     """PROJ grid filename for a vertical CRS: the name itself if set from a grid file, the
     standard product grid for known geoids, else None (shared by DEM/EPC .vcrs_grid)."""
@@ -105,7 +146,11 @@ def _vcrs_from_user_input(value: Any) -> VerticalCRS:
         if low in ("egm96", "egm08", "navd88"):
             return VerticalCRS(value.upper())
         if value.endswith((".tif", ".gtx")):
-            return VerticalCRS(value)  # unknown grid, transform gated until registered
+            import os
+
+            if os.path.exists(value):  # a real grid file: load it on the spot
+                register_geoid_grid_file(value, value)
+            return VerticalCRS(value)  # else: transform gated until a grid is registered
         return VerticalCRS(value)
     raise ValueError(f"Cannot parse vertical CRS from {value!r}.")
 
