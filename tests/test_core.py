@@ -288,6 +288,37 @@ class TestPackageConfig:
                 ok = np.isfinite(p)
                 np.testing.assert_allclose(b[ok], p[ok], rtol=2e-4, atol=2e-4)
 
+    def test_shape_bucketing_coreg_paths(self):
+        import jax
+
+        import xdem_tpu
+        from xdem_tpu import examples
+        from xdem_tpu.coreg import NuthKaab, VerticalShift
+        from xdem_tpu.coreg.affine import _nuth_kaab_rst_rst_device
+
+        ref = examples.get_ref_dem_test()
+        tba = examples.get_tba_dem_test()
+        vs_plain = VerticalShift().fit(ref, tba).meta["outputs"]["affine"]["shift_z"]
+        nk_plain = NuthKaab()
+        nk_plain.fit(ref, tba, random_state=42)
+        with xdem_tpu.config_context(shape_bucketing=64):
+            # VerticalShift: NaN/False padding leaves the masked median exactly unchanged
+            vs_bucketed = VerticalShift().fit(ref, tba).meta["outputs"]["affine"]["shift_z"]
+            assert vs_bucketed == pytest.approx(vs_plain, abs=1e-6)
+            # NuthKaab: subsample >= valid count here, so padding changes nothing — the
+            # bucketed fit must reproduce the plain solution
+            nk = NuthKaab()
+            nk.fit(ref, tba, random_state=42)
+            for k in ("shift_x", "shift_y", "shift_z"):
+                assert nk.meta["outputs"]["affine"][k] == pytest.approx(
+                    nk_plain.meta["outputs"]["affine"][k], abs=1e-4)
+            # Two different crops of the same bucket share ONE compiled solver
+            n_compiles = _nuth_kaab_rst_rst_device._cache_size()
+            ref2 = ref.icrop((0, ref.shape[0] - 3), (0, ref.shape[1] - 5))
+            tba2 = tba.icrop((0, tba.shape[0] - 3), (0, tba.shape[1] - 5))
+            NuthKaab().fit(ref2, tba2, random_state=42)
+            assert _nuth_kaab_rst_rst_device._cache_size() == n_compiles  # cache hit
+
     def test_shape_bucketing_texture_shading_unaffected(self):
         # The FFT attribute must not see the NaN pad band (review regression)
         import xdem_tpu

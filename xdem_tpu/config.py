@@ -23,10 +23,13 @@ shift_area_or_point : bool
     Shift coordinates by half a pixel when interpolating a raster tagged "Point" (whose
     samples sit at pixel corners, not centers) — geoutils' shift_area_or_point behavior.
 shape_bucketing : int
-    When > 0, terrain attributes NaN-pad inputs to the next multiple of this bucket size so
-    rasters of many slightly-different shapes share one compiled XLA program per bucket
-    (each new shape otherwise costs a fresh ~3-30 s compile on a remote TPU). 0 disables.
-    Results match the unpadded run to small f32 fusion-order differences (~1e-4 relative).
+    When > 0, terrain attributes and the fused raster-raster coreg paths (NuthKaab,
+    VerticalShift) NaN-pad inputs to the next multiple of this bucket size so rasters of
+    many slightly-different shapes share one compiled XLA program per bucket (each new
+    shape otherwise costs a fresh compile — 3-30 s for terrain, 40-150 s for the fused
+    NuthKaab on a remote TPU). 0 disables. Terrain results match the unpadded run to small
+    f32 fusion-order differences (~1e-4 relative); VerticalShift is exactly unchanged;
+    NuthKaab loses only the former outer border's one-sided gradients from the valid set.
 """
 
 from __future__ import annotations

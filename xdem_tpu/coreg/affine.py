@@ -400,6 +400,22 @@ def nuth_kaab(
         ref_arr = jnp.asarray(ref_elev, jnp.float32)
         tba_arr = jnp.asarray(tba_elev, jnp.float32)
         inlier = device_mask(inlier_mask, ref_arr.shape)  # bit-packed upload, 8x smaller
+        # Shape bucketing (config["shape_bucketing"] = N): NaN/False-pad to the next bucket
+        # multiple so rasters of many sizes share ONE compiled solver (the fused NuthKaab is
+        # the library's costliest compile, 40-150 s cold through a remote TPU). Padded pixels
+        # are invalid everywhere; only the former outer border loses its one-sided gradients
+        # (those pixels become NaN-adjacent), a statistically negligible subsample change.
+        from xdem_tpu.config import config as _pkg_config
+
+        bucket = int(_pkg_config["shape_bucketing"])
+        h0, w0 = ref_arr.shape
+        if bucket > 0 and (h0 % bucket or w0 % bucket):
+            ph, pw = (-h0) % bucket, (-w0) % bucket
+            ref_arr = jnp.pad(ref_arr, ((0, ph), (0, pw)), constant_values=jnp.nan)
+            tba_arr = jnp.pad(tba_arr, ((0, ph), (0, pw)), constant_values=jnp.nan)
+            inlier = jnp.pad(inlier, ((0, ph), (0, pw)), constant_values=False)
+        # Static under jit: base it on the (possibly padded) size so every raster in a
+        # bucket shares the program — overflow picks are NaN-poisoned inside the solver
         count = min(int(subsample), ref_arr.size)
         if isinstance(random_state, (int, np.integer)):
             seed = int(random_state)
@@ -554,9 +570,20 @@ def vertical_shift(
     if (full and vshift_reduc_func in (np.median, np.nanmedian)
             and not isinstance(ref_elev, PointCloud) and not isinstance(tba_elev, PointCloud)):
         inlier = device_mask(inlier_mask, tuple(np.shape(ref_elev)))
-        med, n_valid = _masked_median_diff(
-            jnp.asarray(ref_elev, jnp.float32), jnp.asarray(tba_elev, jnp.float32), inlier
-        )
+        ref_a = jnp.asarray(ref_elev, jnp.float32)
+        tba_a = jnp.asarray(tba_elev, jnp.float32)
+        from xdem_tpu.config import config as _pkg_config
+
+        bucket = int(_pkg_config["shape_bucketing"])
+        h0, w0 = ref_a.shape
+        if bucket > 0 and (h0 % bucket or w0 % bucket):
+            # NaN/False padding leaves the masked median EXACTLY unchanged; one compiled
+            # reduction then serves every raster shape in the bucket
+            ph, pw = (-h0) % bucket, (-w0) % bucket
+            ref_a = jnp.pad(ref_a, ((0, ph), (0, pw)), constant_values=jnp.nan)
+            tba_a = jnp.pad(tba_a, ((0, ph), (0, pw)), constant_values=jnp.nan)
+            inlier = jnp.pad(inlier, ((0, ph), (0, pw)), constant_values=False)
+        med, n_valid = _masked_median_diff(ref_a, tba_a, inlier)
         res = np.asarray(jnp.stack([med.astype(jnp.float32), n_valid.astype(jnp.float32)]))
         if res[1] == 0:
             raise ValueError("No valid (finite, inlier) pixels in common between the elevation data.")
