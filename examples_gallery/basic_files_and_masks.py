@@ -12,7 +12,6 @@ from xdem_tpu import examples
 from xdem_tpu.epc import read_epc, write_epc
 from xdem_tpu.raster import Raster
 
-os.makedirs("gallery_outputs", exist_ok=True)
 tmp = tempfile.mkdtemp()
 
 dem = examples.get_ref_dem()

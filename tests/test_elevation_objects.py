@@ -145,9 +145,7 @@ class TestGeoidGridFiles:
         dem = DEM(np.full((4, 4), 100.0, np.float32),
                   Affine(0.5, 0, 15.0, 0, -0.5, 52.0), 4326, vcrs="Ellipsoid")
         out = dem.to_vcrs("TESTGEOID_GTX")
-        # z_geoid = z_ell - N; N at (lon 16, lat 51.25) ~ 51.25*0.1 + 16*0.01
-        lon_c = 15.0 + 0.5 * 2.5
-        lat_c = 52.0 - 0.5 * 0.75  # row 0 center wrt descending transform... use interp check
+        # z_geoid = z_ell - N with N the (linear) undulation plane, exact under bilinear
         got = float(np.asarray(out.data)[0, 2])
         x, y = dem.transform.xy(0, 2)
         expect = 100.0 - (y * 0.1 + x * 0.01)

@@ -406,14 +406,12 @@ def nuth_kaab(
         # are invalid everywhere; only the former outer border loses its one-sided gradients
         # (those pixels become NaN-adjacent), a statistically negligible subsample change.
         from xdem_tpu.config import config as _pkg_config
+        from xdem_tpu.ops.transfer import pad_to_bucket
 
-        bucket = int(_pkg_config["shape_bucketing"])
-        h0, w0 = ref_arr.shape
-        if bucket > 0 and (h0 % bucket or w0 % bucket):
-            ph, pw = (-h0) % bucket, (-w0) % bucket
-            ref_arr = jnp.pad(ref_arr, ((0, ph), (0, pw)), constant_values=jnp.nan)
-            tba_arr = jnp.pad(tba_arr, ((0, ph), (0, pw)), constant_values=jnp.nan)
-            inlier = jnp.pad(inlier, ((0, ph), (0, pw)), constant_values=False)
+        (ref_arr, tba_arr, inlier), _hw = pad_to_bucket(
+            int(_pkg_config["shape_bucketing"]),
+            (ref_arr, jnp.nan), (tba_arr, jnp.nan), (inlier, False),
+        )
         # Static under jit: base it on the (possibly padded) size so every raster in a
         # bucket shares the program — overflow picks are NaN-poisoned inside the solver
         count = min(int(subsample), ref_arr.size)
@@ -573,16 +571,14 @@ def vertical_shift(
         ref_a = jnp.asarray(ref_elev, jnp.float32)
         tba_a = jnp.asarray(tba_elev, jnp.float32)
         from xdem_tpu.config import config as _pkg_config
+        from xdem_tpu.ops.transfer import pad_to_bucket
 
-        bucket = int(_pkg_config["shape_bucketing"])
-        h0, w0 = ref_a.shape
-        if bucket > 0 and (h0 % bucket or w0 % bucket):
-            # NaN/False padding leaves the masked median EXACTLY unchanged; one compiled
-            # reduction then serves every raster shape in the bucket
-            ph, pw = (-h0) % bucket, (-w0) % bucket
-            ref_a = jnp.pad(ref_a, ((0, ph), (0, pw)), constant_values=jnp.nan)
-            tba_a = jnp.pad(tba_a, ((0, ph), (0, pw)), constant_values=jnp.nan)
-            inlier = jnp.pad(inlier, ((0, ph), (0, pw)), constant_values=False)
+        # NaN/False padding leaves the masked median EXACTLY unchanged; one compiled
+        # reduction then serves every raster shape in the bucket
+        (ref_a, tba_a, inlier), _hw = pad_to_bucket(
+            int(_pkg_config["shape_bucketing"]),
+            (ref_a, jnp.nan), (tba_a, jnp.nan), (inlier, False),
+        )
         med, n_valid = _masked_median_diff(ref_a, tba_a, inlier)
         res = np.asarray(jnp.stack([med.astype(jnp.float32), n_valid.astype(jnp.float32)]))
         if res[1] == 0:

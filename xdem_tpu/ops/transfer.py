@@ -22,6 +22,23 @@ def _unpack_bits(packed: jnp.ndarray, n: int) -> jnp.ndarray:
     return bits.reshape(-1)[:n].astype(bool)
 
 
+def pad_to_bucket(bucket: int, *arrays_with_fill):
+    """Pad same-shape 2-D arrays to the next `bucket` multiple along both axes.
+
+    Args are (array, fill_value) pairs; returns (padded_arrays, original_shape). A no-op
+    (same objects) when bucket <= 0 or the shape already sits on the bucket grid. One
+    helper serves all shape-bucketing call sites (terrain dispatcher, fused coreg paths)
+    so the padding semantics can never drift between them.
+    """
+    arrs = [a for a, _f in arrays_with_fill]
+    h, w = arrs[0].shape
+    if bucket <= 0 or (h % bucket == 0 and w % bucket == 0):
+        return arrs, (h, w)
+    ph, pw = (-h) % bucket, (-w) % bucket
+    return ([jnp.pad(a, ((0, ph), (0, pw)), constant_values=f) for a, f in arrays_with_fill],
+            (h, w))
+
+
 def device_mask(mask, shape: tuple[int, int] | None = None) -> jnp.ndarray:
     """Return `mask` as a device bool array, uploading host arrays bit-packed (8x smaller).
 

@@ -502,7 +502,16 @@ def _mask_to_polygons(mask: np.ndarray) -> list:
 
     loops = []
     while edges:
-        start = next(iter(edges))
+        # Start at a NON-saddle vertex (single outgoing edge): starting at a saddle gives
+        # the walker no incoming direction to resolve the turn, and an arbitrary pick can
+        # jump between the two loops that cross there.
+        start = None
+        for v, outs0 in edges.items():
+            if len(outs0) == 1:
+                start = v
+                break
+        if start is None:  # all remaining vertices are saddles (two tangent loops): any works
+            start = next(iter(edges))
         ring = [start]
         prev = None
         cur = start

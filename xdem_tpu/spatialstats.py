@@ -1101,7 +1101,8 @@ _PAIR_CHUNK_BUDGET = int(2e8)
 _PAIR_COUNT_LIMIT = 2**31 - 1
 
 
-def _check_pair_count(total_pairs: int, estimator: str = "") -> None:
+def _check_pair_count(total_pairs: int, estimator: str = "",
+                      chunked_available: bool = True) -> None:
     if estimator == "genton" and total_pairs > _PAIR_CHUNK_BUDGET:
         # Genton's reservoir runs through host numpy blocks (no chunked device path yet):
         # a 1e9-pair request would materialize tens of GB of host arrays.
@@ -1109,6 +1110,12 @@ def _check_pair_count(total_pairs: int, estimator: str = "") -> None:
             f"The 'genton' estimator materializes all {total_pairs:.2e} pairwise "
             f"comparisons on host (limit {_PAIR_CHUNK_BUDGET:.0e}). Reduce `subsample`, or "
             f"use 'dowd' (also median-robust) which has a memory-bounded device path."
+        )
+    if not chunked_available and total_pairs > _PAIR_CHUNK_BUDGET:
+        raise ValueError(
+            f"This sampling method materializes all {total_pairs:.2e} pairwise comparisons "
+            f"in one block (limit {_PAIR_CHUNK_BUDGET:.0e}). Reduce `subsample`, or use "
+            f"subsample_method='cdist_equidistant' (memory-bounded at any pair count)."
         )
     if total_pairs > _PAIR_COUNT_LIMIT:
         raise ValueError(
@@ -1454,6 +1461,7 @@ def sample_empirical_variogram(
 
         if subsample_method in ("cdist_point", "pdist_point"):
             n = min(subsample, len(vals_v))
+            _check_pair_count(n * n, estimator, chunked_available=False)
             i1 = rng.choice(len(vals_v), n, replace=False)
             if subsample_method == "cdist_point":
                 i2 = rng.choice(len(vals_v), n, replace=False)
@@ -1481,6 +1489,7 @@ def sample_empirical_variogram(
         n = min(subsample, len(sel))
         if n < 2:
             raise ValueError("Not enough valid points in the disk/ring for subsampling.")
+        _check_pair_count(n * n, estimator, chunked_available=False)
         ii = rng.choice(sel, n, replace=False)
         z1 = jnp.asarray(vals_v[ii], jnp.float32)
         c1 = jnp.asarray(coords_v[ii], jnp.float32)

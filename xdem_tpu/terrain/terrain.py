@@ -160,14 +160,13 @@ def get_terrain_attribute(
     # small f32 fusion-order differences: the stencils' edge semantics already treat
     # beyond-edge as NaN. Sharded (mesh=) runs pad via their own halo logic.
     from xdem_tpu.config import config as _pkg_config
+    from xdem_tpu.ops.transfer import pad_to_bucket
 
-    bucket = int(_pkg_config["shape_bucketing"]) if mesh is None else 0
-    orig_hw = arr.shape
     arr_unpadded = arr  # frequency-domain attributes must NOT see the NaN pad band: the FFT
     # path mean-fills NaN, which would replace its symmetric-reflection boundary handling
-    if bucket > 0 and (orig_hw[0] % bucket or orig_hw[1] % bucket):
-        arr = jnp.pad(arr, ((0, (-orig_hw[0]) % bucket), (0, (-orig_hw[1]) % bucket)),
-                      constant_values=jnp.nan)
+    (arr,), orig_hw = pad_to_bucket(
+        int(_pkg_config["shape_bucketing"]) if mesh is None else 0, (arr, jnp.nan)
+    )
 
     results: dict[str, jnp.ndarray] = {}
 

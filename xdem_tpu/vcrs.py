@@ -120,7 +120,7 @@ def grid_name_for(vcrs: "VerticalCRS | str | None") -> str | None:
     if vcrs is None:
         return None
     name = str(vcrs)
-    if name.endswith((".tif", ".gtx")):
+    if name.endswith((".tif", ".tiff", ".gtx")):
         return name
     return {v: k for k, v in _VCRS_GRIDS.items()}.get(name.upper())
 
@@ -145,10 +145,11 @@ def _vcrs_from_user_input(value: Any) -> VerticalCRS:
             return VerticalCRS("Ellipsoid")
         if low in ("egm96", "egm08", "navd88"):
             return VerticalCRS(value.upper())
-        if value.endswith((".tif", ".gtx")):
+        if value.endswith((".tif", ".tiff", ".gtx")):
             import os
 
-            if os.path.exists(value):  # a real grid file: load it on the spot
+            # A real grid file: load it on first use (once — grids can be hundreds of MB)
+            if value.upper() not in _GEOID_GRIDS and os.path.exists(value):
                 register_geoid_grid_file(value, value)
             return VerticalCRS(value)  # else: transform gated until a grid is registered
         return VerticalCRS(value)

@@ -124,7 +124,14 @@ def _rasterize_scanline(polygons: Sequence[Sequence[np.ndarray]], t: Affine,
     h, w = shape
     out = np.zeros((h, w), dtype=bool)
     for poly in polygons:
-        T = np.zeros((h, w + 1), dtype=np.int64)
+        # Restrict the crossing buffer to the polygon's bounding rows/cols: with many small
+        # polygons a full-raster buffer per polygon would be O(n_polygons * h * w).
+        pts = np.vstack([np.asarray(r) for r in poly])
+        r_min = int(np.clip(np.floor((pts[:, 1].max() - t.f) / t.e - 0.5), 0, h - 1))
+        r_max = int(np.clip(np.ceil((pts[:, 1].min() - t.f) / t.e - 0.5), 0, h - 1))
+        c_max = int(np.clip(np.ceil((pts[:, 0].max() - t.c) / t.a - 0.5), 0, w - 1))
+        bh = r_max - r_min + 1
+        T = np.zeros((bh, c_max + 2), dtype=np.int64)
         any_cross = False
         for ring in poly:
             closed = _ring_is_closed(ring)
@@ -142,10 +149,10 @@ def _rasterize_scanline(polygons: Sequence[Sequence[np.ndarray]], t: Affine,
             # decreases with r: r ranges over (r_of(yhi), r_of(ylo)] with r_of(y)=(y-f)/e-0.5
             r_hi_f = (yhi - t.f) / t.e - 0.5
             r_lo_f = (ylo - t.f) / t.e - 0.5
-            r_start = np.maximum(np.floor(r_hi_f).astype(np.int64) + 1, 0)
+            r_start = np.maximum(np.floor(r_hi_f).astype(np.int64) + 1, r_min)
             # A center exactly AT ylo is included ([ylo, ...)): floor works except when
             # r_lo_f is an exact integer row, which floor keeps — correct for inclusive.
-            r_end = np.minimum(np.floor(r_lo_f).astype(np.int64), h - 1)
+            r_end = np.minimum(np.floor(r_lo_f).astype(np.int64), r_max)
             n_rows = np.maximum(r_end - r_start + 1, 0)
             total = int(n_rows.sum())
             if total == 0:
@@ -159,11 +166,11 @@ def _rasterize_scanline(polygons: Sequence[Sequence[np.ndarray]], t: Affine,
                 x1[edge_idx] - x0[edge_idx])
             # Toggle pixels with center x strictly below xint: bucket = count of such centers
             j = np.ceil((xint - t.c) / t.a - 0.5).astype(np.int64)
-            j = np.clip(j, 0, w)
-            np.add.at(T, (rows, j), 1)
+            j = np.clip(j, 0, c_max + 1)
+            np.add.at(T, (rows - r_min, j), 1)
         if any_cross:
             right = np.cumsum(T[:, ::-1], axis=1)[:, ::-1]  # right[r, c] = crossings at j >= c
-            out |= (right[:, 1:] % 2).astype(bool)
+            out[r_min:r_max + 1, :c_max + 1] |= (right[:, 1:] % 2).astype(bool)
     return out
 
 
