@@ -8,13 +8,20 @@ import doctest
 
 import pytest
 
-import xdem_tpu.fit
+import sys
+
+import xdem_tpu.config  # noqa: F401  (the package re-exports `config` as the dict, so the
+import xdem_tpu.fit  # module object must come from sys.modules)
 import xdem_tpu.geoid
 import xdem_tpu.georef
+import xdem_tpu.vector
 import xdem_tpu.volume
 
+_config_mod = sys.modules["xdem_tpu.config"]
 
-@pytest.mark.parametrize("module", [xdem_tpu.georef, xdem_tpu.fit, xdem_tpu.volume, xdem_tpu.geoid])
+
+@pytest.mark.parametrize("module", [xdem_tpu.georef, xdem_tpu.fit, xdem_tpu.volume,
+                                    xdem_tpu.geoid, _config_mod, xdem_tpu.vector])
 def test_doctests(module):
     results = doctest.testmod(module, verbose=False)
     assert results.failed == 0, f"{results.failed} doctest failures in {module.__name__}"

@@ -4,12 +4,20 @@ The reference inherits two user-facing knobs from geoutils' config (reference
 doc/source/config.md:60-66): the default resampling algorithm applied by reprojection /
 gridded interpolation, and the behavior around raster pixel interpretation
 (Area vs Point) during raster-point comparison. Here they live in a plain dict with a
-context-manager override, so e.g.::
+context-manager override:
 
-    import xdem_tpu
-    xdem_tpu.config["resampling"] = "cubic"           # package-wide default
-    with xdem_tpu.config_context(resampling="nearest"):
-        dem.reproject(other)                           # scoped override
+>>> from xdem_tpu.config import config, config_context
+>>> config["resampling"]
+'bilinear'
+>>> with config_context(resampling="nearest"):
+...     config["resampling"]
+'nearest'
+>>> config["resampling"]
+'bilinear'
+>>> config["resampling"] = "sinc"
+Traceback (most recent call last):
+    ...
+ValueError: resampling must be one of ('nearest', 'linear', 'bilinear', 'cubic'), got 'sinc'.
 
 Keys
 ----

@@ -16,7 +16,18 @@ from xdem_tpu.georef import CRS, Affine, transform_points
 
 
 class Vector:
-    """A collection of polygons (each: list of rings; first exterior, rest holes)."""
+    """A collection of polygons (each: list of rings; first exterior, rest holes).
+
+    >>> import numpy as np
+    >>> from xdem_tpu.georef import Affine
+    >>> ring = np.array([[0.0, 0.0], [40.0, 0.0], [40.0, 30.0], [0.0, 30.0]])
+    >>> v = Vector([[ring]], crs=32633)
+    >>> v.create_mask(transform=Affine(10.0, 0, -10.0, 0, -10.0, 30.0),
+    ...               shape=(3, 5)).astype(int)
+    array([[0, 1, 1, 1, 1],
+           [0, 1, 1, 1, 1],
+           [0, 1, 1, 1, 1]])
+    """
 
     def __init__(self, polygons: Sequence[Sequence[np.ndarray]], crs: CRS | int | str = 4326):
         # polygons: list of list-of-rings; each ring an (N, 2) array of (x, y)
