@@ -202,6 +202,40 @@ class TestEmpiricalVariogram:
         np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
         np.testing.assert_allclose(np.asarray(g2), g1, rtol=1e-5, equal_nan=True)
 
+    def test_chunked_genton_matches_distributed(self):
+        """The chunked Genton reservoir ranks pairs by the same deterministic global-index
+        scores as the distributed version, so any chunking selects the identical 400-value
+        sample and the identical Qn."""
+        import jax.numpy as jnp
+
+        from xdem_tpu.parallel import make_mesh
+        from xdem_tpu.parallel.variogram import sharded_variogram_bins
+        from xdem_tpu.spatialstats import (_genton_qn_from_reservoir,
+                                           _pairs_genton_reservoir_chunked)
+
+        rng = np.random.default_rng(3)
+        R, N, M = 8, 20, 60
+        za = rng.normal(0, 2, (R, N)); zb = rng.normal(0, 2, (R, M))
+        ca = rng.uniform(0, 800, (R, N, 2)); cb = rng.uniform(0, 800, (R, M, 2))
+        za[2, 10:] = np.nan
+        edges = [0.0, 100.0, 300.0, 700.0, 1500.0]
+        g_ref, c_ref = sharded_variogram_bins(za, zb, ca, cb, edges, make_mesh(1),
+                                              estimator="genton")
+        for chunk in (2, 8):
+            pad = (-R) % chunk
+
+            def pn(a):
+                return np.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1),
+                              constant_values=np.nan)
+
+            res, cnt = _pairs_genton_reservoir_chunked(
+                jnp.asarray(pn(za), jnp.float32), jnp.asarray(pn(zb), jnp.float32),
+                jnp.asarray(pn(ca), jnp.float32), jnp.asarray(pn(cb), jnp.float32),
+                jnp.asarray(edges, jnp.float32), 4, chunk)
+            g = _genton_qn_from_reservoir(np.asarray(res, np.float64), np.asarray(cnt))
+            np.testing.assert_array_equal(np.asarray(cnt), c_ref)
+            np.testing.assert_allclose(g, g_ref, rtol=1e-5, equal_nan=True)
+
     @pytest.mark.parametrize("estimator", ["matheron", "dowd", "cressie", "genton"])
     def test_estimators_on_white_noise(self, estimator):
         # White noise: variogram flat at sill = variance for all lags

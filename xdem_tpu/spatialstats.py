@@ -1103,14 +1103,6 @@ _PAIR_COUNT_LIMIT = 2**31 - 1
 
 def _check_pair_count(total_pairs: int, estimator: str = "",
                       chunked_available: bool = True) -> None:
-    if estimator == "genton" and total_pairs > _PAIR_CHUNK_BUDGET:
-        # Genton's reservoir runs through host numpy blocks (no chunked device path yet):
-        # a 1e9-pair request would materialize tens of GB of host arrays.
-        raise ValueError(
-            f"The 'genton' estimator materializes all {total_pairs:.2e} pairwise "
-            f"comparisons on host (limit {_PAIR_CHUNK_BUDGET:.0e}). Reduce `subsample`, or "
-            f"use 'dowd' (also median-robust) which has a memory-bounded device path."
-        )
     if not chunked_available and total_pairs > _PAIR_CHUNK_BUDGET:
         raise ValueError(
             f"This sampling method materializes all {total_pairs:.2e} pairwise comparisons "
@@ -1123,6 +1115,94 @@ def _check_pair_count(total_pairs: int, estimator: str = "",
             f"the int32 per-bin count limit ({_PAIR_COUNT_LIMIT:.2e}). Reduce `subsample` "
             f"(pairs grow ~subsample^2/2) or split into several `n_variograms` runs."
         )
+
+
+_GENTON_CAP = 400  # _binned_genton subsamples each bin to 400 values before the O(n^2) Qn
+
+
+@partial(jax.jit, static_argnames=("n_bins", "chunk"))
+def _pairs_genton_reservoir_chunked(
+    za: jnp.ndarray,
+    zb: jnp.ndarray,
+    ca: jnp.ndarray,
+    cb: jnp.ndarray,
+    edges: jnp.ndarray,
+    n_bins: int,
+    chunk: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Memory-bounded Genton reservoir: a lax.scan over run chunks keeps the global top-CAP
+    signed pair differences per lag bin, ranked by the same deterministic golden-ratio
+    pair-index scores as parallel.variogram's distributed Genton — so chunking (like mesh
+    size there) never changes which 400 values feed the Qn. Returns
+    ((n_bins, CAP) reservoir NaN-padded, per-bin counts)."""
+    n_chunks = za.shape[0] // chunk
+    N, M = za.shape[1], zb.shape[1]
+
+    def r(a):
+        return a.reshape(n_chunks, chunk, *a.shape[1:])
+
+    golden = jnp.uint32(2654435769)
+
+    def body(carry, inputs):
+        res_v, res_s, counts = carry
+        chunk_idx, za_c, zb_c, ca_c, cb_c = inputs
+        d_signed = (za_c[:, :, None] - zb_c[:, None, :]).ravel()
+        h = jnp.sqrt(jnp.sum((ca_c[:, :, None, :] - cb_c[:, None, :, :]) ** 2, axis=-1)).ravel()
+        valid = (jnp.isfinite(d_signed) & jnp.isfinite(h) & (h > 0)
+                 & (h >= edges[0]) & (h <= edges[-1]))
+        idx = jnp.clip(jnp.searchsorted(edges, h, side="right") - 1, 0, n_bins - 1)
+        parked = jnp.where(valid, idx, n_bins)
+        counts = counts + jnp.bincount(parked, length=n_bins + 1)[:n_bins]
+
+        run0 = (chunk_idx * chunk).astype(jnp.uint32)
+        local_run = jnp.arange(chunk, dtype=jnp.uint32)[:, None, None]
+        ii = jnp.arange(N, dtype=jnp.uint32)[None, :, None]
+        jj = jnp.arange(M, dtype=jnp.uint32)[None, None, :]
+        gidx = ((run0 + local_run) * jnp.uint32(N * M) + ii * jnp.uint32(M) + jj).ravel()
+        score = ((gidx * golden) >> jnp.uint32(8)).astype(jnp.float32) / jnp.float32(1 << 24)
+        score = jnp.where(parked < n_bins, score, -1.0)
+
+        # Local top-CAP per bin via one lexsort, then merge with the running reservoir
+        order = jnp.lexsort((-score, parked))
+        d_s = d_signed[order]
+        score_s = score[order]
+        counts_local = jnp.bincount(parked, length=n_bins + 1)[:n_bins]
+        starts = jnp.cumsum(counts_local) - counts_local
+        take = jnp.minimum(counts_local, _GENTON_CAP)
+        offs = jnp.arange(_GENTON_CAP)[None, :]
+        pos = jnp.clip(starts[:, None] + offs, 0, d_signed.size - 1)
+        loc_v = jnp.where(offs < take[:, None], d_s[pos], jnp.nan)
+        loc_s = jnp.where(offs < take[:, None], score_s[pos], -1.0)
+
+        merged_v = jnp.concatenate([res_v, loc_v], axis=1)
+        merged_s = jnp.concatenate([res_s, loc_s], axis=1)
+        top = jnp.argsort(-merged_s, axis=1)[:, :_GENTON_CAP]
+        return (jnp.take_along_axis(merged_v, top, axis=1),
+                jnp.take_along_axis(merged_s, top, axis=1), counts), None
+
+    init = (jnp.full((n_bins, _GENTON_CAP), jnp.nan, jnp.float32),
+            jnp.full((n_bins, _GENTON_CAP), -1.0, jnp.float32),
+            jnp.zeros(n_bins, jnp.int32))
+    (res_v, _res_s, counts), _ = jax.lax.scan(
+        body, init, (jnp.arange(n_chunks, dtype=jnp.uint32), r(za), r(zb), r(ca), r(cb)))
+    return res_v, counts
+
+
+def _genton_qn_from_reservoir(reservoir: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Finalize Genton's gamma per bin from the (n_bins, CAP) NaN-padded reservoir."""
+    n_bins = reservoir.shape[0]
+    gamma = np.full(n_bins, np.nan)
+    for b in range(n_bins):
+        x = reservoir[b][np.isfinite(reservoir[b])]
+        n = len(x)
+        if n < 2:
+            continue
+        pair_diffs = np.abs(x[:, None] - x[None, :])[np.triu_indices(n, k=1)]
+        k = int((n // 2 + 1) * (n // 2) / 2)
+        k = min(max(k, 1), len(pair_diffs))
+        qn = np.partition(pair_diffs, k - 1)[k - 1]
+        gamma[b] = (2.2191 * qn) ** 2 / 2
+    return gamma
 
 
 def _binned_genton(diffs: jnp.ndarray, dists: jnp.ndarray, bin_edges: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -1431,7 +1511,7 @@ def sample_empirical_variogram(
 
             total_pairs = za.shape[0] * za.shape[1] * zb.shape[1]
             _check_pair_count(total_pairs, estimator)
-            if estimator != "genton" and total_pairs > _PAIR_CHUNK_BUDGET:
+            if total_pairs > _PAIR_CHUNK_BUDGET:
                 per_run = za.shape[1] * zb.shape[1]
                 chunk = max(1, _PAIR_CHUNK_BUDGET // (8 * per_run))
                 pad_r = (-za.shape[0]) % chunk
@@ -1440,11 +1520,19 @@ def sample_empirical_variogram(
                     return np.pad(a, ((0, pad_r),) + ((0, 0),) * (a.ndim - 1),
                                   constant_values=np.nan)
 
+                args_dev = (jnp.asarray(padnan(za), jnp.float32),
+                            jnp.asarray(padnan(zb), jnp.float32),
+                            jnp.asarray(padnan(ca), jnp.float32),
+                            jnp.asarray(padnan(cb), jnp.float32),
+                            jnp.asarray(bin_edges, jnp.float32))
+                if estimator == "genton":
+                    res, counts_d = _pairs_genton_reservoir_chunked(
+                        *args_dev, len(bin_edges) - 1, chunk)
+                    gamma = _genton_qn_from_reservoir(np.asarray(res, np.float64),
+                                                      np.asarray(counts_d))
+                    return gamma, np.asarray(counts_d, dtype=np.int64)
                 gamma_d, counts_d = _pairs_variogram_device_chunked(
-                    jnp.asarray(padnan(za), jnp.float32), jnp.asarray(padnan(zb), jnp.float32),
-                    jnp.asarray(padnan(ca), jnp.float32), jnp.asarray(padnan(cb), jnp.float32),
-                    jnp.asarray(bin_edges, jnp.float32), estimator, len(bin_edges) - 1,
-                    chunk,
+                    *args_dev, estimator, len(bin_edges) - 1, chunk,
                 )
                 return (np.asarray(gamma_d, dtype=np.float64),
                         np.asarray(counts_d, dtype=np.int64))
