@@ -1117,7 +1117,9 @@ def _check_pair_count(total_pairs: int, estimator: str = "",
         )
 
 
-_GENTON_CAP = 400  # _binned_genton subsamples each bin to 400 values before the O(n^2) Qn
+# _binned_genton subsamples each bin to 400 values before the O(n^2) Qn; must stay equal to
+# parallel.variogram._GENTON_CAP for the chunked/distributed reservoirs to select identically
+_GENTON_CAP = 400
 
 
 @partial(jax.jit, static_argnames=("n_bins", "chunk"))
