@@ -202,6 +202,28 @@ class TestEmpiricalVariogram:
         np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
         np.testing.assert_allclose(np.asarray(g2), g1, rtol=1e-5, equal_nan=True)
 
+    @pytest.mark.parametrize("estimator", ["matheron", "cressie", "dowd", "genton"])
+    def test_chunked_route_end_to_end(self, monkeypatch, estimator):
+        """Force the big-pair chunked dispatch through the public API by shrinking the
+        budget: the count-identical sampling must yield the same variogram (genton swaps
+        its rng bin subsample for the deterministic reservoir, so it is compared on
+        plausibility instead of equality)."""
+        import xdem_tpu.spatialstats as ss_mod
+
+        field = _gaussian_field(shape=(150, 150), smooth_px=3.0, sigma=2.0, seed=5)
+        kwargs = dict(gsd=10.0, subsample=700, random_state=42, estimator=estimator)
+        flat = ss_mod.sample_empirical_variogram(field, **kwargs)
+        monkeypatch.setattr(ss_mod, "_PAIR_CHUNK_BUDGET", 5_000)
+        chunked = ss_mod.sample_empirical_variogram(field, **kwargs)
+        np.testing.assert_array_equal(chunked["count"].values, flat["count"].values)
+        if estimator == "genton":
+            ok = np.isfinite(flat["exp"].values) & np.isfinite(chunked["exp"].values)
+            ratio = chunked["exp"].values[ok] / np.maximum(flat["exp"].values[ok], 1e-12)
+            assert np.median(ratio) == pytest.approx(1.0, rel=0.5)
+        else:
+            np.testing.assert_allclose(chunked["exp"].values, flat["exp"].values,
+                                       rtol=1e-4, equal_nan=True)
+
     def test_chunked_genton_matches_distributed(self):
         """The chunked Genton reservoir ranks pairs by the same deterministic global-index
         scores as the distributed version, so any chunking selects the identical 400-value

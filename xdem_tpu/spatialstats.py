@@ -1210,11 +1210,14 @@ def _genton_qn_from_reservoir(reservoir: np.ndarray, counts: np.ndarray) -> np.n
 def _binned_genton(diffs: jnp.ndarray, dists: jnp.ndarray, bin_edges: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Genton (1998) highly-robust variogram: (2.2191 * Qn(d))^2 / 2 per lag bin, where Qn is
     the k-th order statistic (k = C(n//2+1, 2)) of the pairwise |d_i - d_j|."""
-    edges = np.asarray(bin_edges, dtype=np.float64)
+    # Bin in float32 like every device estimator path: grid-mode distances are
+    # pixel-quantized and often tie EXACTLY at the sqrt(2)-geometric edges, so a float64
+    # comparison here would systematically classify those boundary pairs one bin lower.
+    edges = np.asarray(bin_edges, dtype=np.float32)
     n_bins = len(edges) - 1
     # Qn operates on the SIGNED pairwise value differences (their spread is what it estimates)
     d = np.asarray(diffs, dtype=np.float64).ravel()
-    h = np.asarray(dists, dtype=np.float64).ravel()
+    h = np.asarray(dists, dtype=np.float32).ravel()
     valid = np.isfinite(d) & np.isfinite(h) & (h >= edges[0]) & (h <= edges[-1])
     idx = np.clip(np.searchsorted(edges, h[valid], side="right") - 1, 0, n_bins - 1)
     dv = d[valid]
