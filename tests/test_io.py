@@ -285,6 +285,25 @@ class TestFormatCoverage:
         back = Raster.open(path)
         assert np.array_equal(np.asarray(back.data), data.astype(np.float32))
 
+    def test_write_predictor3_smaller_and_exact(self, tmp_path):
+        from xdem_tpu.io import write_raster
+
+        rng = np.random.default_rng(4)
+        from scipy.ndimage import gaussian_filter
+
+        arr = gaussian_filter(rng.normal(500, 80, (200, 300)), 3).astype(np.float32)
+        r = Raster(arr, Affine(10.0, 0, 0, 0, -10.0, 2000.0), 32633)
+        import os
+
+        p3, p1 = str(tmp_path / "p3.tif"), str(tmp_path / "p1.tif")
+        write_raster(p3, r, predictor=3)
+        write_raster(p1, r, predictor=1)
+        assert os.path.getsize(p3) < 0.8 * os.path.getsize(p1)  # real compression win
+        np.testing.assert_array_equal(np.asarray(Raster.open(p3).data), arr)
+        # External readers (libtiff via Pillow) decode the predictor-3 output
+        Image = pytest.importorskip("PIL.Image")
+        np.testing.assert_array_equal(np.array(Image.open(p3)), arr)
+
     def test_lzw_against_libtiff_stream(self, tmp_path):
         # Independent oracle: Pillow writes LZW through libtiff, pinning the real-world
         # early-change convention (widths widen at decoder entries 511/1023/2047).

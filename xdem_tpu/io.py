@@ -67,6 +67,7 @@ def _lib() -> ctypes.CDLL:
             ctypes.c_double,
             ctypes.c_int32,
             ctypes.c_char_p,
+            ctypes.c_int32,
         ]
         lib.gt_write.restype = ctypes.c_int
         lib.gt_last_error.restype = ctypes.c_char_p
@@ -120,8 +121,13 @@ def read_raster(path: str, raster_cls=None):
     return out
 
 
-def write_raster(path: str, raster, nodata: float | None = None) -> None:
-    """Write a Raster as a single-band float32 DEFLATE GeoTIFF."""
+def write_raster(path: str, raster, nodata: float | None = None, predictor: int = 3) -> None:
+    """Write a Raster as a single-band float32 DEFLATE GeoTIFF.
+
+    `predictor=3` (default; the TIFF floating-point predictor GDAL uses via PREDICTOR=3)
+    typically shrinks DEM rasters 2-3x vs plain DEFLATE; pass `predictor=1` for readers
+    predating it.
+    """
     lib = _lib()
     data = np.ascontiguousarray(raster.get_nanarray(), dtype=np.float32)
     use_nodata = nodata if nodata is not None else (raster.nodata if raster.nodata is not None else -9999.0)
@@ -144,6 +150,7 @@ def write_raster(path: str, raster, nodata: float | None = None) -> None:
         float(use_nodata),
         1,
         metadata,
+        int(predictor),
     )
     if rc != 0:
         raise OSError(f"Cannot write GeoTIFF '{path}': {_err()}")

@@ -639,21 +639,43 @@ int gt_read(const char* path, float* out) {
 }
 
 // Write a single-band float32 GeoTIFF with DEFLATE strips; returns 0 on success.
+// predictor 3 (TIFF floating-point predictor) typically shrinks DEM rasters 2-3x vs
+// plain DEFLATE by making the byte planes of neighboring samples nearly equal.
 int gt_write(const char* path, const float* data, uint32_t height, uint32_t width,
              const double* transform, int32_t epsg, double nodata, int32_t has_nodata,
-             const char* metadata) {
+             const char* metadata, int32_t predictor) {
+    if (predictor != 1 && predictor != 3) {
+        g_last_error = "writer supports predictor 1 (none) or 3 (floating-point)";
+        return 1;
+    }
     // Compress each strip (64 rows) with zlib
     const uint32_t rps = 64;
     uint32_t n_strips = (height + rps - 1) / rps;
     std::vector<std::vector<uint8_t>> strips(n_strips);
+    std::vector<uint8_t> pre;  // predictor-transformed strip buffer
     for (uint32_t s = 0; s < n_strips; s++) {
         uint32_t rows = (s == n_strips - 1) ? height - s * rps : rps;
-        uLongf bound = compressBound((uLong)((size_t)rows * width * 4));
+        size_t strip_bytes = (size_t)rows * width * 4;
+        const Bytef* src = reinterpret_cast<const Bytef*>(data + (size_t)s * rps * width);
+        if (predictor == 3) {
+            // Forward transform (inverse of undo_fp_predictor): per row, gather into byte
+            // planes most-significant-first, then byte-wise horizontal differencing.
+            pre.resize(strip_bytes);
+            for (uint32_t r = 0; r < rows; r++) {
+                const uint8_t* in = src + (size_t)r * width * 4;
+                uint8_t* outp = pre.data() + (size_t)r * width * 4;
+                for (size_t i = 0; i < width; i++)
+                    for (size_t j = 0; j < 4; j++)
+                        outp[j * width + i] = in[i * 4 + (3 - j)];
+                for (size_t k = (size_t)width * 4; k-- > 1;)
+                    outp[k] = (uint8_t)(outp[k] - outp[k - 1]);
+            }
+            src = pre.data();
+        }
+        uLongf bound = compressBound((uLong)strip_bytes);
         strips[s].resize(bound);
         uLongf out_len = bound;
-        if (compress2(strips[s].data(), &out_len,
-                      reinterpret_cast<const Bytef*>(data + (size_t)s * rps * width),
-                      (uLong)((size_t)rows * width * 4), 6) != Z_OK) {
+        if (compress2(strips[s].data(), &out_len, src, (uLong)strip_bytes, 6) != Z_OK) {
             g_last_error = "deflate failed";
             return 1;
         }
@@ -730,6 +752,7 @@ int gt_write(const char* path, const float* data, uint32_t height, uint32_t widt
     tags.push_back({279, 4, n_strips, 0});
     add_payload(longs_bytes(strip_counts));
     tags.push_back({284, 3, 1, 1});
+    if (predictor == 3) tags.push_back({317, 3, 1, 3});
     tags.push_back({339, 3, 1, 3});  // IEEE float
     size_t ps_tag = tags.size();
     tags.push_back({33550, 12, 3, 0});
