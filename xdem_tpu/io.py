@@ -3,8 +3,8 @@
 The reference reads/writes rasters via rasterio/GDAL (geoutils.Raster). This environment has
 neither, so xdem_tpu ships its own C++ codec (classic TIFF, striped/tiled, none/LZW/DEFLATE/
 PackBits compression, horizontal + floating-point predictors, u8-f64 samples; writes
-single-band float32 DEFLATE with GeoTIFF keys), compiled on demand with the system toolchain
-and loaded through ctypes.
+single-band float32 DEFLATE + floating-point predictor with GeoTIFF keys), compiled on
+demand with the system toolchain and loaded through ctypes.
 """
 
 from __future__ import annotations
