@@ -357,6 +357,53 @@ class TestSpatialstatsParity:
         q = np.linspace(0, 30, 7)
         np.testing.assert_allclose(f_ours(q), f_ref(q), rtol=1e-6)
 
+    @pytest.mark.parametrize("subsample", [15, 100, 1000, 50_000])
+    def test_choose_cdist_equidistant_sampling_parameters(self, ref_mods, subsample):
+        """The runs/samples/ratio partition must match the reference's own formula
+        (reference :1104-1183) — it fixes the pair count the variogram ensembles compare."""
+        rss = ref_mods["spatialstats"]
+        from xdem_tpu import spatialstats as oss
+
+        extent = (0.0, 20_000.0, 0.0, 13_000.0)
+        shape = (985, 1332)
+        r_ref, s_ref, ratio_ref = rss._choose_cdist_equidistant_sampling_parameters(
+            extent=extent, shape=shape, subsample=subsample)
+        r_ours, s_ours, ratio_ours = oss._choose_cdist_equidistant_sampling_parameters(
+            extent, shape, subsample)
+        assert (r_ours, s_ours) == (r_ref, s_ref)
+        assert ratio_ours == pytest.approx(ratio_ref, rel=1e-12)
+
+    def test_choose_cdist_min_subsample_raises(self, ref_mods):
+        from xdem_tpu import spatialstats as oss
+
+        with pytest.raises(ValueError, match="at least"):
+            oss._choose_cdist_equidistant_sampling_parameters((0, 100, 0, 100), (10, 10), 5)
+
+    def test_get_perbin_nd_binning(self, ref_mods):
+        """Per-bin statistic lookup must agree with the reference's pandas implementation."""
+        rss = ref_mods["spatialstats"]
+        from xdem_tpu import spatialstats as oss
+
+        rng = np.random.default_rng(8)
+        n = 3000
+        slope = rng.uniform(0, 40, n)
+        curv = rng.uniform(-3, 3, n)
+        vals = rng.normal(0, 1 + 0.05 * slope + 0.2 * np.abs(curv))
+        df_ref = rss.nd_binning(vals, [slope, curv], ["slope", "curv"],
+                                statistics=[np.nanmedian, "count"],
+                                list_var_bins=[6, 5])
+        df_ours = oss.nd_binning(vals, [slope, curv], ["slope", "curv"],
+                                 statistics=[np.nanmedian, "count"],
+                                 list_var_bins=[6, 5])
+        q_slope = rng.uniform(0, 40, 200)
+        q_curv = rng.uniform(-3, 3, 200)
+        out_ref = rss.get_perbin_nd_binning(df_ref, [q_slope, q_curv], ["slope", "curv"],
+                                            statistic="nanmedian")
+        out_ours = oss.get_perbin_nd_binning(df_ours, [q_slope, q_curv], ["slope", "curv"],
+                                             statistic="nanmedian")
+        np.testing.assert_allclose(np.ravel(out_ours), np.ravel(out_ref), rtol=1e-6,
+                                   equal_nan=True)
+
 
 class TestVolumeParity:
     @pytest.fixture(scope="class")
