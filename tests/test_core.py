@@ -288,6 +288,35 @@ class TestPackageConfig:
                 ok = np.isfinite(p)
                 np.testing.assert_allclose(b[ok], p[ok], rtol=2e-4, atol=2e-4)
 
+    def test_point_interpretation_in_raster_point_coreg(self):
+        # A "Point" raster's samples sit at pixel corners; the raster-point coreg paths
+        # must interpolate there (half-pixel shift), not at centers.
+        from xdem_tpu.coreg import VerticalShift
+        from xdem_tpu.epc import EPC
+        from xdem_tpu.georef import Affine
+        from xdem_tpu.raster import Raster
+
+        t = Affine(10.0, 0, 0.0, 0, -10.0, 300.0)
+        h, w = 30, 30
+        cc, rr = np.meshgrid(np.arange(w, dtype=np.float64), np.arange(h, dtype=np.float64))
+        corner_x, corner_y = t.xy(rr, cc, offset="ul")
+        z = (0.01 * corner_x + 0.02 * corner_y).astype(np.float32)  # linear: interp exact
+        rng = np.random.default_rng(0)
+        px = rng.uniform(20, 260, 300)
+        py = rng.uniform(40, 280, 300)
+        pz = 0.01 * px + 0.02 * py + 5.0  # points sit 5 m above the surface
+
+        point_raster = Raster(z, t, 32633, area_or_point="Point")
+        vs = VerticalShift(subsample=1.0)
+        vs.fit(point_raster, EPC(x=px, y=py, z=pz, crs=32633))
+        # shift_z moves the to-be-aligned EPC onto the reference surface: -5 m
+        assert vs.meta["outputs"]["affine"]["shift_z"] == pytest.approx(-5.0, abs=1e-4)
+        # Area interpretation on the same data is half a pixel off -> biased dh
+        area_raster = Raster(z, t, 32633, area_or_point="Area")
+        vs2 = VerticalShift(subsample=1.0)
+        vs2.fit(area_raster, EPC(x=px, y=py, z=pz, crs=32633))
+        assert abs(vs2.meta["outputs"]["affine"]["shift_z"] - (-5.0)) > 0.05
+
     def test_shape_bucketing_coreg_paths(self):
         import jax
 
