@@ -390,13 +390,13 @@ def _preprocess_coreg_fit(
         ref_out: Any = ref_raster.data
         tba_out: Any = tba_raster.data
     elif isinstance(ref_raster, Raster) and isinstance(to_be_aligned_elev, PointCloud):
-        transform = _shift_point_interpretation(ref_raster)
+        transform = ref_raster.transform
         crs = ref_raster.crs
         area_or_point = ref_raster.area_or_point
         ref_out = ref_raster.data
         tba_out = to_be_aligned_elev.to_crs(crs) if to_be_aligned_elev.crs != CRS(crs) else to_be_aligned_elev
     elif isinstance(reference_elev, PointCloud) and isinstance(tba_raster, Raster):
-        transform = _shift_point_interpretation(tba_raster)
+        transform = tba_raster.transform
         crs = tba_raster.crs
         area_or_point = tba_raster.area_or_point
         tba_out = tba_raster.data
@@ -414,24 +414,19 @@ def _preprocess_coreg_fit(
         tba_out = jnp.asarray(to_be_aligned_elev) if tba_is_rst else to_be_aligned_elev
 
     mask = _mask_to_array(inlier_mask, ref_raster or tba_raster)
-    return ref_out, tba_out, mask, transform, crs, area_or_point
-
-
-def _shift_point_interpretation(raster: "Raster") -> Affine:
-    """Transform handed to raster-point interpolation, honoring pixel interpretation.
-
-    A raster tagged "Point" carries its samples at pixel corners; the gather interpolation
-    assumes centers, so translate the working transform by -half a pixel — exactly
-    Raster.interp_points' shift (geoutils' shift_area_or_point), applied once here so every
-    coreg raster-point path inherits it. Gated by config["shift_area_or_point"].
-    """
-    t = raster.transform
-    if raster.area_or_point == "Point":
+    # Pixel-interpretation shift at the RESOLVED level so bare-array raster-point inputs
+    # behave like Raster-wrapped ones: a "Point" grid carries samples at pixel corners; the
+    # gather interpolation assumes centers, so the mixed raster-point paths get a half-pixel-
+    # translated working transform (exactly Raster.interp_points' shift, geoutils'
+    # shift_area_or_point). Raster-raster paths compare like grids — no shift needed.
+    mixed = isinstance(ref_out, PointCloud) != isinstance(tba_out, PointCloud)
+    if mixed and area_or_point == "Point" and transform is not None:
         from xdem_tpu.config import config as _pkg_config
 
         if _pkg_config["shift_area_or_point"]:
-            return t.translation(-0.5 * (t.a + t.b), -0.5 * (t.d + t.e))
-    return t
+            t = transform
+            transform = t.translation(-0.5 * (t.a + t.b), -0.5 * (t.d + t.e))
+    return ref_out, tba_out, mask, transform, crs, area_or_point
 
 
 # ------------------------------------------------------------------ metadata typing

@@ -6,8 +6,8 @@
 //     LZW (5), DEFLATE (8/32946) and PackBits (32773), sample formats
 //     u8/u16/u32/i16/i32/f32/f64, single-band or first band of contiguous multi-band,
 //     horizontal differencing (2) and floating-point (3) predictors.
-//   * Write: single-band float32, DEFLATE strips, predictor none, with ModelPixelScale,
-//     ModelTiepoint, GeoKeyDirectory (EPSG), and GDAL_NODATA.
+//   * Write: single-band float32, DEFLATE strips, floating-point predictor (default; or
+//     none), with ModelPixelScale, ModelTiepoint, GeoKeyDirectory (EPSG), and GDAL_NODATA.
 //
 // Exposed as a small C ABI consumed from Python via ctypes (no pybind11 in this image).
 

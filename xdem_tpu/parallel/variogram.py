@@ -75,45 +75,65 @@ def _median_by_bin_distributed(d, parked, counts, n_bins, axis):
 _GENTON_CAP = 400  # single-chip _binned_genton subsamples each bin to 400 values
 
 
-def _genton_distributed(d, parked, counts, run0, n_local_runs, n, m, n_bins, axis):
-    """Genton (1998) Qn per lag bin with a distributed uniform reservoir.
+def _genton_pair_keys(run0, n_local_runs: int, n: int, m: int, parked, n_bins: int):
+    """Deterministic ranking key per pair for the Genton reservoir.
 
-    The single-chip estimator subsamples each bin to 400 values before the O(n^2) Qn; here
-    each pair gets a deterministic pseudo-random score from its GLOBAL index (golden-ratio
-    scrambling), every shard keeps its local top-400 per bin, and an all_gather + merge takes
-    the global top-400 — the same uniform-without-replacement sample regardless of mesh
-    size, so any device count produces identical results.
+    The key is the full 32-bit Knuth multiplicative hash of the GLOBAL pair index. The
+    multiplier is odd, so gidx -> gidx*golden (mod 2^32) is a bijection: unique pair
+    indices give UNIQUE keys (pair counts are capped below 2^31), and the top-CAP
+    selection is tie-free — identical for any chunking, mesh size, or merge layout.
+    Invalid pairs get key 0 (sorts last in descending order).
     """
-    # Global pair index -> deterministic uniform score in [0, 1)
     local_run = jnp.arange(n_local_runs, dtype=jnp.uint32)[:, None, None]
     ii = jnp.arange(n, dtype=jnp.uint32)[None, :, None]
     jj = jnp.arange(m, dtype=jnp.uint32)[None, None, :]
     gidx = ((run0.astype(jnp.uint32) + local_run) * jnp.uint32(n * m)
             + ii * jnp.uint32(m) + jj).ravel()
-    golden = jnp.uint32(2654435769)  # 2^32 / phi (Knuth multiplicative hash)
-    score = ((gidx * golden) >> jnp.uint32(8)).astype(jnp.float32) / jnp.float32(1 << 24)
-    score = jnp.where(parked < n_bins, score, -1.0)
+    golden = jnp.uint32(2654435769)  # 2^32 / phi
+    key = gidx * golden
+    return jnp.where(parked < n_bins, key, jnp.uint32(0))
 
-    # Local top-CAP per bin: one lexsort by (bin, -score), then gather per-bin segment heads
-    order = jnp.lexsort((-score, parked))
+
+def _genton_local_topcap(d, parked, key, n_bins: int):
+    """Per-bin top-CAP (values, keys) by descending key: one lexsort + segment-head gather.
+    Unfilled slots carry NaN values and key 0."""
+    order = jnp.lexsort((~key, parked))  # parked asc primary; ~key asc == key desc
     d_s = d[order]
-    score_s = score[order]
+    key_s = key[order]
     counts_local = jnp.bincount(parked, length=n_bins + 1)[:n_bins]
     starts = jnp.cumsum(counts_local) - counts_local
     take = jnp.minimum(counts_local, _GENTON_CAP)
     offs = jnp.arange(_GENTON_CAP)[None, :]
     pos = jnp.clip(starts[:, None] + offs, 0, d.size - 1)
     loc_vals = jnp.where(offs < take[:, None], d_s[pos], jnp.nan)
-    loc_scores = jnp.where(offs < take[:, None], score_s[pos], -1.0)
+    loc_keys = jnp.where(offs < take[:, None], key_s[pos], jnp.uint32(0))
+    return loc_vals, loc_keys
 
-    # Merge across shards: global top-CAP by score per bin
+
+def _genton_merge_topcap(merged_v, merged_k):
+    """Global top-CAP per bin from concatenated (n_bins, K) candidate values/keys."""
+    top = jnp.argsort(~merged_k, axis=1)[:, :_GENTON_CAP]  # descending key
+    return jnp.take_along_axis(merged_v, top, axis=1), jnp.take_along_axis(merged_k, top, axis=1)
+
+
+def _genton_distributed(d, parked, counts, run0, n_local_runs, n, m, n_bins, axis):
+    """Genton (1998) Qn per lag bin with a distributed uniform reservoir.
+
+    The single-chip estimator subsamples each bin to 400 values before the O(n^2) Qn; here
+    every shard keeps its local top-400 per bin ranked by the tie-free deterministic pair
+    keys (_genton_pair_keys), and an all_gather + merge takes the global top-400 — the same
+    uniform-without-replacement sample regardless of mesh size or chunking.
+    """
+    key = _genton_pair_keys(run0, n_local_runs, n, m, parked, n_bins)
+    loc_vals, loc_keys = _genton_local_topcap(d, parked, key, n_bins)
+
+    # Merge across shards: global top-CAP by key per bin
     all_vals = jax.lax.all_gather(loc_vals, axis)      # (n_dev, n_bins, CAP)
-    all_scores = jax.lax.all_gather(loc_scores, axis)
+    all_keys = jax.lax.all_gather(loc_keys, axis)
     n_dev = all_vals.shape[0]
     merged_v = jnp.transpose(all_vals, (1, 0, 2)).reshape(n_bins, n_dev * _GENTON_CAP)
-    merged_s = jnp.transpose(all_scores, (1, 0, 2)).reshape(n_bins, n_dev * _GENTON_CAP)
-    top = jnp.argsort(-merged_s, axis=1)[:, :_GENTON_CAP]
-    x = jnp.take_along_axis(merged_v, top, axis=1)          # (n_bins, CAP), NaN-padded
+    merged_k = jnp.transpose(all_keys, (1, 0, 2)).reshape(n_bins, n_dev * _GENTON_CAP)
+    x, _k = _genton_merge_topcap(merged_v, merged_k)        # (n_bins, CAP), NaN-padded
     n_samp = jnp.minimum(counts, _GENTON_CAP)
 
     # Qn: k-th smallest of the upper-triangle pairwise |x_i - x_j|, k = C(h, 2), h = n//2 + 1

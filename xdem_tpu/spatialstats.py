@@ -1101,8 +1101,7 @@ _PAIR_CHUNK_BUDGET = int(2e8)
 _PAIR_COUNT_LIMIT = 2**31 - 1
 
 
-def _check_pair_count(total_pairs: int, estimator: str = "",
-                      chunked_available: bool = True) -> None:
+def _check_pair_count(total_pairs: int, chunked_available: bool = True) -> None:
     if not chunked_available and total_pairs > _PAIR_CHUNK_BUDGET:
         raise ValueError(
             f"This sampling method materializes all {total_pairs:.2e} pairwise comparisons "
@@ -1117,11 +1116,6 @@ def _check_pair_count(total_pairs: int, estimator: str = "",
         )
 
 
-# _binned_genton subsamples each bin to 400 values before the O(n^2) Qn; must stay equal to
-# parallel.variogram._GENTON_CAP for the chunked/distributed reservoirs to select identically
-_GENTON_CAP = 400
-
-
 @partial(jax.jit, static_argnames=("n_bins", "chunk"))
 def _pairs_genton_reservoir_chunked(
     za: jnp.ndarray,
@@ -1133,20 +1127,21 @@ def _pairs_genton_reservoir_chunked(
     chunk: int,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Memory-bounded Genton reservoir: a lax.scan over run chunks keeps the global top-CAP
-    signed pair differences per lag bin, ranked by the same deterministic golden-ratio
-    pair-index scores as parallel.variogram's distributed Genton — so chunking (like mesh
-    size there) never changes which 400 values feed the Qn. Returns
+    signed pair differences per lag bin, ranked by the tie-free deterministic pair keys
+    shared with parallel.variogram's distributed Genton — so chunking (like mesh size
+    there) never changes which 400 values feed the Qn. Returns
     ((n_bins, CAP) reservoir NaN-padded, per-bin counts)."""
+    from xdem_tpu.parallel.variogram import (_GENTON_CAP, _genton_local_topcap,
+                                             _genton_merge_topcap, _genton_pair_keys)
+
     n_chunks = za.shape[0] // chunk
     N, M = za.shape[1], zb.shape[1]
 
     def r(a):
         return a.reshape(n_chunks, chunk, *a.shape[1:])
 
-    golden = jnp.uint32(2654435769)
-
     def body(carry, inputs):
-        res_v, res_s, counts = carry
+        res_v, res_k, counts = carry
         chunk_idx, za_c, zb_c, ca_c, cb_c = inputs
         d_signed = (za_c[:, :, None] - zb_c[:, None, :]).ravel()
         h = jnp.sqrt(jnp.sum((ca_c[:, :, None, :] - cb_c[:, None, :, :]) ** 2, axis=-1)).ravel()
@@ -1156,36 +1151,16 @@ def _pairs_genton_reservoir_chunked(
         parked = jnp.where(valid, idx, n_bins)
         counts = counts + jnp.bincount(parked, length=n_bins + 1)[:n_bins]
 
-        run0 = (chunk_idx * chunk).astype(jnp.uint32)
-        local_run = jnp.arange(chunk, dtype=jnp.uint32)[:, None, None]
-        ii = jnp.arange(N, dtype=jnp.uint32)[None, :, None]
-        jj = jnp.arange(M, dtype=jnp.uint32)[None, None, :]
-        gidx = ((run0 + local_run) * jnp.uint32(N * M) + ii * jnp.uint32(M) + jj).ravel()
-        score = ((gidx * golden) >> jnp.uint32(8)).astype(jnp.float32) / jnp.float32(1 << 24)
-        score = jnp.where(parked < n_bins, score, -1.0)
-
-        # Local top-CAP per bin via one lexsort, then merge with the running reservoir
-        order = jnp.lexsort((-score, parked))
-        d_s = d_signed[order]
-        score_s = score[order]
-        counts_local = jnp.bincount(parked, length=n_bins + 1)[:n_bins]
-        starts = jnp.cumsum(counts_local) - counts_local
-        take = jnp.minimum(counts_local, _GENTON_CAP)
-        offs = jnp.arange(_GENTON_CAP)[None, :]
-        pos = jnp.clip(starts[:, None] + offs, 0, d_signed.size - 1)
-        loc_v = jnp.where(offs < take[:, None], d_s[pos], jnp.nan)
-        loc_s = jnp.where(offs < take[:, None], score_s[pos], -1.0)
-
-        merged_v = jnp.concatenate([res_v, loc_v], axis=1)
-        merged_s = jnp.concatenate([res_s, loc_s], axis=1)
-        top = jnp.argsort(-merged_s, axis=1)[:, :_GENTON_CAP]
-        return (jnp.take_along_axis(merged_v, top, axis=1),
-                jnp.take_along_axis(merged_s, top, axis=1), counts), None
+        key = _genton_pair_keys(chunk_idx * chunk, chunk, N, M, parked, n_bins)
+        loc_v, loc_k = _genton_local_topcap(d_signed, parked, key, n_bins)
+        res_v, res_k = _genton_merge_topcap(jnp.concatenate([res_v, loc_v], axis=1),
+                                            jnp.concatenate([res_k, loc_k], axis=1))
+        return (res_v, res_k, counts), None
 
     init = (jnp.full((n_bins, _GENTON_CAP), jnp.nan, jnp.float32),
-            jnp.full((n_bins, _GENTON_CAP), -1.0, jnp.float32),
+            jnp.zeros((n_bins, _GENTON_CAP), jnp.uint32),
             jnp.zeros(n_bins, jnp.int32))
-    (res_v, _res_s, counts), _ = jax.lax.scan(
+    (res_v, _res_k, counts), _ = jax.lax.scan(
         body, init, (jnp.arange(n_chunks, dtype=jnp.uint32), r(za), r(zb), r(ca), r(cb)))
     return res_v, counts
 
@@ -1444,7 +1419,7 @@ def sample_empirical_variogram(
                 ijb = rings.reshape(runs_, n_rings1 * samples_, 2)
 
                 total_pairs = ija.shape[0] * ija.shape[1] * ijb.shape[1]
-                _check_pair_count(total_pairs, estimator)
+                _check_pair_count(total_pairs)
                 if arr_dev is not None and estimator != "genton":
                     if total_pairs > _PAIR_CHUNK_BUDGET:
                         # Billions of pairs OOM the flat sort: scan run chunks instead
@@ -1515,7 +1490,7 @@ def sample_empirical_variogram(
                 cb = np.where(ib[..., None] >= 0, coords_v[np.clip(ib, 0, None)], np.nan)
 
             total_pairs = za.shape[0] * za.shape[1] * zb.shape[1]
-            _check_pair_count(total_pairs, estimator)
+            _check_pair_count(total_pairs)
             if total_pairs > _PAIR_CHUNK_BUDGET:
                 per_run = za.shape[1] * zb.shape[1]
                 chunk = max(1, _PAIR_CHUNK_BUDGET // (8 * per_run))
@@ -1554,7 +1529,7 @@ def sample_empirical_variogram(
 
         if subsample_method in ("cdist_point", "pdist_point"):
             n = min(subsample, len(vals_v))
-            _check_pair_count(n * n, estimator, chunked_available=False)
+            _check_pair_count(n * n, chunked_available=False)
             i1 = rng.choice(len(vals_v), n, replace=False)
             if subsample_method == "cdist_point":
                 i2 = rng.choice(len(vals_v), n, replace=False)
@@ -1582,7 +1557,7 @@ def sample_empirical_variogram(
         n = min(subsample, len(sel))
         if n < 2:
             raise ValueError("Not enough valid points in the disk/ring for subsampling.")
-        _check_pair_count(n * n, estimator, chunked_available=False)
+        _check_pair_count(n * n, chunked_available=False)
         ii = rng.choice(sel, n, replace=False)
         z1 = jnp.asarray(vals_v[ii], jnp.float32)
         c1 = jnp.asarray(coords_v[ii], jnp.float32)
