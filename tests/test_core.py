@@ -3,7 +3,7 @@
 import numpy as np
 import pytest
 
-from xdem_tpu.georef import CRS, Affine, transform_points
+from xdem_tpu.georef import CRS, Affine, suggest_utm_crs, transform_points
 from xdem_tpu.ops.interp import interp_rowcol
 from xdem_tpu.raster import Raster
 from xdem_tpu import examples
@@ -701,3 +701,264 @@ class TestCropSnap:
         r = self._raster()
         with pytest.raises(ValueError, match="intersect"):
             r.crop((5000.0, 5000.0, 6000.0, 6000.0))
+
+
+class TestProjectionControlPoints:
+    """External authoritative fixed points: EPSG Guidance Note 7-2 worked examples and the
+    swisstopo projection reference point. These pin the transcribed projection constants —
+    a self-consistent transcription error (wrong lat_2, Helmert term, ...) that survives
+    roundtrip tests cannot survive an independent published coordinate."""
+
+    @staticmethod
+    def _dms(d, m, s):
+        sgn = -1 if d < 0 else 1
+        return sgn * (abs(d) + m / 60 + s / 3600)
+
+    def _fwd_raw(self, code_or_def, lon, lat):
+        from xdem_tpu import projections as P
+
+        d = code_or_def if isinstance(code_or_def, dict) else P.epsg_def(code_or_def)
+        p = P.normalize_def(d)
+        x, y = P.projdef_forward_raw(p, np.array([lon]), np.array([lat]))
+        return float(x[0]), float(y[0])
+
+    def test_tmerc_osgb_worked_example(self):
+        # EPSG GN7-2 Transverse Mercator example (OSGB36/BNG): 50d30'N 00d30'E
+        x, y = self._fwd_raw(27700, 0.5, 50.5)
+        assert x == pytest.approx(577274.99, abs=0.02)
+        assert y == pytest.approx(69740.50, abs=0.02)
+
+    def test_lcc2sp_texas_worked_example(self):
+        # EPSG GN7-2 LCC (2SP) example: NAD27 Texas South Central, US survey feet
+        ft = 1200.0 / 3937.0
+        d = dict(proj="lcc", ellps="clrk66", lat_1=self._dms(28, 23, 0),
+                 lat_2=self._dms(30, 17, 0), lat_0=self._dms(27, 50, 0), lon_0=-99.0,
+                 x_0=2000000 * ft, y_0=0.0)
+        x, y = self._fwd_raw(d, -96.0, 28.5)
+        assert x / ft == pytest.approx(2963503.91, abs=0.05)
+        assert y / ft == pytest.approx(254759.80, abs=0.05)
+
+    def test_polar_stereo_variant_b_worked_example(self):
+        # EPSG GN7-2 PS variant B example: Australian Antarctic (EPSG:3032), 75dS 120dE
+        x, y = self._fwd_raw(3032, 120.0, -75.0)
+        assert x == pytest.approx(7255380.79, abs=0.02)
+        assert y == pytest.approx(7053389.56, abs=0.02)
+
+    def test_oblique_stereographic_rd_worked_example(self):
+        # EPSG GN7-2 Oblique Stereographic example: Amersfoort / RD New, 53dN 6dE
+        x, y = self._fwd_raw(28992, 6.0, 53.0)
+        assert x == pytest.approx(196105.283, abs=0.005)
+        assert y == pytest.approx(557057.739, abs=0.005)
+
+    def test_laea_europe_worked_example(self):
+        # EPSG GN7-2 LAEA example: ETRS89-LAEA (EPSG:3035), 50dN 5dE
+        x, y = self._fwd_raw(3035, 5.0, 50.0)
+        assert x == pytest.approx(3962799.45, abs=0.02)
+        assert y == pytest.approx(2999718.85, abs=0.02)
+
+    def test_albers_snyder_worked_example(self):
+        # Snyder 1987 p.292 ellipsoidal Albers example (Clarke 1866), 35dN 75dW
+        d = dict(proj="aea", ellps="clrk66", lat_1=29.5, lat_2=45.5, lat_0=23.0, lon_0=-96.0)
+        x, y = self._fwd_raw(d, -75.0, 35.0)
+        assert x == pytest.approx(1885472.7, abs=0.1)
+        assert y == pytest.approx(1535925.0, abs=0.1)
+
+    def test_mercator_makassar_worked_example(self):
+        # EPSG GN7-2 Mercator (variant A) example: Makassar / NEIEZ, 3dS 120dE
+        d = dict(proj="merc", ellps="bessel", k_0=0.997, lon_0=110.0,
+                 x_0=3900000.0, y_0=900000.0)
+        x, y = self._fwd_raw(d, 120.0, -3.0)
+        assert x == pytest.approx(5009726.58, abs=0.02)
+        assert y == pytest.approx(569150.82, abs=0.02)
+
+    def test_swiss_lv03_reference_point_full_datum_path(self):
+        # swisstopo reference: ETRS/WGS84 46d02'38.87"N 8d43'49.79"E -> LV03 (700000, 100000).
+        # Exercises the CH1903 Helmert shift AND the somerc kernel end to end.
+        from xdem_tpu import projections as P
+
+        p = P.normalize_def(P.epsg_def(21781))
+        x, y = P.projdef_from_wgs84(
+            p, np.array([self._dms(8, 43, 49.79)]), np.array([self._dms(46, 2, 38.87)])
+        )
+        assert float(x[0]) == pytest.approx(700000.0, abs=0.1)
+        assert float(y[0]) == pytest.approx(100000.0, abs=0.1)
+
+    def test_helmert_position_vector_wgs72_example(self):
+        # EPSG GN7-2 position-vector 7-parameter example (WGS72 -> WGS84) in ECEF
+        from xdem_tpu import projections as P
+
+        m, _, t = P._helmert_matrices((0.0, 0.0, 4.5, 0.0, 0.0, 0.554, 0.219))
+        out = m @ np.array([3657660.66, 255768.55, 5201382.11]) + t
+        np.testing.assert_allclose(out, [3657660.78, 255778.43, 5201387.75], atol=0.01)
+
+    def test_lambert93_definition_point(self):
+        # IGN: the Lambert-93 natural origin (3dE, 46.5dN) is exactly (700000, 6600000)
+        x, y = self._fwd_raw(2154, 3.0, 46.5)
+        assert x == pytest.approx(700000.0, abs=1e-6)
+        assert y == pytest.approx(6600000.0, abs=1e-6)
+
+
+class TestGenericCRS:
+    """The generic CRS front-end: arbitrary EPSG codes, proj-strings, WKT1/WKT2 — every
+    family that was previously outside the curated table (reference: pyproj-everywhere,
+    /root/reference/xdem/dem.py:150-173)."""
+
+    # 25 previously-unsupported real-world EPSG codes across all new families
+    NEW_CODES = [
+        27700, 29903, 2157,              # GB / Ireland TM grids
+        21781, 2056,                     # Swiss somerc
+        28992, 3844,                     # double stereographic
+        3035, 6931, 6932, 2163,          # LAEA (oblique, polar, sphere)
+        3067, 3006, 2180, 2193,          # national TM grids
+        31467,                           # DHDN Gauss-Krueger (7-param Helmert)
+        27561, 27573,                    # NTF Lambert 1SP zones
+        3395,                            # world Mercator
+        4087,                            # equidistant cylindrical
+        6933,                            # cylindrical equal area
+        3976, 3032, 5041,                # polar stereographic variants
+        26712,                           # NAD27 UTM (datum-shifted range family)
+        32233,                           # WGS72 UTM (7-param range family)
+        3338,                            # Alaska Albers
+    ]
+
+    # Representative in-extent test coordinates (lon, lat) per code
+    COORDS = {
+        27700: (-1.5, 52.5), 29903: (-7.5, 53.5), 2157: (-7.5, 53.5),
+        21781: (8.0, 46.8), 2056: (8.0, 46.8), 28992: (5.5, 52.2), 3844: (25.0, 45.8),
+        3035: (10.0, 51.0), 6931: (-40.0, 75.0), 6932: (100.0, -75.0), 2163: (-100.0, 45.0),
+        3067: (25.0, 62.0), 3006: (15.0, 60.0), 2180: (19.0, 52.0), 2193: (172.0, -41.0),
+        31467: (9.0, 50.5), 27561: (2.0, 49.0), 27573: (3.0, 44.0), 3395: (10.0, 45.0),
+        4087: (10.0, 45.0), 6933: (10.0, 45.0), 3976: (0.0, -75.0), 3032: (70.0, -70.0),
+        5041: (10.0, 85.0), 26712: (-111.0, 45.0), 32233: (-153.0, 60.0), 3338: (-150.0, 62.0),
+    }
+
+    @pytest.mark.parametrize("code", NEW_CODES)
+    def test_roundtrip_and_io(self, code, tmp_path):
+        """Every new CRS: transform roundtrip is exact, and a DEM in it opens from GeoTIFF."""
+        from xdem_tpu.io import read_raster, write_raster
+        from xdem_tpu.raster import Raster
+
+        lon0, lat0 = self.COORDS[code]
+        lon = np.linspace(lon0 - 0.2, lon0 + 0.2, 7)
+        lat = np.linspace(lat0 - 0.2, lat0 + 0.2, 7)
+        x, y = transform_points(4326, code, lon, lat)
+        assert np.all(np.isfinite(x)) and np.all(np.isfinite(y))
+        lon2, lat2 = transform_points(code, 4326, x, y)
+        np.testing.assert_allclose(np.mod(lon2 - lon + 180, 360) - 180, 0, atol=2e-7)
+        np.testing.assert_allclose(lat2 - lat, 0, atol=2e-7)
+        # GeoTIFF write/read preserves the CRS identity
+        t = Affine(50.0, 0.0, float(np.min(x)), 0.0, -50.0, float(np.max(y)))
+        r = Raster(np.random.default_rng(1).normal(size=(8, 9)).astype(np.float32), t, code)
+        path = str(tmp_path / f"dem_{code}.tif")
+        write_raster(path, r)
+        back = read_raster(path)
+        assert back.crs == CRS(code)
+
+    @pytest.mark.parametrize("code", [27700, 21781, 28992, 3035, 2193, 31467, 3844])
+    def test_reproject_dem_between_new_crs(self, code):
+        """A synthetic DEM in each new CRS reprojects onto UTM with sensible values."""
+        from xdem_tpu.raster import Raster
+
+        lon0, lat0 = self.COORDS[code]
+        xs, ys = transform_points(4326, code, np.array([lon0]), np.array([lat0]))
+        t = Affine(40.0, 0.0, float(xs[0]), 0.0, -40.0, float(ys[0]))
+        rng = np.random.default_rng(0)
+        data = (rng.normal(size=(40, 40)) + 100.0).astype(np.float32)
+        r = Raster(data, t, code)
+        utm = suggest_utm_crs(lon0, lat0)
+        out = r.reproject(crs=utm)
+        arr = np.asarray(out.data)
+        valid = np.isfinite(arr)
+        assert valid.mean() > 0.2
+        assert abs(np.nanmean(arr) - 100.0) < 2.0
+
+    def test_wkt1_without_epsg_code(self):
+        # A WKT PROJCS with no AUTHORITY still yields a working CRS
+        wkt = ('PROJCS["my grid",GEOGCS["unused",DATUM["unknown",'
+               'SPHEROID["GRS 1980",6378137,298.257222101]],PRIMEM["Greenwich",0],'
+               'UNIT["degree",0.0174532925199433]],PROJECTION["Transverse_Mercator"],'
+               'PARAMETER["latitude_of_origin",0],PARAMETER["central_meridian",27],'
+               'PARAMETER["scale_factor",0.9996],PARAMETER["false_easting",500000],'
+               'PARAMETER["false_northing",0],UNIT["metre",1]]')
+        crs = CRS(wkt)
+        assert crs.epsg is None
+        assert crs == CRS(3067)  # numerically the same definition
+        x, y = transform_points(4326, crs, np.array([27.0]), np.array([60.0]))
+        assert x[0] == pytest.approx(500000.0, abs=1e-6)
+
+    def test_wkt2_parsing(self):
+        wkt2 = ('PROJCRS["WGS 84 / UTM zone 33N",BASEGEOGCRS["WGS 84",'
+                'DATUM["World Geodetic System 1984",ELLIPSOID["WGS 84",6378137,'
+                '298.257223563,LENGTHUNIT["metre",1]]],PRIMEM["Greenwich",0]],'
+                'CONVERSION["UTM zone 33N",METHOD["Transverse Mercator",ID["EPSG",9807]],'
+                'PARAMETER["Latitude of natural origin",0,ANGLEUNIT["degree",'
+                '0.0174532925199433],ID["EPSG",8801]],'
+                'PARAMETER["Longitude of natural origin",15,ANGLEUNIT["degree",'
+                '0.0174532925199433],ID["EPSG",8802]],'
+                'PARAMETER["Scale factor at natural origin",0.9996,SCALEUNIT["unity",1],'
+                'ID["EPSG",8805]],PARAMETER["False easting",500000,LENGTHUNIT["metre",1],'
+                'ID["EPSG",8806]],PARAMETER["False northing",0,LENGTHUNIT["metre",1],'
+                'ID["EPSG",8807]]],CS[Cartesian,2],AXIS["(E)",east],AXIS["(N)",north],'
+                'LENGTHUNIT["metre",1],ID["EPSG",32633]]')
+        crs = CRS(wkt2)
+        assert crs.epsg == 32633
+        assert crs == CRS(32633)
+
+    def test_projstring_with_explicit_ellipsoid_and_towgs84(self):
+        crs = CRS("+proj=tmerc +lat_0=0 +lon_0=9 +k=1 +x_0=3500000 +y_0=0 "
+                  "+a=6377397.155 +rf=299.1528128 "
+                  "+towgs84=598.1,73.7,418.2,0.202,0.045,-2.455,6.7 +units=m +no_defs")
+        assert crs == CRS(31467)
+
+    def test_projstring_paris_meridian(self):
+        crs = CRS("+proj=lcc +lat_1=46.8 +lat_0=46.8 +lon_0=0 +k_0=0.99987742 "
+                  "+x_0=600000 +y_0=2200000 +a=6378249.2 +b=6356515 "
+                  "+towgs84=-168,-60,320,0,0,0,0 +pm=paris +units=m +no_defs")
+        # Same grid as EPSG:27572 (proj expresses it as lcc with lat_1==lat_0 + Paris pm)
+        x1, y1 = transform_points(crs, 4326, np.array([600000.0]), np.array([2200000.0]))
+        x2, y2 = transform_points(27572, 4326, np.array([600000.0]), np.array([2200000.0]))
+        assert x1[0] == pytest.approx(x2[0], abs=1e-7)
+        assert y1[0] == pytest.approx(y2[0], abs=1e-7)
+
+    def test_us_survey_feet_units(self):
+        ft = 1200.0 / 3937.0
+        crs = CRS(f"+proj=lcc +lat_1=28.383333333 +lat_2=30.283333333 +lat_0=27.833333333 "
+                  f"+lon_0=-99 +x_0={2000000 * ft} +y_0=0 +ellps=clrk66 +units=us-ft +no_defs")
+        x, y = transform_points(4326, crs, np.array([-96.0]), np.array([28.5]))
+        # Projected coords come out in feet
+        assert x[0] == pytest.approx(2963503.91, abs=0.1)
+
+    def test_carried_only_epsg_raises_with_guidance(self):
+        crs = CRS(29194)  # not in the table: representable, not transformable
+        assert crs.epsg == 29194 and not crs.is_transformable
+        with pytest.raises(NotImplementedError, match="WKT|proj"):
+            transform_points(crs, 4326, np.array([0.0]), np.array([0.0]))
+
+    def test_crs_hash_consistency(self):
+        a = CRS(32633)
+        b = CRS("+proj=utm +zone=33 +datum=WGS84")
+        assert a == b and hash(a) == hash(b)
+        assert len({a, b}) == 1
+
+    def test_geographic_legacy_datum(self):
+        # NAD27 geographic -> WGS84 shifts by tens of meters in Conus
+        lon, lat = transform_points(4267, 4326, np.array([-100.0]), np.array([40.0]))
+        d_m = np.hypot((lon[0] + 100.0) * 85000.0, (lat[0] - 40.0) * 111000.0)
+        assert 10 < d_m < 300
+
+
+class TestRasterPathConstructor:
+    def test_dem_from_path(self, tmp_path):
+        # Reference pattern: xdem.DEM(path) (reference dem.py:92)
+        from xdem_tpu.dem import DEM
+
+        d = DEM(np.full((5, 6), 42.0, np.float32), Affine.from_origin(0, 50, 10, 10), 32633)
+        p = str(tmp_path / "d.tif")
+        d.save(p)
+        back = DEM(p)
+        assert back.crs == CRS(32633)
+        np.testing.assert_allclose(np.asarray(back.data), 42.0)
+        with pytest.raises(TypeError, match="transform/crs"):
+            DEM(p, Affine.identity(), 32633)
+        with pytest.raises(TypeError, match="missing 2 required"):
+            Raster(np.ones((2, 2), np.float32))

@@ -40,12 +40,34 @@ class Raster:
     def __init__(
         self,
         data: Any,
-        transform: Affine | Sequence[float],
-        crs: CRS | int | str,
+        transform: Affine | Sequence[float] | None = None,
+        crs: CRS | int | str | None = None,
         nodata: float | None = None,
         area_or_point: Literal["Area", "Point"] = "Area",
         tags: dict[str, str] | None = None,
     ):
+        import os
+
+        if isinstance(data, (str, os.PathLike)):
+            # Path constructor: `DEM(path)` / `Raster(path)` like the reference
+            # (/root/reference/xdem/dem.py:92 via geoutils.Raster).
+            if transform is not None or crs is not None:
+                raise TypeError("When constructing from a file path, do not pass transform/crs.")
+            from xdem_tpu import io as _io
+
+            loaded = _io.read_raster(str(data), raster_cls=Raster)
+            self.data = loaded.data
+            self.transform = loaded.transform
+            self.crs = loaded.crs
+            self.nodata = loaded.nodata
+            self.area_or_point = loaded.area_or_point
+            self.tags = dict(loaded.tags)
+            if tags:
+                self.tags.update(tags)
+            return
+        if transform is None or crs is None:
+            raise TypeError("Raster.__init__() missing 2 required positional arguments: "
+                            "'transform' and 'crs'")
         arr = jnp.asarray(data)
         if arr.ndim != 2:
             raise ValueError(f"Raster data must be 2-D, got shape {arr.shape}.")
