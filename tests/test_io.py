@@ -598,3 +598,56 @@ class TestMetadataTags:
         r.save(p)
         dem = DEM.open(p)
         assert dem.vcrs_name == "EGM08"  # COPDEM -> EGM08 (reference vcrs table)
+
+
+class TestCitationWkt:
+    """CRSs without an EPSG code persist through GeoTIFF as citation WKT
+    (user-defined CS geokey 32767 + GTCitation in GeoAsciiParams, the GDAL convention)."""
+
+    def _crs(self):
+        from xdem_tpu.georef import CRS
+
+        return CRS("+proj=tmerc +lat_0=0 +lon_0=27 +k=0.9996 +x_0=500000 +y_0=0 +ellps=GRS80")
+
+    def test_codec_roundtrip(self, tmp_path):
+        from xdem_tpu.georef import Affine
+        from xdem_tpu.io import read_raster
+        from xdem_tpu.raster import Raster
+
+        crs = self._crs()
+        p = str(tmp_path / "cit.tif")
+        Raster(np.ones((6, 7), np.float32), Affine.from_origin(0, 60, 10, 10), crs).save(p)
+        back = read_raster(p)
+        assert back.crs.epsg is None
+        assert back.crs == crs
+
+    def test_codec_roundtrip_geographic(self, tmp_path):
+        from xdem_tpu.georef import CRS, Affine
+        from xdem_tpu.io import read_raster
+        from xdem_tpu.raster import Raster
+
+        g = CRS("+proj=longlat +ellps=intl +towgs84=-87,-98,-121")
+        p = str(tmp_path / "geo.tif")
+        Raster(np.ones((4, 4), np.float32), Affine.from_origin(5, 50, 0.01, 0.01), g).save(p)
+        assert read_raster(p).crs == g
+
+    def test_streaming_writer_roundtrip(self, tmp_path):
+        from xdem_tpu.georef import Affine
+        from xdem_tpu.io import StreamingRasterWriter, read_raster, read_rows
+
+        crs = self._crs()
+        p = str(tmp_path / "strm.tif")
+        with StreamingRasterWriter(p, (10, 12), Affine.from_origin(0, 60, 10, 10), crs=crs) as w:
+            w.write_rows(0, np.full((10, 12), 3.0, np.float32))
+        assert read_raster(p).crs == crs
+        np.testing.assert_allclose(read_rows(p, 2, 4), 3.0)  # pixel path still intact
+
+    def test_epsg_still_wins(self, tmp_path):
+        from xdem_tpu.georef import CRS, Affine
+        from xdem_tpu.io import read_raster
+        from xdem_tpu.raster import Raster
+
+        p = str(tmp_path / "e.tif")
+        Raster(np.ones((3, 3), np.float32), Affine.from_origin(0, 30, 10, 10), 2154).save(p)
+        back = read_raster(p)
+        assert back.crs.epsg == 2154 and back.crs == CRS(2154)

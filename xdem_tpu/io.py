@@ -68,11 +68,14 @@ def _lib() -> ctypes.CDLL:
             ctypes.c_int32,
             ctypes.c_char_p,
             ctypes.c_int32,
+            ctypes.c_char_p,
         ]
         lib.gt_write.restype = ctypes.c_int
         lib.gt_last_error.restype = ctypes.c_char_p
         lib.gt_metadata.argtypes = [ctypes.c_char_p]
         lib.gt_metadata.restype = ctypes.c_char_p
+        lib.gt_citation.argtypes = [ctypes.c_char_p]
+        lib.gt_citation.restype = ctypes.c_char_p
         _LIB = lib
     return _LIB
 
@@ -108,7 +111,19 @@ def read_raster(path: str, raster_cls=None):
         with np.errstate(invalid="ignore"):
             data = np.where(data == np.float32(nodata), np.nan, data)
     transform = Affine(*info.transform)
-    crs = int(info.epsg) if info.epsg else 4326
+    if info.epsg:
+        crs = int(info.epsg)
+    else:
+        # No (or user-defined) EPSG geokey: try the citation WKT (GTCitation/PCSCitation)
+        cit = lib.gt_citation(path.encode()).decode(errors="replace")
+        crs = 4326
+        if cit:
+            from xdem_tpu.georef import CRS as _CRS
+
+            try:
+                crs = _CRS(cit)
+            except (ValueError, NotImplementedError, KeyError):
+                pass
     md = lib.gt_metadata(path.encode()).decode(errors="replace")
     tags = {}
     if md:
@@ -133,7 +148,13 @@ def write_raster(path: str, raster, nodata: float | None = None, predictor: int 
     use_nodata = nodata if nodata is not None else (raster.nodata if raster.nodata is not None else -9999.0)
     data = np.where(np.isfinite(data), data, np.float32(use_nodata))
     transform = (ctypes.c_double * 6)(*[float(v) for v in tuple(raster.transform)])
-    epsg = int(raster.crs.epsg) if raster.crs is not None else 0
+    epsg = 0
+    citation = b""
+    if raster.crs is not None:
+        epsg = int(raster.crs.epsg or 0)
+        if epsg == 0 or epsg > 65535:  # geokey values are SHORTs: carry the CRS as WKT
+            epsg = 0
+            citation = raster.crs.to_wkt().encode()
     tags = getattr(raster, "tags", None) or {}
     if tags:
         items = "".join(f'<Item name="{k}">{v}</Item>' for k, v in sorted(tags.items()))
@@ -151,6 +172,7 @@ def write_raster(path: str, raster, nodata: float | None = None, predictor: int 
         1,
         metadata,
         int(predictor),
+        citation,
     )
     if rc != 0:
         raise OSError(f"Cannot write GeoTIFF '{path}': {_err()}")
@@ -197,23 +219,31 @@ class StreamingRasterWriter:
 
         epsg = 0
         geographic = False
+        citation = b""
         if crs is not None:
             c = _CRS(crs)
             epsg = int(c.epsg or 0)
             geographic = not c.is_projected
+            if epsg == 0 or epsg > 65535:  # geokey values are SHORTs: carry WKT citation
+                epsg = 0
+                citation = c.to_wkt().encode()[:65000]
 
         t = tuple(transform)
         # ModelPixelScale (scale_y positive; row axis implied negative by tiepoint convention)
         pixel_scale = (abs(t[0]), abs(t[4]), 0.0)
         tiepoint = (0.0, 0.0, 0.0, t[2], t[5], 0.0)
         nodata_str = (repr(self.nodata) + "\x00").encode()
+        ascii_params = citation + b"|" if citation else b""
         geokeys = _struct.pack(
             "<16H",
-            1, 1, 0, 3,
+            1, 1, 0, 3 + (1 if citation else 0),
             1024, 0, 1, (2 if geographic else 1),
             1025, 0, 1, 1,
-            (2048 if geographic else 3072), 0, 1, epsg,
+            (2048 if geographic else 3072), 0, 1, (epsg if epsg else (32767 if citation else 0)),
         )
+        if citation:
+            geokeys += _struct.pack("<4H", 1026, 34737, len(ascii_params), 0)
+            ascii_params += b"\x00"
 
         big = self.bigtiff
         off_type = 16 if big else 4  # strip offsets/counts: LONG8 in BigTIFF
@@ -232,9 +262,11 @@ class StreamingRasterWriter:
             (339, 3, 1, 3),            # SampleFormat = IEEE float
             (33550, 12, 3, pixel_scale),
             (33922, 12, 6, tiepoint),
-            (34735, 3, 16, geokeys),
+            (34735, 3, len(geokeys) // 2, geokeys),
             (42113, 2, len(nodata_str), nodata_str),
         ]
+        if ascii_params:
+            tags.insert(-1, (34737, 2, len(ascii_params), ascii_params))
 
         header_size = 16 if big else 8
         entry_size = 20 if big else 12

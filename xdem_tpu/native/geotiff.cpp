@@ -483,7 +483,8 @@ int gt_info(const char* path, GtInfo* info) {
             uint32_t loc = entry_uint(t, *gk, 4 * k + 1);
             uint32_t val = entry_uint(t, *gk, 4 * k + 3);
             if ((key == 3072 || key == 2048) && loc == 0) {
-                info->epsg = (int32_t)val;
+                if (val != 32767)  // 32767 = user-defined: CRS lives in the citation key
+                    info->epsg = (int32_t)val;
                 if (key == 3072) break;  // projected wins
             }
         }
@@ -643,7 +644,7 @@ int gt_read(const char* path, float* out) {
 // plain DEFLATE by making the byte planes of neighboring samples nearly equal.
 int gt_write(const char* path, const float* data, uint32_t height, uint32_t width,
              const double* transform, int32_t epsg, double nodata, int32_t has_nodata,
-             const char* metadata, int32_t predictor) {
+             const char* metadata, int32_t predictor, const char* citation) {
     if (predictor != 1 && predictor != 3) {
         g_last_error = "writer supports predictor 1 (none) or 3 (floating-point)";
         return 1;
@@ -695,14 +696,30 @@ int gt_write(const char* path, const float* data, uint32_t height, uint32_t widt
         nodata_str.push_back('\0');
     }
 
-    // GeoKeys: ModelType (1024), RasterType (1025: 1=PixelIsArea), CS key
-    bool geographic = (epsg == 4326 || epsg == 4269 || epsg == 4258 || epsg == 4267);
+    // GeoKeys: ModelType (1024), RasterType (1025: 1=PixelIsArea), CS key; when no EPSG
+    // code exists the CRS is carried as citation WKT (user-defined 32767 + GTCitation in
+    // GeoAsciiParams), the GDAL-readable convention for non-EPSG CRSs.
+    std::string cit = (citation && citation[0]) ? std::string(citation) : std::string();
+    bool geographic = epsg
+        ? (epsg == 4326 || epsg == 4269 || epsg == 4258 || epsg == 4267)
+        : (cit.rfind("GEOGCS", 0) == 0 || cit.rfind("GEOGCRS", 0) == 0);
+    std::string ascii_params;
     std::vector<uint16_t> geokeys = {
         1, 1, 0, 3,
         1024, 0, 1, (uint16_t)(geographic ? 2 : 1),
         1025, 0, 1, 1,
-        (uint16_t)(geographic ? 2048 : 3072), 0, 1, (uint16_t)epsg,
+        (uint16_t)(geographic ? 2048 : 3072), 0, 1,
+        (uint16_t)(epsg ? epsg : 32767),
     };
+    if (!cit.empty()) {
+        if (cit.size() > 65000) cit.resize(65000);  // geokey count is a SHORT
+        ascii_params = cit + "|";
+        uint16_t n0 = geokeys[3];
+        geokeys[3] = (uint16_t)(n0 + 1);
+        uint16_t entry[4] = {1026, 34737, (uint16_t)ascii_params.size(), 0};
+        geokeys.insert(geokeys.end(), entry, entry + 4);
+        ascii_params.push_back('\0');
+    }
 
     std::vector<double> pixscale = {transform[0], -transform[4], 0.0};
     std::vector<double> tiepoint = {0, 0, 0, transform[2], transform[5], 0};
@@ -761,10 +778,14 @@ int gt_write(const char* path, const float* data, uint32_t height, uint32_t widt
     tags.push_back({33922, 12, 6, 0});
     add_payload(doubles_bytes(tiepoint));
     size_t gk_tag = SIZE_MAX;
-    if (epsg) {
+    if (epsg || !cit.empty()) {
         gk_tag = tags.size();
         tags.push_back({34735, 3, (uint32_t)geokeys.size(), 0});
         add_payload(shorts_bytes(geokeys));
+        if (!ascii_params.empty()) {
+            tags.push_back({34737, 2, (uint32_t)ascii_params.size(), 0});
+            add_payload(std::vector<uint8_t>(ascii_params.begin(), ascii_params.end()));
+        }
     }
     size_t nd_tag = SIZE_MAX;
     if (has_nodata) {
@@ -887,6 +908,46 @@ const char* gt_metadata(const char* path) {
         while (!g_metadata.empty() && g_metadata.back() == '\0') g_metadata.pop_back();
     }
     return g_metadata.c_str();
+}
+
+// CRS citation text (WKT) from the GeoTIFF citation keys (GTCitation 1026, PCSCitation
+// 3073, GeogCitation 2049) stored in GeoAsciiParams (34737). Empty string when absent.
+static std::string g_citation;
+const char* gt_citation(const char* path) {
+    g_citation.clear();
+    Tiff t;
+    if (!read_file(path, t.buf)) return g_citation.c_str();
+    uint64_t ifd0 = open_tiff(t);
+    if (!ifd0) return g_citation.c_str();
+    std::vector<Ifd_entry> e;
+    if (!parse_ifd(t, ifd0, e)) return g_citation.c_str();
+    const Ifd_entry* gk = find_tag(e, 34735);
+    const Ifd_entry* ap = find_tag(e, 34737);
+    if (!gk || !ap || gk->count < 4 || ap->data.empty()) return g_citation.c_str();
+    const char* ascii = reinterpret_cast<const char*>(ap->data.data());
+    size_t ascii_len = ap->data.size();
+    uint32_t nkeys = entry_uint(t, *gk, 3);
+    // Prefer the generic GTCitation, else PCS/Geog citations
+    const uint32_t wanted[3] = {1026, 3073, 2049};
+    for (int w = 0; w < 3; w++) {
+        for (uint32_t k = 1; k <= nkeys && 4 * (k + 1) <= gk->count; k++) {
+            uint32_t key = entry_uint(t, *gk, 4 * k);
+            uint32_t loc = entry_uint(t, *gk, 4 * k + 1);
+            uint32_t cnt = entry_uint(t, *gk, 4 * k + 2);
+            uint32_t off = entry_uint(t, *gk, 4 * k + 3);
+            if (key == wanted[w] && loc == 34737 && off < ascii_len) {
+                size_t n = cnt;
+                if (off + n > ascii_len) n = ascii_len - off;
+                g_citation.assign(ascii + off, n);
+                // GeoTIFF ASCII values are '|'-terminated; strip it and trailing NULs
+                while (!g_citation.empty() &&
+                       (g_citation.back() == '|' || g_citation.back() == '\0'))
+                    g_citation.pop_back();
+                return g_citation.c_str();
+            }
+        }
+    }
+    return g_citation.c_str();
 }
 
 }  // extern "C"
