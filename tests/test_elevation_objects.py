@@ -223,7 +223,7 @@ class TestBuiltinGeoid:
         vcrs_mod._warned_builtin.clear()
         with caplog.at_level(logging.WARNING):
             _geoid_undulation("EGM96", np.array([0.0]), np.array([0.0]))
-        assert any("built-in long-wavelength" in r.message for r in caplog.records)
+        assert any("built-in station-augmented" in r.message for r in caplog.records)
 
 
 class TestSurfaceCompleteness:
@@ -283,3 +283,62 @@ class TestReviewRegressions:
         c = coreg.NuthKaab(subsample=30000)
         c.fit(ref, tba, random_state=np.random.default_rng(42))
         assert np.isfinite(c.meta["outputs"]["affine"]["shift_x"])
+
+
+class TestGeoidStationTruth:
+    """Station-truth tests of the built-in geoid: known EGM96 undulations at global points
+    with a documented error envelope (VERDICT r2 task 4). The three reference-derived truths
+    (Chile +42 /root/reference/tests/test_vcrs.py:194, Svalbard ~+32 test_dem.py:292-293,
+    Iceland ~66-68 test_vcrs.py:197) are independent of this repo's station table values."""
+
+    # (lon, lat, N_true, tol): reference-derived truths get tight tolerances
+    TRUTHS = [
+        (-68.0, -20.0, 42.0, 3.0),    # Chile (reference test truth: EGM96 grid shift 42)
+        (16.0, 78.0, 32.0, 3.5),      # Svalbard (reference: ~32 m EGM96-ellipsoid median)
+        (-18.0, 65.0, 67.0, 4.0),     # Iceland (reference ISN93 truth 68; EGM96 ~66)
+        (-90.2, 38.6, -33.0, 4.0),    # St Louis
+        (0.0, 51.5, 47.0, 4.0),       # London
+        (86.9, 28.0, -30.0, 5.0),     # Everest region
+        (77.5, 5.0, -103.0, 6.0),     # Indian Ocean low
+        (147.0, -5.0, 82.0, 6.0),     # New Guinea high
+        (-118.2, 34.1, -35.0, 4.0),   # Los Angeles
+        (-74.0, 40.7, -32.0, 4.0),    # New York
+        (31.2, 30.0, 16.0, 4.0),      # Cairo
+        (7.4, 47.0, 49.0, 4.0),       # Alps
+    ]
+
+    @pytest.mark.parametrize("lon,lat,n_true,tol", TRUTHS)
+    def test_station(self, lon, lat, n_true, tol):
+        from xdem_tpu.geoid import undulation
+
+        assert float(undulation(lon, lat)) == pytest.approx(n_true, abs=tol)
+
+    def test_global_field_physical_range(self):
+        # The true EGM96 spans about [-107, +85.4] m; the augmented field must stay inside
+        # a physically plausible envelope (the pre-fix failure mode: -118/+109 m ringing)
+        from xdem_tpu.geoid import undulation
+
+        lons = np.arange(-180.0, 180.0, 2.0)
+        lats = np.arange(-88.0, 89.0, 2.0)
+        g = undulation(lons[None, :], lats[:, None])
+        assert g.min() > -112.0 and g.max() < 92.0
+
+    def test_augmentation_is_deterministic(self):
+        import xdem_tpu.geoid as geoid
+
+        a = geoid.undulation(np.array([5.0, -120.0]), np.array([45.0, -30.0]))
+        geoid._AUG_COEFFS = None  # force a re-solve
+        b = geoid.undulation(np.array([5.0, -120.0]), np.array([45.0, -30.0]))
+        np.testing.assert_array_equal(a, b)
+
+    def test_svalbard_ellipsoid_shift_matches_reference(self):
+        # Reference test_dem.py:292-293: converting a Svalbard DEM from EGM96 to the
+        # ellipsoid RAISES elevations by ~+32 m (rel 10%)
+        from xdem_tpu.dem import DEM
+        from xdem_tpu.georef import Affine
+
+        dem = DEM(np.full((4, 5), 200.0, np.float32),
+                  Affine.from_origin(500000, 8680000, 20.0, 20.0), 32633, vcrs="EGM96")
+        out = dem.to_vcrs("Ellipsoid")
+        shift = float(np.mean(np.asarray(out.data))) - 200.0
+        assert shift == pytest.approx(32.0, rel=0.1)

@@ -652,3 +652,110 @@ class TestShardedNeff:
         sharded = ss.neff_hugonnet_approx(coords, errors, params, subsample=300,
                                                     random_state=7, mesh=mesh)
         assert sharded == pytest.approx(single, rel=1e-4)
+
+
+class TestMeshUncertaintyPipeline:
+    """User-facing mesh= plumbing for the flagship sharded uncertainty pipeline
+    (SURVEY 2.7 P4 / 7.6): sample_empirical_variogram -> infer_* -> DEM.estimate_uncertainty."""
+
+    def _mesh(self, n):
+        import jax
+        from jax.sharding import Mesh
+
+        return Mesh(np.array(jax.devices()[:n]), ("runs",))
+
+    def _pair(self):
+        from xdem_tpu import examples
+
+        ref = examples.get_ref_dem_test()
+        tba = examples.get_tba_dem_test()
+        r0, r1, c0, c1 = examples._TEST_ICROP
+        mask = ~examples.get_glacier_mask()[r0:r1, c0:c1]
+        return ref, tba, mask
+
+    def test_sample_empirical_variogram_mesh_invariant(self):
+        from xdem_tpu import examples
+        from xdem_tpu.spatialstats import sample_empirical_variogram
+
+        dh = examples.get_ref_dem_test()
+        dfs = [
+            sample_empirical_variogram(dh, subsample=150, random_state=3, mesh=self._mesh(n))
+            for n in (1, 8)
+        ]
+        pd.testing.assert_frame_equal(dfs[0], dfs[1])
+        # Against the unsharded single-dispatch route: same pair populations to f32 binning
+        df0 = sample_empirical_variogram(dh, subsample=150, random_state=3)
+        np.testing.assert_allclose(dfs[0]["exp"], df0["exp"], rtol=1e-5)
+        assert (dfs[0]["count"] == df0["count"]).mean() > 0.9  # bin-edge pairs may move 1 bin
+
+    def test_estimate_uncertainty_mesh_invariant_exact(self):
+        ref, tba, mask = self._pair()
+        outs = []
+        for n in (1, 8):
+            sig, rho = ref.estimate_uncertainty(
+                tba, stable_terrain=mask, subsample=150, random_state=42, mesh=self._mesh(n)
+            )
+            outs.append((np.asarray(sig.data), rho(np.array([10.0, 100.0, 1000.0]))))
+        np.testing.assert_array_equal(outs[0][0], outs[1][0])
+        np.testing.assert_array_equal(outs[0][1], outs[1][1])
+
+    def test_estimate_uncertainty_mesh_matches_unsharded(self):
+        ref, tba, mask = self._pair()
+        sig1, rho1 = ref.estimate_uncertainty(tba, stable_terrain=mask, subsample=150,
+                                              random_state=42)
+        sig2, rho2 = ref.estimate_uncertainty(tba, stable_terrain=mask, subsample=150,
+                                              random_state=42, mesh=self._mesh(8))
+        # Terrain attrs + sigma are bitwise equal (global mean-centering in the halo path);
+        # the variogram gamma may move bin-edge pairs between f32-equal routes -> tiny rho drift
+        np.testing.assert_array_equal(np.asarray(sig1.data), np.asarray(sig2.data))
+        lags = np.array([10.0, 100.0, 1000.0])
+        np.testing.assert_allclose(rho1(lags), rho2(lags), atol=1e-5)
+
+    def test_heteroscedasticity_mesh_exact(self):
+        from xdem_tpu import terrain
+        from xdem_tpu.raster import Raster
+        from xdem_tpu.spatialstats import infer_heteroscedasticity_from_stable
+
+        ref, tba, mask = self._pair()
+        dh = Raster(tba.data - ref.data, ref.transform, ref.crs)
+        attrs = terrain.get_terrain_attribute(ref, ["slope", "max_curvature"])
+        args = dict(dvalues=dh, list_var=attrs, list_var_names=["slope", "max_curvature"],
+                    stable_mask=mask, subsample=50_000, random_state=0)
+        sig1, _, df1 = infer_heteroscedasticity_from_stable(**args)
+        sig2, _, df2 = infer_heteroscedasticity_from_stable(**args, mesh=self._mesh(8))
+        np.testing.assert_array_equal(np.asarray(sig1.data), np.asarray(sig2.data))
+        pd.testing.assert_frame_equal(df1, df2)
+
+    def test_heteroscedasticity_mesh_requires_device_path(self):
+        from xdem_tpu.spatialstats import infer_heteroscedasticity_from_stable
+
+        with pytest.raises(ValueError, match="device path"):
+            infer_heteroscedasticity_from_stable(
+                dvalues=np.ones((4, 4)), list_var=[np.ones((4, 4))], subsample=None,
+                mesh=self._mesh(2),
+            )
+
+    def test_n_jobs_raises(self):
+        from xdem_tpu import examples
+        from xdem_tpu.spatialstats import sample_empirical_variogram
+
+        with pytest.raises(NotImplementedError, match="mesh"):
+            sample_empirical_variogram(examples.get_ref_dem_test(), subsample=10, n_jobs=4)
+
+    def test_mesh_requires_equidistant(self):
+        from xdem_tpu import examples
+        from xdem_tpu.spatialstats import sample_empirical_variogram
+
+        with pytest.raises(ValueError, match="cdist_equidistant"):
+            sample_empirical_variogram(examples.get_ref_dem_test(), subsample=10,
+                                       subsample_method="pdist_point", mesh=self._mesh(2))
+
+    def test_sharded_terrain_bitwise_equals_unsharded(self):
+        from xdem_tpu import examples, terrain
+
+        ref = examples.get_ref_dem_test()
+        a1 = terrain.get_terrain_attribute(ref, ["slope", "aspect", "hillshade", "max_curvature"])
+        a2 = terrain.get_terrain_attribute(ref, ["slope", "aspect", "hillshade", "max_curvature"],
+                                           mesh=self._mesh(8))
+        for x, y in zip(a1, a2):
+            np.testing.assert_array_equal(np.asarray(x.data), np.asarray(y.data))

@@ -6,13 +6,15 @@ The TPU-native equivalent here is spatial domain decomposition over a jax.shardi
 shard_map + ppermute halo exchange over ICI.
 """
 
-from xdem_tpu.parallel.mesh import make_mesh
+from xdem_tpu.parallel.mesh import as_mesh_1d, as_mesh_2d, make_mesh
 from xdem_tpu.parallel.halo import sharded_stencil, sharded_surface_attributes
 from xdem_tpu.parallel.cpd import cpd_em_step_sharded
 from xdem_tpu.parallel.neff import weighted_rho_sum_sharded
 
 __all__ = [
     "make_mesh",
+    "as_mesh_1d",
+    "as_mesh_2d",
     "sharded_stencil",
     "sharded_surface_attributes",
     "cpd_em_step_sharded",

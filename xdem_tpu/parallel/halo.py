@@ -70,6 +70,10 @@ def sharded_stencil(
     :param mesh: 2-D device mesh with axes (row, col).
     :param out_leading: If fn returns a stacked (A, h, w) output, the leading size A.
     """
+    if len(mesh.axis_names) != 2:
+        from xdem_tpu.parallel.mesh import as_mesh_2d
+
+        mesh = as_mesh_2d(mesh)
     row_axis, col_axis = mesh.axis_names
     n_ry, n_rx = mesh.devices.shape
     h, w = arr.shape
@@ -111,7 +115,14 @@ def sharded_surface_attributes(
 
     halo = 2 if surface_fit.lower() == "florinsky" else 1
 
-    def fn(padded: jnp.ndarray) -> jnp.ndarray:
-        return surface_attributes(padded, resolution, attrs=attrs, surface_fit=surface_fit, **kwargs)
+    # Global mean-center computed BEFORE sharding: every block then removes the same
+    # constant, making the sharded result bitwise equal to the unsharded stencil pass.
+    arr = jnp.asarray(arr)
+    valid = jnp.isfinite(arr)
+    center = jnp.where(jnp.any(valid), jnp.nanmean(jnp.where(valid, arr, jnp.nan)), 0.0)
 
-    return sharded_stencil(fn, jnp.asarray(arr), halo=halo, mesh=mesh, out_leading=len(attrs))
+    def fn(padded: jnp.ndarray) -> jnp.ndarray:
+        return surface_attributes(padded, resolution, attrs=attrs, surface_fit=surface_fit,
+                                  center=center, **kwargs)
+
+    return sharded_stencil(fn, arr, halo=halo, mesh=mesh, out_leading=len(attrs))

@@ -42,3 +42,26 @@ def make_mesh(
         raise ValueError(f"Mesh shape {shape} does not match device count {n_devices}.")
     dev_array = np.asarray(devices).reshape(shape)
     return Mesh(dev_array, axis_names=tuple(axis_names))
+
+
+def as_mesh_1d(mesh: Mesh, axis_name: str = "runs") -> Mesh:
+    """View a mesh's devices as a 1-D mesh (for run-sharded workloads like the variogram).
+
+    A 1-D input mesh is returned unchanged; an N-D mesh is flattened over all its devices.
+    """
+    if len(mesh.axis_names) == 1:
+        return mesh
+    return Mesh(mesh.devices.reshape(-1), (axis_name,))
+
+
+def as_mesh_2d(mesh: Mesh) -> Mesh:
+    """View a mesh's devices as a 2-D (rows x cols) mesh (for halo-sharded stencils).
+
+    A 2-D input mesh is returned unchanged; a 1-D mesh of n devices becomes near-square
+    (rows x cols) so stencil halos stay small in both dimensions.
+    """
+    if len(mesh.axis_names) == 2:
+        return mesh
+    n = mesh.devices.size
+    shape = _near_square_factors(n)
+    return Mesh(mesh.devices.reshape(shape), ("ry", "rx"))

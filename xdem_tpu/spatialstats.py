@@ -503,6 +503,7 @@ def infer_heteroscedasticity_from_stable(
     fac_spread_outliers: float | None = 7,
     subsample: int | None = None,
     random_state: int | None = None,
+    mesh: Any = None,
 ) -> tuple[Any, Callable[..., np.ndarray], pd.DataFrame]:
     """Infer the per-pixel error sigma(vars) from stable terrain (reference :808).
 
@@ -510,7 +511,14 @@ def infer_heteroscedasticity_from_stable(
     `subsample` optionally bins a random subset of the stable values (the binned spread is
     statistically identical for >~1e6 samples and keeps 1e8-pixel rasters tractable); the
     error is still evaluated over the full extent.
+
+    `mesh` (a jax.sharding.Mesh) shards the full-raster error evaluation row-wise across the
+    mesh devices (the binned tables stay replicated — they are ~1e2 rows). Requires the
+    device path: Raster/jax inputs with an absolute `subsample`.
     """
+    if mesh is not None and (subsample is None or not hasattr(dvalues, "data")):
+        raise ValueError("mesh= requires the device path: a Raster `dvalues` input and an "
+                         "absolute `subsample` count.")
     if list_var_names is None:
         list_var_names = [f"var{i+1}" for i in range(len(list_var))]
 
@@ -625,7 +633,25 @@ def infer_heteroscedasticity_from_stable(
                 min_count=min_count, fac_spread_outliers=fac_spread_outliers,
             )
             unscaled = error_fun.unscaled
+        pad_rows = 0
+        if mesh is not None:
+            # Shard the full-extent evaluation row-wise: the interp kernel is elementwise in
+            # the raster, so XLA partitions it with zero collectives. Rows NaN-pad to a
+            # multiple of the device count (NamedSharding requires even division).
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from xdem_tpu.parallel.mesh import as_mesh_1d
+
+            mesh1 = as_mesh_1d(mesh)
+            rows = NamedSharding(mesh1, PartitionSpec(mesh1.axis_names[0], None))
+            pad_rows = (-vars_j[0].shape[0]) % mesh1.devices.size
+            if pad_rows:
+                vars_j = [jnp.pad(v, ((0, pad_rows), (0, 0)), constant_values=jnp.nan)
+                          for v in vars_j]
+            vars_j = [jax.device_put(v, rows) for v in vars_j]
         sig_dev = error_fun.scale * _interp_grid_device(unscaled.mids_ext, unscaled.grid_ext, vars_j)
+        if pad_rows:
+            sig_dev = sig_dev[:-pad_rows]
         return Raster(sig_dev.astype(jnp.float32), dvalues.transform, dvalues.crs), error_fun, df
 
     all_arrays, _ = _preprocess_values_with_mask_to_array(
@@ -1271,6 +1297,7 @@ def sample_empirical_variogram(
     nb_rings: int = 10,
     runs: int | None = None,
     samples: int | None = None,
+    mesh: Any = None,
     **kwargs: Any,
 ) -> pd.DataFrame:
     """Sample an empirical variogram with spatial subsampling adapted to grids.
@@ -1284,8 +1311,22 @@ def sample_empirical_variogram(
     Lag bins are sqrt(2)-geometric from sqrt(2)*gsd to maxlag (reference :1439-1449); the last
     (undersampled) bin is dropped; estimators: dowd (default), matheron, cressie.
 
+    `mesh` (a jax.sharding.Mesh) shards the sampling runs across devices with psum'd bin
+    reductions (parallel/variogram.py) — mesh-invariant-exact for all four estimators; only
+    available with the default "cdist_equidistant" method. This replaces the reference's
+    multiprocessing.Pool `n_jobs` (reference :1499-1509): a value other than 1 raises, since
+    a single device already computes all runs in one dispatch.
+
     Returns a DataFrame with (exp, lags, count, err_exp).
     """
+    if n_jobs != 1:
+        raise NotImplementedError(
+            "n_jobs process parallelism does not exist on this backend (one device computes "
+            "all runs in a single dispatch); pass mesh= to shard runs across devices."
+        )
+    if mesh is not None and subsample_method != "cdist_equidistant":
+        raise ValueError("mesh= sharding is only implemented for subsample_method="
+                         "'cdist_equidistant' (the reference's default scheme).")
     from xdem_tpu.raster import Raster
 
     arr_dev = None  # device-resident values (grid equidistant mode only)
@@ -1420,7 +1461,7 @@ def sample_empirical_variogram(
 
                 total_pairs = ija.shape[0] * ija.shape[1] * ijb.shape[1]
                 _check_pair_count(total_pairs)
-                if arr_dev is not None and estimator != "genton":
+                if mesh is None and arr_dev is not None and estimator != "genton":
                     if total_pairs > _PAIR_CHUNK_BUDGET:
                         # Billions of pairs OOM the flat sort: scan run chunks instead
                         per_run = ija.shape[1] * ijb.shape[1]
@@ -1491,6 +1532,16 @@ def sample_empirical_variogram(
 
             total_pairs = za.shape[0] * za.shape[1] * zb.shape[1]
             _check_pair_count(total_pairs)
+            if mesh is not None:
+                # Runs sharded across the device mesh with psum'd bin reductions —
+                # mesh-invariant-exact for all estimators (parallel/variogram.py)
+                from xdem_tpu.parallel.mesh import as_mesh_1d
+                from xdem_tpu.parallel.variogram import sharded_variogram_bins
+
+                gamma_s, counts_s = sharded_variogram_bins(
+                    za, zb, ca, cb, bin_edges, as_mesh_1d(mesh), estimator=estimator
+                )
+                return gamma_s, counts_s.astype(np.int64)
             if total_pairs > _PAIR_CHUNK_BUDGET:
                 per_run = za.shape[1] * zb.shape[1]
                 chunk = max(1, _PAIR_CHUNK_BUDGET // (8 * per_run))
@@ -1667,12 +1718,14 @@ def _estimate_model_spatial_correlation(
     random_state: int | None = None,
     bounds: Any = None,
     p0: Any = None,
+    mesh: Any = None,
     **kwargs: Any,
 ) -> tuple[pd.DataFrame, pd.DataFrame, Callable[[np.ndarray], np.ndarray]]:
     """Empirical variogram + sum-of-models fit + correlation function (reference :1838)."""
     emp = sample_empirical_variogram(
         values=dvalues, gsd=gsd, coords=coords, subsample=subsample, subsample_method=subsample_method,
-        n_variograms=n_variograms, n_jobs=n_jobs, random_state=random_state, estimator=estimator, **kwargs,
+        n_variograms=n_variograms, n_jobs=n_jobs, random_state=random_state, estimator=estimator,
+        mesh=mesh, **kwargs,
     )
     _, params = fit_sum_model_variogram(list_models, emp, bounds=bounds, p0=p0)
     return emp, params, correlation_from_variogram(params)
@@ -1694,9 +1747,13 @@ def infer_spatial_correlation_from_stable(
     bounds: Any = None,
     p0: Any = None,
     random_state: int | None = None,
+    mesh: Any = None,
     **kwargs: Any,
 ) -> tuple[pd.DataFrame, pd.DataFrame, Callable[[np.ndarray], np.ndarray]]:
-    """Infer the spatial correlation of dh errors from stable terrain (reference :1876)."""
+    """Infer the spatial correlation of dh errors from stable terrain (reference :1876).
+
+    `mesh` shards the variogram sampling runs across a jax device mesh (mesh-invariant-exact;
+    see :func:`sample_empirical_variogram`)."""
     if isinstance(dvalues, Raster) and isinstance(errors, Raster):
         # Standardize on device and cross the host boundary once: dh / sigma with the stable
         # mask applied is one elementwise kernel, vs pulling both full rasters separately.
@@ -1723,7 +1780,7 @@ def infer_spatial_correlation_from_stable(
     return _estimate_model_spatial_correlation(
         dvalues=d_stable, list_models=list_models, estimator=estimator, gsd=gsd, coords=coords,
         subsample=subsample, subsample_method=subsample_method, n_variograms=n_variograms,
-        n_jobs=n_jobs, random_state=random_state, bounds=bounds, p0=p0, **kwargs,
+        n_jobs=n_jobs, random_state=random_state, bounds=bounds, p0=p0, mesh=mesh, **kwargs,
     )
 
 

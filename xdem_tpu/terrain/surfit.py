@@ -171,6 +171,7 @@ def surface_attributes(
     hillshade_altitude: float = 45.0,
     hillshade_azimuth: float = 315.0,
     hillshade_z_factor: float = 1.0,
+    center: jnp.ndarray | float | None = None,
 ) -> jnp.ndarray:
     """Compute surface-fit attributes; returns a (len(attrs), H, W) stack.
 
@@ -187,7 +188,10 @@ def surface_attributes(
     valid_in = jnp.isfinite(dem)
     # Mean-centering: all derivative stencils annihilate constants, and removing the large
     # constant part keeps f32 stencil sums accurate (important on TPU where f64 is unavailable).
-    center = jnp.where(jnp.any(valid_in), jnp.nanmean(jnp.where(valid_in, dem, jnp.nan)), 0.0)
+    # `center` may be passed in (halo-sharded path: the GLOBAL mean, so every block removes
+    # the same constant and sharded == unsharded bitwise).
+    if center is None:
+        center = jnp.where(jnp.any(valid_in), jnp.nanmean(jnp.where(valid_in, dem, jnp.nan)), 0.0)
     dem0 = jnp.where(valid_in, dem - center, 0.0)
 
     roles = _needed_derivs(attrs, fit)

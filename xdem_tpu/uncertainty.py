@@ -29,6 +29,7 @@ def estimate_uncertainty(
     list_vario_models: Sequence[str] = ("gaussian", "spherical"),
     subsample: int = 1000,
     random_state: int | None = None,
+    mesh: Any = None,
 ) -> tuple[Raster, Callable[[np.ndarray], np.ndarray]]:
     """Estimate (sigma(x, y) raster, rho(lag) function) of the elevation differences.
 
@@ -38,6 +39,9 @@ def estimate_uncertainty(
     :param approach: "H2022", "R2009" or "Basic".
     :param precision_of_other: "finer" attributes all error to this DEM; "same" divides the
         pair error by sqrt(2).
+    :param mesh: A jax.sharding.Mesh to run the pipeline multi-chip: terrain attributes via
+        halo-sharded stencils, the error-raster evaluation row-sharded, and the variogram
+        runs sharded with psum'd bin reductions (mesh-invariant-exact; SURVEY 2.7 P4).
     """
     # Difference on the common grid
     other = other_elev.reproject(dem) if (
@@ -47,7 +51,7 @@ def estimate_uncertainty(
     dh = Raster((other.data - dem.data), dem.transform, dem.crs)
 
     if approach == "H2022":
-        attrs = terrain.get_terrain_attribute(dem, list(list_vars))
+        attrs = terrain.get_terrain_attribute(dem, list(list_vars), mesh=mesh)
         if not isinstance(attrs, list):
             attrs = [attrs]
         # Bin the spread on at most 5e6 stable samples (identical statistics, tractable at
@@ -59,6 +63,7 @@ def estimate_uncertainty(
             stable_mask=stable_terrain,
             subsample=5_000_000,
             random_state=random_state,
+            mesh=mesh,
         )
         emp, params, rho = spatialstats.infer_spatial_correlation_from_stable(
             dvalues=dh,
@@ -67,6 +72,7 @@ def estimate_uncertainty(
             errors=sig_dh,
             subsample=subsample,
             random_state=random_state,
+            mesh=mesh,
         )
     elif approach == "R2009":
         arr, _ = spatialstats._preprocess_values_with_mask_to_array(dh, include_mask=stable_terrain)
@@ -78,6 +84,7 @@ def estimate_uncertainty(
             stable_mask=stable_terrain,
             subsample=subsample,
             random_state=random_state,
+            mesh=mesh,
         )
     elif approach == "Basic":
         arr, _ = spatialstats._preprocess_values_with_mask_to_array(dh, include_mask=stable_terrain)
@@ -89,6 +96,7 @@ def estimate_uncertainty(
             stable_mask=stable_terrain,
             subsample=subsample,
             random_state=random_state,
+            mesh=mesh,
         )
     else:
         raise ValueError(f"Unknown uncertainty approach: {approach} (use 'H2022', 'R2009' or 'Basic').")

@@ -176,9 +176,11 @@ def _geoid_undulation(name: str, lon: np.ndarray, lat: np.ndarray) -> np.ndarray
         if key not in _warned_builtin:
             _warned_builtin.update(_BUILTIN_GEOIDS)
             logging.warning(
-                "Using the built-in long-wavelength %s geoid (spherical harmonics to degree 6): "
-                "RMS error ~10 m, locally up to ~40 m vs the full model. Register a precise "
-                "undulation grid with xdem_tpu.vcrs.register_geoid_grid() for survey-grade work.",
+                "Using the built-in station-augmented %s geoid (degree-6 harmonics + damped "
+                "degree-12 station fit): ~1-3 m at the ~35 fitted stations covering the main "
+                "DEM regions, ~5-10 m typical elsewhere on land, up to ~15-20 m in remote "
+                "ocean areas. Register a precise undulation grid with "
+                "xdem_tpu.vcrs.register_geoid_grid() for survey-grade (cm-dm) work.",
                 key,
             )
     if key not in _GEOID_GRIDS:
