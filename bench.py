@@ -341,6 +341,24 @@ def bench_table(bw: float = 0.0) -> list[dict]:
     rows.append(_annot({"metric": "uncertainty_pipeline_985x1332_seconds",
                  "value": round(steady, 2), "unit": "s", "vs_baseline": None},
                  6 * n_px * 4, steady, bw))
+
+    # Config 6: device hypsometric binning of a 4096^2 device-resident dDEM (VERDICT r2
+    # task 6; the reference's host loop scans the raster once per bin)
+    from xdem_tpu import volume
+
+    nh = 4096
+    ref_h = jnp.asarray(synthetic_dem(nh, seed=5))
+    dh_h = jnp.asarray(synthetic_dem(nh, seed=6) * 0.01 - 5.0)
+
+    def hypso():
+        return volume.hypsometric_binning(dh_h, ref_h, bins=50.0)
+
+    first, best = _timed(hypso, n=2)
+    log(f"hypsometric binning {nh}^2 (device): first {first:.1f}s, steady {best:.2f}s")
+    # Model: ids + two-key segment sort ~ 4 passes over (dh, z)
+    rows.append(_annot({"metric": f"hypsometric_binning_{nh}x{nh}_seconds",
+                 "value": round(best, 3), "unit": "s", "vs_baseline": None},
+                 8 * nh * nh * 4, best, bw))
     return rows
 
 

@@ -188,3 +188,58 @@ class TestDEMCollectionRefWise:
         vals = sorted(float(np.nanmean(np.asarray(d.data))) for d in ddems)
         assert vals[0] == pytest.approx(-12, abs=1e-3)
         assert vals[1] == pytest.approx(-7, abs=1e-3)
+
+
+class TestDeviceHypsometricPaths:
+    """Device segment-sort fast paths equal the host implementations (engaged by jax-array
+    inputs; host numpy keeps the reference-parity path)."""
+
+    def _data(self, shape=(300, 340), seed=0):
+        rng = np.random.default_rng(seed)
+        ref = rng.uniform(100, 2100, shape)
+        dh = rng.normal(-2, 1, shape)
+        dh[rng.random(shape) < 0.2] = np.nan
+        return dh, ref
+
+    @pytest.mark.parametrize("kind,bins", [("fixed", 100.0), ("count", 12), ("quantile", 10)])
+    def test_binning_device_equals_host(self, kind, bins):
+        import jax.numpy as jnp
+
+        from xdem_tpu import volume
+
+        dh, ref = self._data()
+        host = volume.hypsometric_binning(dh, ref, bins=bins, kind=kind)
+        dev = volume.hypsometric_binning(jnp.asarray(dh, jnp.float32),
+                                         jnp.asarray(ref, jnp.float32), bins=bins, kind=kind)
+        assert len(host) == len(dev)
+        # f32 binning may move edge-straddling pixels by one bin; values agree closely
+        assert np.abs(host["count"].values - dev["count"].values).max() <= 2
+        np.testing.assert_allclose(dev["value"].values, host["value"].values,
+                                   atol=5e-2, equal_nan=True)
+
+    def test_regional_signal_device_equals_host(self):
+        import jax.numpy as jnp
+
+        from xdem_tpu import volume
+
+        dh, ref = self._data()
+        gid = (np.arange(dh.size).reshape(dh.shape) // 20000) % 5  # ids 0..4, 0 excluded
+        host = volume.get_regional_hypsometric_signal(dh, ref, gid)
+        dev = volume.get_regional_hypsometric_signal(
+            jnp.asarray(dh, jnp.float32), jnp.asarray(ref, jnp.float32), gid)
+        np.testing.assert_array_equal(host["count"].values, dev["count"].values)
+        np.testing.assert_allclose(dev["median"].values, host["median"].values,
+                                   atol=1e-5, equal_nan=True)
+        np.testing.assert_allclose(dev["std"].values, host["std"].values,
+                                   atol=1e-4, equal_nan=True)
+
+    def test_custom_aggregation_stays_on_host(self):
+        import jax.numpy as jnp
+
+        from xdem_tpu import volume
+
+        dh, ref = self._data(shape=(50, 60))
+        # np.mean is not the device statistic: jax input must still work via the host path
+        out = volume.hypsometric_binning(np.asarray(dh), np.asarray(ref), bins=200.0,
+                                         aggregation_function=np.nanmean)
+        assert "value" in out

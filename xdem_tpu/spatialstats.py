@@ -1030,18 +1030,24 @@ def _chunked_pair_reduce(pair_block, xs, estimator: str, n_bins: int):
     """
 
     def counts_sums_scan(weight_fn):
+        # Kahan-compensated f32 accumulation: the scan can add billions of O(1) terms, where
+        # plain sequential f32 sums drift by ~1e-5..1e-4 relative (f64 is unavailable with
+        # x64 off); the compensation keeps the total at f32 roundoff of the true sum.
         def body(carry, inputs):
-            counts_acc, sum_acc = carry
+            counts_acc, sum_acc, comp = carry
             d, parked, valid = pair_block(*inputs)
             counts_acc = counts_acc + jnp.bincount(parked, length=n_bins + 1)[:n_bins]
-            sum_acc = sum_acc + jnp.bincount(
+            chunk_sum = jnp.bincount(
                 parked, weights=jnp.where(valid, weight_fn(d), 0.0), length=n_bins + 1
             )[:n_bins]
-            return (counts_acc, sum_acc), None
+            y = chunk_sum - comp
+            t = sum_acc + y
+            comp = (t - sum_acc) - y
+            return (counts_acc, t, comp), None
 
         init = (jnp.zeros(n_bins, jnp.int64 if jax.config.x64_enabled else jnp.int32),
-                jnp.zeros(n_bins, jnp.float32))
-        (counts, sums), _ = jax.lax.scan(body, init, xs)
+                jnp.zeros(n_bins, jnp.float32), jnp.zeros(n_bins, jnp.float32))
+        (counts, sums, _comp), _ = jax.lax.scan(body, init, xs)
         return counts, sums
 
     if estimator == "matheron":
@@ -1486,9 +1492,16 @@ def sample_empirical_variogram(
                             estimator,
                             len(bin_edges) - 1,
                         )
-                    packed = np.asarray(jnp.concatenate([gamma_d, counts_d.astype(jnp.float32)]))
+                    # One readback, no precision loss: int32 counts bitcast into the packed
+                    # f32 vector and bitcast back on host (a bin can exceed 2^24 pairs, where
+                    # a float32 count would round to multiples of up to 128)
+                    counts_bits = jax.lax.bitcast_convert_type(
+                        counts_d.astype(jnp.int32), jnp.float32)
+                    packed = np.asarray(jnp.concatenate([gamma_d, counts_bits]),
+                                        dtype=np.float32)
                     nb = len(bin_edges) - 1
-                    return packed[:nb].astype(np.float64), packed[nb:].astype(np.int64)
+                    return (packed[:nb].astype(np.float64),
+                            packed[nb:].view(np.int32).astype(np.int64))
 
                 def gather(ij):
                     ok_ij = ij[..., 0] >= 0

@@ -11,6 +11,7 @@ sharded across a device mesh via `xdem_tpu.parallel` halo-exchange stencils.
 
 from __future__ import annotations
 
+import logging
 import warnings
 from typing import Any, Literal, Sequence
 
@@ -212,6 +213,10 @@ def get_terrain_attribute(
             stack = windowed_indexes_pallas(arr, resolution, tuple(win_attrs),
                                             window_size=window_size, tri_method=tri_method)
         else:
+            if engine == "pallas":
+                logging.debug(
+                    "Pallas windowed kernels support window radius <= 8 (window_size <= 17); "
+                    "window_size=%d falls back to the XLA engine.", window_size)
             stack = windowed_indexes(arr, resolution, tuple(win_attrs), window_size=window_size,
                                      tri_method=tri_method)
         for i, a in enumerate(win_attrs):
@@ -230,6 +235,10 @@ def get_terrain_attribute(
 
             results["fractal_roughness"] = fractal_roughness_pallas(arr, window_size=window_size_fractal)
         else:
+            if engine == "pallas" and window_size_fractal // 2 > 8:
+                logging.debug(
+                    "The Pallas fractal kernel supports window radius <= 8; window_size=%d "
+                    "falls back to the XLA engine.", window_size_fractal)
             # engine="xla" is an explicit request: disable the TPU auto-dispatch
             results["fractal_roughness"] = _fractal_roughness_fn(
                 arr, window_size=window_size_fractal, engine="xla" if engine == "xla" else None

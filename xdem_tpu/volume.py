@@ -46,6 +46,32 @@ def hypsometric_binning(
     >>> list(df["value"])
     [0.0, 1.0, 2.0, 3.0]
     """
+    # Device fast path for the default median statistic on large / device-resident inputs:
+    # segment-sort binned medians in one dispatch (f32 binning; a boundary pixel within
+    # f32 eps of a bin edge may take the neighboring bin vs the host f64 path)
+    if _wants_device(ddem, ref_dem, stat_ok=aggregation_function in (np.median, np.nanmedian)):
+        import jax.numpy as jnp
+
+        ref_j = jnp.ravel(jnp.asarray(ref_dem, jnp.float32))
+        dh_j = jnp.ravel(jnp.asarray(ddem, jnp.float32))
+        if isinstance(bins, np.ndarray) or kind == "custom":
+            zbins = np.asarray(bins, dtype=np.float64)
+        elif kind == "fixed":
+            lo, hi = float(jnp.nanmin(ref_j)), float(jnp.nanmax(ref_j))
+            zbins = np.arange(lo, hi + bins + 1e-6, step=bins)
+        elif kind == "count":
+            lo, hi = float(jnp.nanmin(ref_j)), float(jnp.nanmax(ref_j))
+            zbins = np.linspace(lo, hi + 1e-6 / bins, num=int(bins) + 1)
+        elif kind == "quantile":
+            qs = np.linspace(0, 100, int(bins) + 1)
+            zbins = np.asarray(jnp.nanpercentile(ref_j, jnp.asarray(qs)), np.float64)
+            zbins[-1] += 1e-6
+        else:
+            raise ValueError(f"Invalid bin kind: {kind}")
+        values, counts = _hypso_bin_device(dh_j, ref_j, zbins)
+        return pd.DataFrame({"value": values, "count": counts},
+                            index=pd.IntervalIndex.from_breaks(zbins))
+
     ddem = np.asarray(ddem, dtype=np.float64).ravel()
     ref = np.asarray(ref_dem, dtype=np.float64).ravel()
     # Bin edges are derived from ALL valid reference pixels (reference volume.py:70-74):
@@ -269,10 +295,14 @@ def get_regional_hypsometric_signal(
     min_coverage: float = 0.05,
 ) -> pd.DataFrame:
     """Normalized regional hypsometric signal: dh/dh_max vs normalized elevation (volume.py:568)."""
+    if glacier_index_map is None:
+        glacier_index_map = np.ones(np.shape(ref_dem), dtype=int)
+    # Device fast path: per-glacier segment reductions + binned medians in one dispatch
+    # (the host loop scans the full raster once PER glacier)
+    if _wants_device(ddem, ref_dem, stat_ok=True):
+        return _regional_signal_device(ddem, ref_dem, glacier_index_map, n_bins, min_coverage)
     ddem = np.asarray(ddem, np.float64)
     ref = np.asarray(ref_dem, np.float64)
-    if glacier_index_map is None:
-        glacier_index_map = np.ones(ref.shape, dtype=int)
     glacier_index_map = np.asarray(glacier_index_map)
 
     norm_z_all = []
@@ -367,3 +397,130 @@ def norm_regional_hypsometric_interpolation(
         out[sel] = vals
     out = np.where(glacier_index_map > 0, out, np.nan)
     return np.ma.masked_invalid(out)
+
+
+# --------------------------------------------------------------------------------------
+# Device fast paths (segment-sort binned statistics; VERDICT r2 task 6)
+# --------------------------------------------------------------------------------------
+# The reference's volume.py is host numpy/pandas end to end. At 1e8-pixel dDEMs the
+# digitize-and-loop aggregation crawls; the device paths below reuse the same segment-sort
+# binned-table machinery built for heteroscedasticity (spatialstats._binned_count_med_nmad):
+# one device dispatch, only the ~n_bins-row tables cross the host boundary. Engaged
+# automatically for the default statistics on large (or device-resident) inputs; the host
+# path remains bit-exact with the reference's semantics for everything else.
+
+_DEVICE_BIN_THRESHOLD = 1 << 21  # ~2 Mpx: below this the host loop is faster than a dispatch
+
+
+def _wants_device(*arrays: Any, stat_ok: bool) -> bool:
+    import jax
+
+    if not stat_ok:
+        return False
+    if any(isinstance(a, jax.Array) for a in arrays):
+        return True
+    return int(np.size(arrays[0])) >= _DEVICE_BIN_THRESHOLD
+
+
+def _binned_count_median_device(vals, ids, n_bins: int):
+    """Per-bin (count, median) on device; ids == n_bins marks invalid."""
+    import jax
+    import jax.numpy as jnp
+
+    from xdem_tpu.spatialstats import _segment_median_sorted
+
+    counts_all = jnp.zeros(n_bins + 1, jnp.int32).at[ids].add(1)
+    counts = counts_all[:n_bins]
+    starts = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts_all)[:-1]])[:n_bins]
+    _, vals_s = jax.lax.sort((ids, vals), num_keys=2)
+    med = _segment_median_sorted(vals_s, starts, counts)
+    return counts, med
+
+
+def _hypso_bin_device(ddem_flat, ref_flat, zbins: np.ndarray):
+    """Device hypsometric binning: returns (values, counts) as numpy arrays."""
+    import jax
+    import jax.numpy as jnp
+
+    n_bins = len(zbins) - 1
+
+    @jax.jit
+    def run(dh, z, edges):
+        # np.digitize(right=False) == searchsorted(side='right'); out-of-range and NaN-dh
+        # pixels park in the invalid bin n_bins
+        idx = jnp.searchsorted(edges, z, side="right") - 1
+        ok = jnp.isfinite(dh) & jnp.isfinite(z) & (idx >= 0) & (idx < n_bins)
+        ids = jnp.where(ok, idx, n_bins).astype(jnp.int32)
+        return _binned_count_median_device(dh, ids, n_bins)
+
+    counts, med = run(jnp.asarray(ddem_flat, jnp.float32), jnp.asarray(ref_flat, jnp.float32),
+                      jnp.asarray(zbins, jnp.float32))
+    values = np.asarray(med, np.float64)
+    counts_np = np.asarray(counts, np.int64)
+    values[counts_np == 0] = np.nan
+    return values, counts_np
+
+
+def _regional_signal_device(ddem, ref, gid_map, n_bins: int, min_coverage: float) -> pd.DataFrame:
+    """One-pass device regional hypsometric signal (per-glacier segment reductions)."""
+    import jax
+    import jax.numpy as jnp
+
+    gids = np.asarray(gid_map).ravel()
+    gmax = int(gids.max(initial=0))
+    if gmax > 4_000_000 or gmax < 0:
+        # Sparse/huge ids: densify on host first (rare; RGI-style 64-bit ids)
+        uniq, gids = np.unique(gids, return_inverse=True)
+        gmax = len(uniq) - 1
+        zero_id = int(np.searchsorted(uniq, 0)) if 0 in uniq else -1
+    else:
+        zero_id = 0
+    K = gmax + 1
+
+    @jax.jit
+    def run(dh, z, g):
+        valid_ref = jnp.isfinite(z)
+        valid_dh = valid_ref & jnp.isfinite(dh)
+        gi = jnp.where(valid_ref, g, K).astype(jnp.int32)
+        cnt_ref = jnp.zeros(K + 1, jnp.int32).at[gi].add(1)[:K]
+        cnt_dh = jnp.zeros(K + 1, jnp.int32).at[jnp.where(valid_dh, g, K).astype(jnp.int32)].add(1)[:K]
+        zmin = jnp.full(K + 1, jnp.inf).at[gi].min(jnp.where(valid_ref, z, jnp.inf))[:K]
+        zmax = jnp.full(K + 1, -jnp.inf).at[gi].max(jnp.where(valid_ref, z, -jnp.inf))[:K]
+        scale = jnp.zeros(K + 1).at[jnp.where(valid_dh, g, K).astype(jnp.int32)].max(
+            jnp.where(valid_dh, jnp.abs(dh), 0.0))[:K]
+        ok_g = (cnt_ref >= 10) & (cnt_dh >= min_coverage * cnt_ref) & (zmax > zmin) \
+            & jnp.isfinite(scale) & (scale > 0)
+        if zero_id >= 0:
+            ok_g = ok_g.at[zero_id].set(False)
+        gc = jnp.clip(g, 0, K - 1)
+        norm_z = 1.0 - (z - zmin[gc]) / jnp.maximum(zmax[gc] - zmin[gc], 1e-30)
+        norm_dh = dh / jnp.maximum(scale[gc], 1e-30)
+        px_ok = valid_dh & ok_g[gc]
+        edges = jnp.linspace(0.0, 1.0, n_bins + 1)
+        idx = jnp.clip(jnp.searchsorted(edges, norm_z, side="right") - 1, 0, n_bins - 1)
+        ids = jnp.where(px_ok, idx, n_bins).astype(jnp.int32)
+        counts, med = _binned_count_median_device(norm_dh.astype(jnp.float32), ids, n_bins)
+        s1 = jnp.zeros(n_bins + 1).at[ids].add(jnp.where(px_ok, norm_dh, 0.0))[:n_bins]
+        s2 = jnp.zeros(n_bins + 1).at[ids].add(jnp.where(px_ok, norm_dh**2, 0.0))[:n_bins]
+        any_ok = jnp.any(px_ok)
+        return counts, med, s1, s2, any_ok
+
+    counts, med, s1, s2, any_ok = run(
+        jnp.asarray(np.ravel(ddem), jnp.float32), jnp.asarray(np.ravel(ref), jnp.float32),
+        jnp.asarray(gids, jnp.int32))
+    if not bool(any_ok):
+        raise ValueError("No valid glaciers for regional hypsometric signal.")
+    counts = np.asarray(counts, np.int64)
+    med = np.asarray(med, np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mean = np.asarray(s1, np.float64) / np.maximum(counts, 1)
+        var = np.asarray(s2, np.float64) / np.maximum(counts, 1) - mean**2
+        std = np.sqrt(np.maximum(var, 0.0))
+    med[counts == 0] = np.nan
+    std[counts == 0] = np.nan
+    edges = np.linspace(0, 1, n_bins + 1)
+    return pd.DataFrame(
+        {"w_mean": med, "median": med, "std": std, "sigma-1-lower": med - std,
+         "sigma-1-upper": med + std, "count": counts},
+        index=pd.IntervalIndex.from_breaks(edges),
+    )
