@@ -307,3 +307,50 @@ class TestAccuracyPipelines:
 
         df = pd.read_csv(tmp_path / "accsel" / "tables" / "dh_after_stats.csv")
         assert "median" in df.columns and "nmad" in df.columns
+
+
+class TestAccuracyReportParity:
+    """Report section parity with the reference (accuracy.py:248-450): per-dataset summary
+    table, stable-terrain (inlier-only) stats, per-step coreg metadata, applied-correction
+    map, annotated histogram."""
+
+    def test_full_section_set_level2(self, dem_files, tmp_path):
+        from xdem_tpu.workflows import Accuracy
+
+        ref_path, tba_path, mask_path = dem_files
+        cfg = {
+            "inputs": {
+                "reference_elev": {"path_to_elev": ref_path},
+                "to_be_aligned_elev": {"path_to_elev": tba_path, "path_to_mask": mask_path},
+            },
+            "coregistration": {"step_one": {"method": "VerticalShift", "extra_information": {}},
+                               "step_two": {"method": "NuthKaab",
+                                            "extra_information": {"subsample": 50000}}},
+            "outputs": {"path": str(tmp_path / "acc2"), "level": 2},
+        }
+        wf = Accuracy(cfg)
+        wf.run()
+        out = tmp_path / "acc2"
+        html = (out / "report.html").read_text()
+        # Section set
+        assert "Stable-terrain (inlier) statistics" in html
+        assert "Statistics summary" in html
+        assert "Coregistration step 1: VerticalShift" in html
+        assert "Coregistration step 2: NuthKaab" in html
+        assert "Estimated transformation" in html
+        assert "dh_histogram.png" in html
+        assert "dh_aligned_vs_tba.png" in html
+        assert "Elapsed:" in html
+        # Level-2 artifacts
+        for f in ["dh_before.tif", "dh_after.tif", "dh_aligned_vs_tba.tif", "aligned_dem.tif"]:
+            assert (out / "rasters" / f).exists(), f
+        # Summary table: per-dataset rows incl. the level-2 input elevations
+        import pandas as pd
+
+        df = pd.read_csv(out / "tables" / "stats_summary.csv")
+        assert set(df["Data"]) >= {"dh before coreg", "dh after coreg", "reference elevation",
+                                   "to-be-aligned elevation", "aligned elevation"}
+        stable = pd.read_csv(out / "tables" / "dh_stable_stats.csv")
+        # Coreg quality on stable terrain: nmad improves
+        nmads = dict(zip(stable["Data"], stable["nmad"]))
+        assert nmads["dh after (stable terrain)"] < nmads["dh before (stable terrain)"]

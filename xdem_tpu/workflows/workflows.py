@@ -138,7 +138,8 @@ class Workflows(ABC):
         return path
 
     def save_raster_plot(self, raster: Raster, name: str, cmap: str = "terrain",
-                         title: str | None = None) -> Path | None:
+                         title: str | None = None, vmin: float | None = None,
+                         vmax: float | None = None) -> Path | None:
         try:
             import matplotlib
 
@@ -149,7 +150,10 @@ class Workflows(ABC):
         fig, ax = plt.subplots(figsize=(7, 5))
         arr = raster.get_nanarray()
         b = raster.bounds
-        vmin, vmax = np.nanpercentile(arr, [2, 98]) if np.isfinite(arr).any() else (0, 1)
+        if vmin is None or vmax is None:
+            auto = np.nanpercentile(arr, [2, 98]) if np.isfinite(arr).any() else (0, 1)
+            vmin = auto[0] if vmin is None else vmin
+            vmax = auto[1] if vmax is None else vmax
         im = ax.imshow(arr, cmap=cmap, vmin=vmin, vmax=vmax, extent=(b.left, b.right, b.bottom, b.top))
         fig.colorbar(im, ax=ax, shrink=0.8)
         ax.set_title(title or name)
@@ -157,6 +161,11 @@ class Workflows(ABC):
         fig.savefig(path, dpi=120, bbox_inches="tight")
         plt.close(fig)
         return path
+
+    @staticmethod
+    def table_to_html(df, caption: str) -> str:
+        """Render a pandas DataFrame as an HTML report section."""
+        return f"<h3>{caption}</h3>" + df.to_html(float_format=lambda v: f"{v:.6g}")
 
     def add_report_section(self, html: str) -> None:
         self._report_sections.append(html)
