@@ -44,6 +44,11 @@ def _stat_nmad(x: np.ndarray) -> float:
     return float(_NMAD_FACTOR * np.nanmedian(np.abs(x - med)))
 
 
+# Binned-statistic DataFrames are column-named after the statistic's __name__; the
+# reference's spread columns read "nmad" (geoutils.stats.nmad), not a private identifier.
+_stat_nmad.__name__ = "nmad"
+
+
 # ---------------------------------------------------------------------- N-D binning
 
 
