@@ -962,3 +962,68 @@ class TestRasterPathConstructor:
             DEM(p, Affine.identity(), 32633)
         with pytest.raises(TypeError, match="missing 2 required"):
             Raster(np.ones((2, 2), np.float32))
+
+
+class TestKrovakAndOmerc:
+    """Krovak (EPSG 9819, S-JTSK) and Hotine oblique Mercator variant B (EPSG 9815)."""
+
+    def test_omerc_epsg_worked_example(self):
+        # EPSG GN7-2 method 9815 example: Timbalai 1948 / RSO Borneo (m), 5d23'14.1129"N
+        # 115d48'19.8196"E -> E 679245.73, N 596562.78 (Everest Sabah/Sarawak ellipsoid)
+        from xdem_tpu import projections as P
+
+        def dms(d, m, s):
+            return d + m / 60 + s / 3600
+
+        p = P.normalize_def(P.epsg_def(29873))
+        x, y = P.projdef_forward_raw(p, np.array([dms(115, 48, 19.8196)]),
+                                     np.array([dms(5, 23, 14.1129)]))
+        assert float(x[0]) == pytest.approx(679245.73, abs=0.02)
+        assert float(y[0]) == pytest.approx(596562.78, abs=0.02)
+
+    def test_krovak_prague_and_roundtrip(self):
+        # S-JTSK / Krovak East North: negative axes; central Prague ~ (-743e3, -1043e3)
+        x, y = transform_points(4326, 5514, np.array([14.42]), np.array([50.087]))
+        assert -744500 < x[0] < -741500
+        assert -1044500 < y[0] < -1041500
+        lon = np.linspace(12.2, 22.4, 15)
+        lat = np.linspace(47.8, 51.0, 15)
+        xs, ys = transform_points(4326, 5514, lon, lat)
+        lon2, lat2 = transform_points(5514, 4326, xs, ys)
+        np.testing.assert_allclose(lon2, lon, atol=1e-8)
+        np.testing.assert_allclose(lat2, lat, atol=1e-8)
+
+    def test_krovak_conformality(self):
+        # Conformal: equal scales both directions, ~0.9999 near the pseudo-SP region
+        from xdem_tpu import projections as P
+
+        d = P.normalize_def(P.epsg_def(5514))
+        ell = P._ell_consts(d)
+        eps, lo, la = 1e-6, 16.0, 49.5
+        phi = np.deg2rad(la)
+        nn = ell["a"] / np.sqrt(1 - ell["e2"] * np.sin(phi) ** 2)
+        mm = ell["a"] * (1 - ell["e2"]) / (1 - ell["e2"] * np.sin(phi) ** 2) ** 1.5
+        x0, y0 = P.projdef_forward_raw(d, np.array([lo]), np.array([la]))
+        x1, y1 = P.projdef_forward_raw(d, np.array([lo + eps]), np.array([la]))
+        x2, y2 = P.projdef_forward_raw(d, np.array([lo]), np.array([la + eps]))
+        ke = np.hypot(x1[0] - x0[0], y1[0] - y0[0]) / (np.deg2rad(eps) * nn * np.cos(phi))
+        kn = np.hypot(x2[0] - x0[0], y2[0] - y0[0]) / (np.deg2rad(eps) * mm)
+        assert ke == pytest.approx(kn, abs=1e-6)
+        assert ke == pytest.approx(0.9999, abs=2e-4)
+
+    @pytest.mark.parametrize("code", [5514, 29873, 3376])
+    def test_wkt_roundtrip_and_io(self, code, tmp_path):
+        from xdem_tpu.io import read_raster, write_raster
+        from xdem_tpu.raster import Raster
+
+        crs = CRS(code)
+        assert CRS(crs.to_wkt()) == crs
+        p = str(tmp_path / f"k{code}.tif")
+        write_raster(p, Raster(np.ones((4, 5), np.float32), Affine.from_origin(0, 50, 10, 10), crs))
+        assert read_raster(p).crs == crs
+
+    def test_projstring_krovak(self):
+        c = CRS("+proj=krovak +lat_0=49.5 +lon_0=24.833333333333332 "
+                "+alpha=30.28813972222222 +k=0.9999 +x_0=0 +y_0=0 +ellps=bessel "
+                "+towgs84=589,76,480")
+        assert c == CRS(5514)

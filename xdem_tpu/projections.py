@@ -1048,7 +1048,8 @@ _PROJ_ALIASES = {
     "merc": "merc", "webmerc": "webmerc",
     "lcc": "lcc", "lcc1sp": "lcc1sp",
     "aea": "aea", "laea": "laea",
-    "stere": "stere", "sterea": "sterea", "somerc": "somerc",
+    "stere": "stere", "sterea": "sterea", "somerc": "somerc", "omerc": "omerc",
+    "krovak": "krovak",
     "cea": "cea", "eqc": "eqc",
 }
 
@@ -1111,11 +1112,21 @@ def normalize_def(d: dict) -> dict:
         p.setdefault("k_0", 1.0)
     if proj == "aea" and "lat_1" not in p:
         raise ValueError("Albers (aea) requires lat_1 (and usually lat_2).")
+    if p["proj"] == "omerc" and "alpha" not in p:
+        raise ValueError("Hotine oblique Mercator (omerc) requires alpha (azimuth).")
+    if p["proj"] == "krovak":
+        p.setdefault("alpha", 30.28813972222222)
+        p.setdefault("lat_1", 78.5)
+        p.setdefault("k_0", 0.9999)
+    if "alpha" in p:
+        p["alpha"] = float(p["alpha"])
+    if "gamma" in p:
+        p["gamma"] = float(p["gamma"])
     return p
 
 
 _CANON_KEYS = ("proj", "a", "f", "lat_0", "lon_0", "lat_1", "lat_2", "lat_ts", "k_0",
-               "x_0", "y_0", "to_meter", "towgs84")
+               "alpha", "gamma", "x_0", "y_0", "to_meter", "towgs84")
 
 
 def canonical_key(p: dict) -> tuple:
@@ -1382,7 +1393,9 @@ _WKT1_PROJECTIONS = {
     "STEREOGRAPHIC": "sterea",
     "SWISS_OBLIQUE_CYLINDRICAL": "somerc",
     "SWISS_OBLIQUE_MERCATOR": "somerc",
-    "HOTINE_OBLIQUE_MERCATOR_AZIMUTH_CENTER": "somerc",  # validated below: azimuth 90
+    "HOTINE_OBLIQUE_MERCATOR_AZIMUTH_CENTER": "omerc",  # -> somerc below when azimuth == 90
+    "HOTINE_OBLIQUE_MERCATOR": "omerc",
+    "KROVAK": "krovak",
     "CYLINDRICAL_EQUAL_AREA": "cea",
     "EQUIRECTANGULAR": "eqc",
     "EQUIDISTANT_CYLINDRICAL": "eqc",
@@ -1393,7 +1406,8 @@ _WKT1_PROJECTIONS = {
 _EPSG_METHODS = {
     9807: "tmerc", 9804: "merc", 9805: "merc", 1024: "webmerc",
     9801: "lcc1sp", 9802: "lcc", 9822: "aea", 9820: "laea",
-    9810: "stere", 9829: "stere", 9809: "sterea", 9815: "somerc",
+    9810: "stere", 9829: "stere", 9809: "sterea", 9815: "omerc", 9812: "omerc",
+    9819: "krovak",
     9835: "cea", 1028: "eqc", 1029: "eqc",
 }
 
@@ -1410,7 +1424,9 @@ _WKT2_METHODS = {
     "POLARSTEREOGRAPHIC(VARIANTA)": "stere",
     "POLARSTEREOGRAPHIC(VARIANTB)": "stere",
     "OBLIQUESTEREOGRAPHIC": "sterea",
-    "HOTINEOBLIQUEMERCATOR(VARIANTB)": "somerc",
+    "HOTINEOBLIQUEMERCATOR(VARIANTA)": "omerc",
+    "HOTINEOBLIQUEMERCATOR(VARIANTB)": "omerc",
+    "KROVAK": "krovak",
     "LAMBERTCYLINDRICALEQUALAREA": "cea",
     "EQUIDISTANTCYLINDRICAL": "eqc",
     "EQUIDISTANTCYLINDRICAL(SPHERICAL)": "eqc",
@@ -1450,6 +1466,10 @@ _WKT_PARAMS = {
     "AZIMUTHATPROJECTIONCENTRE": "alpha",
     "RECTIFIEDGRIDANGLE": "gamma",
     "ANGLEFROMRECTIFIEDTOSKEWGRID": "gamma",
+    "PSEUDOSTANDARDPARALLEL1": "lat_1",
+    "LATITUDEOFPSEUDOSTANDARDPARALLEL": "lat_1",
+    "COLATITUDEOFCONEAXIS": "alpha",
+    "SCALEFACTORONPSEUDOSTANDARDPARALLEL": "k_0",
 }
 
 _ANGULAR_PARAMS = {"lat_0", "lon_0", "lat_1", "lat_2", "lat_ts", "alpha", "gamma"}
@@ -1613,13 +1633,16 @@ def parse_wkt(s: str) -> tuple[dict | None, int | None, str]:
     if proj_key == "lcc" and "lat_2" not in p and "lat_1" not in p:
         p["proj"] = "lcc1sp"
     if proj_key == "somerc":
-        alpha = p.pop("alpha", 90.0)
+        p.pop("alpha", None)
         p.pop("gamma", None)
-        if abs(alpha - 90.0) > 1e-6:
-            raise NotImplementedError(
-                "Hotine oblique Mercator with azimuth != 90 is not supported (only the "
-                "Swiss-style azimuth-center case)."
-            )
+    if proj_key == "omerc":
+        alpha = p.get("alpha", 90.0)
+        gamma = p.get("gamma", alpha)
+        if abs(alpha - 90.0) < 1e-9 and abs(gamma - 90.0) < 1e-9:
+            # Azimuth-90 special case == Swiss oblique Mercator
+            p["proj"] = "somerc"
+            p.pop("alpha", None)
+            p.pop("gamma", None)
     return p, epsg, name
 
 
@@ -1686,6 +1709,8 @@ _WKT1_PROJ_NAMES = {
     "stere": "Polar_Stereographic",
     "sterea": "Oblique_Stereographic",
     "somerc": "Hotine_Oblique_Mercator_Azimuth_Center",
+    "omerc": "Hotine_Oblique_Mercator_Azimuth_Center",
+    "krovak": "Krovak",
     "cea": "Cylindrical_Equal_Area",
     "eqc": "Equirectangular",
 }
@@ -1732,11 +1757,20 @@ def def_to_wkt1(p: dict, name: str = "", epsg: int | None = None) -> str:
         if "lat_ts" not in p:  # variant A: scale at the pole
             pars.append(("scale_factor", p.get("k_0", 1.0)))
         pars += [("false_easting", p.get("x_0", 0.0)), ("false_northing", p.get("y_0", 0.0))]
-    elif p["proj"] == "somerc":
+    elif p["proj"] in ("somerc", "omerc"):
+        az = p.get("alpha", 90.0) if p["proj"] == "omerc" else 90.0
+        ga = p.get("gamma", az) if p["proj"] == "omerc" else 90.0
         pars = [("latitude_of_center", p.get("lat_0", 0.0)),
                 ("longitude_of_center", p.get("lon_0", 0.0)),
-                ("azimuth", 90.0), ("rectified_grid_angle", 90.0),
+                ("azimuth", az), ("rectified_grid_angle", ga),
                 ("scale_factor", p.get("k_0", 1.0)),
+                ("false_easting", p.get("x_0", 0.0)), ("false_northing", p.get("y_0", 0.0))]
+    elif p["proj"] == "krovak":
+        pars = [("latitude_of_center", p.get("lat_0", 0.0)),
+                ("longitude_of_center", p.get("lon_0", 0.0)),
+                ("azimuth", p.get("alpha", 30.28813972222222)),
+                ("pseudo_standard_parallel_1", p.get("lat_1", 78.5)),
+                ("scale_factor", p.get("k_0", 0.9999)),
                 ("false_easting", p.get("x_0", 0.0)), ("false_northing", p.get("y_0", 0.0))]
     else:
         if "lat_ts" in p:
@@ -1768,3 +1802,188 @@ def _fmt(v: float) -> str:
     if v == int(v) and abs(v) < 1e15:
         return str(int(v))
     return repr(round(v, 13))
+
+# --------------------------------------------------------------------------------------
+# Krovak (EPSG method 9819) — S-JTSK, Czech Republic / Slovakia
+# --------------------------------------------------------------------------------------
+
+
+def _krovak_consts(p: dict) -> dict:
+    ell = _ell_consts(p)
+    a, e, e2 = ell["a"], ell["e"], ell["e2"]
+    phic = math.radians(p["lat_0"])            # latitude of projection centre (49.5)
+    alphac = math.radians(p.get("alpha", 30.28813972222222))  # cone-axis azimuth
+    phip = math.radians(p.get("lat_1", 78.5))  # pseudo standard parallel
+    kp = p.get("k_0", 0.9999)
+    sc = math.sin(phic)
+    A = a * math.sqrt(1 - e2) / (1 - e2 * sc * sc)
+    B = math.sqrt(1 + e2 * math.cos(phic) ** 4 / (1 - e2))
+    gamma0 = math.asin(sc / B)
+    t0 = (
+        math.tan(math.pi / 4 + gamma0 / 2)
+        * ((1 + e * sc) / (1 - e * sc)) ** (e * B / 2)
+        / math.tan(math.pi / 4 + phic / 2) ** B
+    )
+    n = math.sin(phip)
+    r0 = kp * A / math.tan(phip)
+    return {**ell, "A": A, "B": B, "gamma0": gamma0, "t0": t0, "n": n, "r0": r0,
+            "alphac": alphac, "phip": phip}
+
+
+def krovak_forward(lon, lat, p: dict, xp: Any = np):
+    """Krovak forward. Returns the (negative) East/North axes of EPSG:5514:
+    E = -Westing, N = -Southing."""
+    c = _krovak_consts(p)
+    e, B = c["e"], c["B"]
+    phi = xp.deg2rad(lat)
+    u_big = 2 * (
+        xp.arctan(
+            c["t0"] * xp.tan(phi / 2 + xp.pi / 4) ** B
+            / ((1 + e * xp.sin(phi)) / (1 - e * xp.sin(phi))) ** (e * B / 2)
+        )
+        - xp.pi / 4
+    )
+    v_big = B * xp.deg2rad(p["lon_0"] - lon)
+    t_big = xp.arcsin(
+        xp.clip(math.cos(c["alphac"]) * xp.sin(u_big)
+                + math.sin(c["alphac"]) * xp.cos(u_big) * xp.cos(v_big), -1.0, 1.0)
+    )
+    d_big = xp.arcsin(xp.clip(xp.cos(u_big) * xp.sin(v_big) / xp.cos(t_big), -1.0, 1.0))
+    theta = c["n"] * d_big
+    r = c["r0"] * math.tan(math.pi / 4 + c["phip"] / 2) ** c["n"] \
+        / xp.tan(t_big / 2 + xp.pi / 4) ** c["n"]
+    southing = r * xp.cos(theta)
+    westing = r * xp.sin(theta)
+    x = -westing + p.get("x_0", 0.0)
+    y = -southing + p.get("y_0", 0.0)
+    return x, y
+
+
+def krovak_inverse(x, y, p: dict, xp: Any = np):
+    c = _krovak_consts(p)
+    e, B = c["e"], c["B"]
+    westing = -(x - p.get("x_0", 0.0))
+    southing = -(y - p.get("y_0", 0.0))
+    r = xp.sqrt(westing**2 + southing**2)
+    theta = xp.arctan2(westing, southing)
+    d_big = theta / c["n"]
+    t_big = 2 * (
+        xp.arctan((c["r0"] / r) ** (1.0 / c["n"]) * math.tan(math.pi / 4 + c["phip"] / 2))
+        - xp.pi / 4
+    )
+    u_big = xp.arcsin(xp.clip(math.cos(c["alphac"]) * xp.sin(t_big)
+                              - math.sin(c["alphac"]) * xp.cos(t_big) * xp.cos(d_big), -1.0, 1.0))
+    v_big = xp.arcsin(xp.clip(xp.cos(t_big) * xp.sin(d_big) / xp.cos(u_big), -1.0, 1.0))
+    lon = p["lon_0"] - xp.rad2deg(v_big / B)
+    # Iterate geodetic latitude from the conformal-sphere latitude U
+    phi = u_big
+    for _ in range(6):
+        phi = 2 * (
+            xp.arctan(
+                c["t0"] ** (-1.0 / B)
+                * xp.tan(u_big / 2 + xp.pi / 4) ** (1.0 / B)
+                * ((1 + e * xp.sin(phi)) / (1 - e * xp.sin(phi))) ** (e / 2)
+            )
+            - xp.pi / 4
+        )
+    return lon, xp.rad2deg(phi)
+
+
+_FORWARD["krovak"] = krovak_forward
+_INVERSE["krovak"] = krovak_inverse
+_PROJ_ALIASES["krovak"] = "krovak"
+
+_EPSG_DEFS[5514] = dict(
+    proj="krovak", lat_0=49.5, lon_0=24.833333333333332, alpha=30.28813972222222,
+    lat_1=78.5, k_0=0.9999, x_0=0.0, y_0=0.0, ellps="bessel",
+    towgs84=(589.0, 76.0, 480.0), name="S-JTSK / Krovak East North",
+)
+_EPSG_DEFS[2065] = dict(
+    proj="krovak", lat_0=49.5, lon_0=24.833333333333332, alpha=30.28813972222222,
+    lat_1=78.5, k_0=0.9999, x_0=0.0, y_0=0.0, ellps="bessel",
+    towgs84=(589.0, 76.0, 480.0), name="S-JTSK (Ferro) / Krovak",
+)
+
+# --------------------------------------------------------------------------------------
+# Hotine oblique Mercator, variant B / azimuth-center (EPSG method 9815, general azimuth)
+# --------------------------------------------------------------------------------------
+
+
+def _omerc_consts(p: dict) -> dict:
+    ell = _ell_consts(p)
+    a, e, e2 = ell["a"], ell["e"], ell["e2"]
+    phic = math.radians(p["lat_0"])
+    alphac = math.radians(p["alpha"])
+    gammac = math.radians(p.get("gamma", p["alpha"]))
+    kc = p.get("k_0", 1.0)
+    sc = math.sin(phic)
+    B = math.sqrt(1 + e2 * math.cos(phic) ** 4 / (1 - e2))
+    A = a * B * kc * math.sqrt(1 - e2) / (1 - e2 * sc * sc)
+    t0 = math.tan(math.pi / 4 - phic / 2) / ((1 - e * sc) / (1 + e * sc)) ** (e / 2)
+    D = B * math.sqrt(1 - e2) / (math.cos(phic) * math.sqrt(1 - e2 * sc * sc))
+    D2 = max(D * D, 1.0)
+    F = D + math.copysign(math.sqrt(D2 - 1.0), phic)
+    H = F * t0**B
+    G = (F - 1.0 / F) / 2.0
+    gamma0 = math.asin(math.sin(alphac) / D)
+    lam0 = math.radians(p["lon_0"]) - math.asin(G * math.tan(gamma0)) / B
+    uc = (A / B) * math.atan2(math.sqrt(D2 - 1.0), math.cos(alphac)) * math.copysign(1.0, phic)
+    return {**ell, "A": A, "B": B, "H": H, "gamma0": gamma0, "gammac": gammac,
+            "lam0": lam0, "uc": uc}
+
+
+def omerc_forward(lon, lat, p: dict, xp: Any = np):
+    c = _omerc_consts(p)
+    e, A, B, H = c["e"], c["A"], c["B"], c["H"]
+    phi = xp.deg2rad(lat)
+    lam = xp.deg2rad(lon)
+    t = _t_snyder(phi, e, xp)
+    q_big = H / t**B
+    s_big = (q_big - 1.0 / q_big) / 2.0
+    t_big = (q_big + 1.0 / q_big) / 2.0
+    v_big = xp.sin(B * (lam - c["lam0"]))
+    u_big = (-v_big * math.cos(c["gamma0"]) + s_big * math.sin(c["gamma0"])) / t_big
+    v = A * xp.log((1 - u_big) / (1 + u_big)) / (2 * B)
+    u = A * xp.arctan2(s_big * math.cos(c["gamma0"]) + v_big * math.sin(c["gamma0"]),
+                       xp.cos(B * (lam - c["lam0"]))) / B
+    u = u - c["uc"]  # variant B: u measured from the projection centre
+    x = v * math.cos(c["gammac"]) + u * math.sin(c["gammac"]) + p.get("x_0", 0.0)
+    y = u * math.cos(c["gammac"]) - v * math.sin(c["gammac"]) + p.get("y_0", 0.0)
+    return x, y
+
+
+def omerc_inverse(x, y, p: dict, xp: Any = np):
+    c = _omerc_consts(p)
+    e, A, B, H = c["e"], c["A"], c["B"], c["H"]
+    dx = x - p.get("x_0", 0.0)
+    dy = y - p.get("y_0", 0.0)
+    v = dx * math.cos(c["gammac"]) - dy * math.sin(c["gammac"])
+    u = dy * math.cos(c["gammac"]) + dx * math.sin(c["gammac"]) + c["uc"]
+    q_big = xp.exp(-B * v / A)
+    s_big = (q_big - 1.0 / q_big) / 2.0
+    t_big = (q_big + 1.0 / q_big) / 2.0
+    v_big = xp.sin(B * u / A)
+    u_big = (v_big * math.cos(c["gamma0"]) + s_big * math.sin(c["gamma0"])) / t_big
+    t = (H / xp.sqrt((1 + u_big) / (1 - u_big))) ** (1.0 / B)
+    phi = _lat_from_t(t, e, xp)
+    lam = c["lam0"] - xp.arctan2(s_big * math.cos(c["gamma0"]) - v_big * math.sin(c["gamma0"]),
+                                 xp.cos(B * u / A)) / B
+    return xp.rad2deg(lam), xp.rad2deg(phi)
+
+
+_FORWARD["omerc"] = omerc_forward
+_INVERSE["omerc"] = omerc_inverse
+_PROJ_ALIASES["omerc"] = "omerc"
+
+ELLIPSOIDS.setdefault("evrst30", (6377276.345, 1.0 / 300.8017))
+ELLIPSOIDS.setdefault("evrstSS", (6377298.556, 1.0 / 300.8017))  # Everest 1830 (Sabah/Sarawak)
+
+_EPSG_DEFS[29873] = dict(  # Timbalai 1948 / RSO Borneo (m)
+    proj="omerc", lat_0=4.0, lon_0=115.0, alpha=53.31582466111111, gamma=53.13010236111111,
+    k_0=0.99984, x_0=590476.87, y_0=442857.65, ellps="evrstSS",
+    towgs84=(-679.0, 669.0, -48.0), name="Timbalai 1948 / RSO Borneo (m)",
+)
+_EPSG_DEFS[3376] = dict(  # GDM2000 / East Malaysia BRSO
+    proj="omerc", lat_0=4.0, lon_0=115.0, alpha=53.31580995, gamma=53.13010236111111,
+    k_0=0.99984, x_0=0.0, y_0=0.0, ellps="GRS80", name="GDM2000 / East Malaysia BRSO",
+)
