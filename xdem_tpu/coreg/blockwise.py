@@ -246,10 +246,10 @@ class BlockwiseCoreg:
         return out_path
 
 
-@partial(jax.jit, static_argnames=("bs", "n_rows", "n_cols", "K", "max_iterations"))
+@partial(jax.jit, static_argnames=("bs", "n_rows", "n_cols", "K", "max_iterations", "mesh"))
 def _blockwise_nuth_kaab_device(
     ref, tba, inlier, seed, bs: int, n_rows: int, n_cols: int, K: int,
-    res_x, res_y, tolerance, max_iterations: int,
+    res_x, res_y, tolerance, max_iterations: int, mesh=None,
 ):
     """The ENTIRE blockwise fit as one device program: gradients, per-tile seeded
     subsampling (top_k over uniform scores, as the fused single-tile path), and every tile's
@@ -293,7 +293,26 @@ def _blockwise_nuth_kaab_device(
             max_iterations=max_iterations, invert=False,
         )
     )
-    sx, sy, vs, _stat, _it = solve(pts_z, rr, cc, tt, st, asp)
+    args = [pts_z, rr, cc, tt, st, asp]
+    pad = 0
+    if mesh is not None:
+        # SURVEY 2.7 P3: tile solves sharded across the mesh — the vmapped while_loop
+        # partitions on the (padded) tile axis with zero collectives
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from xdem_tpu.parallel.mesh import as_mesh_1d
+
+        m1 = as_mesh_1d(mesh)
+        pad = (-n_tiles) % m1.devices.size
+        if pad:
+            args = [jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1),
+                            constant_values=jnp.nan) for a in args]
+        args = [jax.lax.with_sharding_constraint(
+            a, NamedSharding(m1, PartitionSpec(m1.axis_names[0], *([None] * (a.ndim - 1)))))
+            for a in args]
+    sx, sy, vs, _stat, _it = solve(*args)
+    if pad:
+        sx, sy, vs = sx[:n_tiles], sy[:n_tiles], vs[:n_tiles]
     return jnp.stack([sx, sy, vs, n_valid_t.astype(jnp.float32)])
 
 
@@ -309,13 +328,15 @@ class BlockwiseNuthKaab(BlockwiseCoreg):
 
     def __init__(self, block_size_fit: int = 500, block_size_apply: int = 500,
                  subsample_per_tile: int = 20000, max_iterations: int = 10,
-                 tolerance: float = 0.001, random_state: int | None = None):
+                 tolerance: float = 0.001, random_state: int | None = None,
+                 mesh=None):
         from xdem_tpu.coreg.affine import NuthKaab
 
         super().__init__(NuthKaab(max_iterations=max_iterations, offset_threshold=tolerance),
                          block_size_fit=block_size_fit, block_size_apply=block_size_apply)
         self.subsample_per_tile = subsample_per_tile
         self.random_state = random_state
+        self.mesh = mesh  # jax.sharding.Mesh: shard tile solves across devices
 
     def fit(self, reference_elev: Raster, to_be_aligned_elev: Raster,
             inlier_mask: np.ndarray | None = None) -> "BlockwiseNuthKaab":
@@ -351,6 +372,7 @@ class BlockwiseNuthKaab(BlockwiseCoreg):
             jnp.asarray(ref.data, jnp.float32), jnp.asarray(tba.data, jnp.float32), inlier,
             np.uint32(seed), bs, n_rows, n_cols, min(K, bs * bs),
             res_x, res_y, it_cfg["tolerance"], max_iterations=int(it_cfg["max_iterations"]),
+            mesh=self.mesh,
         ), dtype=np.float64)
         sx, sy, vs, n_valid_t = out
         # NuthKaab sampling offsets -> apply translations (sign flip), like the single-tile class
