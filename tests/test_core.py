@@ -1027,3 +1027,132 @@ class TestKrovakAndOmerc:
                 "+alpha=30.28813972222222 +k=0.9999 +x_0=0 +y_0=0 +ellps=bessel "
                 "+towgs84=589,76,480")
         assert c == CRS(5514)
+
+
+class TestReviewRegressions:
+    """Regressions from the round-3 code review of the CRS/geoid/volume work."""
+
+    def test_wkt2_primem_with_own_angleunit(self):
+        # A PRIMEM stated in grads must use ITS unit, not the CRS-level degree unit
+        from xdem_tpu import projections as P
+
+        wkt = ('PROJCS["NTF Paris Lambert II",GEOGCS["NTF (Paris)",DATUM["NTF",'
+               'SPHEROID["Clarke 1880 (IGN)",6378249.2,293.4660212936269],'
+               'TOWGS84[-168,-60,320,0,0,0,0]],'
+               'PRIMEM["Paris",2.5969213,ANGLEUNIT["grad",0.0157079632679489]],'
+               'UNIT["degree",0.0174532925199433]],'
+               'PROJECTION["Lambert_Conformal_Conic_1SP"],'
+               'PARAMETER["latitude_of_origin",46.8],PARAMETER["central_meridian",0],'
+               'PARAMETER["scale_factor",0.99987742],PARAMETER["false_easting",600000],'
+               'PARAMETER["false_northing",2200000],UNIT["metre",1]]')
+        crs = CRS(wkt)
+        # Same grid as EPSG:27572: origin point must agree to mm
+        x1, y1 = transform_points(crs, 4326, np.array([600000.0]), np.array([2200000.0]))
+        x2, y2 = transform_points(27572, 4326, np.array([600000.0]), np.array([2200000.0]))
+        assert x1[0] == pytest.approx(x2[0], abs=1e-7)
+        assert y1[0] == pytest.approx(y2[0], abs=1e-7)
+
+    def test_oblique_stere_raises(self):
+        with pytest.raises(NotImplementedError, match="sterea"):
+            CRS("+proj=stere +lat_0=52.156 +lon_0=5.388 +k=0.9999079 +x_0=155000 "
+                "+y_0=463000 +ellps=bessel")
+
+    def test_identification_only_wkt_roundtrip(self):
+        # Carried-only EPSG: to_wkt -> CRS must round-trip, not raise
+        crs = CRS(9999)
+        assert not crs.is_transformable
+        back = CRS(crs.to_wkt())
+        assert back.epsg == 9999 and back == crs
+
+    def test_large_epsg_code_io_roundtrip(self, tmp_path):
+        # EPSG codes beyond the SHORT geokey range persist via citation WKT, and a
+        # carried-only one must come back as itself, not EPSG:4326
+        from xdem_tpu.io import read_raster
+        from xdem_tpu.raster import Raster
+
+        crs = CRS(900913)
+        p = str(tmp_path / "big.tif")
+        Raster(np.ones((3, 3), np.float32), Affine.from_origin(0, 30, 10, 10), crs).save(p)
+        assert read_raster(p).crs.epsg == 900913
+
+    def test_dict_utm_shorthand(self):
+        crs = CRS({"proj": "utm", "zone": 33, "ellps": "WGS84"})
+        assert crs == CRS(32633)
+        crs_s = CRS({"proj": "utm", "zone": 33, "south": True, "ellps": "WGS84"})
+        assert crs_s == CRS(32733)
+
+    def test_nzmg_is_carried_only(self):
+        # EPSG:27200 (NZMG, a complex-polynomial projection) must raise, not approximate
+        crs = CRS(27200)
+        assert not crs.is_transformable
+        with pytest.raises(NotImplementedError):
+            transform_points(crs, 4326, np.array([2.5e6]), np.array([6.0e6]))
+
+    def test_geokeys_ascending_order(self, tmp_path):
+        # GeoTIFF requires ascending GeoKey IDs, incl. when the citation key is present
+        import struct
+
+        from xdem_tpu.raster import Raster
+
+        crs = CRS("+proj=tmerc +lat_0=0 +lon_0=27 +k=0.9996 +x_0=500000 +y_0=0 +ellps=GRS80")
+        for name, make in (
+            ("codec", lambda q: Raster(np.ones((3, 4), np.float32),
+                                       Affine.from_origin(0, 30, 10, 10), crs).save(q)),
+        ):
+            q = str(tmp_path / f"{name}.tif")
+            make(q)
+            data = open(q, "rb").read()
+            # Locate the GeoKeyDirectory payload: header (1,1,0,N) then 4-SHORT entries
+            idx = data.find(struct.pack("<4H", 1, 1, 0, 4))
+            assert idx > 0
+            n = 4
+            keys = [struct.unpack_from("<H", data, idx + 8 * (1 + k))[0] for k in range(n)]
+            assert keys == sorted(keys), keys
+
+    def test_regional_signal_negative_ids_densified(self):
+        import jax.numpy as jnp
+
+        from xdem_tpu import volume
+
+        rng = np.random.default_rng(3)
+        shape = (120, 140)
+        ref = rng.uniform(100, 900, shape)
+        dh = rng.normal(-1, 0.5, shape)
+        gid = np.zeros(shape, int)
+        gid[10:60, 10:60] = -1     # negative id: a real glacier for the host path
+        gid[70:110, 70:130] = 2
+        host = volume.get_regional_hypsometric_signal(dh, ref, gid)
+        dev = volume.get_regional_hypsometric_signal(
+            jnp.asarray(dh, jnp.float32), jnp.asarray(ref, jnp.float32), gid)
+        np.testing.assert_array_equal(host["count"].values, dev["count"].values)
+        np.testing.assert_allclose(dev["median"].values, host["median"].values,
+                                   atol=1e-5, equal_nan=True)
+
+    def test_hetero_mesh_never_silently_ignored(self):
+        import jax
+        from jax.sharding import Mesh
+
+        from xdem_tpu import examples
+        from xdem_tpu.spatialstats import infer_heteroscedasticity_from_stable
+
+        ref = examples.get_ref_dem_test()
+        mesh = Mesh(np.array(jax.devices()[:2]), ("runs",))
+        with pytest.raises(ValueError, match="device path"):
+            infer_heteroscedasticity_from_stable(
+                dvalues=ref, list_var=[np.ones(ref.shape)],  # numpy var -> host path
+                subsample=100, mesh=mesh,
+            )
+
+    def test_reproject_to_geographic_default_resolution(self):
+        # Cross-CRS reproject without res= preserves the pixel count (rasterio
+        # calculate_default_transform semantics); carrying 20 m into degrees used to
+        # collapse the output to a 1x1 NaN grid
+        from xdem_tpu.raster import Raster
+
+        r = Raster(np.full((30, 30), 7.0, np.float32),
+                   Affine.from_origin(500000, 8.8e6, 20, 20), 32633)
+        out = r.reproject(crs=4326)
+        a = np.asarray(out.data)
+        assert out.shape == (30, 30)
+        assert np.isfinite(a).mean() > 0.8
+        assert np.nanmean(a) == pytest.approx(7.0)

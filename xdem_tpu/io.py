@@ -234,16 +234,20 @@ class StreamingRasterWriter:
         tiepoint = (0.0, 0.0, 0.0, t[2], t[5], 0.0)
         nodata_str = (repr(self.nodata) + "\x00").encode()
         ascii_params = citation + b"|" if citation else b""
+        # GeoKey IDs must be ascending: 1024, 1025, [1026 citation], 2048/3072
         geokeys = _struct.pack(
-            "<16H",
+            "<12H",
             1, 1, 0, 3 + (1 if citation else 0),
             1024, 0, 1, (2 if geographic else 1),
             1025, 0, 1, 1,
-            (2048 if geographic else 3072), 0, 1, (epsg if epsg else (32767 if citation else 0)),
         )
         if citation:
             geokeys += _struct.pack("<4H", 1026, 34737, len(ascii_params), 0)
             ascii_params += b"\x00"
+        geokeys += _struct.pack(
+            "<4H", (2048 if geographic else 3072), 0, 1,
+            (epsg if epsg else (32767 if citation else 0)),
+        )
 
         big = self.bigtiff
         off_type = 16 if big else 4  # strip offsets/counts: LONG8 in BigTIFF

@@ -704,22 +704,23 @@ int gt_write(const char* path, const float* data, uint32_t height, uint32_t widt
         ? (epsg == 4326 || epsg == 4269 || epsg == 4258 || epsg == 4267)
         : (cit.rfind("GEOGCS", 0) == 0 || cit.rfind("GEOGCRS", 0) == 0);
     std::string ascii_params;
+    // GeoKey IDs must be ascending (GeoTIFF requirement): 1024, 1025, [1026], 2048/3072
     std::vector<uint16_t> geokeys = {
         1, 1, 0, 3,
         1024, 0, 1, (uint16_t)(geographic ? 2 : 1),
         1025, 0, 1, 1,
-        (uint16_t)(geographic ? 2048 : 3072), 0, 1,
-        (uint16_t)(epsg ? epsg : 32767),
     };
     if (!cit.empty()) {
         if (cit.size() > 65000) cit.resize(65000);  // geokey count is a SHORT
         ascii_params = cit + "|";
-        uint16_t n0 = geokeys[3];
-        geokeys[3] = (uint16_t)(n0 + 1);
+        geokeys[3] = 4;
         uint16_t entry[4] = {1026, 34737, (uint16_t)ascii_params.size(), 0};
         geokeys.insert(geokeys.end(), entry, entry + 4);
         ascii_params.push_back('\0');
     }
+    uint16_t cs_entry[4] = {(uint16_t)(geographic ? 2048 : 3072), 0, 1,
+                            (uint16_t)(epsg ? epsg : 32767)};
+    geokeys.insert(geokeys.end(), cs_entry, cs_entry + 4);
 
     std::vector<double> pixscale = {transform[0], -transform[4], 0.0};
     std::vector<double> tiepoint = {0, 0, 0, transform[2], transform[5], 0};

@@ -949,8 +949,9 @@ _EPSG_DEFS: dict[int, dict] = {
                x_0=0.0, y_0=0.0, ellps="GRS80", name="GDA94 / Australian Albers"),
     2193: dict(proj="tmerc", lat_0=0.0, lon_0=173.0, k_0=0.9996,
                x_0=1600000.0, y_0=10000000.0, ellps="GRS80", name="NZGD2000 / New Zealand Transverse Mercator"),
-    27200: dict(proj="tmerc", lat_0=-41.0, lon_0=173.0, k_0=0.9996,
-                x_0=2510000.0, y_0=6023150.0, ellps="intl", datum="NZGD49", name="NZGD49 / New Zealand Map Grid (TM approx)"),
+    # EPSG:27200 (NZGD49 / New Zealand Map Grid) deliberately absent: NZMG is a 6th-order
+    # complex-polynomial projection a TM substitute would silently mis-place by km —
+    # carried-only (raises on transform) is the honest behavior; modern NZ data uses 2193.
     3097: dict(proj="tmerc", lat_0=0.0, lon_0=123.0, k_0=0.9996, x_0=500000.0, y_0=0.0,
                ellps="GRS80", name="JGD2000 / UTM zone 51N"),
     3098: dict(proj="tmerc", lat_0=0.0, lon_0=129.0, k_0=0.9996, x_0=500000.0, y_0=0.0,
@@ -1063,6 +1064,15 @@ def normalize_def(d: dict) -> dict:
             f"Projection '{p.get('proj')}' is not supported (supported: "
             f"{', '.join(SUPPORTED_PROJECTIONS)})."
         )
+    if p.get("proj") == "utm" and "zone" in p:
+        # Dict front-end UTM shorthand (parse_projstring expands this for strings)
+        zone = int(p.pop("zone"))
+        south = bool(p.pop("south", False))
+        p.setdefault("lat_0", 0.0)
+        p.setdefault("lon_0", -183.0 + 6.0 * zone)
+        p.setdefault("k_0", 0.9996)
+        p.setdefault("x_0", 500000.0)
+        p.setdefault("y_0", 10000000.0 if south else 0.0)
     p["proj"] = proj
     # Ellipsoid -> numeric
     if "a" not in p:
@@ -1114,6 +1124,14 @@ def normalize_def(d: dict) -> dict:
         raise ValueError("Albers (aea) requires lat_1 (and usually lat_2).")
     if p["proj"] == "omerc" and "alpha" not in p:
         raise ValueError("Hotine oblique Mercator (omerc) requires alpha (azimuth).")
+    if p["proj"] == "stere" and abs(abs(p.get("lat_0", 90.0)) - 90.0) > 1e-9:
+        # PROJ's stere with a non-polar lat_0 is the OBLIQUE stereographic — a different
+        # projection than the polar kernel here; silently projecting would be garbage
+        raise NotImplementedError(
+            f"Oblique stereographic ('stere' with lat_0={p.get('lat_0')}) is not supported; "
+            f"use 'sterea' (double stereographic, EPSG method 9809) for oblique cases, or "
+            f"lat_0=+-90 for polar."
+        )
     if p["proj"] == "krovak":
         p.setdefault("alpha", 30.28813972222222)
         p.setdefault("lat_1", 78.5)
@@ -1554,7 +1572,9 @@ def parse_wkt(s: str) -> tuple[dict | None, int | None, str]:
     if method is None and conv is not None:
         method = conv.child("PROJECTION", "METHOD")
     if method is None:
-        raise ValueError("WKT PROJCS without PROJECTION/METHOD.")
+        # Identification-only PROJCS (e.g. our own minimal carried-code WKT): return the
+        # EPSG/name so the caller can round-trip it; no parameters to build a def from
+        return None, epsg, name
     mcode = _epsg_id_of(method)
     mname = (method.strings() or [""])[0]
     if mcode in _EPSG_METHODS:
@@ -1676,7 +1696,12 @@ def _parse_wkt_geog(node: _WktNode) -> dict:
     if primem is not None:
         nums = primem.numbers()
         if nums and nums[0] != 0.0:
-            p["pm"] = nums[0] * unit_deg
+            # WKT2 PRIMEM may carry its own ANGLEUNIT (e.g. Paris in grads); the GEOGCS
+            # unit applies only when no per-node unit is given
+            pm_unit = primem.child("ANGLEUNIT", "UNIT")
+            pm_deg = (_unit_factor(pm_unit, unit_rad) * 180.0 / math.pi
+                      if pm_unit is not None else unit_deg)
+            p["pm"] = nums[0] * pm_deg
     p["proj"] = "longlat"
     return p
 

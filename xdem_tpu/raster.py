@@ -389,19 +389,29 @@ class Raster:
             dst_crs, dst_transform, dst_shape = ref.crs, ref.transform, ref.shape
         else:
             dst_crs = CRS(crs) if crs is not None else self.crs
-            if res is None:
-                res = self.res
-            if not isinstance(res, (tuple, list)):
-                res = (float(res), float(res))
+            dst_bounds = None
             if bounds is None:
                 if dst_crs == self.crs:
-                    bounds = tuple(self.bounds)
+                    dst_bounds = tuple(self.bounds)
                 else:
                     b = self.bounds
                     xs = np.array([b.left, b.right, b.left, b.right])
                     ys = np.array([b.bottom, b.bottom, b.top, b.top])
                     tx, ty = transform_points(self.crs, dst_crs, xs, ys)
-                    bounds = (float(tx.min()), float(ty.min()), float(tx.max()), float(ty.max()))
+                    dst_bounds = (float(tx.min()), float(ty.min()), float(tx.max()), float(ty.max()))
+                bounds = dst_bounds
+            if res is None:
+                if dst_crs == self.crs:
+                    res = self.res
+                else:
+                    # Cross-CRS default: preserve the pixel COUNT over the reprojected
+                    # bounds (rasterio calculate_default_transform semantics) — carrying
+                    # metric resolution into degrees would collapse the grid
+                    left, bottom, right, top = bounds
+                    res = (max(right - left, 1e-12) / self.shape[1],
+                           max(top - bottom, 1e-12) / self.shape[0])
+            if not isinstance(res, (tuple, list)):
+                res = (float(res), float(res))
             left, bottom, right, top = bounds
             w = max(int(round((right - left) / res[0])), 1)
             h = max(int(round((top - bottom) / res[1])), 1)

@@ -521,9 +521,8 @@ def infer_heteroscedasticity_from_stable(
     mesh devices (the binned tables stay replicated — they are ~1e2 rows). Requires the
     device path: Raster/jax inputs with an absolute `subsample`.
     """
-    if mesh is not None and (subsample is None or not hasattr(dvalues, "data")):
-        raise ValueError("mesh= requires the device path: a Raster `dvalues` input and an "
-                         "absolute `subsample` count.")
+    # (the full device-path condition is re-checked below once inputs are inspected;
+    #  mesh= must never be silently ignored)
     if list_var_names is None:
         list_var_names = [f"var{i+1}" for i in range(len(list_var))]
 
@@ -536,6 +535,11 @@ def infer_heteroscedasticity_from_stable(
         and isinstance(dvalues, Raster)
         and all(isinstance(v, (Raster, jax.Array)) for v in list_var)
     )
+    if mesh is not None and not device_ok:
+        raise ValueError(
+            "mesh= requires the device path: a Raster `dvalues`, Raster/jax-array "
+            "`list_var` entries, and an absolute `subsample` count."
+        )
     if device_ok:
         _mask_np = lambda m: _coerce_mask(m, dvalues)  # noqa: E731
 

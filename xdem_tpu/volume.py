@@ -437,39 +437,54 @@ def _binned_count_median_device(vals, ids, n_bins: int):
     return counts, med
 
 
+_HYPSO_RUN = None  # cached module-level jit: per-call closures would re-trace every call
+
+
 def _hypso_bin_device(ddem_flat, ref_flat, zbins: np.ndarray):
     """Device hypsometric binning: returns (values, counts) as numpy arrays."""
+    global _HYPSO_RUN
     import jax
     import jax.numpy as jnp
 
     n_bins = len(zbins) - 1
 
-    @jax.jit
-    def run(dh, z, edges):
-        # np.digitize(right=False) == searchsorted(side='right'); out-of-range and NaN-dh
-        # pixels park in the invalid bin n_bins
-        idx = jnp.searchsorted(edges, z, side="right") - 1
-        ok = jnp.isfinite(dh) & jnp.isfinite(z) & (idx >= 0) & (idx < n_bins)
-        ids = jnp.where(ok, idx, n_bins).astype(jnp.int32)
-        return _binned_count_median_device(dh, ids, n_bins)
+    if _HYPSO_RUN is None:
+        from functools import partial
 
-    counts, med = run(jnp.asarray(ddem_flat, jnp.float32), jnp.asarray(ref_flat, jnp.float32),
-                      jnp.asarray(zbins, jnp.float32))
+        @partial(jax.jit, static_argnames=("n_bins",))
+        def run(dh, z, edges, n_bins):
+            # np.digitize(right=False) == searchsorted(side='right'); out-of-range and
+            # NaN-dh pixels park in the invalid bin n_bins
+            idx = jnp.searchsorted(edges, z, side="right") - 1
+            ok = jnp.isfinite(dh) & jnp.isfinite(z) & (idx >= 0) & (idx < n_bins)
+            ids = jnp.where(ok, idx, n_bins).astype(jnp.int32)
+            return _binned_count_median_device(dh, ids, n_bins)
+
+        _HYPSO_RUN = run
+
+    counts, med = _HYPSO_RUN(jnp.asarray(ddem_flat, jnp.float32),
+                             jnp.asarray(ref_flat, jnp.float32),
+                             jnp.asarray(zbins, jnp.float32), n_bins=n_bins)
     values = np.asarray(med, np.float64)
     counts_np = np.asarray(counts, np.int64)
     values[counts_np == 0] = np.nan
     return values, counts_np
 
 
+_REGIONAL_RUN = None  # cached module-level jit (see _HYPSO_RUN)
+
+
 def _regional_signal_device(ddem, ref, gid_map, n_bins: int, min_coverage: float) -> pd.DataFrame:
     """One-pass device regional hypsometric signal (per-glacier segment reductions)."""
+    global _REGIONAL_RUN
     import jax
     import jax.numpy as jnp
 
     gids = np.asarray(gid_map).ravel()
     gmax = int(gids.max(initial=0))
-    if gmax > 4_000_000 or gmax < 0:
-        # Sparse/huge ids: densify on host first (rare; RGI-style 64-bit ids)
+    if gmax > 4_000_000 or gids.min(initial=0) < 0:
+        # Sparse/huge/negative ids: densify on host first (jax scatter would WRAP negative
+        # indices into glacier K-1's statistics; the host path treats them as ordinary ids)
         uniq, gids = np.unique(gids, return_inverse=True)
         gmax = len(uniq) - 1
         zero_id = int(np.searchsorted(uniq, 0)) if 0 in uniq else -1
@@ -477,37 +492,43 @@ def _regional_signal_device(ddem, ref, gid_map, n_bins: int, min_coverage: float
         zero_id = 0
     K = gmax + 1
 
-    @jax.jit
-    def run(dh, z, g):
-        valid_ref = jnp.isfinite(z)
-        valid_dh = valid_ref & jnp.isfinite(dh)
-        gi = jnp.where(valid_ref, g, K).astype(jnp.int32)
-        cnt_ref = jnp.zeros(K + 1, jnp.int32).at[gi].add(1)[:K]
-        cnt_dh = jnp.zeros(K + 1, jnp.int32).at[jnp.where(valid_dh, g, K).astype(jnp.int32)].add(1)[:K]
-        zmin = jnp.full(K + 1, jnp.inf).at[gi].min(jnp.where(valid_ref, z, jnp.inf))[:K]
-        zmax = jnp.full(K + 1, -jnp.inf).at[gi].max(jnp.where(valid_ref, z, -jnp.inf))[:K]
-        scale = jnp.zeros(K + 1).at[jnp.where(valid_dh, g, K).astype(jnp.int32)].max(
-            jnp.where(valid_dh, jnp.abs(dh), 0.0))[:K]
-        ok_g = (cnt_ref >= 10) & (cnt_dh >= min_coverage * cnt_ref) & (zmax > zmin) \
-            & jnp.isfinite(scale) & (scale > 0)
-        if zero_id >= 0:
-            ok_g = ok_g.at[zero_id].set(False)
-        gc = jnp.clip(g, 0, K - 1)
-        norm_z = 1.0 - (z - zmin[gc]) / jnp.maximum(zmax[gc] - zmin[gc], 1e-30)
-        norm_dh = dh / jnp.maximum(scale[gc], 1e-30)
-        px_ok = valid_dh & ok_g[gc]
-        edges = jnp.linspace(0.0, 1.0, n_bins + 1)
-        idx = jnp.clip(jnp.searchsorted(edges, norm_z, side="right") - 1, 0, n_bins - 1)
-        ids = jnp.where(px_ok, idx, n_bins).astype(jnp.int32)
-        counts, med = _binned_count_median_device(norm_dh.astype(jnp.float32), ids, n_bins)
-        s1 = jnp.zeros(n_bins + 1).at[ids].add(jnp.where(px_ok, norm_dh, 0.0))[:n_bins]
-        s2 = jnp.zeros(n_bins + 1).at[ids].add(jnp.where(px_ok, norm_dh**2, 0.0))[:n_bins]
-        any_ok = jnp.any(px_ok)
-        return counts, med, s1, s2, any_ok
+    if _REGIONAL_RUN is None:
+        from functools import partial
 
-    counts, med, s1, s2, any_ok = run(
+        @partial(jax.jit, static_argnames=("K", "n_bins", "zero_id"))
+        def _run(dh, z, g, min_cov, K, n_bins, zero_id):
+            valid_ref = jnp.isfinite(z)
+            valid_dh = valid_ref & jnp.isfinite(dh)
+            gi = jnp.where(valid_ref, g, K).astype(jnp.int32)
+            cnt_ref = jnp.zeros(K + 1, jnp.int32).at[gi].add(1)[:K]
+            cnt_dh = jnp.zeros(K + 1, jnp.int32).at[jnp.where(valid_dh, g, K).astype(jnp.int32)].add(1)[:K]
+            zmin = jnp.full(K + 1, jnp.inf).at[gi].min(jnp.where(valid_ref, z, jnp.inf))[:K]
+            zmax = jnp.full(K + 1, -jnp.inf).at[gi].max(jnp.where(valid_ref, z, -jnp.inf))[:K]
+            scale = jnp.zeros(K + 1).at[jnp.where(valid_dh, g, K).astype(jnp.int32)].max(
+                jnp.where(valid_dh, jnp.abs(dh), 0.0))[:K]
+            ok_g = (cnt_ref >= 10) & (cnt_dh >= min_cov * cnt_ref) & (zmax > zmin) \
+                & jnp.isfinite(scale) & (scale > 0)
+            if zero_id >= 0:
+                ok_g = ok_g.at[zero_id].set(False)
+            gc = jnp.clip(g, 0, K - 1)
+            norm_z = 1.0 - (z - zmin[gc]) / jnp.maximum(zmax[gc] - zmin[gc], 1e-30)
+            norm_dh = dh / jnp.maximum(scale[gc], 1e-30)
+            px_ok = valid_dh & ok_g[gc]
+            edges = jnp.linspace(0.0, 1.0, n_bins + 1)
+            idx = jnp.clip(jnp.searchsorted(edges, norm_z, side="right") - 1, 0, n_bins - 1)
+            ids = jnp.where(px_ok, idx, n_bins).astype(jnp.int32)
+            counts, med = _binned_count_median_device(norm_dh.astype(jnp.float32), ids, n_bins)
+            s1 = jnp.zeros(n_bins + 1).at[ids].add(jnp.where(px_ok, norm_dh, 0.0))[:n_bins]
+            s2 = jnp.zeros(n_bins + 1).at[ids].add(jnp.where(px_ok, norm_dh**2, 0.0))[:n_bins]
+            any_ok = jnp.any(px_ok)
+            return counts, med, s1, s2, any_ok
+
+        _REGIONAL_RUN = _run
+
+    counts, med, s1, s2, any_ok = _REGIONAL_RUN(
         jnp.asarray(np.ravel(ddem), jnp.float32), jnp.asarray(np.ravel(ref), jnp.float32),
-        jnp.asarray(gids, jnp.int32))
+        jnp.asarray(gids, jnp.int32), jnp.float32(min_coverage),
+        K=K, n_bins=n_bins, zero_id=zero_id)
     if not bool(any_ok):
         raise ValueError("No valid glaciers for regional hypsometric signal.")
     counts = np.asarray(counts, np.int64)
