@@ -342,3 +342,14 @@ class TestGeoidStationTruth:
         out = dem.to_vcrs("Ellipsoid")
         shift = float(np.mean(np.asarray(out.data))) - 200.0
         assert shift == pytest.approx(32.0, rel=0.1)
+
+    def test_held_out_generalization(self):
+        # Stations NOT in the fit table: the field must generalize within the documented
+        # land envelope (~5-10 m typical)
+        from xdem_tpu.geoid import undulation, _STATIONS
+
+        fit_pts = {(s[0], s[1]) for s in _STATIONS}
+        held_out = [(12.5, 41.9, 48.0), (-123.1, 49.3, -20.0), (-157.8, 21.3, 15.0)]
+        for lon, lat, want in held_out:
+            assert (lon, lat) not in fit_pts
+            assert float(undulation(lon, lat)) == pytest.approx(want, abs=8.0)

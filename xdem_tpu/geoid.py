@@ -202,6 +202,10 @@ _STATIONS: tuple[tuple[float, float, float, float], ...] = (
     (10.7, 59.9, 39.0, 5.0),     # Oslo
     (69.2, 34.5, -35.0, 8.0),    # Kabul
     (31.0, -17.8, 10.0, 9.0),    # Harare / southern Africa
+    (-105.0, 39.7, -16.0, 5.0),  # Denver (the geoid rises sharply from StL -33 to the Rockies)
+    (100.5, 13.7, -31.0, 6.0),   # Bangkok (SE Asia low)
+    (90.0, 10.0, -60.0, 8.0),    # Bay of Bengal low center
+    (29.0, 41.0, 37.0, 5.0),     # Istanbul
 )
 
 _N_MAX_AUG = 12
