@@ -1156,3 +1156,68 @@ class TestReviewRegressions:
         assert out.shape == (30, 30)
         assert np.isfinite(a).mean() > 0.8
         assert np.nanmean(a) == pytest.approx(7.0)
+
+
+class TestEpsgTableSweep:
+    """Every explicit EPSG table entry: projection roundtrip near its origin + WKT
+    writer/parser identity. Catches transcription errors in any entry wholesale."""
+
+    @staticmethod
+    def _codes():
+        from xdem_tpu import projections as P
+
+        return sorted(P._EPSG_DEFS)
+
+    def test_roundtrip_near_origin_all_codes(self):
+        from xdem_tpu import projections as P
+
+        bad = []
+        for code in self._codes():
+            p = P.normalize_def(P.epsg_def(code))
+            if p["proj"] == "longlat":
+                continue
+            lat0 = p.get("lat_0", 0.0)
+            if abs(lat0) >= 89.0:  # polar: probe at the lat_ts ring (or 80 deg)
+                lat0 = p.get("lat_ts", math_copysign_80(lat0))
+            lat = np.clip(np.array([lat0 - 1.5, lat0, lat0 + 1.5]), -85.0, 85.0)
+            lon0 = p.get("lon_0", 0.0)
+            lon = np.array([lon0 - 2.0, lon0 + 0.3, lon0 + 2.0])
+            x, y = P.projdef_forward_raw(p, lon, lat)
+            if not (np.isfinite(x).all() and np.isfinite(y).all()):
+                bad.append((code, "nonfinite forward"))
+                continue
+            lon2, lat2 = P.projdef_inverse_raw(p, x, y)
+            err = max(np.abs(np.mod(lon2 - lon + 180, 360) - 180).max(), np.abs(lat2 - lat).max())
+            if err > 1e-7:
+                bad.append((code, f"roundtrip err {err:.2e}"))
+        assert not bad, bad
+
+    def test_wkt_identity_all_codes(self):
+        from xdem_tpu import projections as P
+
+        bad = []
+        for code in self._codes():
+            d = P.normalize_def(P.epsg_def(code))
+            w = P.def_to_wkt1(d, name=f"c{code}", epsg=code)
+            p2, epsg2, _ = P.parse_wkt(w)
+            if epsg2 != code or p2 is None:
+                bad.append((code, "identification lost"))
+                continue
+            if P.canonical_key(P.normalize_def(p2)) != P.canonical_key(d):
+                bad.append((code, "definition changed through WKT"))
+        assert not bad, bad
+
+    def test_range_families_spot(self):
+        # One representative per generated range family
+        for code in (32601, 32760, 26905, 26710, 25830, 28355, 23035, 32212, 32330):
+            from xdem_tpu import projections as P
+
+            p = P.normalize_def(P.epsg_def(code))
+            lon0 = p["lon_0"]
+            lat = np.array([-40.0 if p["y_0"] else 40.0])
+            x, y = P.projdef_forward_raw(p, np.array([lon0]), lat)
+            assert x[0] == pytest.approx(500000.0, abs=1e-6)
+
+
+def math_copysign_80(v):
+    return 80.0 if v >= 0 else -80.0

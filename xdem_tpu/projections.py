@@ -1726,7 +1726,7 @@ def _ellps_wkt_name(a: float, f: float) -> str:
 _WKT1_PROJ_NAMES = {
     "tmerc": "Transverse_Mercator",
     "merc": "Mercator_1SP",          # switched to 2SP below when lat_ts present
-    "webmerc": "Mercator_1SP",
+    "webmerc": "Popular_Visualisation_Pseudo_Mercator",
     "lcc": "Lambert_Conformal_Conic_2SP",
     "lcc1sp": "Lambert_Conformal_Conic_1SP",
     "aea": "Albers_Conic_Equal_Area",
@@ -1764,8 +1764,9 @@ def def_to_wkt1(p: dict, name: str = "", epsg: int | None = None) -> str:
     proj_name = _WKT1_PROJ_NAMES[p["proj"]]
     pars: list[tuple[str, float]] = []
     if p["proj"] == "webmerc":
-        proj_name = "Mercator_1SP"
-        pars = [("central_meridian", p.get("lon_0", 0.0)), ("scale_factor", 1.0),
+        # NOT Mercator_1SP: the spherical pseudo-Mercator differs from ellipsoidal
+        # Mercator by up to ~20 km in northing; use the EPSG method name
+        pars = [("central_meridian", p.get("lon_0", 0.0)),
                 ("false_easting", p.get("x_0", 0.0)), ("false_northing", p.get("y_0", 0.0))]
     elif p["proj"] == "merc":
         if "lat_ts" in p:
