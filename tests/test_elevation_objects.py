@@ -108,12 +108,16 @@ class TestDEMObject:
         assert "EGM08" in dem.ccrs
 
     def test_coregister_3d_default(self):
+        # Reference semantics (dem.py:622): SELF is aligned to the passed reference
         ref = examples.get_ref_dem().icrop((100, 400), (200, 500))
         tba = ref.translate(-6.0, 4.0, 1.0).reproject(ref)
         tba = DEM(tba.data, ref.transform, ref.crs)
-        aligned = ref.coregister_3d(tba, random_state=42)
+        aligned = tba.coregister_3d(ref, random_state=42)
         dh = np.asarray((ref - aligned).data)
         assert np.nanvar(dh) < 0.05
+        assert abs(np.nanmedian(dh)) < 0.1  # vertical shift removed
+        # tba itself is untouched (a copy is aligned): its 1 m vertical offset remains
+        assert abs(np.nanmedian(np.asarray((ref - tba).data))) > 0.5
 
     def test_single_band_enforced(self):
         with pytest.raises(ValueError, match="2-D"):

@@ -651,3 +651,80 @@ class TestCitationWkt:
         Raster(np.ones((3, 3), np.float32), Affine.from_origin(0, 30, 10, 10), 2154).save(p)
         back = read_raster(p)
         assert back.crs.epsg == 2154 and back.crs == CRS(2154)
+
+
+class TestSubstrateReviewRegressions:
+    """Round-3 substrate review: masked arrays, pixel interpretation, vector CRS, escaping."""
+
+    def test_from_array_masked_array_nan_fill(self):
+        from xdem_tpu.georef import Affine
+        from xdem_tpu.raster import Raster
+
+        base = np.full((4, 5), 100.0)
+        base[1, 2] = -9999.0
+        marr = np.ma.masked_array(base, mask=(base == -9999.0))
+        r = Raster.from_array(marr, Affine.from_origin(0, 40, 10, 10), 32633)
+        arr = np.asarray(r.data)
+        assert np.isnan(arr[1, 2])  # masked pixel became NaN, not -9999
+        assert np.nanmean(arr) == pytest.approx(100.0)
+
+    def test_from_array_list_nodata(self):
+        from xdem_tpu.georef import Affine
+        from xdem_tpu.raster import Raster
+
+        r = Raster.from_array([[1.0, -9.0], [3.0, 4.0]],
+                              Affine.from_origin(0, 20, 10, 10), 32633, nodata=-9.0)
+        assert np.isnan(np.asarray(r.data)[0, 1])
+
+    def test_area_or_point_roundtrip(self, tmp_path):
+        from xdem_tpu.georef import Affine
+        from xdem_tpu.io import read_raster
+        from xdem_tpu.raster import Raster
+
+        p = str(tmp_path / "pt.tif")
+        Raster(np.ones((3, 4), np.float32), Affine.from_origin(0, 30, 10, 10), 32633,
+               area_or_point="Point").save(p)
+        assert read_raster(p).area_or_point == "Point"
+        p2 = str(tmp_path / "ar.tif")
+        Raster(np.ones((3, 4), np.float32), Affine.from_origin(0, 30, 10, 10), 32633).save(p2)
+        assert read_raster(p2).area_or_point == "Area"
+
+    def test_tag_xml_escaping(self, tmp_path):
+        from xdem_tpu.georef import Affine
+        from xdem_tpu.io import read_raster
+        from xdem_tpu.raster import Raster
+
+        tags = {"desc": 'slope < 30 & "aspect" > 5', "a&b": "<x>"}
+        p = str(tmp_path / "esc.tif")
+        Raster(np.ones((3, 3), np.float32), Affine.from_origin(0, 30, 10, 10), 32633,
+               tags=tags).save(p)
+        assert read_raster(p).tags == tags
+
+    def test_vector_geojson_crs_and_ring_closure(self, tmp_path):
+        from xdem_tpu.vector import Vector
+
+        ring = np.array([[5.0e5, 8.0e6], [5.1e5, 8.0e6], [5.1e5, 8.1e6], [5.0e5, 8.1e6]])
+        v = Vector([[ring]], crs=32633)
+        p = str(tmp_path / "v.geojson")
+        v.save(p)
+        import json
+
+        gj = json.load(open(p))
+        coords = gj["features"][0]["geometry"]["coordinates"][0]
+        assert coords[0] == coords[-1]  # RFC 7946 closed ring
+        back = Vector.from_geojson(p)
+        assert back.crs.epsg == 32633  # not rebranded as 4326
+        np.testing.assert_allclose(back.polygons[0][0], ring)  # closure stripped on read
+
+    def test_reproject_ceil_keeps_fractional_edge(self):
+        from xdem_tpu.georef import Affine
+        from xdem_tpu.raster import Raster
+
+        r = Raster(np.ones((10, 10), np.float32), Affine.from_origin(0, 100, 10, 10), 32633)
+        out = r.reproject(res=33.0)  # 100/33 = 3.03 -> ceil 4 columns, not 3
+        assert out.shape == (4, 4)
+        # exact multiple stays exact
+        out2 = r.reproject(res=25.0)
+        assert out2.shape == (4, 4)
+        out3 = r.reproject(res=10.0)
+        assert out3.shape == (10, 10)

@@ -198,18 +198,20 @@ class DEM(Raster):
 
     def coregister_3d(
         self,
-        src_elev: Any,
+        reference_elev: Any,
         coreg_method: Any = None,
         inlier_mask: Any = None,
         bias_vars: dict[str, Any] | None = None,
         **kwargs: Any,
     ) -> "DEM":
-        """Coregister another elevation dataset to this DEM (reference dem.py:622)."""
+        """Coregister THIS DEM to a reference elevation dataset (reference dem.py:622:
+        ``self`` is the to-be-aligned data; the argument is the reference)."""
         if coreg_method is None:
             from xdem_tpu.coreg import NuthKaab
 
             coreg_method = NuthKaab()
-        return coreg_method.fit_and_apply(self, src_elev, inlier_mask=inlier_mask, bias_vars=bias_vars, **kwargs)
+        return coreg_method.fit_and_apply(reference_elev, self.copy(), inlier_mask=inlier_mask,
+                                          bias_vars=bias_vars, **kwargs)
 
     def estimate_uncertainty(
         self,

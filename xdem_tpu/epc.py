@@ -60,18 +60,20 @@ class EPC(PointCloud):
 
     def coregister_3d(
         self,
-        src_elev: Any,
+        reference_elev: Any,
         coreg_method: Any = None,
         inlier_mask: Any = None,
         bias_vars: Any = None,
         **kwargs: Any,
     ) -> Any:
-        """Coregister another elevation dataset to this EPC (reference epc.py:280)."""
+        """Coregister THIS EPC to a reference elevation dataset (reference epc.py:280:
+        ``self`` is the to-be-aligned data; the argument is the reference)."""
         if coreg_method is None:
             from xdem_tpu.coreg import NuthKaab
 
             coreg_method = NuthKaab()
-        return coreg_method.fit_and_apply(self, src_elev, inlier_mask=inlier_mask, bias_vars=bias_vars, **kwargs)
+        return coreg_method.fit_and_apply(reference_elev, self.copy(), inlier_mask=inlier_mask,
+                                          bias_vars=bias_vars, **kwargs)
 
 
 def read_epc(path: str, crs: Any = None) -> EPC:
@@ -175,6 +177,8 @@ def _read_las(path: str) -> tuple[np.ndarray, np.ndarray, np.ndarray, int | None
             for k in range(n_keys):
                 key_id, loc, _cnt, val = keys[4 + 4 * k: 8 + 4 * k]
                 if key_id in (3072, 2048) and loc == 0:  # Projected / Geographic CS EPSG
+                    if int(val) == 32767:  # GeoTIFF "user-defined": not a real EPSG code
+                        continue
                     epsg = int(val)
                     if key_id == 3072:
                         break

@@ -33,6 +33,7 @@ class _GtInfo(ctypes.Structure):
         ("epsg", ctypes.c_int32),
         ("nodata", ctypes.c_double),
         ("has_nodata", ctypes.c_int32),
+        ("raster_type", ctypes.c_int32),
     ]
 
 
@@ -69,6 +70,7 @@ def _lib() -> ctypes.CDLL:
             ctypes.c_char_p,
             ctypes.c_int32,
             ctypes.c_char_p,
+            ctypes.c_int32,
         ]
         lib.gt_write.restype = ctypes.c_int
         lib.gt_last_error.restype = ctypes.c_char_p
@@ -128,11 +130,17 @@ def read_raster(path: str, raster_cls=None):
     tags = {}
     if md:
         import re as _re
+        from xml.sax.saxutils import unescape as _unescape
 
-        tags = {m.group(1): m.group(2)
+        tags = {_unescape(m.group(1), {"&quot;": '"'}): _unescape(m.group(2), {"&quot;": '"'})
                 for m in _re.finditer(r'<Item name="([^"]+)">([^<]*)</Item>', md)}
+    # Pixel interpretation: RasterPixelIsPoint geokey (foreign files) or our metadata item
+    area_or_point = "Point" if (info.raster_type == 2
+                                or tags.get("AREA_OR_POINT") == "Point") else "Area"
+    tags.pop("AREA_OR_POINT", None)
     # Tags must reach the constructor: DEM parses its vertical CRS from them at init
-    out = raster_cls(data, transform=transform, crs=crs, nodata=nodata, tags=tags)
+    out = raster_cls(data, transform=transform, crs=crs, nodata=nodata, tags=tags,
+                     area_or_point=area_or_point)
     return out
 
 
@@ -155,9 +163,17 @@ def write_raster(path: str, raster, nodata: float | None = None, predictor: int 
         if epsg == 0 or epsg > 65535:  # geokey values are SHORTs: carry the CRS as WKT
             epsg = 0
             citation = raster.crs.to_wkt().encode()
-    tags = getattr(raster, "tags", None) or {}
+    tags = dict(getattr(raster, "tags", None) or {})
+    if getattr(raster, "area_or_point", "Area") == "Point":
+        tags["AREA_OR_POINT"] = "Point"  # GDAL metadata convention; geokey 1025 also set
     if tags:
-        items = "".join(f'<Item name="{k}">{v}</Item>' for k, v in sorted(tags.items()))
+        from xml.sax.saxutils import escape as _escape
+
+        items = "".join(
+            f'<Item name="{_escape(str(k), {chr(34): "&quot;"})}">'
+            f'{_escape(str(v), {chr(34): "&quot;"})}</Item>'
+            for k, v in sorted(tags.items())
+        )
         metadata = f"<GDALMetadata>{items}</GDALMetadata>".encode()
     else:
         metadata = b""
@@ -173,6 +189,7 @@ def write_raster(path: str, raster, nodata: float | None = None, predictor: int 
         metadata,
         int(predictor),
         citation,
+        1 if getattr(raster, "area_or_point", "Area") == "Point" else 0,
     )
     if rc != 0:
         raise OSError(f"Cannot write GeoTIFF '{path}': {_err()}")
@@ -201,7 +218,8 @@ class StreamingRasterWriter:
     """
 
     def __init__(self, path: str, shape: tuple[int, int], transform: Affine, crs=None,
-                 nodata: float = -9999.0, rows_per_strip: int = 64, bigtiff: bool | None = None):
+                 nodata: float = -9999.0, rows_per_strip: int = 64, bigtiff: bool | None = None,
+                 area_or_point: str = "Area"):
         h, w = int(shape[0]), int(shape[1])
         self.path = path
         self.shape = (h, w)
@@ -239,7 +257,7 @@ class StreamingRasterWriter:
             "<12H",
             1, 1, 0, 3 + (1 if citation else 0),
             1024, 0, 1, (2 if geographic else 1),
-            1025, 0, 1, 1,
+            1025, 0, 1, (2 if area_or_point == "Point" else 1),
         )
         if citation:
             geokeys += _struct.pack("<4H", 1026, 34737, len(ascii_params), 0)

@@ -412,6 +412,7 @@ struct GtInfo {
     int32_t epsg;         // 0 when absent
     double nodata;        // NaN when absent
     int32_t has_nodata;
+    int32_t raster_type;  // GTRasterType geokey 1025: 1=PixelIsArea, 2=PixelIsPoint, 0 absent
 };
 
 const char* gt_last_error() { return g_last_error.c_str(); }
@@ -475,6 +476,7 @@ int gt_info(const char* path, GtInfo* info) {
 
     // EPSG from GeoKeyDirectory: ProjectedCSTypeGeoKey (3072) or GeographicTypeGeoKey (2048)
     info->epsg = 0;
+    info->raster_type = 0;
     const Ifd_entry* gk = find_tag(e, 34735);
     if (gk && gk->count >= 4) {
         uint32_t nkeys = entry_uint(t, *gk, 3);
@@ -482,6 +484,7 @@ int gt_info(const char* path, GtInfo* info) {
             uint32_t key = entry_uint(t, *gk, 4 * k);
             uint32_t loc = entry_uint(t, *gk, 4 * k + 1);
             uint32_t val = entry_uint(t, *gk, 4 * k + 3);
+            if (key == 1025 && loc == 0) info->raster_type = (int32_t)val;
             if ((key == 3072 || key == 2048) && loc == 0) {
                 if (val != 32767)  // 32767 = user-defined: CRS lives in the citation key
                     info->epsg = (int32_t)val;
@@ -644,7 +647,8 @@ int gt_read(const char* path, float* out) {
 // plain DEFLATE by making the byte planes of neighboring samples nearly equal.
 int gt_write(const char* path, const float* data, uint32_t height, uint32_t width,
              const double* transform, int32_t epsg, double nodata, int32_t has_nodata,
-             const char* metadata, int32_t predictor, const char* citation) {
+             const char* metadata, int32_t predictor, const char* citation,
+             int32_t pixel_is_point) {
     if (predictor != 1 && predictor != 3) {
         g_last_error = "writer supports predictor 1 (none) or 3 (floating-point)";
         return 1;
@@ -708,7 +712,7 @@ int gt_write(const char* path, const float* data, uint32_t height, uint32_t widt
     std::vector<uint16_t> geokeys = {
         1, 1, 0, 3,
         1024, 0, 1, (uint16_t)(geographic ? 2 : 1),
-        1025, 0, 1, 1,
+        1025, 0, 1, (uint16_t)(pixel_is_point ? 2 : 1),
     };
     if (!cit.empty()) {
         if (cit.size() > 65000) cit.resize(65000);  // geokey count is a SHORT

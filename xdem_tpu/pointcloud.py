@@ -216,20 +216,9 @@ class PointCloud:
 
     def get_stats(self, stats: Any = None) -> Dict[str, float]:
         """Statistics of the data column over valid points (geoutils PointCloud.get_stats)."""
-        valid = self.z[np.isfinite(self.z)]
-        med = float(np.median(valid)) if valid.size else float("nan")
-        out = {
-            "mean": float(np.mean(valid)) if valid.size else float("nan"),
-            "median": med,
-            "max": float(np.max(valid)) if valid.size else float("nan"),
-            "min": float(np.min(valid)) if valid.size else float("nan"),
-            "sum": float(np.sum(valid)) if valid.size else float("nan"),
-            "std": float(np.std(valid)) if valid.size else float("nan"),
-            "nmad": float(1.4826 * np.median(np.abs(valid - med))) if valid.size else float("nan"),
-            "rmse": float(np.sqrt(np.mean(valid**2))) if valid.size else float("nan"),
-            "valid_count": int(valid.size),
-            "total_count": int(self.z.size),
-        }
+        from xdem_tpu.raster import stats_from_values
+
+        out = stats_from_values(self.z[np.isfinite(self.z)], int(self.z.size))
         if stats is not None:
             return {k: out[k] for k in stats}
         return out

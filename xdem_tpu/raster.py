@@ -91,10 +91,12 @@ class Raster:
         nodata: float | None = None,
         area_or_point: Literal["Area", "Point"] = "Area",
     ) -> "Raster":
-        arr = np.asarray(data) if isinstance(data, np.ndarray) else data
-        if isinstance(arr, np.ndarray):
-            if isinstance(arr, np.ma.MaskedArray):
-                arr = arr.filled(np.nan).astype(np.float32)
+        # Masked arrays must be handled BEFORE np.asarray (which strips the mask silently)
+        if isinstance(data, np.ma.MaskedArray):
+            data = data.filled(np.nan).astype(np.float32)
+        arr = data
+        if not hasattr(arr, "devices"):  # leave jax arrays alone
+            arr = np.asarray(arr)
             arr = np.asarray(arr, dtype=np.float32 if arr.dtype.kind in "iub" else arr.dtype)
             if nodata is not None:
                 arr = np.where(arr == nodata, np.nan, arr.astype(np.float64)).astype(
@@ -394,9 +396,22 @@ class Raster:
                 if dst_crs == self.crs:
                     dst_bounds = tuple(self.bounds)
                 else:
+                    # Densify the outline (21 points per edge, rasterio
+                    # calculate_default_transform-style): conic/azimuthal projections bulge
+                    # mid-edge beyond the corner images
                     b = self.bounds
-                    xs = np.array([b.left, b.right, b.left, b.right])
-                    ys = np.array([b.bottom, b.bottom, b.top, b.top])
+                    t_edge = np.linspace(0.0, 1.0, 21)
+                    xs = np.concatenate([
+                        b.left + (b.right - b.left) * t_edge,   # bottom
+                        b.left + (b.right - b.left) * t_edge,   # top
+                        np.full(21, b.left),                    # left
+                        np.full(21, b.right),                   # right
+                    ])
+                    ys = np.concatenate([
+                        np.full(21, b.bottom), np.full(21, b.top),
+                        b.bottom + (b.top - b.bottom) * t_edge,
+                        b.bottom + (b.top - b.bottom) * t_edge,
+                    ])
                     tx, ty = transform_points(self.crs, dst_crs, xs, ys)
                     dst_bounds = (float(tx.min()), float(ty.min()), float(tx.max()), float(ty.max()))
                 bounds = dst_bounds
@@ -413,8 +428,10 @@ class Raster:
             if not isinstance(res, (tuple, list)):
                 res = (float(res), float(res))
             left, bottom, right, top = bounds
-            w = max(int(round((right - left) / res[0])), 1)
-            h = max(int(round((top - bottom) / res[1])), 1)
+            # ceil (rasterio semantics): round() drops up to half a pixel of valid data at
+            # the far edges; the 1e-9 slack keeps exact multiples from gaining a pixel
+            w = max(int(np.ceil((right - left) / res[0] - 1e-9)), 1)
+            h = max(int(np.ceil((top - bottom) / res[1] - 1e-9)), 1)
             dst_transform = Affine.from_origin(left, top, res[0], res[1])
             dst_shape = (h, w)
 
@@ -484,24 +501,29 @@ class Raster:
     def get_stats(self, stats: Sequence[str] | None = None) -> dict[str, float]:
         """Common raster statistics over valid pixels."""
         arr = np.asarray(self.data)
-        valid = arr[np.isfinite(arr)]
-        med = float(np.median(valid)) if valid.size else float("nan")
-        out = {
-            "mean": float(np.mean(valid)) if valid.size else float("nan"),
-            "median": med,
-            "max": float(np.max(valid)) if valid.size else float("nan"),
-            "min": float(np.min(valid)) if valid.size else float("nan"),
-            "sum": float(np.sum(valid)) if valid.size else float("nan"),
-            "std": float(np.std(valid)) if valid.size else float("nan"),
-            "nmad": float(1.4826 * np.median(np.abs(valid - med))) if valid.size else float("nan"),
-            "rmse": float(np.sqrt(np.mean(valid**2))) if valid.size else float("nan"),
-            "valid_count": int(valid.size),
-            "total_count": int(arr.size),
-            "percentage_valid_points": float(100 * valid.size / arr.size) if arr.size else float("nan"),
-        }
+        out = stats_from_values(arr[np.isfinite(arr)], int(arr.size))
         if stats is not None:
             return {k: out[k] for k in stats}
         return out
+
+
+def stats_from_values(valid: np.ndarray, total_count: int) -> dict[str, float]:
+    """The shared Raster/PointCloud statistics dict over an array of valid values."""
+    med = float(np.median(valid)) if valid.size else float("nan")
+    return {
+        "mean": float(np.mean(valid)) if valid.size else float("nan"),
+        "median": med,
+        "max": float(np.max(valid)) if valid.size else float("nan"),
+        "min": float(np.min(valid)) if valid.size else float("nan"),
+        "sum": float(np.sum(valid)) if valid.size else float("nan"),
+        "std": float(np.std(valid)) if valid.size else float("nan"),
+        "nmad": float(1.4826 * np.median(np.abs(valid - med))) if valid.size else float("nan"),
+        "rmse": float(np.sqrt(np.mean(valid**2))) if valid.size else float("nan"),
+        "valid_count": int(valid.size),
+        "total_count": int(total_count),
+        "percentage_valid_points": (float(100 * valid.size / total_count)
+                                    if total_count else float("nan")),
+    }
 
 
 def _mask_to_polygons(mask: np.ndarray) -> list:

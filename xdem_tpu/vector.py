@@ -8,6 +8,7 @@ reference's use of geopandas vectors in coreg and spatialstats.
 from __future__ import annotations
 
 import json
+import re
 from typing import Any, List, Sequence, Tuple
 
 import numpy as np
@@ -45,30 +46,54 @@ class Vector:
             with open(obj) as f:
                 obj = json.load(f)
         feats = obj["features"] if obj.get("type") == "FeatureCollection" else [obj]
+
+        def _open_ring(r: np.ndarray) -> np.ndarray:
+            # Internal representation keeps rings unclosed; GeoJSON rings are closed
+            if len(r) > 3 and bool(np.all(r[0] == r[-1])):
+                return r[:-1]
+            return r
+
         polys: list[list[np.ndarray]] = []
         for feat in feats:
             geom = feat.get("geometry", feat)
             gtype = geom["type"]
             if gtype == "Polygon":
-                polys.append([np.asarray(r) for r in geom["coordinates"]])
+                polys.append([_open_ring(np.asarray(r)) for r in geom["coordinates"]])
             elif gtype == "MultiPolygon":
                 for p in geom["coordinates"]:
-                    polys.append([np.asarray(r) for r in p])
-        crs = 4326
+                    polys.append([_open_ring(np.asarray(r)) for r in p])
+        # The GDAL convention carries a named CRS member (RFC 7946 dropped it, but without
+        # it a UTM vector would silently rebrand as lon/lat on reload)
+        crs: Any = 4326
+        crs_name = (obj.get("crs") or {}).get("properties", {}).get("name", "")
+        m = re.search(r"EPSG:?:?(\d+)", str(crs_name))
+        if m:
+            crs = int(m.group(1))
         return cls(polys, crs=crs)
 
     def to_geojson(self) -> dict:
-        return {
+        def _close(r: np.ndarray) -> list:
+            # RFC 7946: linear rings must be closed (first == last position)
+            pts = r.tolist()
+            if pts and pts[0] != pts[-1]:
+                pts.append(pts[0])
+            return pts
+
+        out = {
             "type": "FeatureCollection",
             "features": [
                 {
                     "type": "Feature",
                     "properties": {},
-                    "geometry": {"type": "Polygon", "coordinates": [r.tolist() for r in poly]},
+                    "geometry": {"type": "Polygon", "coordinates": [_close(r) for r in poly]},
                 }
                 for poly in self.polygons
             ],
         }
+        if self.crs is not None and self.crs.epsg:
+            out["crs"] = {"type": "name",
+                          "properties": {"name": f"urn:ogc:def:crs:EPSG::{self.crs.epsg}"}}
+        return out
 
     def save(self, path: str) -> None:
         with open(path, "w") as f:
