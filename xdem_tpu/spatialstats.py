@@ -346,18 +346,25 @@ def _binned_count_med_nmad(vals: jnp.ndarray, ids: jnp.ndarray, n_bins: int):
 
 
 @partial(jax.jit, static_argnames=("n_bins",))
-def _hetero_bin_tables_device(gathered: jnp.ndarray, edges: jnp.ndarray, n_bins: int):
+def _hetero_bin_tables_device(gathered: jnp.ndarray, n_bins: int):
     """All nd_binning combos (each 1-D, each 2-D pair, the full N-D) of a gathered stable
-    sample, computed on device: only the tiny per-bin tables cross the host boundary.
+    sample, computed on device: only one tiny packed table vector crosses the host boundary.
 
-    gathered: (1 + nvars, N) with row 0 = dh; edges: (nvars, n_bins + 1).
-    Returns a flat list of (counts, median, nmad) per combo, in nd_binning's frame order.
+    gathered: (1 + nvars, N) with row 0 = dh. Bin edges are linspace(min, max, n_bins + 1)
+    of each variable over the jointly-valid sample, computed in-graph; the per-variable
+    (min, max) pair is appended to the packed output so the host can rebuild the edges.
+    Returns one flat f32 vector: per combo [counts (int32-bitcast), median, nmad], then
+    [gmin..., gmax...].
     """
     d = gathered[0]
     nvars = gathered.shape[0] - 1
     valid = jnp.isfinite(d)
     for i in range(nvars):
         valid = valid & jnp.isfinite(gathered[1 + i])
+
+    gmin = jnp.min(jnp.where(valid[None, :], gathered[1:], jnp.inf), axis=1)
+    gmax = jnp.max(jnp.where(valid[None, :], gathered[1:], -jnp.inf), axis=1)
+    edges = gmin[:, None] + (gmax - gmin)[:, None] * jnp.linspace(0.0, 1.0, n_bins + 1)[None, :]
 
     def var_ids(i):
         # Edges derive from the jointly-valid sample min/max, so every valid value is in
@@ -380,7 +387,16 @@ def _hetero_bin_tables_device(gathered: jnp.ndarray, edges: jnp.ndarray, n_bins:
             tot *= n_bins
         ids = jnp.where(valid, ids, tot)
         out.append(_binned_count_med_nmad(d, ids, tot))
-    return out
+    # ONE packed f32 vector for a single host readback: through a tunneled chip each
+    # readback costs ~100 ms of latency, and the per-combo tuples would take 3*len(combos)
+    # pulls. Counts are bitcast (exact past 2^24); the host unpacks by known lengths.
+    packed = jnp.concatenate(
+        [jnp.concatenate([jax.lax.bitcast_convert_type(c.astype(jnp.int32), jnp.float32),
+                          m.astype(jnp.float32), s.astype(jnp.float32)])
+         for (c, m, s) in out]
+        + [gmin.astype(jnp.float32), gmax.astype(jnp.float32)]
+    )
+    return packed
 
 
 @jax.jit
@@ -578,20 +594,28 @@ def infer_heteroscedasticity_from_stable(
         if device_stats:
             n_bins = int(list_var_bins) if list_var_bins is not None else 10
             nvars = len(vars_j)
-            # Bin edges from the jointly-valid sample min/max (host nd_binning parity)
-            gvalid = jnp.all(jnp.isfinite(gathered), axis=0)
-            gmin = jnp.min(jnp.where(gvalid[None, :], gathered[1:], jnp.inf), axis=1)
-            gmax = jnp.max(jnp.where(gvalid[None, :], gathered[1:], -jnp.inf), axis=1)
-            lohi = np.asarray(jnp.stack([gmin, gmax]), np.float64)
+            # Bin edges computed IN-GRAPH from the jointly-valid sample min/max (host
+            # nd_binning parity) and appended to the packed readback: a separate lohi pull
+            # would serialize two ~100 ms tunnel round trips
+            packed = np.asarray(
+                _hetero_bin_tables_device(gathered, n_bins), dtype=np.float32)
+            lohi = packed[-2 * nvars:].astype(np.float64).reshape(2, nvars)
+            packed = packed[:-2 * nvars]
             edges_np = np.stack([np.linspace(lohi[0, i], lohi[1, i], n_bins + 1) for i in range(nvars)])
-            tables = _hetero_bin_tables_device(gathered, jnp.asarray(edges_np, jnp.float32), n_bins)
-            tables_np = [[np.asarray(t, np.float64) for t in tab] for tab in tables]
-
             combos: list[tuple[int, ...]] = [(i,) for i in range(nvars)]
             if nvars > 1:
                 combos += list(itertools.combinations(range(nvars), 2))
             if nvars > 2:
                 combos.append(tuple(range(nvars)))
+            tables_np = []
+            off = 0
+            for combo in combos:
+                tot = n_bins ** len(combo)
+                c = packed[off: off + tot].view(np.int32).astype(np.float64)
+                m = packed[off + tot: off + 2 * tot].astype(np.float64)
+                s = packed[off + 2 * tot: off + 3 * tot].astype(np.float64)
+                tables_np.append([c, m, s])
+                off += 3 * tot
             spread_name = spread_statistic.__name__
             frames = []
             for combo, (counts, med, nmad) in zip(combos, tables_np):
@@ -1297,6 +1321,46 @@ class EmpiricalVariogramKArgs(TypedDict, total=False):
     estimator: str
 
 
+
+@partial(jax.jit, static_argnames=("runs", "samples", "nb_rings", "nx", "ny", "m"))
+def _draw_equidistant_rings_device(key, valid, runs: int, samples: int, nb_rings: int,
+                                   nx: int, ny: int, radius0_px, m: int):
+    """Device-native equidistant disk/ring sampling (the host draw's exact algorithm):
+    random valid run centers, m candidate draws per (run, ring) slot, first `samples`
+    valid-landing candidates kept (stable argsort), empty slots marked -1.
+
+    Returns (ija, ijb) int32 index arrays of shapes (runs, samples, 2) and
+    (runs, (nb_rings + 1) * samples, 2) — consumed directly by the device estimators, so
+    through a tunneled chip neither the validity mask nor the samples round-trip the host.
+    """
+    k1, k2, k3 = jax.random.split(key, 3)
+    valid_flat = valid.ravel()
+    scores = jnp.where(valid_flat, jax.random.uniform(k1, valid_flat.shape), -jnp.inf)
+    _, ci = jax.lax.top_k(scores, runs)  # `runs` random valid pixels (without replacement)
+    cr = (ci // ny).astype(jnp.float32)
+    cc = (ci % ny).astype(jnp.float32)
+    n_rings1 = nb_rings + 1
+    ring_hi = radius0_px * jnp.sqrt(2.0) ** jnp.arange(n_rings1, dtype=jnp.float32)
+    ring_lo = jnp.concatenate([jnp.zeros(1, jnp.float32), ring_hi[:-1]])
+    theta = jax.random.uniform(k2, (runs, n_rings1, m), minval=0.0, maxval=2.0 * jnp.pi)
+    u = jax.random.uniform(k3, (runs, n_rings1, m))
+    r = jnp.sqrt(ring_lo[None, :, None] ** 2
+                 + u * (ring_hi[None, :, None] ** 2 - ring_lo[None, :, None] ** 2))
+    ii = jnp.round(cr[:, None, None] + r * jnp.cos(theta)).astype(jnp.int32)
+    jj = jnp.round(cc[:, None, None] + r * jnp.sin(theta)).astype(jnp.int32)
+    okm = (ii >= 0) & (ii < nx) & (jj >= 0) & (jj < ny)
+    okm &= valid_flat[jnp.clip(ii, 0, nx - 1) * ny + jnp.clip(jj, 0, ny - 1)]
+    order = jnp.argsort(~okm, axis=-1, stable=True)[..., :samples]
+    n_ok = okm.sum(axis=-1, keepdims=True)
+    keep = jnp.arange(samples) < n_ok
+    ii_s = jnp.where(keep, jnp.take_along_axis(ii, order, -1), -1)
+    jj_s = jnp.where(keep, jnp.take_along_axis(jj, order, -1), -1)
+    rings = jnp.stack([ii_s, jj_s], axis=-1)  # (runs, n_rings1, samples, 2)
+    ija = rings[:, 0]
+    ijb = rings.reshape(runs, n_rings1 * samples, 2)
+    return ija, ijb
+
+
 def sample_empirical_variogram(
     values: Any,
     gsd: float | None = None,
@@ -1356,10 +1420,11 @@ def sample_empirical_variogram(
     else:
         arr = np.asarray(values, dtype=np.float64)
     if arr_dev is not None:
-        # Device grid mode: only the finite-mask (bool) and the sampled values ever cross the
-        # host boundary — the f32 raster itself stays in HBM (a 400 MB pull costs ~25 s
-        # through the tunneled chip at the 10k^2 uncertainty config).
-        grid_valid_dev = np.asarray(jnp.isfinite(arr_dev))
+        # Device grid mode: sampling AND estimation stay on device — nothing but the final
+        # per-bin tables crosses the host boundary (the f32 raster stays in HBM: a 400 MB
+        # pull costs ~25 s through the tunneled chip at the 10k^2 uncertainty config, and
+        # even the bool mask costs a ~100 ms round trip per call).
+        grid_valid_dev = None
         arr = None
     else:
         arr = np.squeeze(arr)
@@ -1442,7 +1507,19 @@ def sample_empirical_variogram(
             maxdist = np.hypot(extent[1] - extent[0], extent[3] - extent[2])
             radius0 = maxdist / np.sqrt(2) ** nb_rings
 
-            if grid_valid is not None:
+            ija = ijb = None
+            if arr_dev is not None:
+                # Fully-device sampling: the annuli draw, validity selection, gather and
+                # estimator all run in-graph (one jitted sampler + one estimator dispatch)
+                nx_g, ny_g = arr_dev.shape
+                n_rings1 = nb_rings + 1
+                m = 8 * samples_
+                key = jax.random.PRNGKey(np.uint32(rng.integers(2**31)))
+                ija, ijb = _draw_equidistant_rings_device(
+                    key, jnp.isfinite(arr_dev), runs_, samples_, nb_rings,
+                    nx_g, ny_g, jnp.float32(radius0 / gsd), m,
+                )
+            elif grid_valid is not None:
                 # Grid fast path: sample disks/annuli analytically by pixel offsets —
                 # O(runs * samples) instead of scanning all coordinates per run (essential
                 # at 1e8-pixel dDEMs, the 10k^2 uncertainty config).
@@ -1473,61 +1550,6 @@ def sample_empirical_variogram(
                 rings[..., 1] = np.where(keep, np.take_along_axis(jj, order, -1), -1)
                 ija = rings[:, 0]
                 ijb = rings.reshape(runs_, n_rings1 * samples_, 2)
-
-                total_pairs = ija.shape[0] * ija.shape[1] * ijb.shape[1]
-                _check_pair_count(total_pairs)
-                if mesh is None and arr_dev is not None and estimator != "genton":
-                    if total_pairs > _PAIR_CHUNK_BUDGET:
-                        # Billions of pairs OOM the flat sort: scan run chunks instead
-                        per_run = ija.shape[1] * ijb.shape[1]
-                        chunk = max(1, _PAIR_CHUNK_BUDGET // (8 * per_run))
-                        pad_r = (-ija.shape[0]) % chunk
-                        ija_p = np.pad(ija, ((0, pad_r), (0, 0), (0, 0)), constant_values=-1)
-                        ijb_p = np.pad(ijb, ((0, pad_r), (0, 0), (0, 0)), constant_values=-1)
-                        gamma_d, counts_d = _grid_variogram_device_chunked(
-                            arr_dev, jnp.asarray(ija_p.astype(np.int32)),
-                            jnp.asarray(ijb_p.astype(np.int32)), jnp.float32(gsd),
-                            jnp.asarray(bin_edges, jnp.float32), estimator,
-                            len(bin_edges) - 1, chunk,
-                        )
-                    else:
-                        # Gather + pairwise + binned estimator as ONE device dispatch
-                        gamma_d, counts_d = _grid_variogram_device(
-                            arr_dev,
-                            jnp.asarray(ija.astype(np.int32)),
-                            jnp.asarray(ijb.astype(np.int32)),
-                            jnp.float32(gsd),
-                            jnp.asarray(bin_edges, jnp.float32),
-                            estimator,
-                            len(bin_edges) - 1,
-                        )
-                    # One readback, no precision loss: int32 counts bitcast into the packed
-                    # f32 vector and bitcast back on host (a bin can exceed 2^24 pairs, where
-                    # a float32 count would round to multiples of up to 128)
-                    counts_bits = jax.lax.bitcast_convert_type(
-                        counts_d.astype(jnp.int32), jnp.float32)
-                    packed = np.asarray(jnp.concatenate([gamma_d, counts_bits]),
-                                        dtype=np.float32)
-                    nb = len(bin_edges) - 1
-                    return (packed[:nb].astype(np.float64),
-                            packed[nb:].view(np.int32).astype(np.int64))
-
-                def gather(ij):
-                    ok_ij = ij[..., 0] >= 0
-                    ii = np.clip(ij[..., 0], 0, nx_g - 1)
-                    jj = np.clip(ij[..., 1], 0, ny_g - 1)
-                    if arr_dev is not None:
-                        # Device gather: only (runs x samples) values cross the boundary
-                        z_g = np.asarray(arr_dev[jnp.asarray(ii), jnp.asarray(jj)], np.float64)
-                    else:
-                        z_g = arr[ii, jj]
-                    z = np.where(ok_ij, z_g, np.nan)
-                    co = np.stack([np.where(ok_ij, ii * gsd, np.nan),
-                                   np.where(ok_ij, jj * gsd, np.nan)], axis=-1)
-                    return z, co
-
-                za, ca = gather(ija)
-                zb, cb = gather(ijb)
             else:
                 idx_a = []  # center disk samples per run
                 idx_b = []  # disk + ring samples per run
@@ -1551,6 +1573,67 @@ def sample_empirical_variogram(
                 zb = np.where(ib >= 0, vals_v[np.clip(ib, 0, None)], np.nan)
                 ca = np.where(ia[..., None] >= 0, coords_v[np.clip(ia, 0, None)], np.nan)
                 cb = np.where(ib[..., None] >= 0, coords_v[np.clip(ib, 0, None)], np.nan)
+
+
+            if ija is not None:
+
+                total_pairs = ija.shape[0] * ija.shape[1] * ijb.shape[1]
+                _check_pair_count(total_pairs)
+                if mesh is None and arr_dev is not None and estimator != "genton":
+                    if total_pairs > _PAIR_CHUNK_BUDGET:
+                        # Billions of pairs OOM the flat sort: scan run chunks instead
+                        ija = np.asarray(ija)  # host pad (device draw yields jax arrays)
+                        ijb = np.asarray(ijb)
+                        per_run = ija.shape[1] * ijb.shape[1]
+                        chunk = max(1, _PAIR_CHUNK_BUDGET // (8 * per_run))
+                        pad_r = (-ija.shape[0]) % chunk
+                        ija_p = np.pad(ija, ((0, pad_r), (0, 0), (0, 0)), constant_values=-1)
+                        ijb_p = np.pad(ijb, ((0, pad_r), (0, 0), (0, 0)), constant_values=-1)
+                        gamma_d, counts_d = _grid_variogram_device_chunked(
+                            arr_dev, jnp.asarray(ija_p.astype(np.int32)),
+                            jnp.asarray(ijb_p.astype(np.int32)), jnp.float32(gsd),
+                            jnp.asarray(bin_edges, jnp.float32), estimator,
+                            len(bin_edges) - 1, chunk,
+                        )
+                    else:
+                        # Gather + pairwise + binned estimator as ONE device dispatch
+                        gamma_d, counts_d = _grid_variogram_device(
+                            arr_dev,
+                            jnp.asarray(ija, jnp.int32),
+                            jnp.asarray(ijb, jnp.int32),
+                            jnp.float32(gsd),
+                            jnp.asarray(bin_edges, jnp.float32),
+                            estimator,
+                            len(bin_edges) - 1,
+                        )
+                    # One readback, no precision loss: int32 counts bitcast into the packed
+                    # f32 vector and bitcast back on host (a bin can exceed 2^24 pairs, where
+                    # a float32 count would round to multiples of up to 128)
+                    counts_bits = jax.lax.bitcast_convert_type(
+                        counts_d.astype(jnp.int32), jnp.float32)
+                    packed = np.asarray(jnp.concatenate([gamma_d, counts_bits]),
+                                        dtype=np.float32)
+                    nb = len(bin_edges) - 1
+                    return (packed[:nb].astype(np.float64),
+                            packed[nb:].view(np.int32).astype(np.int64))
+
+                def gather(ij):
+                    ij = np.asarray(ij)  # device-draw indices: a small explicit download
+                    ok_ij = ij[..., 0] >= 0
+                    ii = np.clip(ij[..., 0], 0, nx_g - 1)
+                    jj = np.clip(ij[..., 1], 0, ny_g - 1)
+                    if arr_dev is not None:
+                        # Device gather: only (runs x samples) values cross the boundary
+                        z_g = np.asarray(arr_dev[jnp.asarray(ii), jnp.asarray(jj)], np.float64)
+                    else:
+                        z_g = arr[ii, jj]
+                    z = np.where(ok_ij, z_g, np.nan)
+                    co = np.stack([np.where(ok_ij, ii * gsd, np.nan),
+                                   np.where(ok_ij, jj * gsd, np.nan)], axis=-1)
+                    return z, co
+
+                za, ca = gather(ija)
+                zb, cb = gather(ijb)
 
             total_pairs = za.shape[0] * za.shape[1] * zb.shape[1]
             _check_pair_count(total_pairs)
