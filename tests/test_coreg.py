@@ -5,6 +5,7 @@ the reference DEM itself must be recovered within 1% of the shift and remove >99
 variance (reference :163-200).
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -941,3 +942,94 @@ class TestBlockwiseMesh:
             for other in ("m1", "none"):
                 np.testing.assert_allclose(getattr(fits["m8"], attr), getattr(fits[other], attr),
                                            rtol=2e-3, atol=2e-3, equal_nan=True)
+
+
+class TestCoregLayerReviewRegressions:
+    """Round-3 coreg-layer review: f32 precision in resampling, meta routing, pipeline
+    save/load, sumsin canonicalization, resampling alias, apply_matrix resample."""
+
+    def test_samecrs_shift_reproject_f32_precision_at_utm_northing(self):
+        # Shift-resampling a raster at northing ~8.7e6 must be subpixel-exact: building
+        # world coords in f32 loses up to ~1 m to the ULP (used to corrupt every apply)
+        from xdem_tpu.coreg.base import _reproject_horizontal_shift_samecrs
+        from xdem_tpu.georef import Affine
+
+        rng = np.random.default_rng(0)
+        arr = rng.normal(500, 50, (64, 64)).astype(np.float32)
+        t = Affine(0.5, 0, 318000.0, 0, -0.5, 8.7e6)  # HALF-METER res at UTM northing
+        # Integer-pixel shift: the resample must reproduce the array exactly (interior).
+        # Source shifted +2 px east, -3 px north => out[r, c] == arr[r - 3, c - 2]
+        t_shift = t.translation(2 * 0.5, -3 * 0.5)
+        out = np.asarray(_reproject_horizontal_shift_samecrs(
+            jnp.asarray(arr), src_transform=t_shift, dst_transform=t))
+        np.testing.assert_allclose(out[4:60, 4:60], arr[1:57, 2:58], atol=1e-5)
+
+    def test_meta_key_routing(self):
+        from xdem_tpu import coreg
+
+        c = coreg.AffineCoreg(meta={"max_iterations": 5, "tolerance": 0.01, "subsample": 123})
+        assert c.meta["inputs"]["iterative"] == {"max_iterations": 5, "tolerance": 0.01}
+        assert c.meta["inputs"]["random"]["subsample"] == 123
+        assert "max_iterations" not in c.meta["inputs"]["specific"]
+
+    def test_pipeline_save_load_roundtrip(self, tmp_path):
+        from xdem_tpu import coreg, examples
+        from xdem_tpu.coreg.base import Coreg
+
+        ref = examples.get_ref_dem_test()
+        tba = examples.get_tba_dem_test()
+        pipe = coreg.VerticalShift() + coreg.NuthKaab(subsample=5000)
+        pipe.fit(ref, tba, random_state=42)
+        p = str(tmp_path / "pipe.pkl")
+        pipe.save(p)
+        back = Coreg.load(p)
+        assert [type(s).__name__ for s in back.pipeline] == ["VerticalShift", "NuthKaab"]
+        np.testing.assert_allclose(back.to_matrix(), pipe.to_matrix())
+
+    def test_sumsin_polish_canonicalization(self):
+        # A single sinusoid fit must come back sign-correct (abs() without phase
+        # compensation used to flip components when LM converged to a < 0)
+        from xdem_tpu.fit import robust_nfreq_sumsin_fit, sumsin_1d
+
+        x = np.linspace(0, 5000, 2000)
+        y = 2.0 * np.sin(2 * np.pi * x / 1000.0 + 1.0)
+        p, _n = robust_nfreq_sumsin_fit(x, y, random_state=0)
+        pred = np.asarray(sumsin_1d(x, *p))
+        assert float(np.sqrt(np.mean((pred - y) ** 2))) < 0.05
+        assert (p[0::3] > 0).all() and (p[1::3] > 0).all()
+
+    def test_apply_accepts_bilinear_alias(self):
+        from xdem_tpu import coreg, examples
+
+        ref = examples.get_ref_dem_test()
+        tba = examples.get_tba_dem_test()
+        c = coreg.VerticalShift()
+        c.fit(ref, tba, random_state=0)
+        out = c.apply(tba, resampling="bilinear")  # canonical rasterio name
+        assert np.isfinite(np.asarray(out.data)).any()
+
+    def test_apply_matrix_resample_back(self):
+        from xdem_tpu import examples
+        from xdem_tpu.coreg.base import apply_matrix, matrix_from_translations_rotations
+
+        ref = examples.get_ref_dem_test()
+        m = matrix_from_translations_rotations(7.0, -3.0, 1.0)
+        moved = apply_matrix(ref, m)                      # default: translated transform
+        assert not moved.transform.almost_equals(ref.transform)
+        resampled = apply_matrix(ref, m, resample=True)   # reference default behavior
+        assert resampled.transform.almost_equals(ref.transform)
+        # Values at common coordinates agree between the two forms
+        sub = np.asarray(resampled.data)[10:-10, 10:-10]
+        assert np.isfinite(sub).mean() > 0.95
+
+    def test_biascorr_default_p0_from_signature(self):
+        from xdem_tpu import coreg, examples
+
+        ref = examples.get_ref_dem_test()
+        tba = examples.get_tba_dem_test()
+        xx = np.broadcast_to(np.linspace(0, 1, ref.shape[1]), ref.shape)
+        c = coreg.BiasCorr(fit_or_bin="fit",
+                           fit_func=lambda x, a, b, c_: a * x**2 + b * x + c_)
+        c.fit(ref, tba, bias_vars={"profx": xx}, random_state=0)
+        params = c.meta["outputs"]["fitorbin"]["fit_params"]
+        assert len(np.ravel(params)) == 3

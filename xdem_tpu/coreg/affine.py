@@ -506,7 +506,9 @@ class AffineCoreg(Coreg):
     def __init__(self, subsample: float | int = 1.0, matrix: np.ndarray | None = None,
                  meta: dict[str, Any] | None = None, initial_shift: tuple | None = None):
         super().__init__(meta=meta)
-        self._meta["inputs"]["random"]["subsample"] = subsample
+        # The kwarg wins when explicitly set; the default must not clobber meta routing
+        if not (meta and "subsample" in meta and subsample == 1.0):
+            self._meta["inputs"]["random"]["subsample"] = subsample
         if initial_shift is not None:
             self._meta["inputs"]["affine"]["initial_shift"] = tuple(initial_shift)
         if matrix is not None:

@@ -165,32 +165,39 @@ def _iterate_affine_regrid_small_rotations(
     cols = jnp.arange(w, dtype=jnp.float32)
     cgrid, rgrid = jnp.meshgrid(cols, rows)
     a, b, c, d, e, f = (float(v) for v in tuple(transform))
-    X = a * (cgrid + 0.5) + b * (rgrid + 0.5) + c - cx
-    Y = d * (cgrid + 0.5) + e * (rgrid + 0.5) + f - cy
+    # Group the large constants IN F64 before they meet the f32 grids: `+ c - cx` evaluated
+    # left-to-right in f32 cancels two ~1e6-magnitude numbers and loses up to ~1 m
+    X = a * (cgrid + 0.5) + b * (rgrid + 0.5) + (c - cx)
+    Y = d * (cgrid + 0.5) + e * (rgrid + 0.5) + (f - cy)
 
     inv_j = jnp.asarray(inv, dtype=jnp.float32)
     res_x = transform.xres
     res_y = transform.yres
 
-    # Initial z guess: interpolate the (unshifted) DEM at the output coordinates
-    def src_rowcol(xs, ys):
-        det = a * e - b * d
-        colp = (e * xs - b * ys) / det + (-(e * c - b * f) / det) - 0.5
-        rowp = (-d * xs + a * ys) / det + (-(-d * c + a * f) / det) - 0.5
+    # Initial z guess: interpolate the (unshifted) DEM at the output coordinates.
+    # Works in CENTROID-CENTERED space: the centroid's pixel offsets are folded into f64
+    # host constants so the f32 device math only ever sees small values.
+    det = a * e - b * d
+    col_off = (e * cx - b * cy - (e * c - b * f)) / det - 0.5
+    row_off = (-d * cx + a * cy - (-d * c + a * f)) / det - 0.5
+
+    def src_rowcol(xs_c, ys_c):
+        colp = (e * xs_c - b * ys_c) / det + col_off
+        rowp = (-d * xs_c + a * ys_c) / det + row_off
         return rowp, colp
 
-    def interp_src(xs, ys):
-        rr, cc = src_rowcol(xs, ys)
+    def interp_src(xs_c, ys_c):
+        rr, cc = src_rowcol(xs_c, ys_c)
         return interp_rowcol(dem, rr, cc, method=resampling)
 
     z0 = dem - cz
 
     def body(state):
         zg, it, _maxres = state
-        # Inverse-transform output coords with current z guess
+        # Inverse-transform output coords with current z guess (centered space throughout)
         xs = inv_j[0, 0] * X + inv_j[0, 1] * Y + inv_j[0, 2] * zg + inv_j[0, 3]
         ys = inv_j[1, 0] * X + inv_j[1, 1] * Y + inv_j[1, 2] * zg + inv_j[1, 3]
-        zsrc = interp_src(xs + cx, ys + cy) - cz
+        zsrc = interp_src(xs, ys) - cz
         # Forward-transform the found source point; residual to the target (X, Y)
         xf = jnp.asarray(matrix[0, 0], jnp.float32) * xs + jnp.asarray(matrix[0, 1], jnp.float32) * ys \
             + jnp.asarray(matrix[0, 2], jnp.float32) * zsrc + jnp.asarray(matrix[0, 3], jnp.float32)
@@ -240,6 +247,16 @@ def _apply_matrix_rst(
     small = max(abs(a_deg), abs(b_deg)) < 20.0
 
     if (small and force_regrid_method is None) or force_regrid_method == "iterative":
+        if centroid is None:
+            # Re-center the transform about the raster center (exact algebra, f64 host):
+            # R p + t == R (p - c0) + (t + R c0 - c0) + c0. Without this the device regrid
+            # would carry full UTM magnitudes through f32 and lose up to ~1 m to the ULP.
+            h0, w0 = dem.shape
+            c0x, c0y = transform.xy((h0 - 1) / 2.0, (w0 - 1) / 2.0)
+            c0 = np.array([c0x, c0y, 0.0])
+            matrix = matrix.copy()
+            matrix[:3, 3] = matrix[:3, 3] + matrix[:3, :3] @ c0 - c0
+            centroid = (float(c0x), float(c0y), 0.0)
         out = _iterate_affine_regrid_small_rotations(
             jnp.asarray(dem), transform, matrix, centroid, resampling=resampling
         )
@@ -265,13 +282,20 @@ def apply_matrix(
     matrix: np.ndarray,
     invert: bool = False,
     centroid: tuple[float, float, float] | None = None,
+    resample: bool = False,
     resampling: str = "linear",
     transform: Affine | None = None,
     crs: Any = None,
     force_regrid_method: str | None = None,
     **kwargs: Any,
 ):
-    """Apply a 4x4 rigid transform matrix to an elevation dataset (reference base.py:1686)."""
+    """Apply a 4x4 rigid transform matrix to an elevation dataset (reference base.py:1686).
+
+    `resample=True` resamples the result back onto the INPUT georeferencing (the
+    reference's default behavior for its apply pipeline); the default False returns the
+    data with the translated transform — lossless for pure translations.
+    """
+    resampling = {"bilinear": "linear"}.get(resampling, resampling)
     if invert:
         matrix = invert_matrix(matrix)
     if isinstance(elev, PointCloud):
@@ -281,6 +305,12 @@ def apply_matrix(
             elev.data, elev.transform, matrix, centroid=centroid, resampling=resampling,
             force_regrid_method=force_regrid_method,
         )
+        if resample and not new_transform.almost_equals(elev.transform):
+            data = _reproject_horizontal_shift_samecrs(
+                data, src_transform=new_transform, dst_transform=elev.transform,
+                resampling=resampling,
+            )
+            new_transform = elev.transform
         out = elev.copy(new_array=data)
         out.transform = new_transform
         return out
@@ -291,6 +321,11 @@ def apply_matrix(
         jnp.asarray(elev), transform, matrix, centroid=centroid, resampling=resampling,
         force_regrid_method=force_regrid_method,
     )
+    if resample and not new_transform.almost_equals(transform):
+        data = _reproject_horizontal_shift_samecrs(
+            data, src_transform=new_transform, dst_transform=transform, resampling=resampling,
+        )
+        new_transform = transform
     return np.asarray(data), new_transform
 
 
@@ -302,13 +337,18 @@ def _reproject_horizontal_shift_samecrs(
     gather-interpolation on device."""
     h, w = raster_arr.shape
     dst_transform = dst_transform or src_transform
+    # Compose dst-pixel -> src-pixel ON HOST IN F64: building world coordinates as f32
+    # device arrays loses up to ~1 m to the ULP at UTM northings (~8.7e6 m), i.e. up to a
+    # pixel of jitter at sub-meter resolutions. The composed affine has small offsets, so
+    # the f32 grid math below is exact to ~1e-4 px.
+    comp = src_transform.invert() * dst_transform
+    a, b, c, d, e, f = (float(v) for v in tuple(comp))
     cols = jnp.arange(w, dtype=jnp.float32) + 0.5
     rows = jnp.arange(h, dtype=jnp.float32) + 0.5
     cgrid, rgrid = jnp.meshgrid(cols, rows)
-    a, b, c, d, e, f = (float(v) for v in tuple(dst_transform))
-    x = a * cgrid + b * rgrid + c
-    y = d * cgrid + e * rgrid + f
-    return _interp_points_dev(raster_arr, src_transform, x, y, method=resampling)
+    src_col = a * cgrid + b * rgrid + (c - 0.5)
+    src_row = d * cgrid + e * rgrid + (f - 0.5)
+    return interp_rowcol(raster_arr, src_row, src_col, method=resampling)
 
 
 # ------------------------------------------------------------------ preprocessing helpers
@@ -552,8 +592,21 @@ class Coreg:
 
     _fit_called = False
     _is_affine: bool | None = None
-    _is_translation: bool | None = None
     _needs_vars = False
+
+    # Known meta keys route to their section (reference base.py:1962-1997's key mapping);
+    # anything else lands in "specific". Without this, every key except subsample/
+    # random_state fell into "specific" and fits silently ran with defaults.
+    _META_KEY_SECTIONS: dict[str, str] = {
+        "subsample": "random", "random_state": "random",
+        "fit_or_bin": "fitorbin", "fit_func": "fitorbin", "fit_optimizer": "fitorbin",
+        "bin_sizes": "fitorbin", "bin_statistic": "fitorbin",
+        "bin_apply_method": "fitorbin", "bias_var_names": "fitorbin", "nd": "fitorbin",
+        "max_iterations": "iterative", "tolerance": "iterative",
+        "offset_threshold": "iterative",
+        "matrix": "affine", "shift_x": "affine", "shift_y": "affine", "shift_z": "affine",
+        "centroid": "affine", "only_translation": "affine", "standardize": "affine",
+    }
 
     def __init__(self, meta: dict[str, Any] | None = None):
         inputs = {
@@ -565,15 +618,13 @@ class Coreg:
         }
         if meta:
             for k, v in meta.items():
-                placed = False
-                for section in inputs.values():
-                    if k in section:
-                        section[k] = v
-                        placed = True
-                        break
-                if not placed:
-                    # Place unknown keys by convention
-                    inputs["specific"][k] = v
+                section = self._META_KEY_SECTIONS.get(k)
+                if section is None:
+                    for name, sec in inputs.items():
+                        if k in sec:
+                            section = name
+                            break
+                inputs[section or "specific"][k] = v
         self._meta: dict[str, Any] = {"inputs": inputs, "outputs": {}}
 
     # ------------------------------- metadata access
@@ -595,9 +646,11 @@ class Coreg:
 
     @property
     def is_affine(self) -> bool:
-        if self._is_affine is None:
-            self._is_affine = "affine" in self._meta["outputs"]
-        return self._is_affine
+        # Recomputed each call: caching before fit() would pin False permanently on
+        # subclasses that only write outputs["affine"] during fitting
+        if self._is_affine is not None:
+            return self._is_affine
+        return "affine" in self._meta["outputs"]
 
     @property
     def is_translation(self) -> bool | None:
@@ -610,14 +663,6 @@ class Coreg:
             except (AttributeError, KeyError, ValueError, NotImplementedError):
                 return None
         return bool(np.allclose(np.asarray(matrix)[:3, :3], np.eye(3), rtol=1e-2))
-
-    def _get_subsample_params(self, subsample: float | int | None, random_state: int | None):
-        p = dict(self._meta["inputs"]["random"])
-        if subsample is not None:
-            p["subsample"] = subsample
-        if random_state is not None:
-            p["random_state"] = random_state
-        return p
 
     # ------------------------------- fit / apply
 
@@ -717,9 +762,14 @@ class Coreg:
                 return {"__callable__": f"{getattr(obj, '__module__', '')}.{getattr(obj, '__qualname__', '')}"}
             return obj
 
+        payload: dict[str, Any] = {"class": type(self).__name__, "meta": sanitize(self._meta),
+                                   "fit_called": self._fit_called}
+        steps = getattr(self, "pipeline", None)
+        if steps is not None:  # CoregPipeline: the fitted state lives in the steps
+            payload["steps"] = [{"class": type(st).__name__, "meta": sanitize(st._meta),
+                                 "fit_called": st._fit_called} for st in steps]
         with open(path, "wb") as f:
-            pickle.dump({"class": type(self).__name__, "meta": sanitize(self._meta),
-                         "fit_called": self._fit_called}, f)
+            pickle.dump(payload, f)
 
     @staticmethod
     def load(path: str) -> "Coreg":
@@ -734,24 +784,37 @@ class Coreg:
         from xdem_tpu import coreg as _coreg_pkg
 
         cls = getattr(_coreg_pkg, payload["class"])
-        obj = cls()
+        if "steps" in payload:  # CoregPipeline round-trip
+            steps = []
+            for st in payload["steps"]:
+                step = getattr(_coreg_pkg, st["class"])()
+                step._meta = Coreg._restore_tree(st["meta"])
+                step._fit_called = st["fit_called"]
+                steps.append(step)
+            obj = cls(steps)
+        else:
+            obj = cls()
 
-        def restore(o: Any) -> Any:
-            if isinstance(o, dict):
-                if set(o.keys()) == {"__callable__"}:
-                    mod_name, _, qual = o["__callable__"].rpartition(".")
-                    try:
-                        return getattr(importlib.import_module(mod_name), qual)
-                    except (ImportError, AttributeError):
-                        return None
-                return {k: restore(v) for k, v in o.items()}
-            if isinstance(o, (list, tuple)):
-                return type(o)(restore(v) for v in o)
-            return o
-
-        obj._meta = restore(payload["meta"])
+        obj._meta = Coreg._restore_tree(payload["meta"])
         obj._fit_called = payload["fit_called"]
         return obj
+
+    @staticmethod
+    def _restore_tree(o: Any) -> Any:
+        """Restore a sanitized meta tree (callables re-imported by qualified name)."""
+        import importlib
+
+        if isinstance(o, dict):
+            if set(o.keys()) == {"__callable__"}:
+                mod_name, _, qual = o["__callable__"].rpartition(".")
+                try:
+                    return getattr(importlib.import_module(mod_name), qual)
+                except (ImportError, AttributeError):
+                    return None
+            return {k: Coreg._restore_tree(v) for k, v in o.items()}
+        if isinstance(o, (list, tuple)):
+            return type(o)(Coreg._restore_tree(v) for v in o)
+        return o
 
     def _fit_func(self, **kwargs: Any) -> None:
         """Dispatch fit by input type with the rst-rst -> rst-pts -> pts-pts fallback ladder
@@ -822,8 +885,9 @@ class Coreg:
         if resampling is None:
             from xdem_tpu.config import config as _pkg_config
 
-            resampling = {"bilinear": "linear"}.get(_pkg_config["resampling"],
-                                                    _pkg_config["resampling"])
+            resampling = _pkg_config["resampling"]
+        # Alias applies to EXPLICIT arguments too (the canonical rasterio name)
+        resampling = {"bilinear": "linear"}.get(resampling, resampling)
 
         if bias_vars is not None:
             bias_vars = {k: (v.data if isinstance(v, Raster) else jnp.asarray(v)) for k, v in bias_vars.items()}

@@ -166,11 +166,18 @@ class BiasCorr(Coreg):
                 import jax.numpy as jnp
 
                 fit_func = fb["fit_func"]
+                if p0 is None:
+                    # Size the initial guess from the model's signature (the reference's
+                    # scipy.curve_fit does the same introspection): f(x, p1, ..., pk)
+                    import inspect
+
+                    n_par = max(len(inspect.signature(fit_func).parameters) - 1, 1)
+                    p0 = [1.0] * n_par
                 params = curve_fit_lm(
                     lambda x, *p: jnp.asarray(fit_func(x, *p)),
                     xfit if isinstance(xfit, tuple) else jnp.asarray(xfit),
                     jnp.asarray(yfit),
-                    p0=list(p0) if p0 is not None else [1.0, 1.0],
+                    p0=list(p0),
                 )
 
         self._meta["outputs"]["fitorbin"] = {"fit_params": params, "bin_dataframe": df}
@@ -349,10 +356,6 @@ class DirectionalBias(BiasCorr):
         rr = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None], (h, w))
         return {"angle": jnp.float32(kc) * cc + jnp.float32(kr) * rr + jnp.float32(k0)}
 
-    def _apply_func(self, elev, bias_vars=None, transform=None, crs=None, **kwargs):
-        return super()._apply_func(elev, bias_vars=None if bias_vars is None else bias_vars,
-                                   transform=transform, crs=crs, **kwargs)
-
 
 class TerrainBias(BiasCorr):
     """Bias correction against a terrain attribute, default max_curvature
@@ -402,9 +405,6 @@ class TerrainBias(BiasCorr):
         if bias_vars is None:
             bias_vars = {name: self._terrain_var(arr, transform, None)}
         return super()._compute_correction(arr, transform, crs, bias_vars, **kwargs)
-
-    def _apply_func(self, elev, bias_vars=None, transform=None, crs=None, **kwargs):
-        return super()._apply_func(elev, bias_vars=bias_vars, transform=transform, crs=crs, **kwargs)
 
 
 class Deramp(BiasCorr):
@@ -475,5 +475,3 @@ class Deramp(BiasCorr):
         yy = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None], (h, w))
         return {"xx": xx, "yy": yy}
 
-    def _apply_func(self, elev, bias_vars=None, transform=None, crs=None, **kwargs):
-        return super()._apply_func(elev, bias_vars=bias_vars, transform=transform, crs=crs, **kwargs)

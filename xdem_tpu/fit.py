@@ -372,6 +372,14 @@ def _polish_sumsin(x: np.ndarray, y: np.ndarray, p0: np.ndarray, n_iter: int = 3
 
     p, _ = levenberg_marquardt(residual, jnp.asarray(p0, dtype=jnp.float32), max_iter=n_iter)
     out = np.asarray(p, dtype=np.float64)
-    out[0::3] = np.abs(out[0::3])  # amplitudes positive
+    # Canonicalize WITHOUT changing the model (a plain abs() would sign-flip components):
+    #   a sin(2 pi x / L + phi), L < 0  ==  -a sin(2 pi x / |L| - phi)
+    #   a sin(... + phi), a < 0         ==  |a| sin(... + phi + pi)
+    neg_l = out[1::3] < 0
     out[1::3] = np.abs(out[1::3])
+    out[0::3] = np.where(neg_l, -out[0::3], out[0::3])
+    out[2::3] = np.where(neg_l, -out[2::3], out[2::3])
+    neg_a = out[0::3] < 0
+    out[0::3] = np.abs(out[0::3])
+    out[2::3] = np.where(neg_a, out[2::3] + np.pi, out[2::3])
     return out
