@@ -87,19 +87,8 @@ def polynomial_2d(xx: tuple[Any, Any], *params: float) -> Any:
 # --------------------------------------------------------------------------- LM solver (device)
 
 
-@partial(jax.jit, static_argnames=("residual_fn", "max_iter"))
-def levenberg_marquardt(
-    residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
-    p0: jnp.ndarray,
-    max_iter: int = 50,
-    tol: float = 1e-10,
-    lam0: float = 1e-3,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Levenberg-Marquardt on a fixed-size residual function, as a lax.while_loop.
-
-    Replaces scipy.optimize.curve_fit/least_squares for the framework's small dense problems
-    (NuthKaab cosine fit, variogram sum-of-models fit, deramp). Returns (params, final cost).
-    """
+def _lm_loop(residual_fn, p0, max_iter, tol, lam0):
+    """The traceable LM while_loop body shared by both jit entry points below."""
 
     def cost(p):
         r = residual_fn(p)
@@ -132,6 +121,37 @@ def levenberg_marquardt(
     return p, c
 
 
+@partial(jax.jit, static_argnames=("residual_fn", "max_iter"))
+def levenberg_marquardt(
+    residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    p0: jnp.ndarray,
+    max_iter: int = 50,
+    tol: float = 1e-10,
+    lam0: float = 1e-3,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Levenberg-Marquardt on a fixed-size residual function, as a lax.while_loop.
+
+    Replaces scipy.optimize.curve_fit/least_squares for the framework's small dense problems
+    (NuthKaab cosine fit, variogram sum-of-models fit, deramp). Returns (params, final cost).
+
+    NOTE: `residual_fn` is a static argument — a fresh closure per call re-traces. For
+    repeated fits of the same model over same-shaped data use :func:`_lm_data`, which takes
+    the data as traced arguments and caches on the MODEL function's identity.
+    """
+    return _lm_loop(residual_fn, p0, max_iter, tol, lam0)
+
+
+@partial(jax.jit, static_argnames=("func", "n_params", "max_iter"))
+def _lm_data(func, x, y0, w, p0, n_params: int, max_iter: int = 50):
+    """LM with the model function static but data TRACED: same (func, n_params, shapes)
+    hits the in-process jit cache, so repeated fits never re-trace or re-compile."""
+
+    def residual(p):
+        return (func(x, *[p[i] for i in range(n_params)]) - y0) * w
+
+    return _lm_loop(residual, p0, max_iter, 1e-10, 1e-3)
+
+
 def curve_fit_lm(
     func: Callable[..., jnp.ndarray],
     xdata: jnp.ndarray,
@@ -148,10 +168,8 @@ def curve_fit_lm(
         w = w / jnp.where(jnp.asarray(sigma) > 0, jnp.asarray(sigma), jnp.inf)
     y0 = jnp.where(jnp.isfinite(y), y, 0.0)
 
-    def residual(p):
-        return (func(x, *tuple(p)) - y0) * w
-
-    p, _ = levenberg_marquardt(residual, jnp.asarray(p0, dtype=jnp.float32), max_iter=max_iter)
+    p, _ = _lm_data(func, x, y0, w, jnp.asarray(p0, dtype=jnp.float32),
+                    n_params=len(p0), max_iter=max_iter)
     return np.asarray(p, dtype=np.float64)
 
 
@@ -366,11 +384,8 @@ def _polish_sumsin(x: np.ndarray, y: np.ndarray, p0: np.ndarray, n_iter: int = 3
     """Joint LM refinement of sum-of-sines parameters on device."""
     xj = jnp.asarray(x, dtype=jnp.float32)
     yj = jnp.asarray(y, dtype=jnp.float32)
-
-    def residual(p):
-        return sumsin_1d(xj, *tuple(p)) - yj
-
-    p, _ = levenberg_marquardt(residual, jnp.asarray(p0, dtype=jnp.float32), max_iter=n_iter)
+    p, _ = _lm_data(sumsin_1d, xj, yj, jnp.float32(1.0),
+                    jnp.asarray(p0, dtype=jnp.float32), n_params=len(p0), max_iter=n_iter)
     out = np.asarray(p, dtype=np.float64)
     # Canonicalize WITHOUT changing the model (a plain abs() would sign-flip components):
     #   a sin(2 pi x / L + phi), L < 0  ==  -a sin(2 pi x / |L| - phi)
