@@ -4,6 +4,7 @@ Mirrors the reference's statistical test strategy (tests/test_spatialstats.py): 
 behavior verified on simulated fields with known properties.
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 import pytest
@@ -759,3 +760,58 @@ class TestMeshUncertaintyPipeline:
                                            mesh=self._mesh(8))
         for x, y in zip(a1, a2):
             np.testing.assert_array_equal(np.asarray(x.data), np.asarray(y.data))
+
+
+class TestSpatialstatsReviewRegressions:
+    """Round-3 spatialstats/parallel review fixes."""
+
+    def test_interp_nd_binning_subset_of_3var(self):
+        # A 2-var subset of a 3-variable binning used to crash on NaN rows from the
+        # sibling same-nd combos (the reference filters them)
+        rng = np.random.default_rng(0)
+        v = rng.normal(size=2000)
+        df = ss.nd_binning(v, [rng.uniform(0, 1, 2000) for _ in range(3)],
+                           ["var1", "var2", "var3"])
+        fn = ss.interp_nd_binning(df, ["var1", "var2"], statistic="nanmedian", min_count=0)
+        out = fn(np.array([0.5]), np.array([0.5]))
+        assert np.isfinite(out).all()
+        arr = ss.get_perbin_nd_binning(df, [np.array([0.5]), np.array([0.5])],
+                                       ["var1", "var2"], statistic="nanmedian")
+        assert np.isfinite(arr).all()
+
+    def test_convolution_even_kernel_matches_scipy(self):
+        rng = np.random.default_rng(1)
+        a = rng.normal(size=(1, 10, 12))
+        for k in (2, 3, 4, 5):
+            kern = rng.normal(size=(1, k, k))
+            got = ss.convolution(a, kern)
+            want = ndimage.convolve(a[0], kern[0], mode="constant", cval=0.0)
+            assert got.shape == (1, 1, 10, 12), got.shape
+            # constant-0 boundary here vs scipy's explicit constant mode: exact match
+            np.testing.assert_allclose(got[0, 0], want, atol=1e-5)
+
+    def test_neff_exact_matern_host_fallback(self):
+        rng = np.random.default_rng(2)
+        coords = rng.uniform(0, 500, (200, 2))
+        errors = rng.uniform(0.5, 1.5, 200)
+        params = pd.DataFrame({"model": ["matern"], "range": [100.0], "psill": [1.0],
+                               "smooth": [0.5]})
+        n_eff = ss.neff_exact(coords, errors, params)
+        assert 1.0 < n_eff < 200.0
+
+    def test_patches_quadrant_count_column(self):
+        rng = np.random.default_rng(3)
+        vals = rng.normal(size=(64, 64))
+        df = ss.patches_method(vals, gsd=10.0, area=90000.0, vectorized=False,
+                               statistics_in_patch=[np.nanmean, "count"], random_state=0)
+        assert "count" in df.columns and "<lambda>" not in df.columns
+
+    def test_halo_too_small_raises_clearly(self):
+        import jax
+        from jax.sharding import Mesh
+
+        from xdem_tpu.parallel.halo import sharded_stencil
+
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("ry", "rx"))
+        with pytest.raises(ValueError, match="too small to halo-shard"):
+            sharded_stencil(lambda b: b, jnp.zeros((8, 8)), halo=3, mesh=mesh)

@@ -80,6 +80,12 @@ def sharded_stencil(
     # Pad to a multiple of the mesh shape
     ph = (-h) % n_ry
     pw = (-w) % n_rx
+    if (h + ph) // n_ry < halo or (w + pw) // n_rx < halo:
+        raise ValueError(
+            f"Raster of shape {(h, w)} is too small to halo-shard with radius {halo} over a "
+            f"{n_ry}x{n_rx} mesh: each device block must be at least {halo} px per axis "
+            f"(need >= {halo * n_ry}x{halo * n_rx}). Use fewer devices or a 1-D mesh."
+        )
     if ph or pw:
         arr = jnp.pad(arr, ((0, ph), (0, pw)), constant_values=jnp.nan)
 

@@ -203,8 +203,14 @@ def interp_nd_binning(
     stat_name = statistic if isinstance(statistic, str) else statistic.__name__
 
     sub = df[df["nd"] == len(list_var_names)].copy()
+    # Sibling combos of the SAME dimensionality (e.g. (var1,var3) rows when asking for
+    # (var1,var2) out of a 3-variable binning) carry NaN in the requested columns: filter
+    # them like the reference (spatialstats.py:331) or .mid access crashes below
+    for name in list_var_names:
+        sub = sub[sub[name].notna()]
     if len(sub) == 0:
         raise ValueError(f"No {len(list_var_names)}-D binning found in the DataFrame.")
+    sub = sub.copy()
     for name in list_var_names:
         sub[name] = sub[name].apply(_pandas_str_to_interval)
 
@@ -258,11 +264,14 @@ def interp_nd_binning(
     return interpolator
 
 
-def _interp_grid_device(mids_ext: list[np.ndarray], grid_ext: np.ndarray, vars_dev: list) -> jnp.ndarray:
+@jax.jit
+def _interp_grid_device(mids_ext, grid_ext, vars_dev) -> jnp.ndarray:
     """Multilinear interpolation of a small binned grid at device-resident coordinates.
 
     Equivalent to interp_nd_binning's host interpolator (the edge-padded grid makes
     out-of-hull extrapolation flat, so clamping reproduces it); NaN coordinates give NaN.
+    Jitted (pytree args): eager execution issued ~30 separate dispatches, ~1.5 s of fixed
+    latency per full-raster evaluation through a tunneled chip.
     """
     import itertools
 
@@ -303,7 +312,10 @@ def get_perbin_nd_binning(
     if isinstance(list_var_names, str):
         list_var_names = [list_var_names]
     stat_name = statistic if isinstance(statistic, str) else statistic.__name__
-    sub = df[df["nd"] == len(list_var_names)].copy()
+    sub = df[df["nd"] == len(list_var_names)]
+    for name in list_var_names:
+        sub = sub[sub[name].notna()]  # drop sibling same-nd combos (see interp_nd_binning)
+    sub = sub.copy()
     for name in list_var_names:
         sub[name] = sub[name].apply(_pandas_str_to_interval)
 
@@ -726,7 +738,10 @@ def _conv2d_multi(imgs: jnp.ndarray, filters: jnp.ndarray) -> jnp.ndarray:
     rhs = filters[:, None, ::-1, ::-1]  # O=M, I=1, k1, k2 (flip = convolution)
     out = jax.lax.conv_general_dilated(
         lhs, rhs, window_strides=(1, 1),
-        padding=((k1 // 2, k1 // 2), (k2 // 2, k2 // 2)),
+        # Asymmetric for even kernels: ((k-1)//2, k//2) matches scipy.ndimage.convolve's
+        # same-shape output and center convention (symmetric k//2 padding grew the output
+        # by one row/col for even k, silently misaligning the patches method)
+        padding=(((k1 - 1) // 2, k1 // 2), ((k2 - 1) // 2, k2 // 2)),
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
     )
     return out
@@ -1424,11 +1439,9 @@ def sample_empirical_variogram(
         # per-bin tables crosses the host boundary (the f32 raster stays in HBM: a 400 MB
         # pull costs ~25 s through the tunneled chip at the 10k^2 uncertainty config, and
         # even the bool mask costs a ~100 ms round trip per call).
-        grid_valid_dev = None
         arr = None
     else:
         arr = np.squeeze(arr)
-        grid_valid_dev = None
 
     if subsample_method not in ("cdist_equidistant", "cdist_point", "pdist_point", "pdist_disk", "pdist_ring"):
         raise TypeError(
@@ -1445,7 +1458,7 @@ def sample_empirical_variogram(
     if arr_dev is not None:
         nx, ny = arr_dev.shape
         shape = (nx, ny)
-        grid_valid = grid_valid_dev
+        grid_valid = None  # device path: the validity mask never leaves the device
         extent = (0.0, (nx - 1) * gsd, 0.0, (ny - 1) * gsd)
         coords_v = vals_v = None
     elif arr.ndim == 2:
@@ -1497,7 +1510,6 @@ def sample_empirical_variogram(
 
     def one_variogram(rng: np.random.Generator) -> tuple[np.ndarray, np.ndarray]:
         if subsample_method == "cdist_equidistant":
-            nonlocal runs, samples
             if runs is None or samples is None:
                 runs_, samples_, _ratio = _choose_cdist_equidistant_sampling_parameters(
                     extent, shape, subsample, nb_rings
@@ -1978,6 +1990,26 @@ def _chunked_weighted_rho_sum(
     chunk x M (~target_elems f32, default 256 MB) regardless of N — the same pattern as
     coreg.affine._brute_nearest. Distances stay matmul-shaped for the MXU.
     """
+    if any(_get_variogram_model_name(m_) == "matern"
+           for m_ in params_variogram_model["model"]):
+        # Matern needs Bessel K_v (no jax primitive): chunked HOST accumulation with the
+        # f64 numpy model — still memory-bounded, just not device-resident
+        total_sill = float(np.sum(params_variogram_model["psill"].values))
+        m = len(e2)
+        chunk = int(min(max(64, target_elems // max(m, 1)), max(len(e1), 1)))
+        acc = 0.0
+        for i0 in range(0, len(e1), chunk):
+            cc = np.asarray(c1[i0:i0 + chunk], np.float64)
+            d = np.sqrt(((cc[:, None, :] - np.asarray(c2, np.float64)[None, :, :]) ** 2).sum(-1))
+            gamma = np.zeros_like(d)
+            for _, row in params_variogram_model.iterrows():
+                gamma += _model_gamma(d, _get_variogram_model_name(row["model"]),
+                                      float(row["range"]), float(row["psill"]),
+                                      row.get("smooth"), xp=np)
+            rho = (total_sill - gamma) / total_sill
+            acc += float(np.sum(np.asarray(e1[i0:i0 + chunk])[:, None] * np.asarray(e2)[None, :] * rho))
+        return acc
+
     c2_j = jnp.asarray(c2, jnp.float32)
     e2_j = jnp.asarray(e2, jnp.float32)
     m = c2_j.shape[0]
@@ -1991,13 +2023,18 @@ def _chunked_weighted_rho_sum(
     c1r = jnp.asarray(c1p.reshape(-1, chunk, c1.shape[1]))
     e1r = jnp.asarray(e1p.reshape(-1, chunk))
 
-    def body(acc, xe):
+    def body(carry, xe):
+        acc, comp = carry
         cc, ee = xe
         d = jnp.sqrt(_pairwise_sq_dists(cc, c2_j))
         rho = _rho_device(d, params_variogram_model)
-        return acc + jnp.sum(ee[:, None] * e2_j[None, :] * rho, dtype=jnp.float32), None
+        # Kahan-compensated: thousands of sequential f32 adds of large partial sums drift
+        # ~1e-4 relative otherwise (same pattern as _chunked_pair_reduce)
+        y = jnp.sum(ee[:, None] * e2_j[None, :] * rho, dtype=jnp.float32) - comp
+        t = acc + y
+        return (t, (t - acc) - y), None
 
-    acc, _ = jax.lax.scan(body, jnp.float32(0.0), (c1r, e1r))
+    (acc, _comp), _ = jax.lax.scan(body, (jnp.float32(0.0), jnp.float32(0.0)), (c1r, e1r))
     return float(acc)
 
 
@@ -2012,11 +2049,16 @@ def neff_exact(
     _check_validity_params_variogram(params_variogram_model)
     coords = np.asarray(coords, np.float32)
     errors = np.asarray(errors, np.float32)
-    if mesh is not None:
+    has_matern = any(_get_variogram_model_name(m_) == "matern"
+                     for m_ in params_variogram_model["model"])
+    if mesh is not None and not has_matern:
         from xdem_tpu.parallel.neff import weighted_rho_sum_sharded
 
         var = weighted_rho_sum_sharded(coords, errors, coords, errors, params_variogram_model, mesh)
     else:
+        if mesh is not None:
+            logging.debug("matern n_eff runs on the host path (no Bessel-K jax primitive); "
+                          "mesh= ignored for this model")
         var = _chunked_weighted_rho_sum(coords, errors, coords, errors, params_variogram_model)
     n = len(errors)
     squared_se = var / n**2
@@ -2196,8 +2238,11 @@ def _patches_loop_quadrants(
             continue
         rec: dict[str, Any] = {"tile": f"{i}_{j}"}
         for stat in statistics_in_patch:
-            fn = stat if callable(stat) else {"count": lambda v: np.isfinite(v).sum()}[stat]
-            rec[getattr(fn, "__name__", str(stat))] = fn(vals)
+            if callable(stat):
+                fn, name = stat, getattr(stat, "__name__", str(stat))
+            else:  # string statistic keeps ITS name ("count" used to become "<lambda>")
+                fn, name = {"count": lambda v: np.isfinite(v).sum()}[stat], stat
+            rec[name] = fn(vals)
         rows.append(rec)
     return pd.DataFrame(rows)
 
