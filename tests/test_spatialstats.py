@@ -815,3 +815,66 @@ class TestSpatialstatsReviewRegressions:
         mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("ry", "rx"))
         with pytest.raises(ValueError, match="too small to halo-shard"):
             sharded_stencil(lambda b: b, jnp.zeros((8, 8)), halo=3, mesh=mesh)
+
+    def test_genton_global_pair_zero_kept(self):
+        # Global pair index 0 used to hash to the invalid sentinel key 0 and was dropped by
+        # the chunked reservoir (but kept by the distributed merge). With < CAP pairs per
+        # bin the reservoir must hold ALL valid pairs, so gamma equals the full-sample Qn.
+        import jax.numpy as jnp
+
+        from xdem_tpu.parallel import make_mesh
+        from xdem_tpu.parallel.variogram import sharded_variogram_bins
+        from xdem_tpu.spatialstats import (_genton_qn_from_reservoir,
+                                           _pairs_genton_reservoir_chunked)
+
+        rng = np.random.default_rng(7)
+        R, N, M = 2, 3, 3
+        za = rng.normal(0, 1, (R, N))
+        zb = rng.normal(0, 1, (R, M))
+        ca = rng.uniform(0, 50, (R, N, 2))
+        cb = rng.uniform(0, 50, (R, M, 2))
+        edges = [0.0, 100.0]
+        # numpy oracle: every pair is valid and lands in the single bin
+        d = (za[:, :, None] - zb[:, None, :]).ravel()
+        n = len(d)
+        pair_diffs = np.abs(d[:, None] - d[None, :])[np.triu_indices(n, k=1)]
+        k = int((n // 2 + 1) * (n // 2) / 2)
+        qn = np.partition(pair_diffs, k - 1)[k - 1]
+        g_true = (2.2191 * qn) ** 2 / 2
+
+        res, cnt = _pairs_genton_reservoir_chunked(
+            jnp.asarray(za, jnp.float32), jnp.asarray(zb, jnp.float32),
+            jnp.asarray(ca, jnp.float32), jnp.asarray(cb, jnp.float32),
+            jnp.asarray(edges, jnp.float32), 1, 1)
+        assert int(cnt[0]) == n
+        assert np.isfinite(np.asarray(res[0])).sum() == n  # ALL pairs kept, incl. pair 0
+        g_chunked = _genton_qn_from_reservoir(np.asarray(res, np.float64), np.asarray(cnt))
+        np.testing.assert_allclose(g_chunked[0], g_true, rtol=1e-5)
+
+        g_sh, c_sh = sharded_variogram_bins(za, zb, ca, cb, edges, make_mesh(2),
+                                            estimator="genton")
+        assert int(c_sh[0]) == n
+        np.testing.assert_allclose(g_sh[0], g_true, rtol=1e-5)
+
+    def test_sharded_variogram_2d_mesh_matches_1d(self):
+        # A 2-D mesh (make_mesh's default shape) used to mis-size the Genton run offsets
+        # (devices.size vs the sharded axis size); sharded_variogram_bins now flattens any
+        # mesh to 1-D internally.
+        from xdem_tpu.parallel import make_mesh
+        from xdem_tpu.parallel.mesh import as_mesh_1d
+        from xdem_tpu.parallel.variogram import sharded_variogram_bins
+
+        rng = np.random.default_rng(9)
+        R, N, M = 8, 20, 40
+        za = rng.normal(0, 1, (R, N))
+        zb = rng.normal(0, 1, (R, M))
+        ca = rng.uniform(0, 800, (R, N, 2))
+        cb = rng.uniform(0, 800, (R, M, 2))
+        edges = [0.0, 300.0, 800.0, 1500.0]
+        mesh2d = make_mesh(8, shape=(2, 4))
+        for est in ("matheron", "dowd", "genton"):
+            g2, c2 = sharded_variogram_bins(za, zb, ca, cb, edges, mesh2d, estimator=est)
+            g1, c1 = sharded_variogram_bins(za, zb, ca, cb, edges, as_mesh_1d(mesh2d),
+                                            estimator=est)
+            np.testing.assert_array_equal(c2, c1)
+            np.testing.assert_allclose(g2, g1, rtol=1e-6, equal_nan=True, err_msg=est)

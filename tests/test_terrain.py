@@ -419,3 +419,48 @@ def test_tiled_kwarg_on_dispatcher(tmp_path):
         ref = np.asarray(w)
         both = np.isfinite(got) & np.isfinite(ref)
         np.testing.assert_allclose(got[both], ref[both], rtol=1e-4, atol=1e-3)
+
+
+class TestTerrainReviewRegressions:
+    """Round-3 terrain-layer review fixes."""
+
+    def test_rugosity_fixed_3x3_with_larger_window(self, smooth_dem):
+        # The reference computes rugosity on a fixed 3x3 window regardless of window_size=
+        # (its scipy wrapper hardcodes size=3, reference window.py:700); a 5x5 request used
+        # to raise here.
+        dem, res = smooth_dem
+        r3 = np.asarray(terrain.get_terrain_attribute(dem, "rugosity", resolution=res))
+        rug5, rough5 = terrain.get_terrain_attribute(
+            dem, ["rugosity", "roughness"], resolution=res, window_size=5)
+        both = np.isfinite(r3) & np.isfinite(np.asarray(rug5))
+        assert both.sum() > 100
+        np.testing.assert_allclose(np.asarray(rug5)[both], r3[both], rtol=1e-6)
+        # ... while roughness really used the 5x5 window
+        rough3 = np.asarray(terrain.get_terrain_attribute(dem, "roughness", resolution=res))
+        assert not np.allclose(np.nan_to_num(np.asarray(rough5)), np.nan_to_num(rough3))
+
+    def test_texture_shading_alpha_parameter(self, smooth_dem):
+        # Reference signature is texture_shading(dem, alpha=0.8) (reference terrain.py:1783)
+        dem, _res = smooth_dem
+        a = np.asarray(terrain.texture_shading(dem, 0.5))
+        b = np.asarray(terrain.get_terrain_attribute(dem, "texture_shading", texture_alpha=0.5))
+        np.testing.assert_array_equal(a, b)
+
+    def test_fractal_small_window_warns_and_computes(self):
+        # Reference warns for window_size_fractal < 5 and still computes (a degenerate
+        # one-point log-log regression -> NaN); this used to warn and then raise.
+        dem = examples.synthetic_dem_array(shape=(32, 32), seed=3)
+        with pytest.warns(UserWarning, match="larger or equal to 5"):
+            out = np.asarray(terrain.get_terrain_attribute(
+                dem, "fractal_roughness", resolution=10.0, window_size_fractal=3))
+        assert out.shape == dem.shape
+        assert np.isnan(out).all()
+
+    def test_tiled_out_dtype_rejected(self, tmp_path):
+        # out_dtype used to be silently dropped by the tiled= path (float32 writer)
+        from xdem_tpu.terrain import TilingConfig
+
+        with pytest.raises(ValueError, match="out_dtype"):
+            terrain.get_terrain_attribute(
+                np.zeros((64, 64), np.float32), "slope", resolution=1.0,
+                tiled=TilingConfig(outdir=str(tmp_path)), out_dtype=np.float64)

@@ -78,11 +78,13 @@ _GENTON_CAP = 400  # single-chip _binned_genton subsamples each bin to 400 value
 def _genton_pair_keys(run0, n_local_runs: int, n: int, m: int, parked, n_bins: int):
     """Deterministic ranking key per pair for the Genton reservoir.
 
-    The key is the full 32-bit Knuth multiplicative hash of the GLOBAL pair index. The
-    multiplier is odd, so gidx -> gidx*golden (mod 2^32) is a bijection: unique pair
-    indices give UNIQUE keys (pair counts are capped below 2^31), and the top-CAP
-    selection is tie-free — identical for any chunking, mesh size, or merge layout.
-    Invalid pairs get key 0 (sorts last in descending order).
+    The key is the full 32-bit Knuth multiplicative hash of the GLOBAL pair index plus one.
+    The multiplier is odd, so (gidx+1) -> (gidx+1)*golden (mod 2^32) is a bijection: unique
+    pair indices give UNIQUE keys (pair counts are capped below 2^31, so gidx+1 never wraps
+    to 0), and the top-CAP selection is tie-free — identical for any chunking, mesh size, or
+    merge layout. The +1 keeps every VALID key non-zero: key 0 is reserved for invalid pairs
+    and unfilled reservoir slots (sorts last in descending order), so the valid pair at
+    global index 0 is never confused with padding.
     """
     local_run = jnp.arange(n_local_runs, dtype=jnp.uint32)[:, None, None]
     ii = jnp.arange(n, dtype=jnp.uint32)[None, :, None]
@@ -90,7 +92,7 @@ def _genton_pair_keys(run0, n_local_runs: int, n: int, m: int, parked, n_bins: i
     gidx = ((run0.astype(jnp.uint32) + local_run) * jnp.uint32(n * m)
             + ii * jnp.uint32(m) + jj).ravel()
     golden = jnp.uint32(2654435769)  # 2^32 / phi
-    key = gidx * golden
+    key = (gidx + jnp.uint32(1)) * golden
     return jnp.where(parked < n_bins, key, jnp.uint32(0))
 
 
@@ -183,7 +185,14 @@ def sharded_variogram_bins(
     :param ca: (R, N, 2) center coordinates.
     :param cb: (R, M, 2) comparison coordinates.
     :returns: (gamma per bin, pair count per bin), aggregated across all devices.
+
+    Any mesh shape is accepted: an N-D mesh is flattened to 1-D over all its devices
+    (run sharding is 1-D by nature — without this, P(axis0) would shard runs over only the
+    first axis while run offsets assumed all devices, corrupting the Genton pair keys).
     """
+    from xdem_tpu.parallel.mesh import as_mesh_1d
+
+    mesh = as_mesh_1d(mesh)
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
     R = za.shape[0]

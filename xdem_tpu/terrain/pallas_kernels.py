@@ -25,12 +25,8 @@ from xdem_tpu.terrain.surfit import (
     _needed_derivs,
 )
 
-_DIV_CONST = {
-    "zt_d": 1.0, "zt_e": 1.0, "zt_f": 4.0, "zt_g": 2.0, "zt_h": 2.0,
-    "h1": 8.0, "h2": 8.0,
-    "fl_r": 35.0, "fl_t": 35.0, "fl_s": 100.0, "fl_p": 420.0, "fl_q": 420.0,
-}
-_DIV_POW = {"z_x": 1, "z_y": 1, "z_xx": 2, "z_yy": 2, "z_xy": 2}
+from xdem_tpu.terrain.surfit import DIV_CONST as _DIV_CONST
+from xdem_tpu.terrain.surfit import DIV_POW as _DIV_POW
 
 
 def _atan_poly(x: jnp.ndarray) -> jnp.ndarray:
@@ -429,28 +425,22 @@ def _make_windowed_kernel(attrs: tuple, w: int, riley: bool, tr: int, tc: int):
 
         rug = None
         if need_rug:
+            # Geometry tables shared with window._rugosity so the two engines cannot drift;
+            # the per-slice math is re-expressed here for Mosaic.
+            from xdem_tpu.terrain.window import (RUGOSITY_CENTER_SEGS, RUGOSITY_EDGE_SEGS,
+                                                 RUGOSITY_TRIS)
+
             L = res_ref[0]
-            sqrt2 = float(np.sqrt(2.0))
             Z = {(u, v): sl(u, v) for u in range(3) for v in range(3)}
-            center_segs = [
-                ((0, 0), sqrt2), ((0, 1), 1.0), ((0, 2), sqrt2), ((1, 0), 1.0),
-                ((1, 2), 1.0), ((2, 0), sqrt2), ((2, 1), 1.0), ((2, 2), sqrt2),
-            ]
-            edge_segs = [
-                ((0, 0), (0, 1)), ((0, 1), (0, 2)), ((2, 0), (2, 1)), ((2, 1), (2, 2)),
-                ((0, 0), (1, 0)), ((1, 0), (2, 0)), ((0, 2), (1, 2)), ((1, 2), (2, 2)),
-            ]
             hsl = []
-            for (pos, lfac) in center_segs:
+            for (pos, lfac) in RUGOSITY_CENTER_SEGS:
                 dz = center - Z[pos]
                 hsl.append(jnp.sqrt(dz * dz + (lfac * L) ** 2) / 2)
-            for (p0, p1) in edge_segs:
+            for (p0, p1) in RUGOSITY_EDGE_SEGS:
                 dz = Z[p0] - Z[p1]
                 hsl.append(jnp.sqrt(dz * dz + L * L) / 2)
-            tris = [(3, 0, 12), (0, 1, 8), (1, 2, 9), (2, 4, 14),
-                    (4, 7, 15), (7, 6, 11), (6, 5, 10), (5, 3, 13)]
             area = jnp.zeros((tr, tc), jnp.float32)
-            for (ia, ib, ic) in tris:
+            for (ia, ib, ic) in RUGOSITY_TRIS:
                 a, b, c = hsl[ia], hsl[ib], hsl[ic]
                 s_h = (a + b + c) / 2
                 area = area + jnp.sqrt(jnp.maximum(s_h * (s_h - a) * (s_h - b) * (s_h - c), 0.0))

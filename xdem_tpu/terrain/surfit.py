@@ -62,23 +62,15 @@ _FL = {
 ALL_STENCILS = {k: np.asarray(v, dtype=np.float64) for d in (_ZT, _HORN, _FL) for k, v in d.items()}
 
 
-def _divider(res: float, name: str) -> float:
-    """Resolution divider per stencil — reference surfit.py:278-304."""
-    table = {
-        "zt_d": res**2,
-        "zt_e": res**2,
-        "zt_f": 4 * res**2,
-        "zt_g": 2 * res,
-        "zt_h": 2 * res,
-        "h1": 8 * res,
-        "h2": 8 * res,
-        "fl_r": 35 * res**2,
-        "fl_t": 35 * res**2,
-        "fl_s": 100 * res**2,
-        "fl_p": 420 * res,
-        "fl_q": 420 * res,
-    }
-    return table[name]
+# Resolution dividers per stencil (reference surfit.py:278-304): each raw stencil response
+# is divided by DIV_CONST[name] * res**DIV_POW[role]. Single source of truth shared by the
+# XLA path below and the Pallas kernel (terrain/pallas_kernels.py).
+DIV_CONST = {
+    "zt_d": 1.0, "zt_e": 1.0, "zt_f": 4.0, "zt_g": 2.0, "zt_h": 2.0,
+    "h1": 8.0, "h2": 8.0,
+    "fl_r": 35.0, "fl_t": 35.0, "fl_s": 100.0, "fl_p": 420.0, "fl_q": 420.0,
+}
+DIV_POW = {"z_x": 1, "z_y": 1, "z_xx": 2, "z_yy": 2, "z_xy": 2}
 
 
 # Derivative roles per fit method: names of (z_x, z_y, z_xx, z_yy, z_xy) stencils.
@@ -202,15 +194,9 @@ def surface_attributes(
 
     raw = _apply_stencils(dem0, kernels)
     # Resolution dividers are applied on device so `resolution` can stay traced.
-    div_pow = {"z_x": 1, "z_y": 1, "z_xx": 2, "z_yy": 2, "z_xy": 2}
-    div_const = {
-        "zt_d": 1.0, "zt_e": 1.0, "zt_f": 4.0, "zt_g": 2.0, "zt_h": 2.0,
-        "h1": 8.0, "h2": 8.0,
-        "fl_r": 35.0, "fl_t": 35.0, "fl_s": 100.0, "fl_p": 420.0, "fl_q": 420.0,
-    }
     D: dict[str, jnp.ndarray] = {}
     for role, name, arr in zip(roles, names, raw):
-        D[role] = arr / (div_const[name] * res ** div_pow[role])
+        D[role] = arr / (DIV_CONST[name] * res ** DIV_POW[role])
 
     valid = _erode_valid(valid_in, ksize)
     nan = jnp.array(jnp.nan, dtype=dem.dtype)

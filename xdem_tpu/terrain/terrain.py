@@ -85,7 +85,7 @@ def get_terrain_attribute(
             window_size=window_size, window_size_fractal=window_size_fractal,
             degrees=degrees, hillshade_altitude=hillshade_altitude,
             hillshade_azimuth=hillshade_azimuth, hillshade_z_factor=hillshade_z_factor,
-            engine=engine,
+            engine=engine, out_dtype=out_dtype,
         )
 
     single = isinstance(attribute, str)
@@ -198,39 +198,53 @@ def get_terrain_attribute(
                 val = jnp.clip(val, 0, 255)
             results[a] = val
 
-    if win_attrs:
+    # Rugosity is defined on a 3x3 window ONLY (Jenness 2004); the reference computes it on
+    # a fixed 3x3 regardless of window_size= (its scipy wrapper hardcodes size=3,
+    # reference window.py:700). Route it through its own 3x3 dispatch when window_size != 3
+    # so e.g. [roughness@5x5, rugosity@3x3] matches the reference.
+    def _win_dispatch(attrs_t: tuple[str, ...], wsize: int) -> jnp.ndarray:
         if mesh is not None:
             from xdem_tpu.parallel.halo import sharded_stencil
 
-            stack = sharded_stencil(
-                lambda padded: windowed_indexes(padded, resolution, tuple(win_attrs),
-                                                window_size=window_size, tri_method=tri_method),
-                arr, halo=window_size // 2, mesh=mesh, out_leading=len(win_attrs),
+            return sharded_stencil(
+                lambda padded: windowed_indexes(padded, resolution, attrs_t,
+                                                window_size=wsize, tri_method=tri_method),
+                arr, halo=wsize // 2, mesh=mesh, out_leading=len(attrs_t),
             )
-        elif engine == "pallas" and window_size // 2 <= 8:
+        if engine == "pallas" and wsize // 2 <= 8:
             from xdem_tpu.terrain.pallas_kernels import windowed_indexes_pallas
 
-            stack = windowed_indexes_pallas(arr, resolution, tuple(win_attrs),
-                                            window_size=window_size, tri_method=tri_method)
-        else:
-            if engine == "pallas":
-                logging.debug(
-                    "Pallas windowed kernels support window radius <= 8 (window_size <= 17); "
-                    "window_size=%d falls back to the XLA engine.", window_size)
-            stack = windowed_indexes(arr, resolution, tuple(win_attrs), window_size=window_size,
-                                     tri_method=tri_method)
-        for i, a in enumerate(win_attrs):
-            results[a] = stack[i]
+            return windowed_indexes_pallas(arr, resolution, attrs_t,
+                                           window_size=wsize, tri_method=tri_method)
+        if engine == "pallas":
+            logging.debug(
+                "Pallas windowed kernels support window radius <= 8 (window_size <= 17); "
+                "window_size=%d falls back to the XLA engine.", wsize)
+        return windowed_indexes(arr, resolution, attrs_t, window_size=wsize,
+                                tri_method=tri_method)
+
+    if win_attrs:
+        shared_attrs = [a for a in win_attrs if not (a == "rugosity" and window_size != 3)]
+        if shared_attrs:
+            stack = _win_dispatch(tuple(shared_attrs), window_size)
+            for i, a in enumerate(shared_attrs):
+                results[a] = stack[i]
+        if "rugosity" in win_attrs and window_size != 3:
+            results["rugosity"] = _win_dispatch(("rugosity",), 3)[0]
 
     if frac_attrs:
+        # An explicit engine="xla" must survive into the sharded/auto-dispatch paths
+        # (it is the escape hatch for Pallas VMEM limits and miscompare bisection).
+        frac_engine = "xla" if engine == "xla" else None
         if mesh is not None:
             from xdem_tpu.parallel.halo import sharded_stencil
 
             results["fractal_roughness"] = sharded_stencil(
-                lambda padded: _fractal_roughness_fn(padded, window_size=window_size_fractal)[None],
+                lambda padded: _fractal_roughness_fn(
+                    padded, window_size=window_size_fractal, engine=frac_engine)[None],
                 arr, halo=window_size_fractal // 2, mesh=mesh, out_leading=1,
             )[0]
-        elif engine == "pallas" and window_size_fractal // 2 <= 8:
+        elif engine == "pallas" and window_size_fractal >= 5 and window_size_fractal // 2 <= 8:
             from xdem_tpu.terrain.pallas_kernels import fractal_roughness_pallas
 
             results["fractal_roughness"] = fractal_roughness_pallas(arr, window_size=window_size_fractal)
@@ -241,7 +255,7 @@ def get_terrain_attribute(
                     "falls back to the XLA engine.", window_size_fractal)
             # engine="xla" is an explicit request: disable the TPU auto-dispatch
             results["fractal_roughness"] = _fractal_roughness_fn(
-                arr, window_size=window_size_fractal, engine="xla" if engine == "xla" else None
+                arr, window_size=window_size_fractal, engine=frac_engine
             )
 
     for a in freq_attrs:
@@ -292,7 +306,16 @@ terrain_ruggedness_index = _wrapper(
 roughness = _wrapper("roughness", "Roughness (Dartnell 2000): window max - min. Reference terrain.py:1600.")
 rugosity = _wrapper("rugosity", "Rugosity (Jenness 2004), 3x3 only. Reference terrain.py:1661.")
 fractal_roughness = _wrapper("fractal_roughness", "Fractal roughness (Taud & Parrot 2005). Reference terrain.py:1722.")
-texture_shading = _wrapper("texture_shading", "Texture shading (Brown 2010). Reference terrain.py:1783.")
+
+
+def texture_shading(dem: Any, alpha: float = 0.8, **kwargs: Any) -> Any:
+    """Texture shading (Brown 2010): fractional-Laplacian relief. Reference terrain.py:1783.
+
+    Matches the reference's user-facing signature: `alpha` is the fractional-Laplacian
+    exponent (get_terrain_attribute calls it `texture_alpha` to avoid colliding with other
+    attributes' parameters).
+    """
+    return get_terrain_attribute(dem, attribute="texture_shading", texture_alpha=alpha, **kwargs)
 
 
 def curvature(dem: Any, **kwargs: Any) -> Any:

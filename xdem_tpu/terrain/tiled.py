@@ -107,7 +107,7 @@ def tiled_terrain_attribute(
     resolution: float | tuple[float, float] | None = None,
     transform: Affine | None = None,
     crs: Any = None,
-    nodata: float = -9999.0,
+    nodata: float = -99999.0,
     **kwargs: Any,
 ) -> list[str]:
     """Compute terrain attributes tile-by-tile, streaming results to GeoTIFFs.
@@ -126,6 +126,15 @@ def tiled_terrain_attribute(
             raise ValueError(f"'{a}' is a global frequency-domain attribute and cannot be tiled.")
         if a not in ALL_ATTRS:
             raise ValueError(f"Attribute '{a}' is not supported. Choices: {list(ALL_ATTRS)}")
+
+    # The streaming GeoTIFF writer lays out float32 strips; refuse other out_dtypes rather
+    # than silently writing a narrower type than requested.
+    out_dtype = kwargs.pop("out_dtype", None)
+    if out_dtype is not None and np.dtype(out_dtype) != np.float32:
+        raise ValueError(
+            f"tiled= streams float32 GeoTIFFs; out_dtype={np.dtype(out_dtype)} is not supported "
+            f"out of core. Use the in-memory path for other output dtypes."
+        )
 
     src = _RowSource(dem)
     if transform is None:

@@ -98,6 +98,24 @@ def windowed_indexes(
     return jnp.stack(out, axis=0)
 
 
+# Jenness (2004) 3x3 rugosity geometry, shared with the Pallas windowed kernel
+# (terrain/pallas_kernels.py) so the index tables cannot drift between engines.
+# 8 center-to-neighbor segments: (window position, planimetric length factor)
+RUGOSITY_CENTER_SEGS = (
+    ((0, 0), math.sqrt(2.0)), ((0, 1), 1.0), ((0, 2), math.sqrt(2.0)), ((1, 0), 1.0),
+    ((1, 2), 1.0), ((2, 0), math.sqrt(2.0)), ((2, 1), 1.0), ((2, 2), math.sqrt(2.0)),
+)
+# 8 neighbor-to-neighbor segments (all planimetric length L)
+RUGOSITY_EDGE_SEGS = (
+    ((0, 0), (0, 1)), ((0, 1), (0, 2)), ((2, 0), (2, 1)), ((2, 1), (2, 2)),
+    ((0, 0), (1, 0)), ((1, 0), (2, 0)), ((0, 2), (1, 2)), ((1, 2), (2, 2)),
+)
+# Triangles: (center-seg, center-seg, edge-seg) index triplets into the 16 half-lengths
+RUGOSITY_TRIS = (
+    (3, 0, 12), (0, 1, 8), (1, 2, 9), (2, 4, 14), (4, 7, 15), (7, 6, 11), (6, 5, 10), (5, 3, 13),
+)
+
+
 def _rugosity(demp: jnp.ndarray, h: int, width: int, res: jnp.ndarray) -> jnp.ndarray:
     """Jenness (2004) rugosity on a 3x3 window from a NaN-padded DEM."""
     Z = {
@@ -107,30 +125,17 @@ def _rugosity(demp: jnp.ndarray, h: int, width: int, res: jnp.ndarray) -> jnp.nd
     }
     L = res
     zc = Z[(1, 1)]
-    sqrt2 = math.sqrt(2.0)
 
-    # 8 center-to-neighbor segments (dz, planimetric length factor)
-    center_segs = [
-        ((0, 0), sqrt2), ((0, 1), 1.0), ((0, 2), sqrt2), ((1, 0), 1.0),
-        ((1, 2), 1.0), ((2, 0), sqrt2), ((2, 1), 1.0), ((2, 2), sqrt2),
-    ]
-    # 8 neighbor-to-neighbor segments (all length L)
-    edge_segs = [
-        ((0, 0), (0, 1)), ((0, 1), (0, 2)), ((2, 0), (2, 1)), ((2, 1), (2, 2)),
-        ((0, 0), (1, 0)), ((1, 0), (2, 0)), ((0, 2), (1, 2)), ((1, 2), (2, 2)),
-    ]
     hsl = []
-    for (pos, lfac) in center_segs:
+    for (pos, lfac) in RUGOSITY_CENTER_SEGS:
         dz = zc - Z[pos]
         hsl.append(jnp.sqrt(dz * dz + (lfac * L) ** 2) / 2)
-    for (p0, p1) in edge_segs:
+    for (p0, p1) in RUGOSITY_EDGE_SEGS:
         dz = Z[p0] - Z[p1]
         hsl.append(jnp.sqrt(dz * dz + L * L) / 2)
 
-    # Triangles: (center-seg, center-seg, edge-seg) index triplets into hsl
-    tris = [(3, 0, 12), (0, 1, 8), (1, 2, 9), (2, 4, 14), (4, 7, 15), (7, 6, 11), (6, 5, 10), (5, 3, 13)]
     area = jnp.zeros_like(zc)
-    for (ia, ib, ic) in tris:
+    for (ia, ib, ic) in RUGOSITY_TRIS:
         a, b, c = hsl[ia], hsl[ib], hsl[ic]
         s = (a + b + c) / 2
         # jnp.maximum propagates NaN, so NaN poisoning survives the Heron guard.
@@ -167,8 +172,10 @@ def _fractal_roughness_xla(dem: jnp.ndarray, window_size: int = 13) -> jnp.ndarr
     separable max reduce_windows — O(sum n_q^2) shifted adds instead of per-pixel windows.
     """
     w = window_size
-    if w < 5:
-        raise ValueError("Fractal roughness requires window size >= 5.")
+    if w < 3:
+        raise ValueError("Fractal roughness requires window size >= 3.")
+    # w in {3, 4} matches the reference's warn-and-continue: hw has a single divisor, the
+    # log-log regression is degenerate (ss_xx == 0) and the result is NaN, not an error.
     dem = jnp.asarray(dem)
     h, width = dem.shape
     hw = w // 2
