@@ -183,11 +183,23 @@ class TestDEMCollectionRefWise:
         times = [datetime.datetime(y, 8, 1) for y in (1990, 2000, 2010)]
         col = DEMCollection([d0, d1, d2], timestamps=times, reference_dem=2)
         ddems = col.subtract_dems()
-        assert len(ddems) == 2
-        # ref (2010) minus others
+        # Like the reference, the reference DEM itself yields an all-zero dDEM so the
+        # list stays index-aligned with dems (reference demcollection.py:115-125)
+        assert len(ddems) == 3
         vals = sorted(float(np.nanmean(np.asarray(d.data))) for d in ddems)
         assert vals[0] == pytest.approx(-12, abs=1e-3)
         assert vals[1] == pytest.approx(-7, abs=1e-3)
+        assert vals[2] == 0.0
+        # Statistics skip the zero self-comparison dDEM
+        dh = col.get_dh_series(nans_ok=True)
+        assert len(dh) == 2
+        # Cumulative series: anchored at the earliest timestamp = 0, elevation change
+        # relative to it (reference demcollection.py:276-290)
+        cum = col.get_cumulative_series(kind="dh", nans_ok=True)
+        assert list(cum.index) == [pd.Timestamp(t) for t in times]
+        assert cum.iloc[0] == 0.0
+        assert cum.iloc[1] == pytest.approx(-5, abs=1e-3)   # base -> base-5 since 1990
+        assert cum.iloc[2] == pytest.approx(-12, abs=1e-3)  # base -> base-12 since 1990
 
 
 class TestDeviceHypsometricPaths:
@@ -243,3 +255,105 @@ class TestDeviceHypsometricPaths:
         out = volume.hypsometric_binning(np.asarray(dh), np.asarray(ref), bins=200.0,
                                          aggregation_function=np.nanmean)
         assert "value" in out
+
+
+class TestDEMCollectionReviewRegressions:
+    """Round-3 elevation-objects review fixes (reference demcollection.py parity)."""
+
+    def _collection(self, rng):
+        import datetime
+
+        t = Affine.from_origin(0, 1000, 10, 10)
+        base = rng.normal(1000, 50, (50, 50)).astype(np.float32)
+        dems = [DEM(base, t, 32633), DEM(base - 5, t, 32633), DEM(base - 12, t, 32633)]
+        times = [datetime.datetime(y, 8, 1) for y in (1990, 2000, 2010)]
+        return dems, times, t
+
+    def test_subtract_rejects_shifted_transform(self, rng):
+        # Same shape, different transform: used to silently difference misaligned grids
+        import datetime
+
+        t = Affine.from_origin(0, 1000, 10, 10)
+        t_shift = Affine.from_origin(5000, 1000, 10, 10)
+        base = rng.normal(1000, 50, (50, 50)).astype(np.float32)
+        d0 = DEM(base, t, 32633)
+        d1 = DEM(base - 5, t_shift, 32633)
+        times = [datetime.datetime(y, 8, 1) for y in (1990, 2000)]
+        col = DEMCollection([d0, d1], timestamps=times, reference_dem=0)
+        # Non-overlapping grids: reprojection happens (no silent raw-array subtraction)
+        ddems = col.subtract_dems()
+        arr = np.asarray(ddems[1].data)
+        assert np.isnan(arr).all()  # no overlap -> all NaN, not garbage values
+
+    def test_ddem_mask_union_cascade(self, rng):
+        import datetime
+
+        from xdem_tpu.vector import Vector
+
+        dems, times, t = self._collection(rng)
+        sq1 = np.array([[0.0, 500.0], [200.0, 500.0], [200.0, 1000.0], [0.0, 1000.0]])
+        sq2 = np.array([[300.0, 500.0], [500.0, 500.0], [500.0, 1000.0], [300.0, 1000.0]])
+        v1 = Vector([[sq1]], crs=32633, properties=[{"name": "west"}])
+        v2 = Vector([[sq2]], crs=32633, properties=[{"name": "east"}])
+        col = DEMCollection(dems, timestamps=times,
+                            outlines={times[0]: v1, times[2]: v2}, reference_dem=2)
+        col.subtract_dems()
+        # dDEM [1990, 2010]: start AND end outlines exist -> union of both squares
+        d_union = next(d for d in col.ddems if d.start_time == times[0])
+        m = col.get_ddem_mask(d_union)
+        assert m.sum() == v1.create_mask(d_union).sum() + v2.create_mask(d_union).sum()
+        # outlines_filter: pandas query over feature properties
+        m_west = col.get_ddem_mask(d_union, outlines_filter="name == 'west'")
+        np.testing.assert_array_equal(m_west, v1.create_mask(d_union))
+        # dh series honors the filter
+        dh_all = col.get_dh_series(nans_ok=True)
+        dh_west = col.get_dh_series(outlines_filter="name == 'west'", nans_ok=True)
+        assert dh_west["area"].iloc[0] < dh_all["area"].iloc[0]
+        # foreign dDEM rejected
+        other = dDEM(Raster(np.zeros((50, 50), np.float32), t, 32633),
+                     start_time=times[0], end_time=times[1])
+        with pytest.raises(ValueError, match="part of the DEMCollection"):
+            col.get_ddem_mask(other)
+
+    def test_interpolate_reprojects_reference_elevation(self, rng):
+        import datetime
+
+        t = Affine.from_origin(0, 1000, 10, 10)
+        t_coarse = Affine.from_origin(0, 1000, 20, 20)
+        base = np.add.outer(np.linspace(2000, 100, 50), np.zeros(50)).astype(np.float32)
+        dh = rng.normal(-2, 0.1, (50, 50)).astype(np.float32)
+        dh[10:14, 10:14] = np.nan
+        d = dDEM(Raster(dh, t, 32633), start_time=datetime.datetime(1990, 8, 1),
+                 end_time=datetime.datetime(2000, 8, 1))
+        ref_coarse = Raster(base[::2, ::2], t_coarse, 32633)  # different grid
+        mask = np.ones((50, 50), bool)
+        filled = d.interpolate(method="local_hypsometric", reference_elevation=ref_coarse,
+                               mask=mask)
+        assert np.isfinite(filled[10:14, 10:14]).all()
+        # A plain same-shape array is accepted; a wrong-shape array raises
+        with pytest.raises(ValueError, match="reference_elevation"):
+            d.interpolate(method="local_hypsometric",
+                          reference_elevation=base[::2, ::2], mask=mask)
+
+
+class TestFitSigmaWeights:
+    def test_polynomial_fit_uses_sigma(self):
+        # Heavily down-weighted corrupted half: the weighted fit must recover the clean
+        # polynomial; sigma used to be silently ignored
+        from xdem_tpu.fit import polynomial_1d, robust_norder_polynomial_fit
+
+        rng = np.random.default_rng(11)
+        x = np.linspace(-1, 1, 400)
+        y_true = 2.0 + 3.0 * x
+        y = y_true + rng.normal(0, 0.01, x.size)
+        y[200:] += 5.0  # corrupted half
+        sigma = np.r_[np.full(200, 0.01), np.full(200, 1e3)]
+        coefs_w, deg_w = robust_norder_polynomial_fit(
+            x, y, sigma=sigma, max_order=3, estimator_name=None)
+        pred = polynomial_1d(x[:200], *coefs_w)
+        assert np.abs(pred - y_true[:200]).max() < 0.1
+        # sklearn Huber path accepts sample weights too
+        coefs_sk, _ = robust_norder_polynomial_fit(
+            x, y, sigma=sigma, max_order=2, estimator_name="Huber", linear_pkg="sklearn")
+        pred_sk = polynomial_1d(x[:200], *coefs_sk)
+        assert np.abs(pred_sk - y_true[:200]).max() < 0.2

@@ -21,6 +21,7 @@ def dem_files(tmp_path_factory):
     d = tmp_path_factory.mktemp("data")
     ref = examples.get_ref_dem().icrop((100, 400), (200, 500))
     tba = examples.get_tba_dem().icrop((100, 400), (200, 500))
+    # path_to_mask marks UNSTABLE terrain (glacier outlines), reference convention
     mask = examples.get_glacier_mask()[100:400, 200:500]
     ref_path = str(d / "ref.tif")
     tba_path = str(d / "tba.tif")

@@ -81,7 +81,21 @@ class dDEM(Raster):
         elif method in ("local_hypsometric", "regional_hypsometric"):
             if reference_elevation is None:
                 raise ValueError(f"'reference_elevation' must be given for method '{method}'.")
-            ref_arr = reference_elevation.get_nanarray() if isinstance(reference_elevation, Raster) else np.asarray(reference_elevation)
+            # Bring the reference elevation onto THIS dDEM's grid (reference ddem.py:196-210:
+            # reproject + shape assert) — intervalwise dDEMs live on each later DEM's grid.
+            if isinstance(reference_elevation, Raster):
+                from xdem_tpu.demcollection import _same_grid
+
+                if not _same_grid(reference_elevation, self):
+                    reference_elevation = reference_elevation.reproject(self)
+                ref_arr = reference_elevation.get_nanarray()
+            else:
+                ref_arr = np.asarray(reference_elevation)
+            if ref_arr.shape != self.shape:
+                raise ValueError(
+                    f"'reference_elevation' shape {ref_arr.shape} differs from the dDEM's "
+                    f"{self.shape}; pass a Raster/DEM (auto-reprojected) or a same-grid array."
+                )
             if mask is None:
                 raise ValueError(f"'mask' must be given for method '{method}'.")
             from xdem_tpu.vector import Vector

@@ -178,19 +178,24 @@ def curve_fit_lm(
 
 def _irls_polyfit(x: np.ndarray, y: np.ndarray, degree: int,
                   loss: Literal["linear", "huber", "soft_l1"] = "huber",
-                  f_scale: float = 0.1, n_iter: int = 20) -> np.ndarray:
-    """Iteratively-reweighted least squares for robust polynomial fitting (linear problem)."""
+                  f_scale: float = 0.1, n_iter: int = 20,
+                  sigma: np.ndarray | None = None) -> np.ndarray:
+    """Iteratively-reweighted least squares for robust polynomial fitting (linear problem).
+
+    `sigma` (per-point standard error) contributes a 1/sigma base weight, multiplied with
+    the robust-loss reweighting — the IRLS analog of scipy curve_fit's sigma."""
     V = np.vander(x, degree + 1, increasing=True)
-    w = np.ones_like(y)
+    base = np.ones_like(y) if sigma is None else 1.0 / np.where(sigma > 0, sigma, np.inf)
+    w = base.copy()
     coefs = None
     for _ in range(n_iter if loss != "linear" else 1):
         Vw = V * w[:, None]
         coefs, *_ = np.linalg.lstsq(Vw, y * w, rcond=None)
         r = (V @ coefs - y) / f_scale
         if loss == "huber":
-            w = np.where(np.abs(r) <= 1, 1.0, 1.0 / np.sqrt(np.abs(r)))
+            w = base * np.where(np.abs(r) <= 1, 1.0, 1.0 / np.sqrt(np.abs(r)))
         elif loss == "soft_l1":
-            w = (1 + r**2) ** -0.25
+            w = base * (1 + r**2) ** -0.25
         else:
             break
     return coefs
@@ -225,22 +230,28 @@ def robust_norder_polynomial_fit(
     """
     x = np.asarray(xdata, dtype=np.float64).ravel()
     y = np.asarray(ydata, dtype=np.float64).ravel()
+    s = np.asarray(sigma, dtype=np.float64).ravel() if sigma is not None else None
     valid = np.isfinite(x) & np.isfinite(y)
     x, y = x[valid], y[valid]
+    if s is not None:
+        s = s[valid]
     if subsample != 1 and len(x) > 0:
         n = len(x)
         count = int(subsample * n) if isinstance(subsample, float) and subsample <= 1 else int(subsample)
         rng = np.random.default_rng(random_state)
         idx = rng.choice(n, min(count, n), replace=False)
         x, y = x[idx], y[idx]
+        if s is not None:
+            s = s[idx]
 
     costs = np.empty(max_order)
     coefs_list: list[np.ndarray] = []
     for deg in range(1, max_order + 1):
         if estimator_name is not None and linear_pkg == "sklearn":
-            c = _sklearn_polyfit(x, y, deg, estimator_name, random_state=random_state, **kwargs)
+            c = _sklearn_polyfit(x, y, deg, estimator_name, random_state=random_state,
+                                 sigma=s, **kwargs)
         else:
-            c = _irls_polyfit(x, y, deg, loss="huber")
+            c = _irls_polyfit(x, y, deg, loss="huber", sigma=s)
         resid = polynomial_1d(x, *c) - y
         costs[deg - 1] = cost_func(resid)
         coefs_list.append(c)
@@ -253,9 +264,13 @@ def robust_norder_polynomial_fit(
 
 
 def _sklearn_polyfit(x: np.ndarray, y: np.ndarray, degree: int, estimator_name: str,
-                     random_state: int | None = None, **kwargs: Any) -> np.ndarray:
+                     random_state: int | None = None, sigma: np.ndarray | None = None,
+                     **kwargs: Any) -> np.ndarray:
     """Robust linear estimators from sklearn over a polynomial feature expansion
-    (reference fit.py:255)."""
+    (reference fit.py:255). `sigma` becomes sample_weight = 1/sigma^2 for estimators whose
+    fit() supports it (reference fit.py:323-329)."""
+    import inspect
+
     from sklearn.linear_model import HuberRegressor, LinearRegression, RANSACRegressor, TheilSenRegressor
 
     est_map = {
@@ -268,7 +283,10 @@ def _sklearn_polyfit(x: np.ndarray, y: np.ndarray, degree: int, estimator_name: 
         raise ValueError(f"Attribute estimator must be one of {list(est_map)}, not {estimator_name}.")
     est = est_map[estimator_name]
     V = np.vander(x, degree + 1, increasing=True)[:, 1:]  # skip constant; estimator fits intercept
-    est.fit(V, y)
+    if sigma is not None and "sample_weight" in inspect.signature(est.fit).parameters:
+        est.fit(V, y, sample_weight=1.0 / sigma**2)
+    else:
+        est.fit(V, y)
     if estimator_name == "RANSAC":
         inner = est.estimator_
         return np.r_[inner.intercept_, inner.coef_]
@@ -318,6 +336,9 @@ def robust_nfreq_sumsin_fit(
     the reference (fit.py:463: wavelength bounds from data extent/resolution, near-zero
     amplitudes dropped, sorted by decreasing amplitude); the optimizer is re-designed (see
     `_periodogram_best_wavelength`).
+
+    `sigma` is accepted for signature parity but unused: the reference's own basin-hopping
+    cost ignores it too (fit.py:519-525), and this port keeps that behavior.
     """
     x = np.asarray(xdata, dtype=np.float64).ravel()
     y = np.asarray(ydata, dtype=np.float64).ravel()

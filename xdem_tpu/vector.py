@@ -30,12 +30,18 @@ class Vector:
            [0, 1, 1, 1, 1]])
     """
 
-    def __init__(self, polygons: Sequence[Sequence[np.ndarray]], crs: CRS | int | str = 4326):
+    def __init__(self, polygons: Sequence[Sequence[np.ndarray]], crs: CRS | int | str = 4326,
+                 properties: Sequence[dict] | None = None):
         # polygons: list of list-of-rings; each ring an (N, 2) array of (x, y)
         self.polygons: List[List[np.ndarray]] = [
             [np.asarray(ring, dtype=np.float64).reshape(-1, 2) for ring in poly] for poly in polygons
         ]
         self.crs = CRS(crs)
+        if properties is None:
+            properties = [{} for _ in self.polygons]
+        if len(properties) != len(self.polygons):
+            raise ValueError("'properties' must have one dict per polygon.")
+        self.properties: List[dict] = [dict(p or {}) for p in properties]
 
     def __len__(self) -> int:
         return len(self.polygons)
@@ -54,14 +60,20 @@ class Vector:
             return r
 
         polys: list[list[np.ndarray]] = []
+        props: list[dict] = []
         for feat in feats:
             geom = feat.get("geometry", feat)
+            feat_props = feat.get("properties") or {}
             gtype = geom["type"]
             if gtype == "Polygon":
                 polys.append([_open_ring(np.asarray(r)) for r in geom["coordinates"]])
+                props.append(feat_props)
             elif gtype == "MultiPolygon":
+                # MultiPolygons explode into one entry per part; each carries the
+                # feature's properties so attribute queries keep matching every part
                 for p in geom["coordinates"]:
                     polys.append([_open_ring(np.asarray(r)) for r in p])
+                    props.append(feat_props)
         # The GDAL convention carries a named CRS member (RFC 7946 dropped it, but without
         # it a UTM vector would silently rebrand as lon/lat on reload)
         crs: Any = 4326
@@ -69,7 +81,7 @@ class Vector:
         m = re.search(r"EPSG:?:?(\d+)", str(crs_name))
         if m:
             crs = int(m.group(1))
-        return cls(polys, crs=crs)
+        return cls(polys, crs=crs, properties=props)
 
     def to_geojson(self) -> dict:
         def _close(r: np.ndarray) -> list:
@@ -84,10 +96,10 @@ class Vector:
             "features": [
                 {
                     "type": "Feature",
-                    "properties": {},
+                    "properties": prop,
                     "geometry": {"type": "Polygon", "coordinates": [_close(r) for r in poly]},
                 }
-                for poly in self.polygons
+                for poly, prop in zip(self.polygons, self.properties)
             ],
         }
         if self.crs is not None and self.crs.epsg:
@@ -113,7 +125,26 @@ class Vector:
                 x, y = transform_points(self.crs, crs, ring[:, 0], ring[:, 1])
                 rings.append(np.column_stack([x, y]))
             out_polys.append(rings)
-        return Vector(out_polys, crs=crs)
+        return Vector(out_polys, crs=crs, properties=self.properties)
+
+    def query(self, expr: str) -> "Vector":
+        """Filter features with a pandas query over their GeoJSON properties.
+
+        The analog of the reference's `gdf.query("name == 'some glacier'")` outline
+        filtering (reference demcollection.py:169-174).
+        """
+        if not expr:
+            return self
+        if not any(self.properties):
+            raise ValueError(
+                "This Vector carries no feature properties to query; load it from a GeoJSON "
+                "with per-feature 'properties' or pass properties= to the constructor."
+            )
+        import pandas as pd
+
+        keep = sorted(pd.DataFrame(self.properties).query(expr).index)
+        return Vector([self.polygons[i] for i in keep], crs=self.crs,
+                      properties=[self.properties[i] for i in keep])
 
     def create_mask(self, ref: Any = None, transform: Affine | None = None, shape: Tuple[int, int] | None = None,
                     crs: CRS | int | str | None = None) -> np.ndarray:

@@ -48,8 +48,6 @@ class Accuracy(Workflows):
         ref = self._load_dem(inputs["reference_elev"]) if inputs.get("reference_elev") else None
         if ref is None:
             raise ValueError("The accuracy workflow requires a reference elevation input.")
-        mask = self._load_mask(inputs["to_be_aligned_elev"], tba)
-
         # Common grid: reproject onto the chosen sampling grid (reference :177-228)
         sampling = inputs.get("sampling_grid", "reference_elev")
         if sampling == "to_be_aligned_elev":
@@ -59,12 +57,19 @@ class Accuracy(Workflows):
             tba = tba.copy(new_array=tba_on_grid.data)
             tba.transform, tba.crs = ref.transform, ref.crs
 
+        # Load the mask against the FINAL common grid (before regridding it would carry the
+        # original tba shape). path_to_mask marks UNSTABLE terrain (e.g. glacier outlines),
+        # like the reference's load_dem (workflows.py:387-395: inlier_mask = ~create_mask);
+        # the inliers the pipeline fits on are its complement.
+        mask = self._load_mask(inputs["to_be_aligned_elev"], tba)
+        inlier_mask = ~mask if mask is not None else None
+
         import time as _time
 
         t0 = _time.time()
-        inlier_mask = ~mask if mask is not None else None
 
-        dh_before = Raster(ref.data - tba.data, ref.transform, ref.crs)
+        # dh convention matches the reference (accuracy.py:326-329): to-be-aligned - reference
+        dh_before = Raster(tba.data - ref.data, ref.transform, ref.crs)
         stats_names = self.config["statistics"]
         stats_before = self.compute_stats(dh_before, stats_names)
         self.save_stats_table(stats_before, "dh_before_stats")
@@ -77,7 +82,7 @@ class Accuracy(Workflows):
             logging.info("Running coregistration pipeline: %s", pipeline)
             aligned = pipeline.fit_and_apply(ref, tba, inlier_mask=inlier_mask)
             self.coreg = pipeline
-            dh_after = Raster(ref.data - aligned.data, ref.transform, ref.crs)
+            dh_after = Raster(aligned.data - ref.data, ref.transform, ref.crs)
             stats_after = self.compute_stats(dh_after, stats_names)
             self.save_stats_table(stats_after, "dh_after_stats")
 

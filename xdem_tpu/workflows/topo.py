@@ -37,11 +37,14 @@ class Topo(Workflows):
                 crs = reproj["crs"]
                 dem = dem.reproject(crs=dem.get_metric_crs() if crs is True else crs)
 
+            # path_to_mask marks UNSTABLE terrain (reference workflows.py:387-395:
+            # inlier_mask = ~create_mask; topo.py:88-90 then set_mask(~inlier) EXCLUDES the
+            # masked area): statistics and attributes are computed on the complement.
             mask = self._load_mask(dem_cfg, dem)
             if mask is not None:
                 import numpy as np
 
-                dem = dem.copy(new_array=np.where(mask, np.asarray(dem.data), np.nan))
+                dem = dem.copy(new_array=np.where(mask, np.nan, np.asarray(dem.data)))
 
             # DEM itself
             self.save_raster_plot(dem, f"dem{suffix}", title="Elevation")

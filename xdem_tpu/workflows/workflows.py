@@ -98,12 +98,14 @@ class Workflows(ABC):
 
             dem.data = jnp.where(dem.data == nd, jnp.nan, dem.data)
             dem.nodata = nd
-        if dem_cfg.get("force_vcrs") is not None:
-            dem.set_vcrs(dem_cfg["force_vcrs"])
+        # Downsample BEFORE set_vcrs: the coarse DEM is rebuilt from the reprojected raster
+        # and would otherwise lose the vertical CRS (and nodata) applied to the original.
         ds = dem_cfg.get("downsample", 1)
         if ds and ds > 1:
             coarse = dem.reproject(res=(dem.res[0] * ds, dem.res[1] * ds))
-            dem = DEM(coarse.data, coarse.transform, coarse.crs)
+            dem = DEM(coarse.data, coarse.transform, coarse.crs, nodata=dem.nodata)
+        if dem_cfg.get("force_vcrs") is not None:
+            dem.set_vcrs(dem_cfg["force_vcrs"])
         return dem
 
     def _load_mask(self, dem_cfg: dict[str, Any], dem: DEM) -> np.ndarray | None:
