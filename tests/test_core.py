@@ -475,6 +475,33 @@ class TestRaster:
         assert sub.width < ref_dem_full.width
         assert sub.res == ref_dem_full.res
 
+    def test_crop_match_extent(self, ref_dem_full):
+        """mode="match_extent" matches the requested bounds EXACTLY, adjusting resolution
+        (geoutils crop semantics); match_pixel snaps to the grid instead."""
+        b = ref_dem_full.bounds
+        # Off-grid bounds: not multiples of the 20 m pixel
+        bbox = (b.left + 2013.0, b.bottom + 1997.0, b.left + 6008.0, b.bottom + 6011.0)
+        sub = ref_dem_full.crop(bbox, mode="match_extent")
+        sb = sub.bounds
+        assert (sb.left, sb.bottom, sb.right, sb.top) == pytest.approx(bbox, abs=1e-6)
+        # Resolution stays within half a pixel of the source
+        assert sub.res[0] == pytest.approx(ref_dem_full.res[0], rel=0.05)
+        # match_pixel with the same box does NOT match the bounds exactly
+        snap = ref_dem_full.crop(bbox)
+        assert snap.bounds.left != pytest.approx(bbox[0], abs=1e-6)
+
+    def test_crop_bad_mode_raises(self, ref_dem_full):
+        b = ref_dem_full.bounds
+        with pytest.raises(ValueError, match="match_pixel"):
+            ref_dem_full.crop((b.left, b.bottom, b.right, b.top), mode="exact")
+
+    def test_reproject_silent_false_warns_on_noop(self, ref_dem_test):
+        with pytest.warns(UserWarning, match="identical"):
+            ref_dem_test.reproject(ref_dem_test, silent=False)
+        # Default silent=True stays quiet (the full suite turns UserWarning into errors,
+        # so reaching this line IS the assertion)
+        ref_dem_test.reproject(ref_dem_test)
+
     def test_arithmetic(self, ref_dem_test):
         dd = ref_dem_test - ref_dem_test
         assert np.nanmax(np.abs(np.asarray(dd.data))) == 0

@@ -1033,3 +1033,34 @@ class TestCoregLayerReviewRegressions:
         c.fit(ref, tba, bias_vars={"profx": xx}, random_state=0)
         params = c.meta["outputs"]["fitorbin"]["fit_params"]
         assert len(np.ravel(params)) == 3
+
+
+class TestICPFitMinimizer:
+    """Callable fit_minimizer path (the reference's scipy.optimize.least_squares default,
+    affine.py:920-975) vs the built-in Low-LSQ linearized solve."""
+
+    def test_least_squares_recovers_shift(self, ref_tba):
+        import scipy.optimize
+
+        sx, sy, sz = (-7.0, 5.0, 1.2)
+        tba = _shifted(ref_tba, sx, sy, sz)
+        c = coreg.ICP(fit_minimizer=scipy.optimize.least_squares, subsample=20000,
+                      max_iterations=10)
+        c.fit(ref_tba, tba, random_state=42)
+        t = np.array(c.to_translations())
+        assert t[0] == pytest.approx(-sx, abs=1.0)
+        assert t[1] == pytest.approx(-sy, abs=1.0)
+        assert t[2] == pytest.approx(-sz, abs=0.5)
+        # And agrees with the linearized built-in solve
+        c_lsq = coreg.ICP(subsample=20000, max_iterations=10)
+        c_lsq.fit(ref_tba, tba, random_state=42)
+        assert np.allclose(t, np.array(c_lsq.to_translations()), atol=0.5)
+
+    def test_brute_with_callable_raises(self, ref_tba):
+        import scipy.optimize
+
+        tba = _shifted(ref_tba, 3.0, -2.0, 1.0)
+        c = coreg.ICP(fit_minimizer=scipy.optimize.least_squares, nn_method="brute",
+                      subsample=5000)
+        with pytest.raises(ValueError, match="brute"):
+            c.fit(ref_tba, tba, random_state=42)

@@ -506,7 +506,10 @@ class TestUncertaintyApproaches:
         ref = examples.get_ref_dem().icrop((100, 300), (200, 400))
         tba = examples.get_tba_dem().icrop((100, 300), (200, 400))
         mask = ~examples.get_glacier_mask()[100:300, 200:400]
+        # Basic is single-range: pass one model (several would warn, reference dem.py:762)
+        models = ("gaussian", "spherical") if approach == "R2009" else ("spherical",)
         sig, rho = ref.estimate_uncertainty(tba, stable_terrain=mask, approach=approach,
+                                            list_vario_models=models,
                                             random_state=42, subsample=300)
         arr = np.asarray(sig.data)
         # Constant-error approaches: a single positive sigma everywhere
@@ -521,8 +524,10 @@ class TestUncertaintyApproaches:
         tba = examples.get_tba_dem().icrop((100, 300), (200, 400))
         mask = ~examples.get_glacier_mask()[100:300, 200:400]
         sig_f, _ = ref.estimate_uncertainty(tba, stable_terrain=mask, approach="Basic",
+                                            list_vario_models=("spherical",),
                                             precision_of_other="finer", random_state=42, subsample=300)
         sig_s, _ = ref.estimate_uncertainty(tba, stable_terrain=mask, approach="Basic",
+                                            list_vario_models=("spherical",),
                                             precision_of_other="same", random_state=42, subsample=300)
         ratio = np.nanmean(np.asarray(sig_f.data)) / np.nanmean(np.asarray(sig_s.data))
         assert ratio == pytest.approx(np.sqrt(2), rel=1e-3)
@@ -878,3 +883,153 @@ class TestSpatialstatsReviewRegressions:
                                             estimator=est)
             np.testing.assert_array_equal(c2, c1)
             np.testing.assert_allclose(g2, g1, rtol=1e-6, equal_nan=True, err_msg=est)
+
+
+class TestUncertaintyEstimatorParams:
+    """The spread/variogram estimator knobs of estimate_uncertainty (reference dem.py:700-702)
+    and the Basic single-range model selection (reference dem.py:762-768)."""
+
+    def _crop(self):
+        from xdem_tpu import examples
+
+        ref = examples.get_ref_dem().icrop((100, 300), (200, 400))
+        tba = examples.get_tba_dem().icrop((100, 300), (200, 400))
+        mask = ~examples.get_glacier_mask()[100:300, 200:400]
+        return ref, tba, mask
+
+    def test_basic_keeps_first_model_and_warns(self):
+        ref, tba, mask = self._crop()
+        with pytest.warns(UserWarning, match="single range"):
+            sig, rho = ref.estimate_uncertainty(
+                tba, stable_terrain=mask, approach="Basic",
+                list_vario_models=("gaussian", "spherical"), random_state=42, subsample=300,
+            )
+        assert rho(np.array([0.0]))[0] == pytest.approx(1.0)
+
+    def test_spread_estimator_threading(self):
+        ref, tba, mask = self._crop()
+        sig, _ = ref.estimate_uncertainty(
+            tba, stable_terrain=mask, approach="Basic", list_vario_models=("spherical",),
+            spread_estimator=np.nanstd, random_state=42, subsample=300,
+        )
+        dh = np.asarray(tba.data - ref.data)
+        expected = np.nanstd(np.where(mask, dh, np.nan))
+        assert np.nanmean(np.asarray(sig.data)) == pytest.approx(expected, rel=1e-5)
+
+    def test_variogram_estimator_threading(self):
+        ref, tba, mask = self._crop()
+        _, rho_m = ref.estimate_uncertainty(
+            tba, stable_terrain=mask, approach="Basic", list_vario_models=("spherical",),
+            variogram_estimator="matheron", random_state=42, subsample=300,
+        )
+        assert rho_m(np.array([0.0]))[0] == pytest.approx(1.0)
+        assert rho_m(np.array([1e7]))[0] == pytest.approx(0.0, abs=0.05)
+
+
+class TestPointUncertainty:
+    """estimate_uncertainty with an elevation point cloud (the reference's geodataframe
+    branch, dem.py:725-731, designed for points end-to-end here)."""
+
+    def _inputs(self, n=4000):
+        from xdem_tpu import examples
+
+        ref = examples.get_ref_dem().icrop((100, 400), (200, 500))
+        tba = examples.get_tba_dem().icrop((100, 400), (200, 500))
+        epc = tba.to_pointcloud(subsample=n, random_state=42)
+        stable = ~examples.get_glacier_mask()[100:400, 200:500]
+        return ref, epc, stable
+
+    def test_point_basic_matches_point_dh_spread(self):
+        ref, epc, stable = self._inputs()
+        sig, rho = ref.estimate_uncertainty(
+            epc, stable_terrain=stable, approach="Basic", list_vario_models=("spherical",),
+            random_state=42, subsample=300,
+        )
+        # Oracle: NMAD of the point dh on stable terrain
+        dh = np.asarray(epc.z) - np.asarray(ref.interp_points((epc.x, epc.y)))
+        rows, cols = ref.transform.rowcol(epc.x, epc.y)
+        pstable = stable[np.clip(np.round(rows).astype(int), 0, ref.height - 1),
+                         np.clip(np.round(cols).astype(int), 0, ref.width - 1)]
+        expected = ss._stat_nmad(np.where(pstable, dh, np.nan))
+        assert sig.shape == ref.shape
+        assert np.nanmean(np.asarray(sig.data)) == pytest.approx(expected, rel=1e-5)
+        assert rho(np.array([0.0]))[0] == pytest.approx(1.0)
+
+    def test_point_h2022_end_to_end(self):
+        ref, epc, stable = self._inputs(n=8000)
+        sig, rho = ref.estimate_uncertainty(
+            epc, stable_terrain=stable, approach="H2022", random_state=42, subsample=300,
+        )
+        arr = np.asarray(sig.data)
+        assert sig.shape == ref.shape
+        assert np.isfinite(arr).mean() > 0.5
+        assert np.nanmedian(arr) > 0
+        assert rho(np.array([0.0]))[0] == pytest.approx(1.0)
+
+    def test_point_dataframe_z_name(self):
+        import pandas as pd
+
+        ref, epc, stable = self._inputs()
+        df = pd.DataFrame({"x": epc.x, "y": epc.y, "elev": epc.z})
+        sig_df, _ = ref.estimate_uncertainty(
+            df, stable_terrain=stable, approach="Basic", list_vario_models=("spherical",),
+            z_name="elev", random_state=42, subsample=300,
+        )
+        sig_pc, _ = ref.estimate_uncertainty(
+            epc, stable_terrain=stable, approach="Basic", list_vario_models=("spherical",),
+            random_state=42, subsample=300,
+        )
+        np.testing.assert_allclose(np.asarray(sig_df.data), np.asarray(sig_pc.data))
+
+    def test_point_mesh_raises(self):
+        from xdem_tpu.parallel import make_mesh
+
+        ref, epc, stable = self._inputs(n=500)
+        with pytest.raises(ValueError, match="raster pipeline"):
+            ref.estimate_uncertainty(epc, stable_terrain=stable, mesh=make_mesh(8))
+
+    def test_point_missing_z_name_raises(self):
+        import pandas as pd
+
+        ref, epc, stable = self._inputs(n=500)
+        df = pd.DataFrame({"x": epc.x, "y": epc.y, "elev": epc.z})
+        with pytest.raises(ValueError, match="not found"):
+            ref.estimate_uncertainty(df, stable_terrain=stable, z_name="zz")
+
+
+class TestApiHonestySweep:
+    """No accepted-but-ignored public parameter (VERDICT r2 item 8): the remaining
+    signature-parity knobs either act or raise."""
+
+    def test_convolution_method_validated(self, rng):
+        img = rng.normal(size=(1, 10, 10))
+        filt = np.ones((1, 3, 3), np.float32)
+        with pytest.raises(ValueError, match="scipy' or 'numba"):
+            ss.convolution(img, filt, method="cuda")
+        np.testing.assert_allclose(ss.convolution(img, filt, method="numba"),
+                                   ss.convolution(img, filt, method="scipy"))
+
+    def test_mean_filter_method_validated(self, rng):
+        img = rng.normal(size=(10, 10))
+        with pytest.raises(ValueError, match="scipy' or 'numba"):
+            ss.mean_filter_nan(img, 3, method="tpu")
+
+    def test_patches_verbose_logs(self, rng, caplog):
+        import logging as _logging
+
+        vals = rng.normal(size=(60, 60))
+        with caplog.at_level(_logging.INFO):
+            ss.patches_method(vals, gsd=10.0, area=10000.0, vectorized=False,
+                              n_patches=5, verbose=True, random_state=42)
+        assert any("Working on patch" in r.message for r in caplog.records)
+
+    def test_plot_variogram_range_split(self, tmp_path):
+        field = _gaussian_field(shape=(100, 100), smooth_px=3, sigma=1.0, seed=9)
+        df = ss.sample_empirical_variogram(field, gsd=10.0, subsample=400, random_state=42)
+        fn, params = ss.fit_sum_model_variogram(["spherical"], df)
+        out = str(tmp_path / "vario_split.png")
+        axes = ss.plot_variogram(df, list_fit_fun=[fn], xscale_range_split=[100.0], out_fname=out)
+        assert len(axes) == 2
+        import os
+
+        assert os.path.getsize(out) > 5000

@@ -46,6 +46,19 @@ class TestSchemas:
         with pytest.raises(ValueError, match="path does not exist"):
             validate_configuration({"inputs": {"path_to_elev": "/nonexistent/file.tif"}}, TOPO_SCHEMA)
 
+    def test_custom_validator_facade(self, dem_files):
+        """Cerberus-style class surface (reference schemas.py:52): validate/errors/document."""
+        from xdem_tpu.workflows.schemas import CustomValidator
+
+        ref_path, _, _ = dem_files
+        v = CustomValidator(TOPO_SCHEMA)
+        assert v.validate({"inputs": {"path_to_elev": ref_path}})
+        assert v.errors == {}
+        assert v.document["outputs"]["path"] == "outputs"
+        assert not v.validate({"inputs": {"path_to_elev": "/nonexistent/file.tif"}})
+        assert "path does not exist" in v.errors["config"][0]
+        assert v.document is None
+
     def test_unknown_field_raises(self, dem_files):
         ref_path, _, _ = dem_files
         with pytest.raises(ValueError, match="Unknown configuration"):

@@ -1185,6 +1185,44 @@ def _icp_fit_approx_lsq(ref: np.ndarray, tba: np.ndarray, norms: np.ndarray,
     )
 
 
+def _icp_fit_minimizer_step(
+    ref: np.ndarray,
+    tba: np.ndarray,
+    norms: np.ndarray | None,
+    method: str,
+    fit_minimizer: Callable,
+    fit_loss_func: Any,
+    only_translation: bool,
+) -> np.ndarray:
+    """Per-iteration rigid solve through a user-supplied scipy-style minimizer (reference
+    affine.py:920-975): residuals of the 6-parameter rigid transform (3 when
+    ``only_translation``) between the fixed nearest-point pairs of this iteration.
+
+    ``ref``/``tba``/``norms`` are 3xN arrays; ``fit_minimizer`` is called as
+    ``fit_minimizer(fit_func, x0, loss=fit_loss_func)`` (scipy.optimize.least_squares
+    signature) and must return an object with an ``x`` attribute.
+    """
+
+    def fit_func(x: np.ndarray) -> np.ndarray:
+        ts, als = (x, (0.0, 0.0, 0.0)) if only_translation else (x[:3], x[3:])
+        m = matrix_from_translations_rotations(
+            t_x=ts[0], t_y=ts[1], t_z=ts[2], alpha=als[0], beta=als[1], gamma=als[2],
+            use_degrees=False,
+        )
+        trans = _apply_matrix_pts_mat(tba, matrix=m)
+        if method == "point-to-plane":
+            return np.sum((trans - ref) * norms, axis=0)
+        return np.sqrt(np.sum((trans - ref) ** 2, axis=0))
+
+    results = fit_minimizer(fit_func, np.zeros(3 if only_translation else 6), loss=fit_loss_func)
+    x = np.asarray(results.x, dtype=np.float64)
+    ts, als = (x, (0.0, 0.0, 0.0)) if only_translation else (x[:3], x[3:])
+    return matrix_from_translations_rotations(
+        t_x=ts[0], t_y=ts[1], t_z=ts[2], alpha=als[0], beta=als[1], gamma=als[2],
+        use_degrees=False,
+    )
+
+
 def icp(
     ref_elev: Any,
     tba_elev: Any,
@@ -1200,14 +1238,27 @@ def icp(
     only_translation: bool = False,
     standardize: bool = True,
     fit_minimizer: Any = "lsq_approx",
+    fit_loss_func: Any = "linear",
     nn_method: str = "kdtree",
 ) -> tuple[np.ndarray, tuple[float, float, float], int]:
     """Iterative closest point registration (reference affine.py:1084).
 
-    Point-to-plane (Chen & Medioni) with Low (2004) linearized solve by default. Neighbor
-    search: "kdtree" = host KD-tree built once (reference parity), "brute" = blocked MXU
-    distance argmin fully on device (see _brute_nearest).
+    Point-to-plane (Chen & Medioni) with Low (2004) linearized solve by default
+    (``fit_minimizer="lsq_approx"``); point-to-point solves the Besl & McKay closed form
+    (SVD). Pass a scipy-style minimizer callable (e.g. ``scipy.optimize.least_squares``,
+    the reference's default) plus ``fit_loss_func`` to solve each iteration's 6-parameter
+    rigid fit through it instead (reference affine.py:920-975). Neighbor search: "kdtree" =
+    host KD-tree built once (reference parity), "brute" = blocked MXU distance argmin fully
+    on device (see _brute_nearest); the brute device loop supports the built-in solvers only.
+    `crs` is accepted for reference-signature parity: the registration runs in the projected
+    coordinates the inputs already carry, so the CRS never enters the computation.
     """
+    if callable(fit_minimizer) and nn_method == "brute":
+        raise ValueError(
+            "A custom fit_minimizer runs on the host: it cannot be traced into the "
+            'nn_method="brute" device while_loop. Use nn_method="kdtree" with a callable '
+            'minimizer, or fit_minimizer="lsq_approx" with the brute path.'
+        )
     logging.info("Running ICP coregistration")
     from scipy.spatial import KDTree
 
@@ -1268,7 +1319,13 @@ def icp(
         ind_ref = ind[ind_tba]
         step_ref = ref_epc[:, ind_ref]
         step_tba = trans_tba[:, ind_tba]
-        if method == "point-to-plane":
+        if callable(fit_minimizer):
+            step_norms = norms[:, ind_ref] if norms is not None else None
+            step_matrix = _icp_fit_minimizer_step(
+                step_ref, step_tba, step_norms, method, fit_minimizer, fit_loss_func,
+                only_translation=only_translation,
+            )
+        elif method == "point-to-plane":
             step_norms = norms[:, ind_ref]
             step_matrix = _icp_fit_approx_lsq(step_ref.T, step_tba.T, step_norms.T,
                                               only_translation=only_translation)
@@ -1338,6 +1395,7 @@ class ICP(AffineCoreg):
             max_iterations=it["max_iterations"], tolerance=it["tolerance"],
             method=s["icp_method"], picky=s["icp_picky"], only_translation=s["only_translation"],
             standardize=s["standardize"], fit_minimizer=self._meta["inputs"]["fitorbin"]["fit_minimizer"],
+            fit_loss_func=self._meta["inputs"]["fitorbin"]["fit_loss_func"],
             nn_method=s.get("nn_method", "kdtree"),
         )
         tx, ty, tz, *_ = translations_rotations_from_matrix(matrix)
@@ -1445,7 +1503,11 @@ def cpd(
     only_translation: bool = False,
     standardize: bool = True,
 ) -> tuple[np.ndarray, tuple[float, float, float], int]:
-    """Coherent Point Drift rigid registration (reference affine.py:1340)."""
+    """Coherent Point Drift rigid registration (reference affine.py:1340).
+
+    `crs` is accepted for reference-signature parity: the EM runs in the projected
+    coordinates the inputs already carry, so the CRS never enters the computation.
+    """
     logging.info("Running CPD coregistration")
     sub_ref, sub_tba, x, y, _ = _subsample_pair_values(
         ref_elev, tba_elev, inlier_mask, transform, subsample, random_state

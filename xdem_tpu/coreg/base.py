@@ -293,7 +293,9 @@ def apply_matrix(
 
     `resample=True` resamples the result back onto the INPUT georeferencing (the
     reference's default behavior for its apply pipeline); the default False returns the
-    data with the translated transform — lossless for pure translations.
+    data with the translated transform — lossless for pure translations. `crs` is accepted
+    for reference-signature parity: the grid `transform` fully determines the regrid (the
+    matrix acts in projected coordinates), so the CRS never enters the computation.
     """
     resampling = {"bilinear": "linear"}.get(resampling, resampling)
     if invert:

@@ -219,6 +219,8 @@ class DEM(Raster):
         stable_terrain: Any = None,
         approach: Literal["H2022", "R2009", "Basic"] = "H2022",
         precision_of_other: Literal["finer", "same"] = "finer",
+        spread_estimator: Any = None,
+        variogram_estimator: str = "dowd",
         list_vars: tuple = ("slope", "max_curvature"),
         list_vario_models: tuple = ("gaussian", "spherical"),
         z_name: str = "z",
@@ -231,6 +233,9 @@ class DEM(Raster):
         Returns (error raster sigma(x, y), correlation function rho(lag)).
         Reference dem.py:667 (H2022 = heteroscedasticity + multi-range variogram;
         R2009 = constant error + multi-range; Basic = NMAD + single-range).
+        ``other_elev`` may be a DEM/Raster or an elevation point cloud (EPC/PointCloud, or
+        a DataFrame with x/y columns and elevation in ``z_name``); ``spread_estimator``
+        defaults to the NMAD and ``variogram_estimator`` to Dowd (reference dem.py:700-702).
 
         Pass ``mesh`` (a jax.sharding.Mesh) to run the whole pipeline multi-chip:
         halo-sharded terrain stencils, row-sharded error evaluation, and variogram runs
@@ -244,8 +249,11 @@ class DEM(Raster):
             stable_terrain=stable_terrain,
             approach=approach,
             precision_of_other=precision_of_other,
+            spread_estimator=spread_estimator,
+            variogram_estimator=variogram_estimator,
             list_vars=list_vars,
             list_vario_models=list_vario_models,
+            z_name=z_name,
             random_state=random_state,
             subsample=subsample,
             mesh=mesh,

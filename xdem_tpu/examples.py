@@ -34,7 +34,12 @@ def synthetic_dem_array(
     relief: float = 1000.0,
     beta: float = 2.7,
 ) -> np.ndarray:
-    """Spectral-synthesis fractal terrain: power-law |f|^-beta noise, normalized to [0, relief]."""
+    """Spectral-synthesis fractal terrain: power-law |f|^-beta noise, normalized to [0, relief].
+
+    The field is generated in pixel space; ``resolution`` is part of the signature so
+    callers derive the georeferencing from one place, but it does not change the array
+    (keeping the documented TBA_SHIFT truths resolution-independent).
+    """
     rng = np.random.default_rng(seed)
     h, w = shape
     # Generate on a padded power-of-two grid for clean spectra

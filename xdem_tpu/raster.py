@@ -11,6 +11,7 @@ translate/interp_points/to_pointcloud API surface, pixel-center "Area" interpret
 from __future__ import annotations
 
 import copy as _copy
+import warnings
 from typing import Any, Literal, Sequence, Tuple
 
 import jax.numpy as jnp
@@ -381,6 +382,8 @@ class Raster:
         Implemented as inverse-coordinate gather interpolation on device (the reference
         delegates to rasterio.warp; same pixel-center convention). `resampling=None` uses
         the package default (`xdem_tpu.config["resampling"]`, bilinear out of the box).
+        `silent=False` warns when the target grid equals the source grid (the reproject is
+        a resampling no-op), matching the geoutils behavior the reference relies on.
         """
         if resampling is None:
             from xdem_tpu.config import config
@@ -435,6 +438,13 @@ class Raster:
             dst_transform = Affine.from_origin(left, top, res[0], res[1])
             dst_shape = (h, w)
 
+        if (not silent and dst_crs == self.crs and dst_shape == self.shape
+                and Affine(*dst_transform).almost_equals(self.transform)):
+            warnings.warn(
+                "Output projection, bounds and grid size are identical to the input raster: "
+                "the reproject only resamples in place.", UserWarning,
+            )
+
         # Destination pixel centers in destination CRS
         h, w = dst_shape
         cols = jnp.arange(w, dtype=jnp.float32) + 0.5
@@ -452,10 +462,23 @@ class Raster:
         return out
 
     def crop(self, bbox: "Raster | Tuple[float, float, float, float]", mode: str = "match_pixel") -> "Raster":
-        """Crop to a bounding box (or another raster's bounds), snapping to the pixel grid."""
+        """Crop to a bounding box (or another raster's bounds).
+
+        ``mode="match_pixel"`` (default) snaps the box to the existing pixel grid (pure
+        slicing, no resampling); ``mode="match_extent"`` matches the requested extent
+        exactly, resampling onto a grid whose resolution is adjusted to fit (geoutils crop
+        semantics the reference relies on).
+        """
+        if mode not in ("match_pixel", "match_extent"):
+            raise ValueError(f"mode must be 'match_pixel' or 'match_extent', got {mode!r}.")
         if isinstance(bbox, Raster):
             bbox = tuple(bbox.bounds)
         left, bottom, right, top = bbox
+        if mode == "match_extent":
+            w = max(int(np.round((right - left) / self.res[0])), 1)
+            h = max(int(np.round((top - bottom) / self.res[1])), 1)
+            return self.reproject(bounds=(left, bottom, right, top),
+                                  res=((right - left) / w, (top - bottom) / h))
         row0, col0 = self.transform.rowcol(left, top)
         row1, col1 = self.transform.rowcol(right, bottom)
         r0 = int(np.clip(np.round(row0 + 0.5), 0, self.height))

@@ -751,8 +751,12 @@ def convolution(imgs: np.ndarray, filters: np.ndarray, method: str = "scipy") ->
     """Multi-image x multi-kernel convolution (reference :2558), on device via XLA conv.
 
     NaN handling matches scipy.ndimage.convolve on NaN inputs (NaN poisons its footprint);
-    edges use zero padding with NaN-footprint invalidation.
+    edges use zero padding with NaN-footprint invalidation. ``method`` is kept for signature
+    parity with the reference's scipy/numba backend switch — both names run the same XLA
+    convolution here (numerically identical); any other value raises.
     """
+    if method not in ("scipy", "numba"):
+        raise ValueError(f"Convolution method must be 'scipy' or 'numba', got {method!r}.")
     imgs_j = jnp.asarray(imgs, dtype=jnp.float32)
     filt_j = jnp.asarray(np.asarray(filters), dtype=jnp.float32)
     nanmask = ~jnp.isfinite(imgs_j)
@@ -769,7 +773,12 @@ def convolution(imgs: np.ndarray, filters: np.ndarray, method: str = "scipy") ->
 def mean_filter_nan(
     img: np.ndarray, kernel_size: int, kernel_shape: str = "circular", method: str = "scipy"
 ) -> tuple[np.ndarray, np.ndarray, int]:
-    """NaN-aware mean filter via two convolutions (sum & valid count) — reference :2597."""
+    """NaN-aware mean filter via two convolutions (sum & valid count) — reference :2597.
+
+    ``method`` is kept for signature parity (scipy/numba select the same XLA kernel here).
+    """
+    if method not in ("scipy", "numba"):
+        raise ValueError(f"Convolution method must be 'scipy' or 'numba', got {method!r}.")
     if kernel_shape == "circular":
         # Reference convention (:880-904): integer center at p//2, radius = distance to the
         # nearest wall, STRICT inequality — e.g. 9 pixels for a 5x5 kernel, not 13.
@@ -2045,7 +2054,9 @@ def neff_exact(
     """Exact double covariance sum over all pixel pairs (reference :2175), as a tiled device
     kernel: sum_ij err_i err_j rho(d_ij) — chunked matmul-shaped distances + elementwise rho,
     memory bounded by the chunk size (not N^2). Pass `mesh` (jax.sharding.Mesh) to shard the
-    row axis across devices (xdem_tpu.parallel.neff)."""
+    row axis across devices (xdem_tpu.parallel.neff). ``vectorized`` is kept for signature
+    parity with the reference's loop/vectorized switch; both map to the same device kernel
+    (numerically identical)."""
     _check_validity_params_variogram(params_variogram_model)
     coords = np.asarray(coords, np.float32)
     errors = np.asarray(errors, np.float32)
@@ -2076,7 +2087,8 @@ def neff_hugonnet_approx(
 ) -> float:
     """Hugonnet et al. (2022) approximation: one sum subsetted randomly (reference :2239).
     Chunked accumulation bounds memory at chunk x subsample instead of N x subsample. Pass
-    `mesh` to shard the row axis across devices."""
+    `mesh` to shard the row axis across devices. ``vectorized`` is kept for signature parity
+    with the reference's loop/vectorized switch; both map to the same device kernel."""
     _check_validity_params_variogram(params_variogram_model)
     rng = np.random.default_rng(random_state)
     n = len(coords)
@@ -2209,6 +2221,7 @@ def _patches_loop_quadrants(
     statistics_in_patch: Sequence[Callable | str] = (np.nanmean,),
     statistic_between_patches: Callable[[np.ndarray], float] = _stat_nmad,
     random_state: int | None = None,
+    verbose: bool = False,
 ) -> pd.DataFrame:
     """Patches method by quadrant sampling (reference :2740): draw random non-overlapping
     quadrants of the right area, compute per-patch statistics."""
@@ -2234,6 +2247,9 @@ def _patches_loop_quadrants(
     for (i, j) in all_quadrants[: n_patches]:
         patch = values[i * side : (i + 1) * side, j * side : (j + 1) * side]
         vals = patch[footprint]
+        if verbose:
+            logging.info("Working on patch (%d, %d): %.0f%% valid", i, j,
+                         np.isfinite(vals).mean() * 100)
         if np.isfinite(vals).mean() * 100 < perc_min_valid:
             continue
         rec: dict[str, Any] = {"tile": f"{i}_{j}"}
@@ -2282,6 +2298,7 @@ def patches_method(
         np.asarray(arr, np.float64), gsd, area, patch_shape=patch_shape, n_patches=n_patches,
         perc_min_valid=perc_min_valid, statistics_in_patch=statistics_in_patch,
         statistic_between_patches=statistic_between_patches, random_state=random_state,
+        verbose=verbose,
     )
 
 
@@ -2302,12 +2319,24 @@ def plot_variogram(
     out_fname: str | None = None,
 ) -> Any:
     """Plot an empirical variogram (hist of counts + variance points) with optional fitted
-    models (reference :3050)."""
+    models (reference :3050).
+
+    ``xscale_range_split`` splits the lag axis into side-by-side panels at the given
+    distances (reference :3112-3150) so short-range structure stays readable next to the
+    long-range lags; each panel carries its own pair-count histogram on top.
+    """
     import matplotlib
 
     if out_fname is not None:
         matplotlib.use("Agg")
     import matplotlib.pyplot as plt
+
+    if xscale_range_split is not None:
+        return _plot_variogram_split(
+            df, list_fit_fun=list_fit_fun, list_fit_fun_label=list_fit_fun_label, ax=ax,
+            xscale=xscale, xscale_range_split=list(xscale_range_split), xlabel=xlabel,
+            ylabel=ylabel, ylim=ylim, out_fname=out_fname,
+        )
 
     if ax is None:
         fig, ax = plt.subplots(figsize=(8, 5))
@@ -2346,6 +2375,88 @@ def plot_variogram(
         fig.savefig(out_fname, dpi=120, bbox_inches="tight")
         plt.close(fig)
     return ax
+
+
+def _plot_variogram_split(
+    df: pd.DataFrame,
+    list_fit_fun: Sequence[Callable[[np.ndarray], np.ndarray]] | None,
+    list_fit_fun_label: Sequence[str] | None,
+    ax: Any,
+    xscale: str,
+    xscale_range_split: list[float],
+    xlabel: str | None,
+    ylabel: str | None,
+    ylim: Any,
+    out_fname: str | None,
+) -> Any:
+    """Multi-panel variogram: one sub-axis per lag range, pair-count histogram on top."""
+    import matplotlib.pyplot as plt
+
+    lags = df["lags"].values.astype(float)
+    exp = df["exp"].values.astype(float)
+    counts = df["count"].values.astype(float)
+    err = df["err_exp"].values.astype(float) if "err_exp" in df.columns else np.full_like(exp, np.nan)
+    edges = np.r_[0.0, lags]
+    centers = 0.5 * (edges[:-1] + edges[1:])
+
+    # Panel boundaries: prepend the axis origin and append the max lag when absent
+    first = float(np.min(lags)) / 2 if xscale == "log" else 0.0
+    splits = list(xscale_range_split)
+    if splits[0] != first:
+        splits = [first] + splits
+    if splits[-1] < float(np.max(lags)):
+        splits.append(float(np.max(lags)))
+    n_panels = len(splits) - 1
+
+    if ax is None:
+        fig = plt.figure(figsize=(3.0 * n_panels + 2.0, 5.0))
+        make_axes = lambda rect: fig.add_axes(rect)  # noqa: E731
+    else:
+        fig = ax.figure
+        ax.axis("off")
+        make_axes = ax.inset_axes
+
+    ymax = float(np.nanmax(exp)) * 1.05 if np.all(np.isnan(err)) else float(np.nanmax(exp) + np.nanmean(err[np.isfinite(err)]))
+    axes = []
+    for k in range(n_panels):
+        x0, x1 = splits[k], splits[k + 1]
+        left, width = 0.08 + 0.92 * k / n_panels, 0.92 / n_panels * 0.94
+        ax_hist = make_axes([left, 0.78, width, 0.20])
+        ax_stat = make_axes([left, 0.10, width, 0.64])
+        in_panel = (edges[1:] > x0) & (edges[:-1] < x1)
+        for i in np.flatnonzero(in_panel):
+            ax_hist.fill_between([edges[i], edges[i + 1]], 0, counts[i],
+                                 facecolor="grey", alpha=0.6, edgecolor="white", linewidth=0.5)
+        ax_hist.set_xlim(x0, x1)
+        ax_hist.set_xticks([])
+        sel = (centers >= x0) & (centers <= x1)
+        if np.all(np.isnan(err)):
+            ax_stat.plot(centers[sel], exp[sel], "x", color="tab:blue", label="empirical")
+        else:
+            ax_stat.errorbar(centers[sel], exp[sel], yerr=err[sel], fmt="x", label="empirical")
+        if list_fit_fun is not None:
+            h = np.linspace(max(x0, 1e-9), x1, 300)
+            for i, fn in enumerate(list_fit_fun):
+                label = list_fit_fun_label[i] if list_fit_fun_label else f"model {i + 1}"
+                ax_stat.plot(h, fn(h), "--", label=label)
+        ax_stat.set_xlim(x0, x1)
+        ax_stat.set_ylim(ylim if ylim is not None else (0, ymax))
+        if k == 0:
+            ax_hist.set_ylabel("pair count")
+            ax_stat.set_ylabel(ylabel or "variance")
+        else:
+            ax_hist.set_yticks([])
+            ax_stat.set_yticks([])
+        if k == n_panels // 2:
+            ax_stat.set_xlabel(xlabel or "spatial lag")
+        if k == n_panels - 1:
+            ax_stat.legend(loc="lower right", fontsize=8)
+        axes.append(ax_stat)
+
+    if out_fname is not None:
+        fig.savefig(out_fname, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+    return axes
 
 
 def plot_1d_binning(

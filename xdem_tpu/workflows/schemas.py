@@ -137,6 +137,34 @@ def validate_configuration(user_config: dict[str, Any], schema: dict[str, Any]) 
     return doc
 
 
+class CustomValidator:
+    """Cerberus-style validator facade (reference schemas.py:52-99 subclasses
+    cerberus.Validator; this project ships a self-contained schema engine, so the class is
+    a thin stateful wrapper over :func:`validate_configuration`).
+
+    Usage matches the cerberus surface the reference relies on:
+    ``v = CustomValidator(schema); ok = v.validate(doc); v.errors; v.document``.
+    """
+
+    def __init__(self, schema: dict[str, Any]):
+        self.schema = schema
+        self.errors: dict[str, list[str]] = {}
+        self.document: dict[str, Any] | None = None
+
+    def validate(self, document: dict[str, Any]) -> bool:
+        try:
+            self.document = validate_configuration(document, self.schema)
+            self.errors = {}
+            return True
+        except ValueError as err:
+            self.errors = {"config": [str(err)]}
+            self.document = None
+            return False
+
+    def normalized(self, document: dict[str, Any]) -> dict[str, Any]:
+        return validate_configuration(document, self.schema)
+
+
 def make_coreg_step(required: bool = False, default_method: str | None = None) -> dict[str, Any]:
     step_schema: dict[str, Any] = {
         "type": "dict",
