@@ -1033,3 +1033,62 @@ class TestApiHonestySweep:
         import os
 
         assert os.path.getsize(out) > 5000
+
+
+class TestReviewFixesR3:
+    """Regression tests for the round-3 review findings on the point-uncertainty /
+    plot-split additions."""
+
+    def test_plot_variogram_split_log_scale(self, tmp_path):
+        field = _gaussian_field(shape=(100, 100), smooth_px=3, sigma=1.0, seed=9)
+        df = ss.sample_empirical_variogram(field, gsd=10.0, subsample=400, random_state=42)
+        axes = ss.plot_variogram(df, xscale="log", xscale_range_split=[100.0],
+                                 out_fname=str(tmp_path / "v.png"))
+        assert all(a.get_xscale() == "log" for a in axes)
+        for a in axes:
+            lo, hi = a.get_xlim()
+            assert lo < hi  # no inverted panel
+
+    def test_plot_variogram_split_leading_zero_log(self, tmp_path):
+        field = _gaussian_field(shape=(100, 100), smooth_px=3, sigma=1.0, seed=9)
+        df = ss.sample_empirical_variogram(field, gsd=10.0, subsample=400, random_state=42)
+        axes = ss.plot_variogram(df, xscale="log", xscale_range_split=[0.0, 100.0],
+                                 out_fname=str(tmp_path / "v0.png"))
+        assert len(axes) == 2  # the leading 0 is the axis start, not an extra panel
+        for a in axes:
+            lo, hi = a.get_xlim()
+            assert 0 < lo < hi
+
+    def test_plot_variogram_split_xlim_forwarded(self, tmp_path):
+        field = _gaussian_field(shape=(100, 100), smooth_px=3, sigma=1.0, seed=9)
+        df = ss.sample_empirical_variogram(field, gsd=10.0, subsample=400, random_state=42)
+        axes = ss.plot_variogram(df, xscale_range_split=[100.0], xlim=(0.0, 500.0),
+                                 out_fname=str(tmp_path / "vx.png"))
+        assert all(a.get_xlim() == (0.0, 500.0) for a in axes)
+
+    def test_patches_vectorized_verbose_logs(self, rng, caplog):
+        import logging as _logging
+
+        vals = rng.normal(size=(60, 60))
+        with caplog.at_level(_logging.INFO):
+            ss.patches_method(vals, gsd=10.0, area=10000.0, verbose=True)
+        assert any("convolution variant" in r.message for r in caplog.records)
+
+    def test_point_stable_raster_off_grid_raises(self):
+        from xdem_tpu import examples
+        from xdem_tpu.raster import Raster
+
+        ref = examples.get_ref_dem().icrop((100, 300), (200, 400))
+        epc = ref.to_pointcloud(subsample=500, random_state=1)
+        small = ref.icrop((0, 50), (0, 50))
+        bad = Raster(np.ones(small.shape, np.float32), small.transform, small.crs)
+        with pytest.raises(ValueError, match="DEM's grid"):
+            ref.estimate_uncertainty(epc, stable_terrain=bad, approach="Basic",
+                                     list_vario_models=("spherical",))
+
+    def test_unsupported_other_elev_type_raises(self):
+        from xdem_tpu import examples
+
+        ref = examples.get_ref_dem().icrop((100, 300), (200, 400))
+        with pytest.raises(TypeError, match="point cloud"):
+            ref.estimate_uncertainty(np.ones(ref.shape, np.float32))

@@ -2247,10 +2247,10 @@ def _patches_loop_quadrants(
     for (i, j) in all_quadrants[: n_patches]:
         patch = values[i * side : (i + 1) * side, j * side : (j + 1) * side]
         vals = patch[footprint]
+        frac_valid = np.isfinite(vals).mean() * 100
         if verbose:
-            logging.info("Working on patch (%d, %d): %.0f%% valid", i, j,
-                         np.isfinite(vals).mean() * 100)
-        if np.isfinite(vals).mean() * 100 < perc_min_valid:
+            logging.info("Working on patch (%d, %d): %.0f%% valid", i, j, frac_valid)
+        if frac_valid < perc_min_valid:
             continue
         rec: dict[str, Any] = {"tile": f"{i}_{j}"}
         for stat in statistics_in_patch:
@@ -2290,6 +2290,10 @@ def patches_method(
     if gsd is None:
         raise ValueError("A ground sampling distance is required (pass gsd or a Raster).")
     if vectorized:
+        if verbose:
+            side = max(int(np.round(np.sqrt(area) / gsd)), 1)
+            logging.info("Patches (convolution variant): %d x %d px kernel over a %s grid",
+                         side, side, "x".join(map(str, np.asarray(arr).shape)))
         return _patches_convolution(
             np.asarray(arr, np.float64), gsd, area,
             perc_min_valid=perc_min_valid, statistic_between_patches=statistic_between_patches,
@@ -2335,7 +2339,7 @@ def plot_variogram(
         return _plot_variogram_split(
             df, list_fit_fun=list_fit_fun, list_fit_fun_label=list_fit_fun_label, ax=ax,
             xscale=xscale, xscale_range_split=list(xscale_range_split), xlabel=xlabel,
-            ylabel=ylabel, ylim=ylim, out_fname=out_fname,
+            ylabel=ylabel, xlim=xlim, ylim=ylim, out_fname=out_fname,
         )
 
     if ax is None:
@@ -2386,6 +2390,7 @@ def _plot_variogram_split(
     xscale_range_split: list[float],
     xlabel: str | None,
     ylabel: str | None,
+    xlim: Any,
     ylim: Any,
     out_fname: str | None,
 ) -> Any:
@@ -2399,10 +2404,13 @@ def _plot_variogram_split(
     edges = np.r_[0.0, lags]
     centers = 0.5 * (edges[:-1] + edges[1:])
 
-    # Panel boundaries: prepend the axis origin and append the max lag when absent
+    # Panel boundaries (reference :3126-3135): prepend the axis origin only when the first
+    # user split is nonzero, append the max lag when absent
     first = float(np.min(lags)) / 2 if xscale == "log" else 0.0
     splits = list(xscale_range_split)
-    if splits[0] != first:
+    if splits[0] == 0.0 and xscale == "log":
+        splits[0] = first  # a log axis cannot start at 0
+    elif splits[0] != 0.0 and splits[0] != first:
         splits = [first] + splits
     if splits[-1] < float(np.max(lags)):
         splits.append(float(np.max(lags)))
@@ -2427,6 +2435,7 @@ def _plot_variogram_split(
         for i in np.flatnonzero(in_panel):
             ax_hist.fill_between([edges[i], edges[i + 1]], 0, counts[i],
                                  facecolor="grey", alpha=0.6, edgecolor="white", linewidth=0.5)
+        ax_hist.set_xscale(xscale)
         ax_hist.set_xlim(x0, x1)
         ax_hist.set_xticks([])
         sel = (centers >= x0) & (centers <= x1)
@@ -2439,7 +2448,8 @@ def _plot_variogram_split(
             for i, fn in enumerate(list_fit_fun):
                 label = list_fit_fun_label[i] if list_fit_fun_label else f"model {i + 1}"
                 ax_stat.plot(h, fn(h), "--", label=label)
-        ax_stat.set_xlim(x0, x1)
+        ax_stat.set_xscale(xscale)
+        ax_stat.set_xlim(xlim if xlim is not None else (x0, x1))
         ax_stat.set_ylim(ylim if ylim is not None else (0, ymax))
         if k == 0:
             ax_hist.set_ylabel("pair count")

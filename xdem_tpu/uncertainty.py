@@ -36,6 +36,11 @@ def _point_stable_mask(stable_terrain: Any, dem: Raster, x: np.ndarray, y: np.nd
     if isinstance(stable_terrain, Vector):
         grid_mask = stable_terrain.create_mask(dem)
     elif isinstance(stable_terrain, Raster):
+        if stable_terrain.shape != dem.shape or not stable_terrain.transform.almost_equals(dem.transform):
+            raise ValueError(
+                "A Raster stable_terrain must live on the DEM's grid (shape "
+                f"{stable_terrain.shape} vs {dem.shape}); reproject it onto the DEM first."
+            )
         grid_mask = np.asarray(stable_terrain.data) > 0
     else:
         m = np.asarray(stable_terrain)
@@ -62,6 +67,13 @@ def _point_xyz(other_elev: Any, dem: Raster, z_name: str) -> tuple[np.ndarray, n
     if isinstance(other_elev, PointCloud):
         pc = other_elev.to_crs(dem.crs) if other_elev.crs != dem.crs else other_elev
         return pc.x, pc.y, pc.z
+    if not hasattr(other_elev, "columns"):
+        # Reference dem.py:733 raises the same class for unsupported input types
+        raise TypeError(
+            "Other elevation should be a DEM/Raster, an elevation point cloud "
+            "(EPC/PointCloud), or a dataframe with x/y columns and elevation in "
+            f"z_name (got {type(other_elev).__name__})."
+        )
     # DataFrame-like with named columns (the reference's geodataframe analog)
     cols = {c.lower(): c for c in other_elev.columns}
     if z_name not in other_elev.columns:
