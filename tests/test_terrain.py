@@ -354,6 +354,29 @@ class TestTiledTerrain:
             tiled_terrain_attribute(np.zeros((32, 32), np.float32), "texture_shading",
                                     TilingConfig(outdir=str(tmp_path)))
 
+    def test_tiled_composes_with_mesh(self, tmp_path):
+        """Out-of-core streaming + multi-chip: each row band's stencil is halo-sharded
+        across the mesh (mesh= flows through to get_terrain_attribute), so rasters larger
+        than one chip's HBM scale over all chips."""
+        from xdem_tpu.io import read_raster
+        from xdem_tpu.parallel import make_mesh
+        from xdem_tpu.terrain import TilingConfig, get_terrain_attribute, tiled_terrain_attribute
+
+        dem = examples.synthetic_dem_array(shape=(200, 230), seed=11)
+        dem[30:33, 40:50] = np.nan
+        paths = tiled_terrain_attribute(
+            dem, ["slope", "terrain_ruggedness_index"],
+            TilingConfig(tile_rows=64, outdir=str(tmp_path)),
+            resolution=20.0, mesh=make_mesh(8),
+        )
+        whole = get_terrain_attribute(dem, ["slope", "terrain_ruggedness_index"], resolution=20.0)
+        for p, a, ref in zip(paths, ["slope", "terrain_ruggedness_index"], whole):
+            got = np.asarray(read_raster(p).data)
+            ref = np.asarray(ref)
+            assert (np.isfinite(got) == np.isfinite(ref)).all(), f"{a}: NaN footprint differs"
+            both = np.isfinite(got) & np.isfinite(ref)
+            np.testing.assert_allclose(got[both], ref[both], rtol=1e-4, atol=1e-3, err_msg=a)
+
 
 class TestPallasFractal:
     @pytest.mark.parametrize("window_size", [5, 13])
