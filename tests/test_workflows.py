@@ -103,6 +103,25 @@ class TestTopoWorkflow:
         slope = Raster.open(str(out / "rasters" / "slope.tif"))
         assert np.nanmax(np.asarray(slope.data)) < 90
 
+    def test_run_generate_pdf(self, dem_files, tmp_path):
+        """generate_pdf: true writes a real multi-page PDF (matplotlib-rendered — the
+        reference needs the optional plutoprint HTML renderer for this)."""
+        from xdem_tpu.workflows import Topo
+
+        ref_path, _, _ = dem_files
+        cfg = {
+            "inputs": {"path_to_elev": ref_path},
+            "terrain_attributes": ["slope"],
+            "outputs": {"path": str(tmp_path / "outp"), "level": 2, "generate_pdf": True},
+        }
+        Topo(cfg).run()
+        pdf = tmp_path / "outp" / "report.pdf"
+        assert pdf.exists()
+        data = pdf.read_bytes()
+        assert data[:5] == b"%PDF-" and len(data) > 10_000
+        # Multi-page: one text page + at least one figure page
+        assert data.count(b"/Type /Page") >= 2 or data.count(b"/Type/Page") >= 2
+
 
 class TestAccuracyWorkflow:
     def test_run_recovers_shift(self, dem_files, tmp_path):

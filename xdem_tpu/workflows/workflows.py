@@ -184,7 +184,75 @@ td,th{{border:1px solid #999;padding:4px 8px}} img{{max-width:45em}}</style></he
         path = self.output_dir / "report.html"
         path.write_text(html)
         if self.generate_pdf:
-            logging.warning("PDF generation requires 'plutoprint', unavailable here; HTML report written.")
+            self.create_pdf(title)
+        return path
+
+    def create_pdf(self, title: str) -> Path | None:
+        """Multi-page PDF report rendered natively with matplotlib.
+
+        The reference reaches PDF through the optional plutoprint HTML renderer
+        (reference workflows.py:~460); here the same report sections (stats tables,
+        metadata, figures) are laid out directly — no HTML engine needed.
+        """
+        import re
+
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.image as mpimg
+            import matplotlib.pyplot as plt
+            from matplotlib.backends.backend_pdf import PdfPages
+        except ImportError:
+            logging.warning("matplotlib unavailable; skipping PDF report.")
+            return None
+
+        def section_lines(s: str) -> list[str]:
+            """Flatten one HTML section into display lines (captions, table rows, text)."""
+            out: list[str] = []
+            for cap in re.findall(r"<h3>(.*?)</h3>", s, re.S):
+                out += ["", cap.strip(), "-" * min(len(cap.strip()), 70)]
+            for row in re.findall(r"<tr>(.*?)</tr>", s, re.S):
+                cells = re.findall(r"<t[hd][^>]*>(.*?)</t[hd]>", row, re.S)
+                cells = [re.sub(r"<[^>]+>", "", c).strip() for c in cells]
+                if any(cells):
+                    out.append("  ".join(f"{c:<18}" if i == 0 else c for i, c in enumerate(cells)))
+            for par in re.findall(r"<p>(.*?)</p>", s, re.S):
+                out += ["", re.sub(r"<[^>]+>", "", par).strip()]
+            return out
+
+        path = self.output_dir / "report.pdf"
+        page_size = (8.27, 11.69)  # A4 portrait
+        max_lines = 58
+        with PdfPages(path) as pdf:
+            pending: list[str] = [title, "=" * min(len(title), 70)]
+
+            def flush_text() -> None:
+                nonlocal pending
+                while pending:
+                    chunk, pending = pending[:max_lines], pending[max_lines:]
+                    fig = plt.figure(figsize=page_size)
+                    fig.text(0.07, 0.95, "\n".join(chunk), va="top", family="monospace",
+                             fontsize=9)
+                    pdf.savefig(fig)
+                    plt.close(fig)
+
+            for section in self._report_sections:
+                m = re.search(r'<img src="([^"]+)"', section)
+                if m:
+                    img_path = self.output_dir / m.group(1)
+                    if not img_path.exists():
+                        continue
+                    flush_text()
+                    fig, ax = plt.subplots(figsize=page_size)
+                    ax.imshow(mpimg.imread(str(img_path)))
+                    ax.axis("off")
+                    ax.set_title(img_path.stem)
+                    pdf.savefig(fig)
+                    plt.close(fig)
+                else:
+                    pending += section_lines(section)
+            flush_text()
         return path
 
     @staticmethod
