@@ -1064,3 +1064,68 @@ class TestICPFitMinimizer:
                       subsample=5000)
         with pytest.raises(ValueError, match="brute"):
             c.fit(ref_tba, tba, random_state=42)
+
+
+class TestApplyMatrixDataframe:
+    def test_apply_matrix_dataframe_z_name(self, ref_tba):
+        """apply_matrix on a dataframe point cloud with a custom elevation column
+        (the reference's geodataframe path, base.py:1701)."""
+        import pandas as pd
+
+        from xdem_tpu.coreg import apply_matrix
+        from xdem_tpu.coreg.base import matrix_from_translations_rotations
+
+        pc = ref_tba.to_pointcloud(subsample=200, random_state=3)
+        df = pd.DataFrame({"x": pc.x, "y": pc.y, "h": pc.z})
+        m = matrix_from_translations_rotations(t_x=5.0, t_y=-3.0, t_z=1.5)
+        out = apply_matrix(df, m, z_name="h")
+        np.testing.assert_allclose(out["x"].values, df["x"].values + 5.0)
+        np.testing.assert_allclose(out["y"].values, df["y"].values - 3.0)
+        np.testing.assert_allclose(out["h"].values, df["h"].values + 1.5)
+        with pytest.raises(ValueError, match="z_name"):
+            apply_matrix(df, m, z_name="missing")
+
+
+class TestSignatureParityR3:
+    """Reference keyword spellings and knobs added in the round-3 parity sweep."""
+
+    def test_matrix_reference_kwarg_aliases(self):
+        from xdem_tpu.coreg.base import matrix_from_translations_rotations
+
+        m_ours = matrix_from_translations_rotations(t_x=1.0, t_y=2.0, t_z=3.0,
+                                                    alpha=0.5, beta=-0.2, gamma=0.1)
+        m_ref = matrix_from_translations_rotations(t1=1.0, t2=2.0, t3=3.0,
+                                                   alpha1=0.5, alpha2=-0.2, alpha3=0.1)
+        np.testing.assert_allclose(m_ref, m_ours)
+
+    def test_invert_matrix_atol(self):
+        from xdem_tpu.coreg.base import invert_matrix, matrix_from_translations_rotations
+
+        m = matrix_from_translations_rotations(t_x=4.0)
+        m[3, 0] = 1e-3  # not affine
+        with pytest.raises(ValueError, match="affine"):
+            invert_matrix(m)
+        out = invert_matrix(m, atol=1e-2)  # loose tolerance accepts + repairs it
+        assert out[0, 3] == pytest.approx(-4.0)
+
+    def test_from_rotations_use_degrees(self):
+        from xdem_tpu.coreg import AffineCoreg
+
+        c_deg = AffineCoreg.from_rotations(z_rot=30.0)
+        c_rad = AffineCoreg.from_rotations(z_rot=np.deg2rad(30.0), use_degrees=False)
+        np.testing.assert_allclose(c_deg.to_matrix(), c_rad.to_matrix(), atol=1e-12)
+
+    def test_coreg_info_as_str(self):
+        from xdem_tpu.coreg import NuthKaab
+
+        text = NuthKaab().info(as_str=True)
+        assert isinstance(text, str) and "inputs" in text
+
+    def test_blockwise_ransac_kwargs(self, ref_tba):
+        from xdem_tpu.coreg import BlockwiseNuthKaab
+
+        ref, tba = ref_tba, ref_tba.copy()
+        bw = BlockwiseNuthKaab(block_size_fit=256, subsample_per_tile=3000, random_state=42)
+        bw.fit(ref, tba)
+        out = bw.apply(tba, threshold_ransac=0.5, max_iterations_ransac=50)
+        assert np.isfinite(np.asarray(out.data)).any()

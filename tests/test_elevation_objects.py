@@ -357,3 +357,51 @@ class TestGeoidStationTruth:
         for lon, lat, want in held_out:
             assert (lon, lat) not in fit_pts
             assert float(undulation(lon, lat)) == pytest.approx(want, abs=8.0)
+
+
+class TestRasterDemSignatureParityR3:
+    """Round-3 parity additions on the elevation objects (reference geoutils/dem kwargs)."""
+
+    def test_to_pointcloud_skip_nodata_and_array(self):
+        arr = np.arange(16, dtype=np.float32).reshape(4, 4)
+        arr[0, 0] = np.nan
+        dem = DEM(arr, Affine.from_origin(0, 40, 10, 10), 32633)
+        pc = dem.to_pointcloud()
+        assert len(pc) == 15
+        pc_all = dem.to_pointcloud(skip_nodata=False)
+        assert len(pc_all) == 16 and np.isnan(pc_all.z).sum() == 1
+        xyz = dem.to_pointcloud(as_array=True)
+        assert isinstance(xyz, np.ndarray) and xyz.shape == (15, 3)
+        # Pixel-corner coordinates: "ul" corners sit on the grid lines (0, 40), while
+        # pixel centers are half a pixel in (5, 35)
+        pc_ul = dem.to_pointcloud(force_pixel_offset="ul")
+        assert (pc_ul.x.min(), pc_ul.y.max()) == (0.0, 40.0)
+        assert (pc.x.min(), pc.y.max()) == (5.0, 35.0)
+        with pytest.raises(ValueError, match="single-band"):
+            dem.to_pointcloud(data_band=2)
+        with pytest.raises(ValueError, match="force_pixel_offset"):
+            dem.to_pointcloud(force_pixel_offset="middle")
+
+    def test_to_vcrs_inplace(self):
+        arr = np.full((8, 8), 200.0, np.float32)
+        dem = DEM.from_array(arr, Affine.from_origin(500000, 8680000, 20.0, 20.0), 32633,
+                             vcrs="EGM96")
+        assert str(dem.vcrs) == "EGM96"
+        out = dem.to_vcrs("Ellipsoid", inplace=True)
+        assert out is None
+        assert str(dem.vcrs) == "Ellipsoid"
+        assert float(np.mean(np.asarray(dem.data))) != pytest.approx(200.0, abs=1.0)
+
+    def test_from_array_tags(self):
+        from xdem_tpu.raster import Raster
+
+        r = Raster.from_array(np.zeros((4, 4), np.float32), Affine.from_origin(0, 40, 10, 10),
+                              32633, tags={"SOURCE": "unit-test"}, cast_nodata=False)
+        assert r.tags["SOURCE"] == "unit-test"
+
+    def test_info_stats(self):
+        arr = np.arange(16, dtype=np.float32).reshape(4, 4)
+        dem = DEM(arr, Affine.from_origin(0, 40, 10, 10), 32633)
+        text = dem.info(stats=True)
+        assert "[MINIMUM]" in text and "0.00" in text and "15.00" in text
+        assert "[MINIMUM]" not in dem.info()

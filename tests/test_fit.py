@@ -115,3 +115,16 @@ class TestLM:
         popt = fit.curve_fit_lm(lambda xx, a, b: a + b * xx, x, y, p0=[0.0, 0.0])
         assert popt[0] == pytest.approx(3.0, abs=1e-3)
         assert popt[1] == pytest.approx(2.0, abs=1e-3)
+
+
+class TestLossTwoArgConvention:
+    """Losses accept both residuals and the reference's (ytrue, ypred) pair (fit.py:42-79)."""
+
+    def test_all_losses_two_arg(self):
+        ytrue = np.array([3.0, -4.0, 1.0])
+        ypred = np.array([1.0, -1.0, 1.0])
+        assert fit.rmse(ytrue, ypred) == pytest.approx(fit.rmse(ytrue - ypred))
+        assert fit.huber_loss(ytrue, ypred) == pytest.approx(fit.huber_loss(ytrue - ypred))
+        assert fit.soft_loss(ytrue, ypred) == pytest.approx(fit.soft_loss(ytrue - ypred))
+        assert fit.soft_loss(ytrue, ypred, scale=2.0) == pytest.approx(
+            fit.soft_loss(ytrue - ypred, scale=2.0))

@@ -1092,3 +1092,101 @@ class TestReviewFixesR3:
         ref = examples.get_ref_dem().icrop((100, 300), (200, 400))
         with pytest.raises(TypeError, match="point cloud"):
             ref.estimate_uncertainty(np.ones(ref.shape, np.float32))
+
+
+class TestPatchesReferenceMode:
+    """patches_method(areas=[...]): the reference's per-area dataframe contract
+    (reference :2920-3047)."""
+
+    def test_areas_dataframe_and_scaling(self):
+        rng = np.random.default_rng(7)
+        sigma, gsd = 3.0, 10.0
+        field = rng.normal(0, sigma, size=(400, 400))
+        areas = [(5 * gsd) ** 2, (10 * gsd) ** 2, (20 * gsd) ** 2]
+        df = ss.patches_method(field, areas=areas, gsd=gsd)
+        assert list(df.columns) == ["nmad", "nb_indep_patches", "exact_areas", "areas"]
+        assert len(df) == 3
+        assert (df["areas"].values == np.asarray(areas)).all()
+        # White noise: SE shrinks as 1/sqrt(patch pixels) -> strictly decreasing with area
+        assert df["nmad"].is_monotonic_decreasing
+        # Exact area counts the discretized circular footprint
+        assert df["exact_areas"].iloc[0] == pytest.approx(areas[0], rel=0.35)
+        se = df["nmad"].values
+        npx = df["exact_areas"].values / gsd**2
+        np.testing.assert_allclose(se, sigma / np.sqrt(npx), rtol=0.25)
+
+    def test_return_in_patch_statistics(self):
+        rng = np.random.default_rng(8)
+        field = rng.normal(size=(200, 200))
+        out = ss.patches_method(field, areas=[(10 * 10.0) ** 2], gsd=10.0,
+                                return_in_patch_statistics=True)
+        df_stat, df_all = out
+        assert {"areas", "exact_areas", "nanmean", "count"} <= set(df_all.columns)
+        assert len(df_all) > 10
+
+    def test_loop_variant_areas_mode(self):
+        rng = np.random.default_rng(9)
+        field = rng.normal(size=(300, 300))
+        df = ss.patches_method(field, areas=[(15 * 10.0) ** 2 / 4, (30 * 10.0) ** 2 / 4],
+                               gsd=10.0, vectorized=False, n_patches=200, random_state=42)
+        assert len(df) == 2 and (df["nb_indep_patches"] > 3).all()
+        assert df["nmad"].iloc[1] < df["nmad"].iloc[0]
+
+    def test_convolution_method_validated(self):
+        rng = np.random.default_rng(10)
+        field = rng.normal(size=(50, 50))
+        with pytest.raises(ValueError, match="scipy' or 'numba"):
+            ss.patches_method(field, areas=[1e4], gsd=10.0, convolution_method="gpu")
+
+    def test_square_patch_shape(self):
+        rng = np.random.default_rng(11)
+        sigma, gsd = 2.0, 10.0
+        field = rng.normal(0, sigma, size=(300, 300))
+        df = ss.patches_method(field, areas=[(10 * gsd) ** 2], gsd=gsd, patch_shape="square")
+        # Square 10x10 patches: exact area matches the request, SE ~ sigma/10
+        assert df["exact_areas"].iloc[0] == pytest.approx((10 * gsd) ** 2)
+        assert df["nmad"].iloc[0] == pytest.approx(sigma / 10, rel=0.25)
+
+
+class TestParamParitySweep:
+    """Round-3 parameter-level parity additions (reference kwargs that were missing)."""
+
+    def test_interp_nd_binning_interpolate_method(self, rng):
+        # A masked middle bin: "linear" infill = average of neighbors, "nearest" = a copy
+        df = pd.DataFrame({
+            "v": pd.arrays.IntervalArray.from_breaks([0.0, 1, 2, 3, 4, 5]),
+            "nanmedian": [1.0, 2.0, np.nan, 8.0, 10.0],
+            "count": [100, 100, 100, 100, 100],
+            "nd": [1] * 5,
+        })
+        fn_lin = ss.interp_nd_binning(df, "v", statistic="nanmedian", min_count=None,
+                                      interpolate_method="linear")
+        fn_near = ss.interp_nd_binning(df, "v", statistic="nanmedian", min_count=None,
+                                       interpolate_method="nearest")
+        # Masked bin midpoint 2.5: linear infill -> (2 + 8) / 2 = 5; nearest -> 2 or 8
+        assert fn_lin(np.array([2.5]))[0] == pytest.approx(5.0)
+        assert fn_near(np.array([2.5]))[0] in (pytest.approx(2.0), pytest.approx(8.0))
+        with pytest.raises(ValueError, match="interpolate_method"):
+            ss.interp_nd_binning(df, "v", statistic="nanmedian", interpolate_method="cubic")
+
+    def test_get_perbin_min_count(self, rng):
+        vals = rng.normal(size=1000)
+        var = rng.uniform(0, 10, 1000)
+        df = ss.nd_binning(vals, [var], ["v"], list_var_bins=5)
+        out0 = ss.get_perbin_nd_binning(df, [var], ["v"], statistic="nanmedian")
+        out_hi = ss.get_perbin_nd_binning(df, [var], ["v"], statistic="nanmedian",
+                                          min_count=10**9)
+        assert np.isfinite(out0).sum() > 0
+        assert np.isnan(out_hi).all()
+
+    def test_plot_2d_binning_new_params(self, tmp_path, rng):
+        vals = rng.normal(size=3000)
+        v1 = rng.uniform(1, 10, 3000)
+        v2 = rng.uniform(1, 5, 3000)
+        df = ss.nd_binning(vals, [v1, v2], ["a", "b"], list_var_bins=6)
+        out = str(tmp_path / "b2p.png")
+        ax = ss.plot_2d_binning(df, "a", "b", "nanmedian", min_count=5, scale_var_1="log",
+                                vmin=-1.0, vmax=1.0, nodata_color="grey", out_fname=out)
+        import os
+
+        assert os.path.getsize(out) > 5000

@@ -487,3 +487,23 @@ class TestTerrainReviewRegressions:
             terrain.get_terrain_attribute(
                 np.zeros((64, 64), np.float32), "slope", resolution=1.0,
                 tiled=TilingConfig(outdir=str(tmp_path)), out_dtype=np.float64)
+
+
+class TestMpConfigBridge:
+    def test_mp_config_tiling_bridge(self, tmp_path):
+        """mp_config= (the reference's MultiprocConfig slot) accepts a TilingConfig and
+        routes to the out-of-core path; anything else raises with a pointer."""
+        from xdem_tpu.io import read_raster
+        from xdem_tpu.terrain import TilingConfig, get_terrain_attribute
+
+        dem = examples.synthetic_dem_array(shape=(96, 96), seed=3)
+        paths = get_terrain_attribute(
+            dem, "slope", resolution=20.0,
+            mp_config=TilingConfig(tile_rows=32, outdir=str(tmp_path)),
+        )
+        got = np.asarray(read_raster(paths[0]).data)
+        ref = np.asarray(get_terrain_attribute(dem, "slope", resolution=20.0))
+        both = np.isfinite(got) & np.isfinite(ref)
+        np.testing.assert_allclose(got[both], ref[both], rtol=1e-4, atol=1e-3)
+        with pytest.raises(ValueError, match="TilingConfig"):
+            get_terrain_attribute(dem, "slope", resolution=20.0, mp_config=object())

@@ -357,3 +357,64 @@ class TestFitSigmaWeights:
             x, y, sigma=sigma, max_order=2, estimator_name="Huber", linear_pkg="sklearn")
         pred_sk = polynomial_1d(x[:200], *coefs_sk)
         assert np.abs(pred_sk - y_true[:200]).max() < 0.2
+
+
+class TestVolumeParamParity:
+    """Round-3 parameter additions matching the reference's volume.py kwargs."""
+
+    def test_idw_force_fill(self):
+        arr = np.full((40, 40), 5.0)
+        arr[10:30, 10:30] = np.nan  # a hole too large for 3 dilation rings
+        out = volume.idw_interpolation(arr, max_search_distance=3)
+        assert np.isnan(out).any()
+        out_f = volume.idw_interpolation(arr, max_search_distance=3, force_fill=True)
+        assert np.isfinite(out_f).all()
+        # Remaining gaps got the median of the valid input
+        assert out_f[20, 20] == pytest.approx(5.0)
+
+    def test_norm_regional_min_elevation_range(self):
+        rng = np.random.default_rng(5)
+        ref = np.tile(np.linspace(100.0, 1100.0, 100), (100, 1))
+        idx = np.zeros((100, 100), int)
+        idx[10:90, 10:90] = 1
+        ddem = rng.normal(-2.0, 0.1, (100, 100))
+        voided = ddem.copy()
+        # Valid data only in the LOWEST tenth of the elevation range of the glacier
+        voided[:, 18:] = np.nan
+        out_strict = volume.norm_regional_hypsometric_interpolation(
+            voided, ref, idx, min_coverage=0.0,
+            regional_signal=volume.get_regional_hypsometric_signal(ddem, ref, idx),
+            min_elevation_range=0.5,
+        )
+        # Glacier skipped: the voids stay masked
+        assert out_strict.mask[50, 50]
+        out_loose = volume.norm_regional_hypsometric_interpolation(
+            voided, ref, idx, min_coverage=0.0,
+            regional_signal=volume.get_regional_hypsometric_signal(ddem, ref, idx),
+            min_elevation_range=0.05,
+        )
+        assert not out_loose.mask[50, 50]
+
+    def test_norm_regional_idealized(self):
+        rng = np.random.default_rng(6)
+        ref = np.tile(np.linspace(100.0, 1100.0, 80), (80, 1))
+        idx = np.zeros((80, 80), int)
+        idx[5:75, 5:75] = 1
+        ddem = rng.normal(-3.0, 0.5, (80, 80))
+        signal = volume.get_regional_hypsometric_signal(ddem, ref, idx)
+        out = volume.norm_regional_hypsometric_interpolation(
+            ddem, ref, idx, regional_signal=signal, idealized_ddem=True)
+        # ALL glacier values replaced by the smooth scaled signal: spread collapses
+        inside = np.asarray(out[idx == 1])
+        assert np.nanstd(inside) < np.nanstd(ddem[idx == 1])
+
+    def test_local_hypso_nodata_fill_value(self):
+        rng = np.random.default_rng(7)
+        ref = np.tile(np.linspace(0.0, 500.0, 60), (60, 1))
+        mask = np.zeros((60, 60), bool)
+        mask[10:50, 10:50] = True
+        ddem = rng.normal(-1.0, 0.2, (60, 60))
+        ddem[20:25, 20:25] = np.nan
+        out = volume.local_hypsometric_interpolation(ddem, ref, mask, nodata=-42.0)
+        assert out.fill_value == -42.0
+        assert np.isfinite(np.asarray(out[20, 22]))

@@ -530,8 +530,10 @@ class AffineCoreg(Coreg):
         return cls.from_matrix(matrix_from_translations_rotations(t_x=x_off, t_y=y_off, t_z=z_off))
 
     @classmethod
-    def from_rotations(cls, x_rot: float = 0.0, y_rot: float = 0.0, z_rot: float = 0.0) -> "AffineCoreg":
-        return cls.from_matrix(matrix_from_translations_rotations(alpha=x_rot, beta=y_rot, gamma=z_rot))
+    def from_rotations(cls, x_rot: float = 0.0, y_rot: float = 0.0, z_rot: float = 0.0,
+                       use_degrees: bool = True) -> "AffineCoreg":
+        return cls.from_matrix(matrix_from_translations_rotations(
+            alpha=x_rot, beta=y_rot, gamma=z_rot, use_degrees=use_degrees))
 
     @property
     def centroid(self) -> tuple[float, float, float] | None:

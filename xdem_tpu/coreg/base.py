@@ -70,9 +70,26 @@ def matrix_from_translations_rotations(
     beta: float = 0.0,
     gamma: float = 0.0,
     use_degrees: bool = True,
+    *,
+    t1: float | None = None,
+    t2: float | None = None,
+    t3: float | None = None,
+    alpha1: float | None = None,
+    alpha2: float | None = None,
+    alpha3: float | None = None,
 ) -> np.ndarray:
     """Build a 4x4 rigid matrix from translations and extrinsic-Euler xyz rotations
-    (reference base.py:1188)."""
+    (reference base.py:1188).
+
+    The reference's keyword names (``t1/t2/t3`` for the translations, ``alpha1/alpha2/alpha3``
+    for the rotations) are accepted as aliases of this project's ``t_x/t_y/t_z`` and
+    ``alpha/beta/gamma``."""
+    t_x = t_x if t1 is None else t1
+    t_y = t_y if t2 is None else t2
+    t_z = t_z if t3 is None else t3
+    alpha = alpha if alpha1 is None else alpha1
+    beta = beta if alpha2 is None else alpha2
+    gamma = gamma if alpha3 is None else alpha3
     if use_degrees:
         alpha, beta, gamma = np.deg2rad([alpha, beta, gamma])
     Rx = np.array([[1, 0, 0], [0, np.cos(alpha), -np.sin(alpha)], [0, np.sin(alpha), np.cos(alpha)]])
@@ -102,11 +119,15 @@ def translations_rotations_from_matrix(matrix: np.ndarray, return_degrees: bool 
     return float(t_x), float(t_y), float(t_z), float(alpha), float(beta), float(gamma)
 
 
-def invert_matrix(matrix: np.ndarray) -> np.ndarray:
-    """Invert a rigid 4x4 matrix (reference base.py:1259)."""
+def invert_matrix(matrix: np.ndarray, atol: float = 10e-8) -> np.ndarray:
+    """Invert a rigid 4x4 matrix (reference base.py:1259); ``atol`` bounds how far the
+    bottom row may sit from [0, 0, 0, 1] before the matrix is rejected as non-affine."""
+    matrix = np.asarray(matrix, dtype=np.float64)
+    if matrix.shape == (4, 4) and not np.allclose(matrix[3], [0, 0, 0, 1], atol=atol):
+        raise ValueError("Matrix is not affine: bottom row must be [0, 0, 0, 1].")
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
-        checked = _check_matrix(_make_matrix_valid(np.asarray(matrix)))
+        checked = _check_matrix(_make_matrix_valid(matrix))
     return np.linalg.inv(checked)
 
 
@@ -286,6 +307,7 @@ def apply_matrix(
     resampling: str = "linear",
     transform: Affine | None = None,
     crs: Any = None,
+    z_name: str = "z",
     force_regrid_method: str | None = None,
     **kwargs: Any,
 ):
@@ -296,12 +318,29 @@ def apply_matrix(
     data with the translated transform — lossless for pure translations. `crs` is accepted
     for reference-signature parity: the grid `transform` fully determines the regrid (the
     matrix acts in projected coordinates), so the CRS never enters the computation.
+    `z_name` names the elevation column when `elev` is a dataframe (the reference's
+    geodataframe path, base.py:1701); the transformed dataframe is returned with the same
+    column layout.
     """
     resampling = {"bilinear": "linear"}.get(resampling, resampling)
     if invert:
         matrix = invert_matrix(matrix)
     if isinstance(elev, PointCloud):
         return _apply_matrix_pts(elev, matrix, centroid=centroid)
+    if hasattr(elev, "columns"):  # dataframe point input: x/y + z_name columns
+        cols = {c.lower(): c for c in elev.columns}
+        xcol, ycol = cols.get("x"), cols.get("y")
+        if xcol is None or ycol is None or z_name not in elev.columns:
+            raise ValueError(
+                f"Dataframe input needs x/y columns and elevation in z_name={z_name!r}."
+            )
+        ox, oy, oz = _apply_matrix_pts_arr(
+            np.asarray(elev[xcol], np.float64), np.asarray(elev[ycol], np.float64),
+            np.asarray(elev[z_name], np.float64), matrix, centroid=centroid,
+        )
+        out_df = elev.copy()
+        out_df[xcol], out_df[ycol], out_df[z_name] = ox, oy, oz
+        return out_df
     if isinstance(elev, Raster):
         data, new_transform = _apply_matrix_rst(
             elev.data, elev.transform, matrix, centroid=centroid, resampling=resampling,
@@ -635,8 +674,9 @@ class Coreg:
     def meta(self) -> dict[str, Any]:
         return self._meta
 
-    def info(self) -> None:
-        """Pretty-print the coreg summary (reference base.py:2064)."""
+    def info(self, as_str: bool = False) -> None | str:
+        """Summarize the coreg metadata; print it, or return the text with ``as_str=True``
+        (reference base.py:2064)."""
         import json
 
         def _default(o):
@@ -644,7 +684,11 @@ class Coreg:
                 return o.tolist()
             return str(o)
 
-        print(json.dumps(self._meta, indent=2, default=_default))
+        text = json.dumps(self._meta, indent=2, default=_default)
+        if as_str:
+            return text
+        print(text)
+        return None
 
     @property
     def is_affine(self) -> bool:

@@ -158,15 +158,20 @@ class BlockwiseCoreg:
         c = ransac.estimator_.intercept_
         return float(a), float(b), float(c)
 
-    def ransac_all(self) -> tuple[tuple[float, float, float], ...]:
-        coeff_x = self._ransac(self.x_coords, self.y_coords, self.shifts_x)
-        coeff_y = self._ransac(self.x_coords, self.y_coords, self.shifts_y)
-        coeff_z = self._ransac(self.x_coords, self.y_coords, self.shifts_z)
+    def ransac_all(self, threshold: float = 0.01,
+                   max_iterations: int = 2000) -> tuple[tuple[float, float, float], ...]:
+        coeff_x = self._ransac(self.x_coords, self.y_coords, self.shifts_x, threshold, max_iterations)
+        coeff_y = self._ransac(self.x_coords, self.y_coords, self.shifts_y, threshold, max_iterations)
+        coeff_z = self._ransac(self.x_coords, self.y_coords, self.shifts_z, threshold, max_iterations)
         return coeff_x, coeff_y, coeff_z
 
-    def apply(self, elev: Raster, resampling: str = "linear") -> Raster:
-        """Warp with the interpolated (plane) shift field: one device gather pass."""
-        coeff_x, coeff_y, coeff_z = self.ransac_all()
+    def apply(self, elev: Raster, resampling: str = "linear", threshold_ransac: float = 0.01,
+              max_iterations_ransac: int = 2000) -> Raster:
+        """Warp with the interpolated (plane) shift field: one device gather pass.
+
+        ``threshold_ransac`` / ``max_iterations_ransac`` tune the RANSAC plane consensus
+        (reference blockwise.py:351-356)."""
+        coeff_x, coeff_y, coeff_z = self.ransac_all(threshold_ransac, max_iterations_ransac)
         h, w = elev.shape
         a, b, c, d, e, f = (float(v) for v in tuple(elev.transform))
         cols = jnp.arange(w, dtype=jnp.float32) + 0.5

@@ -46,6 +46,26 @@ class DEM(Raster):
         if vcrs is not None:
             self.set_vcrs(vcrs)
 
+    @classmethod
+    def from_array(
+        cls,
+        data: Any,
+        transform: Any,
+        crs: Any,
+        nodata: float | None = None,
+        area_or_point: str = "Area",
+        tags: dict[str, str] | None = None,
+        cast_nodata: bool = True,
+        vcrs: Any = None,
+    ) -> "DEM":
+        """Build a DEM from an array + georeferencing, optionally with a vertical CRS
+        (reference dem.py:252 from_array's vcrs slot)."""
+        out = super().from_array(data, transform, crs, nodata=nodata,
+                                 area_or_point=area_or_point, tags=tags, cast_nodata=cast_nodata)
+        if vcrs is not None:
+            out.set_vcrs(vcrs)
+        return out
+
     # ------------------------------------------------------------------ vertical CRS
 
     @property
@@ -60,13 +80,15 @@ class DEM(Raster):
         """Set the vertical CRS ('Ellipsoid', 'EGM96', 'EGM08', EPSG code, or grid name)."""
         self._vcrs = _vcrs_from_user_input(new_vcrs)
 
-    def to_vcrs(self, vcrs: Any, force_source_vcrs: Any = None) -> "DEM":
+    def to_vcrs(self, vcrs: Any, force_source_vcrs: Any = None, *,
+                inplace: bool = False) -> "DEM | None":
         """Transform elevations to another vertical CRS (reference dem.py:357).
 
         With the built-in EGM96/EGM2008 field (no registered PROJ grid), expect ~1-3 m
         accuracy near the ~35 fitted stations covering the main DEM regions, ~5-10 m typical
         elsewhere on land, and up to ~15-20 m in remote ocean areas; register a precise
         undulation grid (vcrs.register_geoid_grid) for survey-grade work.
+        ``inplace=True`` mutates this DEM and returns None (reference dem.py:331-343).
         """
         src = self._vcrs if force_source_vcrs is None else _vcrs_from_user_input(force_source_vcrs)
         if src is None:
@@ -78,6 +100,10 @@ class DEM(Raster):
 
         x, y = self.coords(grid=True)
         zz = _transform_zz(src, dst, self.crs, np.asarray(x), np.asarray(y), self.get_nanarray())
+        if inplace:
+            self.data = zz
+            self._vcrs = dst
+            return None
         out = self.copy(new_array=zz)
         out._vcrs = dst
         return out
@@ -102,9 +128,10 @@ class DEM(Raster):
             self.tags["VCRS"] = str(self._vcrs)
         super().save(path, **kwargs)
 
-    def info(self, verbose: bool = False) -> str:
+    def info(self, stats: bool = False, verbose: bool = False) -> str:
         """Summary of the DEM's georeferencing (reference Raster.info/dem parity).
 
+        :param stats: Also include value statistics (min/max/mean/median/std/NMAD).
         :param verbose: Also print the summary (returns it either way).
         """
         import numpy as np
@@ -120,6 +147,16 @@ class DEM(Raster):
             f"Nodata:             {self.nodata}",
             f"Valid pixels:       {int(np.isfinite(arr).sum())} / {arr.size}",
         ]
+        if stats:
+            s = self.get_stats()
+            lines += [
+                f"[MINIMUM]:          {s['min']:.2f}",
+                f"[MAXIMUM]:          {s['max']:.2f}",
+                f"[MEAN]:             {s['mean']:.2f}",
+                f"[MEDIAN]:           {s['median']:.2f}",
+                f"[STD DEV]:          {s['std']:.2f}",
+                f"[NMAD]:             {s['nmad']:.2f}",
+            ]
         text = "\n".join(lines)
         if verbose:
             print(text)
@@ -259,11 +296,16 @@ class DEM(Raster):
             mesh=mesh,
         )
 
-    def to_pointcloud(self, data_column_name: str = "z", subsample: int | float = 1, random_state: int | None = None):
-        """Convert valid pixels to an elevation point cloud (EPC)."""
+    def to_pointcloud(self, data_column_name: str = "z", subsample: int | float = 1,
+                      random_state: int | None = None, **kwargs: Any):
+        """Convert valid pixels to an elevation point cloud (EPC); see Raster.to_pointcloud
+        for the skip_nodata/as_array/force_pixel_offset options (reference dem.py:781)."""
         from xdem_tpu.epc import EPC
 
-        pc = super().to_pointcloud(data_column_name=data_column_name, subsample=subsample, random_state=random_state)
+        pc = super().to_pointcloud(data_column_name=data_column_name, subsample=subsample,
+                                   random_state=random_state, **kwargs)
+        if kwargs.get("as_array"):
+            return pc
         epc = EPC(x=pc.x, y=pc.y, z=pc.z, crs=pc.crs, data_column=pc.data_column)
         epc._vcrs = self._vcrs
         return epc

@@ -22,25 +22,32 @@ import numpy as np
 # --------------------------------------------------------------------------- losses
 
 
-def rmse(z: np.ndarray) -> float:
-    """Root mean square of residuals.
+def _residuals(ytrue: np.ndarray, ypred: np.ndarray | None) -> np.ndarray:
+    """One-arg calls pass residuals directly; two-arg calls follow the reference's
+    (ytrue, ypred) convention (reference fit.py:42-79)."""
+    z = np.asarray(ytrue)
+    return z if ypred is None else z - np.asarray(ypred)
+
+
+def rmse(ytrue: np.ndarray, ypred: np.ndarray | None = None) -> float:
+    """Root mean square of residuals — either `rmse(residuals)` or `rmse(ytrue, ypred)`.
 
     >>> rmse(np.array([3.0, -4.0]))
     3.5355339059327378
     """
-    return float(np.sqrt(np.nanmean(np.square(np.asarray(z)))))
+    return float(np.sqrt(np.nanmean(np.square(_residuals(ytrue, ypred)))))
 
 
-def huber_loss(z: np.ndarray) -> float:
+def huber_loss(ytrue: np.ndarray, ypred: np.ndarray | None = None) -> float:
     """Huber loss: L2 near zero, L1 in the tails (delta = 1)."""
-    z = np.asarray(z)
+    z = _residuals(ytrue, ypred)
     out = np.where(np.abs(z) < 1, 0.5 * np.square(z), np.abs(z) - 0.5)
     return float(out.sum())
 
 
-def soft_loss(z: np.ndarray, scale: float = 0.5) -> float:
+def soft_loss(ytrue: np.ndarray, ypred: np.ndarray | None = None, scale: float = 0.5) -> float:
     """Smooth approximation of the L1 loss (as in scipy least_squares 'soft_l1')."""
-    z = np.asarray(z)
+    z = _residuals(ytrue, ypred)
     return float(np.sum(np.square(scale) * 2 * (np.sqrt(1 + np.square(z / scale)) - 1)))
 
 

@@ -91,7 +91,12 @@ class Raster:
         crs: CRS | int | str,
         nodata: float | None = None,
         area_or_point: Literal["Area", "Point"] = "Area",
+        tags: dict[str, str] | None = None,
+        cast_nodata: bool = True,
     ) -> "Raster":
+        # `cast_nodata` is accepted for reference-signature parity (geoutils from_array):
+        # NaN is the on-device nodata here, so there is never a dtype-incompatible nodata
+        # to cast — the flag has no effect.
         # Masked arrays must be handled BEFORE np.asarray (which strips the mask silently)
         if isinstance(data, np.ma.MaskedArray):
             data = data.filled(np.nan).astype(np.float32)
@@ -103,7 +108,7 @@ class Raster:
                 arr = np.where(arr == nodata, np.nan, arr.astype(np.float64)).astype(
                     np.float32 if arr.dtype == np.float32 else arr.dtype
                 )
-        return cls(arr, transform, crs, nodata=nodata, area_or_point=area_or_point)
+        return cls(arr, transform, crs, nodata=nodata, area_or_point=area_or_point, tags=tags)
 
     @classmethod
     def open(cls, path: str) -> "Raster":
@@ -503,14 +508,37 @@ class Raster:
         out.transform = Affine(self.transform.a, self.transform.b, ul_x, self.transform.d, self.transform.e, ul_y)
         return out
 
-    def to_pointcloud(self, data_column_name: str = "z", subsample: int | float = 1, random_state: int | None = None):
-        """Valid pixels as a point cloud (x, y, z)."""
+    def to_pointcloud(self, data_column_name: str = "z", subsample: int | float = 1,
+                      random_state: int | None = None, *, data_band: int = 1,
+                      auxiliary_data_bands: Sequence[int] | None = None,
+                      auxiliary_column_names: Sequence[str] | None = None,
+                      skip_nodata: bool = True, as_array: bool = False,
+                      force_pixel_offset: str = "center"):
+        """Valid pixels as a point cloud (x, y, z).
+
+        ``skip_nodata=False`` keeps NaN pixels, ``as_array=True`` returns an (N, 3) array
+        instead of a PointCloud, and ``force_pixel_offset`` picks the in-pixel coordinate
+        ("center" default, or a rasterio-style corner "ul"/"ur"/"ll"/"lr"). Rasters here are
+        single-band, so ``data_band`` must be 1 and auxiliary bands are rejected (the
+        reference's multi-band options, geoutils raster.py to_pointcloud)."""
         from xdem_tpu.pointcloud import PointCloud
 
+        if data_band != 1:
+            raise ValueError("Rasters are single-band here: data_band must be 1.")
+        if auxiliary_data_bands is not None or auxiliary_column_names is not None:
+            raise ValueError("Rasters are single-band here: auxiliary bands are not available.")
+        if force_pixel_offset not in ("center", "ul", "ur", "ll", "lr"):
+            raise ValueError("force_pixel_offset must be 'center', 'ul', 'ur', 'll' or 'lr'.")
+
         arr = np.asarray(self.data)
-        valid = np.isfinite(arr)
+        valid = np.isfinite(arr) if skip_nodata else np.ones(arr.shape, dtype=bool)
         rr, cc = np.nonzero(valid)
-        x, y = self.transform.xy(rr, cc)
+        if force_pixel_offset == "center":
+            x, y = self.transform.xy(rr, cc)
+        else:
+            dr = {"ul": 0, "ur": 0, "ll": 1, "lr": 1}[force_pixel_offset]
+            dc = {"ul": 0, "ur": 1, "ll": 0, "lr": 1}[force_pixel_offset]
+            x, y = self.transform.xy(rr + dr, cc + dc, offset="ul")
         z = arr[valid]
         if subsample != 1:
             n = len(z)
@@ -519,6 +547,8 @@ class Raster:
             rng = np.random.default_rng(random_state)
             idx = rng.choice(n, count, replace=False)
             x, y, z = x[idx], y[idx], z[idx]
+        if as_array:
+            return np.column_stack([x, y, z])
         return PointCloud(x=x, y=y, z=z, crs=self.crs, data_column=data_column_name)
 
     def get_stats(self, stats: Sequence[str] | None = None) -> dict[str, float]:

@@ -191,13 +191,18 @@ def interp_nd_binning(
     list_var_names: str | Sequence[str],
     statistic: str | Callable[[np.ndarray], float] = _stat_nmad,
     min_count: int | None = 100,
+    interpolate_method: str = "linear",
 ) -> Callable[..., np.ndarray]:
     """N-D linear interpolator over binned statistics with edge-propagating extrapolation.
 
     Reference spatialstats.py:237: under-populated bins (count < min_count) are masked, the grid
     is extended by propagating nearest valid values outward, and a RegularGridInterpolator-like
-    linear interpolator with nearest extrapolation is returned.
+    linear interpolator with nearest extrapolation is returned. ``interpolate_method``
+    ("linear" default, or "nearest") controls how masked/edge bins are in-filled before
+    building the interpolator (reference :241,377).
     """
+    if interpolate_method not in ("linear", "nearest"):
+        raise ValueError(f"interpolate_method must be 'linear' or 'nearest', got {interpolate_method!r}.")
     if isinstance(list_var_names, str):
         list_var_names = [list_var_names]
     stat_name = statistic if isinstance(statistic, str) else statistic.__name__
@@ -229,15 +234,29 @@ def interp_nd_binning(
     if min_count is not None:
         grid = np.where(counts >= min_count, grid, np.nan)
 
-    # Fill NaNs by nearest-neighbor propagation (edge-value extrapolation)
-    if np.isnan(grid).any() and np.isfinite(grid).any():
-        from scipy import ndimage
-
-        valid = np.isfinite(grid)
-        idx_nearest = ndimage.distance_transform_edt(~valid, return_distances=False, return_indices=True)
-        grid = grid[tuple(idx_nearest)]
-    elif not np.isfinite(grid).any():
+    if not np.isfinite(grid).any():
         raise ValueError("No valid bins to interpolate from (check min_count).")
+    # In-fill masked bins: linearly inside the valid hull when requested (reference :377),
+    # then nearest-neighbor propagation for the rest (edge-value extrapolation)
+    if np.isnan(grid).any():
+        valid = np.isfinite(grid)
+        if interpolate_method == "linear" and valid.sum() > len(mids):
+            from scipy.interpolate import griddata
+
+            pts = np.stack(np.meshgrid(*mids, indexing="ij"), axis=-1).reshape(-1, len(mids))
+            try:
+                filled = griddata(pts[valid.ravel()], grid[valid], pts,
+                                  method="linear").reshape(grid.shape)
+                grid = np.where(valid, grid, filled)
+            except Exception:  # degenerate hulls (collinear points) fall back to nearest
+                pass
+        if np.isnan(grid).any():
+            from scipy import ndimage
+
+            valid = np.isfinite(grid)
+            idx_nearest = ndimage.distance_transform_edt(~valid, return_distances=False,
+                                                         return_indices=True)
+            grid = grid[tuple(idx_nearest)]
 
     from scipy.interpolate import RegularGridInterpolator
 
@@ -306,9 +325,10 @@ def get_perbin_nd_binning(
     list_var: Sequence[np.ndarray],
     list_var_names: str | Sequence[str],
     statistic: str | Callable[[np.ndarray], float] = _stat_nmad,
+    min_count: int | None = 0,
 ) -> np.ndarray:
     """Per-bin (piecewise-constant) lookup of a binned statistic at variable values
-    (reference :425)."""
+    (reference :425); bins with fewer than ``min_count`` samples stay NaN."""
     if isinstance(list_var_names, str):
         list_var_names = [list_var_names]
     stat_name = statistic if isinstance(statistic, str) else statistic.__name__
@@ -324,6 +344,8 @@ def get_perbin_nd_binning(
     flat_vars = [np.asarray(v).ravel() for v in list_var]
     out_flat = out.ravel()
     for _, row in sub.iterrows():
+        if min_count and row.get("count", 0) < min_count:
+            continue
         sel = np.ones(len(flat_vars[0]), dtype=bool)
         for v, name in zip(flat_vars, list_var_names):
             iv = row[name]
@@ -2190,25 +2212,58 @@ def spatial_error_propagation(
 # ---------------------------------------------------------------------- patches method
 
 
+def _patches_kernel_size(area: float, gsd: float, patch_shape: str) -> int:
+    """Kernel pixels matching ``area``: diameter for circular patches, side for square."""
+    if patch_shape.lower() == "circular":
+        k = int(np.round(2 * np.sqrt(area / np.pi) / gsd, decimals=0))
+    elif patch_shape.lower() == "square":
+        k = int(np.round(np.sqrt(area) / gsd, decimals=0))
+    else:
+        raise ValueError('Patch shape should be "square" or "circular".')
+    return max(k, 1)
+
+
 def _patches_convolution(
     values: np.ndarray,
     gsd: float,
     area: float,
     perc_min_valid: float = 80.0,
+    patch_shape: str = "circular",
+    method: str = "scipy",
     statistic_between_patches: Callable[[np.ndarray], float] = _stat_nmad,
+    return_in_patch_statistics: bool = False,
     verbose: bool = False,
-) -> tuple[float, float]:
-    """Patches method by convolution (reference :2658): NaN-aware mean filter + spread of
-    kernel-strided independent offsets."""
-    kernel_size = int(np.round(np.sqrt(area) / gsd, decimals=0))
-    kernel_size = max(kernel_size, 1)
-    mean, counts, nb_per_kernel = mean_filter_nan(values, kernel_size, kernel_shape="square")
+) -> tuple[float, float, float] | tuple[float, float, float, pd.DataFrame]:
+    """Patches method by convolution (reference :2658): NaN-aware mean filter, then the
+    spread statistic averaged over ALL kernel-strided independent offset grids (convolved
+    patches overlap, so only same-stride samples are independent; averaging the kernel^2
+    offset estimates is the reference's robustification, :2712-2731).
+
+    Returns (statistic between patches, mean independent-patch count, exact discretized
+    patch area[, per-patch dataframe])."""
+    kernel_size = _patches_kernel_size(area, gsd, patch_shape)
+    mean, counts, nb_per_kernel = mean_filter_nan(values, kernel_size,
+                                                  kernel_shape=patch_shape.lower(), method=method)
     mean[counts < nb_per_kernel * perc_min_valid / 100] = np.nan
-    # Sample independent (non-overlapping) patches at kernel strides
-    strided = mean[kernel_size // 2 :: kernel_size, kernel_size // 2 :: kernel_size]
-    stat = float(statistic_between_patches(strided.ravel()))
-    nb_indep = int(np.isfinite(strided).sum())
-    return stat, nb_indep
+    stats: list[float] = []
+    nbs: list[int] = []
+    for i in range(kernel_size):
+        for j in range(kernel_size):
+            s = mean[i::kernel_size, j::kernel_size].ravel()
+            fin = np.isfinite(s)
+            stats.append(float(statistic_between_patches(s)) if fin.any() else np.nan)
+            nbs.append(int(fin.sum()))
+    stats_arr = np.asarray(stats)
+    stat = float(np.mean(stats_arr[np.isfinite(stats_arr)])) if np.isfinite(stats_arr).any() else np.nan
+    nb_indep = float(np.mean(nbs))
+    exact_area = float(nb_per_kernel) * gsd**2
+    if return_in_patch_statistics:
+        df = pd.DataFrame({
+            "nanmean": mean[::kernel_size, ::kernel_size].ravel(),
+            "count": counts[::kernel_size, ::kernel_size].ravel(),
+        })
+        return stat, nb_indep, exact_area, df
+    return stat, nb_indep, exact_area
 
 
 def _patches_loop_quadrants(
@@ -2222,9 +2277,14 @@ def _patches_loop_quadrants(
     statistic_between_patches: Callable[[np.ndarray], float] = _stat_nmad,
     random_state: int | None = None,
     verbose: bool = False,
-) -> pd.DataFrame:
+) -> tuple[pd.DataFrame, float]:
     """Patches method by quadrant sampling (reference :2740): draw random non-overlapping
-    quadrants of the right area, compute per-patch statistics."""
+    quadrants of the right area, compute per-patch statistics.
+
+    Returns (per-patch dataframe, exact discretized patch area). The exact area counts the
+    footprint pixels actually reduced per patch — NOT the reference's square-shape formula
+    (reference :2795-2797 uses the quadrant-grid dimensions there, which also makes its
+    square+loop combination reject every patch; a documented upstream bug we don't copy)."""
     rng = np.random.default_rng(random_state)
     values = np.asarray(values, dtype=np.float64)
     side = int(np.round(np.sqrt(area) / gsd))
@@ -2260,13 +2320,13 @@ def _patches_loop_quadrants(
                 fn, name = {"count": lambda v: np.isfinite(v).sum()}[stat], stat
             rec[name] = fn(vals)
         rows.append(rec)
-    return pd.DataFrame(rows)
+    return pd.DataFrame(rows), float(footprint.sum()) * gsd**2
 
 
 def patches_method(
     values: Any,
+    areas: Sequence[float] | float | None = None,
     gsd: float | None = None,
-    area: float = 10000.0,
     stable_mask: Any = None,
     unstable_mask: Any = None,
     statistics_in_patch: Sequence[Any] = (np.nanmean,),
@@ -2274,36 +2334,103 @@ def patches_method(
     perc_min_valid: float = 80.0,
     patch_shape: str = "circular",
     vectorized: bool = True,
+    convolution_method: str = "scipy",
     n_patches: int = 1000,
+    return_in_patch_statistics: bool = False,
     verbose: bool = False,
     random_state: int | None = None,
-) -> pd.DataFrame | tuple[float, int]:
+    area: float | None = None,
+) -> pd.DataFrame | tuple[pd.DataFrame, pd.DataFrame] | tuple[float, float]:
     """Empirical estimation of the standard error in averaged areas (reference :2920).
 
-    Vectorized (convolution) variant returns (spread between patches, number of patches);
-    loop variant returns the per-patch statistics dataframe.
+    Pass ``areas`` as a LIST for the reference behavior: one row per area in a dataframe
+    with columns [<statistic name>, nb_indep_patches, exact_areas, areas];
+    ``return_in_patch_statistics=True`` additionally returns the concatenated per-patch
+    dataframe. ``convolution_method`` is the reference's scipy/numba backend switch (both
+    run the same XLA convolution here; validated in :func:`mean_filter_nan`).
+
+    Passing a single number (``areas=1e4`` or the legacy keyword ``area=``) keeps this
+    project's original compact returns: (spread between patches, independent-patch count)
+    for the vectorized variant, the per-patch dataframe for the loop variant.
     """
+    if areas is None and area is not None:
+        areas = area
+    if areas is None:
+        areas = 10000.0
+
     arr, gsd_out = _preprocess_values_with_mask_to_array(
         values, include_mask=stable_mask, exclude_mask=unstable_mask, gsd=gsd
     )
     gsd = gsd_out if gsd is None else gsd
     if gsd is None:
         raise ValueError("A ground sampling distance is required (pass gsd or a Raster).")
-    if vectorized:
-        if verbose:
-            side = max(int(np.round(np.sqrt(area) / gsd)), 1)
-            logging.info("Patches (convolution variant): %d x %d px kernel over a %s grid",
-                         side, side, "x".join(map(str, np.asarray(arr).shape)))
-        return _patches_convolution(
-            np.asarray(arr, np.float64), gsd, area,
-            perc_min_valid=perc_min_valid, statistic_between_patches=statistic_between_patches,
+    arr = np.asarray(arr, np.float64)
+
+    def one_area(a: float) -> tuple[float, float, float, pd.DataFrame | None]:
+        """(statistic, nb independent patches, exact area, per-patch df or None)."""
+        if vectorized:
+            if verbose:
+                k = _patches_kernel_size(a, gsd, patch_shape)
+                logging.info("Patches (convolution variant): %d x %d px kernel over a %s grid",
+                             k, k, "x".join(map(str, arr.shape)))
+            out = _patches_convolution(
+                arr, gsd, a, perc_min_valid=perc_min_valid, patch_shape=patch_shape,
+                method=convolution_method, statistic_between_patches=statistic_between_patches,
+                return_in_patch_statistics=return_in_patch_statistics,
+            )
+            return out[0], out[1], out[2], (out[3] if return_in_patch_statistics else None)
+        df, exact = _patches_loop_quadrants(
+            arr, gsd, a, patch_shape=patch_shape, n_patches=n_patches,
+            perc_min_valid=perc_min_valid, statistics_in_patch=statistics_in_patch,
+            statistic_between_patches=statistic_between_patches, random_state=random_state,
+            verbose=verbose,
         )
-    return _patches_loop_quadrants(
-        np.asarray(arr, np.float64), gsd, area, patch_shape=patch_shape, n_patches=n_patches,
-        perc_min_valid=perc_min_valid, statistics_in_patch=statistics_in_patch,
-        statistic_between_patches=statistic_between_patches, random_state=random_state,
-        verbose=verbose,
-    )
+        first = statistics_in_patch[0]
+        first_name = first if isinstance(first, str) else getattr(first, "__name__", str(first))
+        if len(df):
+            stat = float(statistic_between_patches(df[first_name].values.astype(np.float64)))
+            nb = int(np.isfinite(df[first_name].values.astype(np.float64)).sum())
+        else:
+            stat, nb = np.nan, 0
+            warnings.warn("No valid patch found covering this area size, returning NaN "
+                          "for statistic.", UserWarning)
+        return stat, float(nb), exact, (df if return_in_patch_statistics else None)
+
+    # Legacy single-area mode: keep this project's original compact returns
+    if np.isscalar(areas):
+        a = float(areas)
+        if vectorized:
+            stat, nb, _exact, _df = one_area(a)
+            return stat, nb
+        df, _exact = _patches_loop_quadrants(
+            arr, gsd, a, patch_shape=patch_shape, n_patches=n_patches,
+            perc_min_valid=perc_min_valid, statistics_in_patch=statistics_in_patch,
+            statistic_between_patches=statistic_between_patches, random_state=random_state,
+            verbose=verbose,
+        )
+        return df
+
+    # Reference mode: one dataframe row per area
+    stats, nbs, exacts, dfs = [], [], [], []
+    for a in areas:
+        stat, nb, exact, df = one_area(float(a))
+        stats.append(stat)
+        nbs.append(nb)
+        exacts.append(exact)
+        if return_in_patch_statistics and df is not None:
+            df = df.copy()
+            df["areas"] = float(a)
+            df["exact_areas"] = exact
+            dfs.append(df)
+    df_statistic = pd.DataFrame({
+        getattr(statistic_between_patches, "__name__", "statistic"): stats,
+        "nb_indep_patches": nbs,
+        "exact_areas": exacts,
+        "areas": list(areas),
+    })
+    if return_in_patch_statistics:
+        return df_statistic, pd.concat(dfs) if dfs else pd.DataFrame()
+    return df_statistic
 
 
 # ---------------------------------------------------------------------- plotting
@@ -2521,10 +2648,18 @@ def plot_2d_binning(
     label_statistic: str | None = None,
     cmap: str = "viridis",
     min_count: int = 100,
+    scale_var_1: str = "linear",
+    scale_var_2: str = "linear",
+    vmin: float | None = None,
+    vmax: float | None = None,
+    nodata_color: Any = "white",
     ax: Any = None,
     out_fname: str | None = None,
 ) -> Any:
-    """Plot a 2-D binned statistic as a colored mesh (reference :3359)."""
+    """Plot a 2-D binned statistic as a colored mesh (reference :3359).
+
+    ``scale_var_1/2`` set the axis scales ("linear"/"log"), ``vmin/vmax`` clamp the color
+    range, and ``nodata_color`` paints bins masked by ``min_count``."""
     import matplotlib
 
     if out_fname is not None:
@@ -2550,8 +2685,18 @@ def plot_2d_binning(
         fig, ax = plt.subplots(figsize=(7, 5))
     else:
         fig = ax.figure
-    im = ax.pcolormesh(m1, m2, grid, cmap=cmap, shading="nearest")
+    try:
+        cmap_obj = matplotlib.colormaps[cmap].copy()
+    except (AttributeError, KeyError, TypeError):  # older matplotlib
+        import matplotlib.cm as mcm
+
+        cmap_obj = mcm.get_cmap(cmap)
+    cmap_obj.set_bad(nodata_color)
+    im = ax.pcolormesh(m1, m2, np.ma.masked_invalid(grid), cmap=cmap_obj, shading="nearest",
+                       vmin=vmin, vmax=vmax)
     fig.colorbar(im, ax=ax, label=label_statistic or statistic_name)
+    ax.set_xscale(scale_var_1)
+    ax.set_yscale(scale_var_2)
     ax.set_xlabel(label_var_name_1 or var_name_1)
     ax.set_ylabel(label_var_name_2 or var_name_2)
     if out_fname is not None:

@@ -60,6 +60,7 @@ def get_terrain_attribute(
     mesh: Any = None,
     engine: Literal["xla", "pallas"] = "xla",
     tiled: Any = None,
+    mp_config: Any = None,
 ) -> Any:
     """Derive one or multiple terrain attributes from a DEM (array or Raster).
 
@@ -67,8 +68,19 @@ def get_terrain_attribute(
     defaults are identical. `mesh` optionally shards the stencil computation over a JAX device
     mesh with halo exchange instead of the reference's tiled multiprocessing. `tiled` (a
     terrain.TilingConfig, the analog of the reference's mp_config) streams out-of-core row
-    bands into per-attribute GeoTIFFs and returns their paths instead of arrays.
+    bands into per-attribute GeoTIFFs and returns their paths instead of arrays. `mp_config`
+    is accepted for reference-signature parity: a TilingConfig routes to `tiled=`; the
+    reference's process-pool MultiprocConfig has no meaning on this backend and raises.
     """
+    if mp_config is not None:
+        if hasattr(mp_config, "tile_rows") and tiled is None:
+            tiled = mp_config
+        else:
+            raise ValueError(
+                "mp_config process-pool tiling does not exist on this backend (one device "
+                "streams fixed-shape row bands): pass tiled=terrain.TilingConfig(...) for "
+                "out-of-core streaming, or mesh= to shard across devices."
+            )
     # Deprecated alias (must run before any dispatch so tiled= sees the resolved fit)
     if slope_method is not None:
         warnings.warn("'slope_method' is deprecated, use 'surface_fit' instead.", DeprecationWarning, stacklevel=2)

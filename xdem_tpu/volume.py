@@ -211,11 +211,14 @@ def calculate_hypsometry_area(
     return pd.Series(counts * px_area, index=ddem_series.index)
 
 
-def idw_interpolation(array: np.ndarray, max_search_distance: int = 10, extrapolate: bool = False) -> np.ndarray:
+def idw_interpolation(array: np.ndarray, max_search_distance: int = 10, extrapolate: bool = False,
+                      force_fill: bool = False) -> np.ndarray:
     """Distance-weighted gap filling (substitute for rasterio.fill.fillnodata; volume.py:302).
 
     Iterative 3x3 NaN-aware mean dilation up to max_search_distance rings, optionally trimming
     extrapolated values outside the convex data region (approximated by a validity dilation).
+    ``force_fill=True`` replaces any remaining gap with the median of all valid input values
+    (reference :340-343).
     """
     from scipy import ndimage
 
@@ -240,6 +243,8 @@ def idw_interpolation(array: np.ndarray, max_search_distance: int = 10, extrapol
         struct = np.ones((3, 3))
         inside = ndimage.binary_fill_holes(ndimage.binary_dilation(valid0, structure=struct, iterations=1))
         filled[~inside] = np.nan
+    if force_fill:
+        filled[~np.isfinite(filled)] = np.nanmedian(arr)
     return filled.astype(array.dtype if hasattr(array, "dtype") else np.float32)
 
 
@@ -247,11 +252,12 @@ def hypsometric_interpolation(
     voided_ddem: np.ndarray,
     ref_dem: np.ndarray,
     mask: np.ndarray,
+    count_threshold: int | None = 1,
 ) -> np.ma.MaskedArray:
     """Fill gaps within `mask` using the hypsometric signal of dh vs elevation (volume.py:353)."""
     ddem = np.where(np.asarray(mask, bool), np.asarray(voided_ddem, np.float64), np.nan)
     bins = hypsometric_binning(ddem, np.asarray(ref_dem, np.float64))
-    interp_bins = interpolate_hypsometric_bins(bins, count_threshold=1)
+    interp_bins = interpolate_hypsometric_bins(bins, count_threshold=count_threshold)
     mids = interp_bins.index.mid.values
     signal = np.interp(np.asarray(ref_dem, np.float64), mids, interp_bins["value"].values)
     out = np.where(np.isfinite(ddem), ddem, signal)
@@ -264,13 +270,26 @@ def local_hypsometric_interpolation(
     ref_dem: np.ndarray,
     mask: np.ndarray,
     min_coverage: float = 0.2,
+    count_threshold: int | None = 1,
+    nodata: float | int = -9999,
+    plot: bool = False,
 ) -> np.ma.MaskedArray:
-    """Feature-wise hypsometric filling: one signal per connected mask feature (volume.py:407)."""
+    """Feature-wise hypsometric filling: one signal per connected mask feature (volume.py:407).
+
+    ``count_threshold`` excludes under-populated elevation bins from each feature's curve,
+    ``nodata`` sets the returned masked array's fill value, and ``plot=True`` displays the
+    per-feature inlier masks (reference :414,429-431)."""
     from scipy import ndimage
 
     mask = np.asarray(mask, bool)
     labels, n = ndimage.label(mask)
     out = np.where(mask, np.asarray(voided_ddem, np.float64), np.nan)
+    if plot:
+        import matplotlib.pyplot as plt
+
+        plt.matshow(mask & np.isfinite(np.asarray(voided_ddem, np.float64)))
+        plt.title("inlier mask")
+        plt.show()
     for i in range(1, n + 1):
         feat = labels == i
         dh_feat = np.where(feat, np.asarray(voided_ddem, np.float64), np.nan)
@@ -282,9 +301,12 @@ def local_hypsometric_interpolation(
             # then returned as-is (same warn-and-copy behavior as the reference) and only
             # the populated part of the signal fills this feature.
             warnings.simplefilter("ignore", UserWarning)
-            filled = hypsometric_interpolation(dh_feat, ref_dem, feat)
+            filled = hypsometric_interpolation(dh_feat, ref_dem, feat,
+                                               count_threshold=count_threshold)
         out = np.where(feat, filled.filled(np.nan), out)
-    return np.ma.masked_invalid(out)
+    res = np.ma.masked_invalid(out)
+    res.fill_value = nodata
+    return res
 
 
 def get_regional_hypsometric_signal(
@@ -358,8 +380,15 @@ def norm_regional_hypsometric_interpolation(
     glacier_index_map: np.ndarray | None = None,
     min_coverage: float = 0.1,
     regional_signal: pd.DataFrame | None = None,
+    min_elevation_range: float = 0.33,
+    idealized_ddem: bool = False,
 ) -> np.ma.MaskedArray:
-    """Fill gaps per glacier by scaling the regional normalized signal (volume.py:668)."""
+    """Fill gaps per glacier by scaling the regional normalized signal (volume.py:668).
+
+    Glaciers whose valid pixels cover less than ``min_elevation_range`` of the normalized
+    elevation bins are skipped (a signal scaled from one elevation band extrapolates badly,
+    reference :764-768). ``idealized_ddem=True`` replaces ALL glacier values with the scaled
+    signal — useful for error assessments (reference :689)."""
     ddem = np.asarray(voided_ddem, np.float64)
     ref = np.asarray(ref_dem, np.float64)
     if glacier_index_map is None:
@@ -387,13 +416,23 @@ def norm_regional_hypsometric_interpolation(
         if zmax == zmin:
             continue
         norm_z = 1 - (z - zmin) / (zmax - zmin)
+        # Skip glaciers whose valid dh covers too little of the elevation range: the bins
+        # of the signal touched by valid pixels must span >= min_elevation_range of [0, 1]
+        n_bins = len(mids)
+        touched = np.unique(np.clip(np.digitize(norm_z[finite], np.linspace(0, 1, n_bins + 1)) - 1,
+                                    0, n_bins - 1))
+        if len(touched) / n_bins < min_elevation_range:
+            continue
         signal_here = np.interp(norm_z, mids, signal_vals)
         # Scale factor from overlapping valid pixels (least squares through origin)
         denom = np.sum(signal_here[finite] ** 2)
         scale = np.sum(dh[finite] * signal_here[finite]) / denom if denom > 0 else 0.0
         filled = signal_here * scale
         vals = out[sel]
-        vals[~finite] = filled[~finite]
+        if idealized_ddem:
+            vals = filled
+        else:
+            vals[~finite] = filled[~finite]
         out[sel] = vals
     out = np.where(glacier_index_map > 0, out, np.nan)
     return np.ma.masked_invalid(out)
