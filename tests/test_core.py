@@ -1248,3 +1248,15 @@ class TestEpsgTableSweep:
 
 def math_copysign_80(v):
     return 80.0 if v >= 0 else -80.0
+
+
+class TestExamplesOutputDir:
+    def test_get_path_output_dir_and_overwrite(self, tmp_path):
+        p = examples.get_path_test("longyearbyen_ref_dem", output_dir=str(tmp_path))
+        assert p.startswith(str(tmp_path))
+        import os
+        mtime = os.path.getmtime(p)
+        p2 = examples.get_path("longyearbyen_ref_dem", output_dir=str(tmp_path))
+        assert p2 != p and p2.startswith(str(tmp_path))
+        p3 = examples.get_path_test("longyearbyen_ref_dem", output_dir=str(tmp_path))
+        assert os.path.getmtime(p3) == mtime  # cached, not regenerated

@@ -405,3 +405,17 @@ class TestRasterDemSignatureParityR3:
         text = dem.info(stats=True)
         assert "[MINIMUM]" in text and "0.00" in text and "15.00" in text
         assert "[MINIMUM]" not in dem.info()
+
+    def test_epc_to_vcrs_inplace_and_copy_new_array(self):
+        epc = EPC(x=np.array([500000.0, 500100.0]), y=np.array([8680000.0, 8680100.0]),
+                  z=np.array([200.0, 210.0]), crs=32633)
+        epc.set_vcrs("EGM96")
+        z0 = epc.z.copy()
+        out = epc.to_vcrs("Ellipsoid", inplace=True)
+        assert out is None and str(epc.vcrs) == "Ellipsoid"
+        assert not np.allclose(epc.z, z0)
+        c = epc.copy(new_array=np.array([1.0, 2.0]))
+        np.testing.assert_array_equal(c.z, [1.0, 2.0])
+        assert not np.allclose(epc.z, c.z)
+        with pytest.raises(ValueError, match="shape"):
+            epc.copy(new_array=np.zeros(3))

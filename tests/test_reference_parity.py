@@ -762,3 +762,39 @@ class TestApplyMatrixRegridParity:
         # f32-vs-f64 fixed-point iterations on 400 m relief with 0.6 deg rotations
         assert np.percentile(d, 99) < 0.5
         assert d.max() < 1.5
+
+
+class TestPatchesConvolutionParity:
+    """Our patches convolution variant vs the reference's own `_patches_convolution`
+    (reference spatialstats.py:2658-2737) on the same field."""
+
+    @pytest.mark.parametrize("shape", ["circular", "square"])
+    def test_patches_convolution_matches(self, ref_mods, shape):
+        """Kernel kept under 128 pixels: the reference counts valid pixels by convolving an
+        int8 mask (spatialstats.py:2637-2645 via ndimage.convolve, which keeps the input
+        dtype), so kernels with >=128 pixels overflow and wrap the counts upstream — a bug
+        we do not copy (our counts are float32); parity only holds below the overflow."""
+        rss = ref_mods["spatialstats"]
+        from xdem_tpu import spatialstats as oss
+
+        rng = np.random.default_rng(21)
+        field = rng.normal(0, 2.0, size=(160, 160))
+        field[rng.random(field.shape) < 0.05] = np.nan
+        gsd, area = 10.0, (11 * 10.0) ** 2
+
+        def nmad(v):
+            v = v[np.isfinite(v)]
+            if not v.size:
+                return np.nan
+            return 1.4826 * np.median(np.abs(v - np.median(v)))
+
+        ref_out = rss._patches_convolution(field.copy(), gsd, area, patch_shape=shape,
+                                           statistic_between_patches=nmad)
+        ours = oss._patches_convolution(field.copy(), gsd, area, patch_shape=shape,
+                                        statistic_between_patches=nmad)
+        # (statistic, nb independent patches, exact discretized area). Counts differ a few
+        # per cent at the raster border: the reference NaN-pads the convolution so any
+        # border-touching patch dies, while we zero-pad and let perc_min_valid decide.
+        assert ours[2] == pytest.approx(ref_out[2])
+        assert ours[1] == pytest.approx(ref_out[1], rel=0.05)
+        assert ours[0] == pytest.approx(ref_out[0], rel=5e-3)

@@ -387,3 +387,15 @@ class TestAccuracyReportParity:
         # Coreg quality on stable terrain: nmad improves
         nmads = dict(zip(stable["Data"], stable["nmad"]))
         assert nmads["dh after (stable terrain)"] < nmads["dh before (stable terrain)"]
+
+
+class TestCliArgListAlias:
+    def test_main_accepts_arg_list(self, capsys):
+        """The reference's main(arg_list=...) spelling works (reference cli.py:28)."""
+        import pytest as _pytest
+
+        from xdem_tpu import cli
+
+        with _pytest.raises(SystemExit):
+            cli.main(arg_list=["--help"])
+        assert "topo" in capsys.readouterr().out

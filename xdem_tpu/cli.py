@@ -42,7 +42,11 @@ def _emit_template(template: dict[str, Any], dest: str) -> None:
         print(f"Template written to {dest}")
 
 
-def main(argv: Sequence[str] | None = None) -> int:
+def main(argv: Sequence[str] | None = None, arg_list: Sequence[str] | None = None) -> int:
+    """CLI entry point; ``arg_list`` is the reference's name for the argv override
+    (reference cli.py:28) and is an alias of ``argv``."""
+    if argv is None and arg_list is not None:
+        argv = list(arg_list)
     parser = argparse.ArgumentParser(prog="xdem-tpu", description="TPU-native DEM analysis workflows")
     subparsers = parser.add_subparsers(dest="command", required=True)
 

@@ -48,13 +48,21 @@ class EPC(PointCloud):
     def set_vcrs(self, new_vcrs: Any) -> None:
         self._vcrs = _vcrs_from_user_input(new_vcrs)
 
-    def to_vcrs(self, vcrs: Any, force_source_vcrs: Any = None) -> "EPC":
+    def to_vcrs(self, vcrs: Any, force_source_vcrs: Any = None, *,
+                inplace: bool = False) -> "EPC | None":
+        """Transform point elevations to another vertical CRS; ``inplace=True`` mutates this
+        EPC and returns None (reference epc/epc.py to_vcrs)."""
         src = self._vcrs if force_source_vcrs is None else _vcrs_from_user_input(force_source_vcrs)
         if src is None:
             raise ValueError("The EPC has no vertical CRS defined; set one with set_vcrs().")
         dst = _vcrs_from_user_input(vcrs)
+        zz = _transform_zz(src, dst, self.crs, self.x, self.y, np.asarray(self.z))
+        if inplace:
+            self.z = zz
+            self._vcrs = dst
+            return None
         out = self.copy()
-        out.z = _transform_zz(src, dst, self.crs, self.x, self.y, np.asarray(self.z))
+        out.z = zz
         out._vcrs = dst
         return out
 

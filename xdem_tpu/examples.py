@@ -218,19 +218,21 @@ available = [
 ]
 
 
-def _generate(name: str, test: bool = False) -> str:
-    _os.makedirs(_CACHE_DIR, exist_ok=True)
+def _generate(name: str, test: bool = False, output_dir: str | None = None,
+              overwrite: bool = False) -> str:
+    cache_dir = _CACHE_DIR if output_dir is None else output_dir
+    _os.makedirs(cache_dir, exist_ok=True)
     suffix = "_test" if test else ""
     if name in ("longyearbyen_ref_dem", "longyearbyen_tba_dem", "longyearbyen_ddem",
                 "longyearbyen_tba_dem_coreg", "longyearbyen_glacier_mask", "giza_dem"):
-        path = _os.path.join(_CACHE_DIR, f"{name}{suffix}.tif")
+        path = _os.path.join(cache_dir, f"{name}{suffix}.tif")
     elif name == "longyearbyen_glacier_outlines":
-        path = _os.path.join(_CACHE_DIR, f"{name}{suffix}.geojson")
+        path = _os.path.join(cache_dir, f"{name}{suffix}.geojson")
     elif name == "longyearbyen_epc":
-        path = _os.path.join(_CACHE_DIR, f"{name}{suffix}.npz")
+        path = _os.path.join(cache_dir, f"{name}{suffix}.npz")
     else:
         raise ValueError(f"Example '{name}' not in available: {available}")
-    if _os.path.exists(path):
+    if _os.path.exists(path) and not overwrite:
         return path
 
     if name == "longyearbyen_ref_dem":
@@ -298,14 +300,18 @@ def get_all_data(output_dir: str | None = None) -> str:
     return _CACHE_DIR
 
 
-def get_path(name: str) -> str:
-    """File path of an example dataset, generated and cached on first use."""
-    return _generate(name, test=False)
+def get_path(name: str, output_dir: str | None = None, overwrite: bool = False) -> str:
+    """File path of an example dataset, generated and cached on first use.
+
+    ``output_dir`` redirects the cache directory and ``overwrite`` regenerates the file even
+    if cached (reference examples.py:178 — there they control the download; here the
+    deterministic generation)."""
+    return _generate(name, test=False, output_dir=output_dir, overwrite=overwrite)
 
 
-def get_path_test(name: str) -> str:
+def get_path_test(name: str, output_dir: str | None = None) -> str:
     """File path of the small cropped test variant of an example dataset."""
-    return _generate(name, test=True)
+    return _generate(name, test=True, output_dir=output_dir)
 
 
 def get_giza_dem():

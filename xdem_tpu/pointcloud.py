@@ -47,9 +47,20 @@ class PointCloud:
     def bounds(self) -> Tuple[float, float, float, float]:
         return (float(self.x.min()), float(self.y.min()), float(self.x.max()), float(self.y.max()))
 
-    def copy(self) -> "PointCloud":
+    def copy(self, new_array: np.ndarray | None = None) -> "PointCloud":
+        """Copy the point cloud, optionally replacing the elevation values with
+        ``new_array`` (the reference's copy(new_array=) slot, epc/epc.py:112)."""
         out = _copy.copy(self)
-        out.x, out.y, out.z = self.x.copy(), self.y.copy(), self.z.copy()
+        out.x, out.y = self.x.copy(), self.y.copy()
+        if new_array is not None:
+            new_array = np.asarray(new_array)
+            if new_array.shape != self.z.shape:
+                raise ValueError(
+                    f"new_array must have shape {self.z.shape}, got {new_array.shape}."
+                )
+            out.z = new_array.copy()
+        else:
+            out.z = self.z.copy()
         out.aux_columns = {k: v.copy() for k, v in self.aux_columns.items()}
         return out
 
