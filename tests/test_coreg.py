@@ -1129,3 +1129,14 @@ class TestSignatureParityR3:
         bw.fit(ref, tba)
         out = bw.apply(tba, threshold_ransac=0.5, max_iterations_ransac=50)
         assert np.isfinite(np.asarray(out.data)).any()
+
+    def test_apply_matrix_dataframe_numeric_column(self):
+        import pandas as pd
+
+        from xdem_tpu.coreg import apply_matrix
+        from xdem_tpu.coreg.base import matrix_from_translations_rotations
+
+        df = pd.DataFrame({"x": [1.0], "y": [2.0], "z": [3.0], 0: [9.0]})
+        out = apply_matrix(df, matrix_from_translations_rotations(t_z=1.0))
+        assert out["z"].iloc[0] == pytest.approx(4.0)
+        assert out[0].iloc[0] == 9.0

@@ -419,3 +419,13 @@ class TestRasterDemSignatureParityR3:
         assert not np.allclose(epc.z, c.z)
         with pytest.raises(ValueError, match="shape"):
             epc.copy(new_array=np.zeros(3))
+
+    def test_to_vcrs_inplace_matches_copy_bitwise(self):
+        arr = np.full((8, 8), 200.0, np.float32)
+        t = Affine.from_origin(500000, 8680000, 20.0, 20.0)
+        a = DEM.from_array(arr, t, 32633, vcrs="EGM96")
+        b = DEM.from_array(arr, t, 32633, vcrs="EGM96")
+        out = a.to_vcrs("Ellipsoid")
+        b.to_vcrs("Ellipsoid", inplace=True)
+        assert b.data.dtype == out.data.dtype
+        np.testing.assert_array_equal(np.asarray(out.data), np.asarray(b.data))

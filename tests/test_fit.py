@@ -128,3 +128,7 @@ class TestLossTwoArgConvention:
         assert fit.soft_loss(ytrue, ypred) == pytest.approx(fit.soft_loss(ytrue - ypred))
         assert fit.soft_loss(ytrue, ypred, scale=2.0) == pytest.approx(
             fit.soft_loss(ytrue - ypred, scale=2.0))
+
+    def test_soft_loss_scalar_second_positional_raises(self):
+        with pytest.raises(TypeError, match="scale as a keyword"):
+            fit.soft_loss(np.array([1.0, 2.0]), 2.0)

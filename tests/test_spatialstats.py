@@ -1190,3 +1190,24 @@ class TestParamParitySweep:
         import os
 
         assert os.path.getsize(out) > 5000
+
+
+class TestReviewFixesR3b:
+    """Regressions for the round-3 signature-parity review findings."""
+
+    def test_interp_nd_binning_positional_order(self):
+        # Reference positional order: (df, names, statistic, interpolate_method, min_count)
+        df = pd.DataFrame({
+            "v": pd.arrays.IntervalArray.from_breaks([0.0, 1, 2, 3]),
+            "nanmedian": [1.0, 2.0, 3.0],
+            "count": [100, 100, 100],
+            "nd": [1] * 3,
+        })
+        fn = ss.interp_nd_binning(df, "v", "nanmedian", "nearest", None)
+        assert np.isfinite(fn(np.array([1.5]))[0])
+
+    def test_patches_zero_d_area(self):
+        rng = np.random.default_rng(3)
+        field = rng.normal(size=(80, 80))
+        out = ss.patches_method(field, areas=np.array(1e4), gsd=10.0)
+        assert isinstance(out, tuple) and len(out) == 2  # legacy compact return

@@ -507,3 +507,12 @@ class TestMpConfigBridge:
         np.testing.assert_allclose(got[both], ref[both], rtol=1e-4, atol=1e-3)
         with pytest.raises(ValueError, match="TilingConfig"):
             get_terrain_attribute(dem, "slope", resolution=20.0, mp_config=object())
+
+    def test_mp_config_and_tiled_conflict(self, tmp_path):
+        from xdem_tpu.terrain import TilingConfig, get_terrain_attribute
+
+        dem = examples.synthetic_dem_array(shape=(64, 64), seed=3)
+        with pytest.raises(ValueError, match="only one of"):
+            get_terrain_attribute(dem, "slope", resolution=20.0,
+                                  tiled=TilingConfig(outdir=str(tmp_path)),
+                                  mp_config=TilingConfig(outdir=str(tmp_path)))

@@ -328,7 +328,7 @@ def apply_matrix(
     if isinstance(elev, PointCloud):
         return _apply_matrix_pts(elev, matrix, centroid=centroid)
     if hasattr(elev, "columns"):  # dataframe point input: x/y + z_name columns
-        cols = {c.lower(): c for c in elev.columns}
+        cols = {str(c).lower(): c for c in elev.columns}
         xcol, ycol = cols.get("x"), cols.get("y")
         if xcol is None or ycol is None or z_name not in elev.columns:
             raise ValueError(

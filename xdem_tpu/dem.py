@@ -101,7 +101,11 @@ class DEM(Raster):
         x, y = self.coords(grid=True)
         zz = _transform_zz(src, dst, self.crs, np.asarray(x), np.asarray(y), self.get_nanarray())
         if inplace:
-            self.data = zz
+            import jax.numpy as jnp
+
+            # Same f32 device residency as the copy(new_array=) path — the in-place and
+            # returned results must be bitwise identical
+            self.data = jnp.asarray(zz)
             self._vcrs = dst
             return None
         out = self.copy(new_array=zz)

@@ -47,6 +47,13 @@ def huber_loss(ytrue: np.ndarray, ypred: np.ndarray | None = None) -> float:
 
 def soft_loss(ytrue: np.ndarray, ypred: np.ndarray | None = None, scale: float = 0.5) -> float:
     """Smooth approximation of the L1 loss (as in scipy least_squares 'soft_l1')."""
+    if ypred is not None and np.ndim(ypred) == 0:
+        # A scalar second positional is almost certainly the OLD soft_loss(z, scale) call:
+        # refuse rather than silently compute residuals against a constant
+        raise TypeError(
+            "soft_loss's second argument is now ypred (reference fit.py:69); "
+            "pass the scale as a keyword: soft_loss(z, scale=...)."
+        )
     z = _residuals(ytrue, ypred)
     return float(np.sum(np.square(scale) * 2 * (np.sqrt(1 + np.square(z / scale)) - 1)))
 

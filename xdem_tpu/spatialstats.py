@@ -190,8 +190,8 @@ def interp_nd_binning(
     df: pd.DataFrame,
     list_var_names: str | Sequence[str],
     statistic: str | Callable[[np.ndarray], float] = _stat_nmad,
-    min_count: int | None = 100,
     interpolate_method: str = "linear",
+    min_count: int | None = 100,
 ) -> Callable[..., np.ndarray]:
     """N-D linear interpolator over binned statistics with edge-propagating extrapolation.
 
@@ -2397,7 +2397,7 @@ def patches_method(
         return stat, float(nb), exact, (df if return_in_patch_statistics else None)
 
     # Legacy single-area mode: keep this project's original compact returns
-    if np.isscalar(areas):
+    if np.ndim(areas) == 0:
         a = float(areas)
         if vectorized:
             stat, nb, _exact, _df = one_area(a)
@@ -2688,9 +2688,12 @@ def plot_2d_binning(
     try:
         cmap_obj = matplotlib.colormaps[cmap].copy()
     except (AttributeError, KeyError, TypeError):  # older matplotlib
+        import copy as _c
+
         import matplotlib.cm as mcm
 
-        cmap_obj = mcm.get_cmap(cmap)
+        # get_cmap returns the globally registered instance: copy before set_bad mutates it
+        cmap_obj = _c.copy(mcm.get_cmap(cmap))
     cmap_obj.set_bad(nodata_color)
     im = ax.pcolormesh(m1, m2, np.ma.masked_invalid(grid), cmap=cmap_obj, shading="nearest",
                        vmin=vmin, vmax=vmax)

@@ -73,14 +73,15 @@ def get_terrain_attribute(
     reference's process-pool MultiprocConfig has no meaning on this backend and raises.
     """
     if mp_config is not None:
-        if hasattr(mp_config, "tile_rows") and tiled is None:
-            tiled = mp_config
-        else:
+        if not hasattr(mp_config, "tile_rows"):
             raise ValueError(
                 "mp_config process-pool tiling does not exist on this backend (one device "
                 "streams fixed-shape row bands): pass tiled=terrain.TilingConfig(...) for "
                 "out-of-core streaming, or mesh= to shard across devices."
             )
+        if tiled is not None:
+            raise ValueError("Pass only one of mp_config= and tiled= (they are aliases here).")
+        tiled = mp_config
     # Deprecated alias (must run before any dispatch so tiled= sees the resolved fit)
     if slope_method is not None:
         warnings.warn("'slope_method' is deprecated, use 'surface_fit' instead.", DeprecationWarning, stacklevel=2)
