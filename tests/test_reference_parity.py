@@ -310,6 +310,32 @@ class TestSpatialstatsParity:
         q2 = rng.uniform(-7, 7, 200)
         np.testing.assert_allclose(f_ours((q1, q2)), f_ref((q1, q2)), rtol=1e-5, atol=1e-7)
 
+    @pytest.mark.parametrize("interpolate_method", ["linear", "nearest"])
+    def test_interp_nd_binning_masked_infill(self, ref_mods, interpolate_method):
+        """Masked-bin in-fill parity for both interpolate_method modes (reference :241,377):
+        a high min_count masks interior bins, which the reference fills linearly inside the
+        valid hull (or by nearest copy) before building the interpolator."""
+        rss = ref_mods["spatialstats"]
+        from xdem_tpu import spatialstats as oss
+
+        rng = np.random.default_rng(9)
+        n = 6000
+        v1 = rng.uniform(0, 30, n)
+        v2 = rng.uniform(-5, 5, n)
+        # Thin out a band of samples so several interior bins fall under min_count
+        keep = ~((v1 > 10) & (v1 < 18) & (np.abs(v2) < 2) & (rng.random(n) < 0.95))
+        v1, v2 = v1[keep], v2[keep]
+        vals = 0.1 * v1 + np.abs(v2) + rng.normal(0, 0.3, len(v1))
+        stats = ("count", np.nanmedian)
+        kw = dict(list_var_bins=[8, 6], statistics=stats)
+        df_ref = rss.nd_binning(vals, [v1, v2], ["a", "b"], **kw)
+        df_ours = oss.nd_binning(vals, [v1, v2], ["a", "b"], **kw)
+        f_ref = rss.interp_nd_binning(df_ref, ["a", "b"], "nanmedian", interpolate_method, 60)
+        f_ours = oss.interp_nd_binning(df_ours, ["a", "b"], "nanmedian", interpolate_method, 60)
+        q1 = rng.uniform(-2, 33, 400)
+        q2 = rng.uniform(-7, 7, 400)
+        np.testing.assert_allclose(f_ours((q1, q2)), f_ref((q1, q2)), rtol=1e-5, atol=1e-7)
+
     def test_convolution_and_mean_filter(self, ref_mods, dem_nan):
         rss = ref_mods["spatialstats"]
         from xdem_tpu import spatialstats as oss

@@ -237,13 +237,15 @@ def interp_nd_binning(
     if not np.isfinite(grid).any():
         raise ValueError("No valid bins to interpolate from (check min_count).")
     # In-fill masked bins: linearly inside the valid hull when requested (reference :377),
-    # then nearest-neighbor propagation for the rest (edge-value extrapolation)
+    # then nearest-neighbor for the rest. Both passes work in bin-MIDPOINT coordinate space
+    # (griddata), matching the reference: with unequal bin widths per variable, the nearest
+    # bin by coordinate distance is not the nearest by index.
     if np.isnan(grid).any():
+        from scipy.interpolate import griddata
+
+        pts = np.stack(np.meshgrid(*mids, indexing="ij"), axis=-1).reshape(-1, len(mids))
         valid = np.isfinite(grid)
         if interpolate_method == "linear" and valid.sum() > len(mids):
-            from scipy.interpolate import griddata
-
-            pts = np.stack(np.meshgrid(*mids, indexing="ij"), axis=-1).reshape(-1, len(mids))
             try:
                 filled = griddata(pts[valid.ravel()], grid[valid], pts,
                                   method="linear").reshape(grid.shape)
@@ -251,12 +253,17 @@ def interp_nd_binning(
             except Exception:  # degenerate hulls (collinear points) fall back to nearest
                 pass
         if np.isnan(grid).any():
-            from scipy import ndimage
-
             valid = np.isfinite(grid)
-            idx_nearest = ndimage.distance_transform_edt(~valid, return_distances=False,
-                                                         return_indices=True)
-            grid = grid[tuple(idx_nearest)]
+            try:
+                filled = griddata(pts[valid.ravel()], grid[valid], pts,
+                                  method="nearest").reshape(grid.shape)
+                grid = np.where(valid, grid, filled)
+            except Exception:  # degenerate point sets: index-space nearest propagation
+                from scipy import ndimage
+
+                idx_nearest = ndimage.distance_transform_edt(
+                    ~valid, return_distances=False, return_indices=True)
+                grid = grid[tuple(idx_nearest)]
 
     from scipy.interpolate import RegularGridInterpolator
 
