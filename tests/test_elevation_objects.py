@@ -44,6 +44,21 @@ class TestVCRS:
         both = np.isfinite(np.asarray(dem.data))
         assert np.allclose(np.asarray(back.data)[both], np.asarray(dem.data)[both], atol=1e-3)
 
+    def test_to_vcrs_equal_warns_and_skips(self):
+        """Same source and destination vertical CRS: warn and do nothing (reference
+        tests/test_dem.py:307-325, dem.py to_vcrs early return)."""
+        dem = examples.get_ref_dem_test()
+        dem.set_vcrs("EGM96")
+        with pytest.warns(UserWarning, match="are the same"):
+            assert dem.to_vcrs("EGM96") is None
+        dem.set_vcrs("Ellipsoid")
+        with pytest.warns(UserWarning, match="are the same"):
+            assert dem.to_vcrs("Ellipsoid") is None
+        epc = examples.get_epc(n_points=10)
+        epc.set_vcrs("EGM96")
+        with pytest.warns(UserWarning, match="are the same"):
+            assert epc.to_vcrs(5773) is None
+
     def test_unregistered_geoid_raises(self):
         dem = examples.get_ref_dem_test()
         dem.set_vcrs("Ellipsoid")

@@ -511,6 +511,48 @@ class TestEPCFormats:
         np.testing.assert_allclose(epc.y, y, atol=1e-3)
         np.testing.assert_allclose(epc.z, z, atol=1e-3)
 
+    def test_write_epc_las_roundtrip(self, tmp_path):
+        """Our own LAS writer (write_epc .las) round-trips points + EPSG through read_epc."""
+        from xdem_tpu.epc import EPC, read_epc, write_epc
+
+        x, y, z = self._pts()
+        epc = EPC(x=x, y=y, z=z, crs=32633)
+        p = str(tmp_path / "w.las")
+        write_epc(p, epc)
+        back = read_epc(p)
+        assert back.crs.epsg == 32633
+        np.testing.assert_allclose(back.x, x, atol=1e-3)
+        np.testing.assert_allclose(back.y, y, atol=1e-3)
+        np.testing.assert_allclose(back.z, z, atol=1e-3)
+
+    def test_write_epc_las_geographic_and_wide_extents(self, tmp_path):
+        """Geographic LAS gets 1e-7-deg horizontal scale; axes whose span would overflow
+        int32 coarsen by decades instead of wrapping (±180 deg of longitude)."""
+        from xdem_tpu.epc import EPC, read_epc, write_epc
+
+        rng = np.random.default_rng(5)
+        x = rng.uniform(-180, 180, 60)
+        y = rng.uniform(-89, 89, 60)
+        z = rng.uniform(-100, 8000, 60)
+        p = str(tmp_path / "g.las")
+        write_epc(p, EPC(x=x, y=y, z=z, crs=4326))
+        back = read_epc(p)
+        assert back.crs.epsg == 4326
+        np.testing.assert_allclose(back.x, x, atol=1e-6)
+        np.testing.assert_allclose(back.y, y, atol=1e-7)
+        np.testing.assert_allclose(back.z, z, atol=1e-3)
+
+    def test_write_epc_las_requires_epsg(self, tmp_path):
+        from xdem_tpu.epc import EPC, write_epc
+        from xdem_tpu.georef import CRS
+
+        epc = EPC(x=[0.0], y=[0.0], z=[1.0],
+                  crs=CRS("+proj=tmerc +lat_0=0 +lon_0=10.5 +k=1 +x_0=0 +y_0=0 +ellps=WGS84"))
+        if epc.crs.epsg:  # definition-based CRS matching may identify an EPSG; skip then
+            pytest.skip("proj-string resolved to an EPSG code")
+        with pytest.raises(ValueError, match="EPSG"):
+            write_epc(str(tmp_path / "x.las"), epc)
+
     def test_las_without_crs_requires_kwarg(self, tmp_path):
         from xdem_tpu.epc import read_epc
 

@@ -976,16 +976,32 @@ class Coreg:
         to_be_aligned_elev: Any,
         inlier_mask: Any = None,
         bias_vars: dict[str, Any] | None = None,
+        fit_kwargs: dict[str, Any] | None = None,
+        apply_kwargs: dict[str, Any] | None = None,
         **kwargs: Any,
     ) -> Any:
-        """Fit then apply to the to-be-aligned elevation (reference base.py:2542)."""
-        fit_kwargs = {
+        """Fit then apply to the to-be-aligned elevation (reference base.py:2542).
+
+        Shared keywords (subsample, z_name, random_state, ...) can be passed flat and are
+        routed to fit(); apply-only ones (resample, resampling, ...) go to apply(). The
+        reference's explicit ``fit_kwargs``/``apply_kwargs`` dicts are also accepted and
+        take precedence over the flat routing."""
+        fkw = {
             k: kwargs.pop(k)
             for k in ("weights", "subsample", "transform", "crs", "area_or_point", "z_name", "random_state")
             if k in kwargs
         }
-        self.fit(reference_elev, to_be_aligned_elev, inlier_mask=inlier_mask, bias_vars=bias_vars, **fit_kwargs)
-        return self.apply(to_be_aligned_elev, bias_vars=bias_vars, **kwargs)
+        akw = dict(kwargs)
+        if "transform" in fkw and "transform" not in akw:
+            akw["transform"] = fkw["transform"]
+        if "crs" in fkw and "crs" not in akw:
+            akw["crs"] = fkw["crs"]
+        if "z_name" in fkw and "z_name" not in akw:
+            akw["z_name"] = fkw["z_name"]
+        fkw.update(fit_kwargs or {})
+        akw.update(apply_kwargs or {})
+        self.fit(reference_elev, to_be_aligned_elev, inlier_mask=inlier_mask, bias_vars=bias_vars, **fkw)
+        return self.apply(to_be_aligned_elev, bias_vars=bias_vars, **akw)
 
     def residuals(self, reference_elev: Any, to_be_aligned_elev: Any, **kwargs: Any) -> np.ndarray:
         """dh residuals after applying the fitted transform."""
@@ -1092,14 +1108,18 @@ class CoregPipeline(Coreg):
             out = step.apply(out, bias_vars=step_bias, **kwargs)
         return out
 
-    def fit_and_apply(self, reference_elev, to_be_aligned_elev, inlier_mask=None, bias_vars=None, **kwargs):
-        fit_kwargs = {
+    def fit_and_apply(self, reference_elev, to_be_aligned_elev, inlier_mask=None, bias_vars=None,
+                      fit_kwargs=None, apply_kwargs=None, **kwargs):
+        fkw = {
             k: kwargs.pop(k)
             for k in ("weights", "subsample", "transform", "crs", "area_or_point", "z_name", "random_state")
             if k in kwargs
         }
-        self.fit(reference_elev, to_be_aligned_elev, inlier_mask=inlier_mask, bias_vars=bias_vars, **fit_kwargs)
-        return self.apply(to_be_aligned_elev, bias_vars=bias_vars, **kwargs)
+        fkw.update(fit_kwargs or {})
+        akw = dict(kwargs)
+        akw.update(apply_kwargs or {})
+        self.fit(reference_elev, to_be_aligned_elev, inlier_mask=inlier_mask, bias_vars=bias_vars, **fkw)
+        return self.apply(to_be_aligned_elev, bias_vars=bias_vars, **akw)
 
     def _to_matrix_func(self) -> np.ndarray:
         """Product of the step matrices (reference base.py:3187)."""

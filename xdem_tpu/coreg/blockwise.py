@@ -165,12 +165,13 @@ class BlockwiseCoreg:
         coeff_z = self._ransac(self.x_coords, self.y_coords, self.shifts_z, threshold, max_iterations)
         return coeff_x, coeff_y, coeff_z
 
-    def apply(self, elev: Raster, resampling: str = "linear", threshold_ransac: float = 0.01,
-              max_iterations_ransac: int = 2000) -> Raster:
+    def apply(self, to_be_aligned_elev: Raster, resampling: str = "linear",
+              threshold_ransac: float = 0.01, max_iterations_ransac: int = 2000) -> Raster:
         """Warp with the interpolated (plane) shift field: one device gather pass.
 
         ``threshold_ransac`` / ``max_iterations_ransac`` tune the RANSAC plane consensus
         (reference blockwise.py:351-356)."""
+        elev = to_be_aligned_elev
         coeff_x, coeff_y, coeff_z = self.ransac_all(threshold_ransac, max_iterations_ransac)
         h, w = elev.shape
         a, b, c, d, e, f = (float(v) for v in tuple(elev.transform))

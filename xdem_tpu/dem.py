@@ -6,6 +6,7 @@ dem.py:429-619, coregister_3d :622, estimate_uncertainty :667, to_pointcloud :78
 
 from __future__ import annotations
 
+import warnings
 from typing import Any, Literal, Sequence
 
 from xdem_tpu import terrain as _terrain
@@ -96,6 +97,12 @@ class DEM(Raster):
                 "The DEM has no vertical CRS defined; set one with set_vcrs() or pass force_source_vcrs."
             )
         dst = _vcrs_from_user_input(vcrs)
+        if src == dst:
+            warnings.warn(
+                "Source and destination vertical CRS are the same, skipping vertical transformation.",
+                category=UserWarning,
+            )
+            return None
         import numpy as np
 
         x, y = self.coords(grid=True)
@@ -169,68 +176,128 @@ class DEM(Raster):
     # ------------------------------------------------------------------ terrain attributes
 
     @copy_doc(_terrain, "slope")
-    def slope(self, **kwargs: Any) -> Raster:
-        return _terrain.slope(self, **kwargs)
+    def slope(
+        self,
+        method: Literal["Horn", "ZevenbergThorne"] | None = None,
+        surface_fit: Literal["Horn", "ZevenbergThorne", "Florinsky"] = "Florinsky",
+        degrees: bool = True,
+        **kwargs: Any,
+    ) -> Raster:
+        return _terrain.slope(self, method=method, surface_fit=surface_fit, degrees=degrees, **kwargs)
 
     @copy_doc(_terrain, "aspect")
-    def aspect(self, **kwargs: Any) -> Raster:
-        return _terrain.aspect(self, **kwargs)
+    def aspect(
+        self,
+        method: Literal["Horn", "ZevenbergThorne"] | None = None,
+        surface_fit: Literal["Horn", "ZevenbergThorne", "Florinsky"] = "Florinsky",
+        degrees: bool = True,
+        **kwargs: Any,
+    ) -> Raster:
+        return _terrain.aspect(self, method=method, surface_fit=surface_fit, degrees=degrees, **kwargs)
 
     @copy_doc(_terrain, "hillshade")
-    def hillshade(self, **kwargs: Any) -> Raster:
-        return _terrain.hillshade(self, **kwargs)
+    def hillshade(
+        self,
+        method: Literal["Horn", "ZevenbergThorne"] | None = None,
+        surface_fit: Literal["Horn", "ZevenbergThorne", "Florinsky"] = "Florinsky",
+        azimuth: float = 315.0,
+        altitude: float = 45.0,
+        z_factor: float = 1.0,
+        **kwargs: Any,
+    ) -> Raster:
+        return _terrain.hillshade(self, method=method, surface_fit=surface_fit, azimuth=azimuth,
+                                  altitude=altitude, z_factor=z_factor, **kwargs)
 
     @copy_doc(_terrain, "curvature")
-    def curvature(self, **kwargs: Any) -> Raster:
-        return _terrain.curvature(self, **kwargs)
+    def curvature(
+        self,
+        surface_fit: Literal["ZevenbergThorne", "Florinsky"] = "Florinsky",
+        **kwargs: Any,
+    ) -> Raster:
+        return _terrain.curvature(self, surface_fit=surface_fit, **kwargs)
 
     @copy_doc(_terrain, "profile_curvature")
-    def profile_curvature(self, **kwargs: Any) -> Raster:
-        return _terrain.profile_curvature(self, **kwargs)
+    def profile_curvature(
+        self,
+        surface_fit: Literal["ZevenbergThorne", "Florinsky"] = "Florinsky",
+        curv_method: Literal["geometric", "directional"] = "geometric",
+        **kwargs: Any,
+    ) -> Raster:
+        return _terrain.profile_curvature(self, surface_fit=surface_fit, curv_method=curv_method, **kwargs)
 
     @copy_doc(_terrain, "tangential_curvature")
-    def tangential_curvature(self, **kwargs: Any) -> Raster:
-        return _terrain.tangential_curvature(self, **kwargs)
+    def tangential_curvature(
+        self,
+        surface_fit: Literal["ZevenbergThorne", "Florinsky"] = "Florinsky",
+        curv_method: Literal["geometric", "directional"] = "geometric",
+        **kwargs: Any,
+    ) -> Raster:
+        return _terrain.tangential_curvature(self, surface_fit=surface_fit, curv_method=curv_method, **kwargs)
 
     @copy_doc(_terrain, "planform_curvature")
-    def planform_curvature(self, **kwargs: Any) -> Raster:
-        return _terrain.planform_curvature(self, **kwargs)
+    def planform_curvature(
+        self,
+        surface_fit: Literal["ZevenbergThorne", "Florinsky"] = "Florinsky",
+        curv_method: Literal["geometric", "directional"] = "geometric",
+        **kwargs: Any,
+    ) -> Raster:
+        return _terrain.planform_curvature(self, surface_fit=surface_fit, curv_method=curv_method, **kwargs)
 
     @copy_doc(_terrain, "flowline_curvature")
-    def flowline_curvature(self, **kwargs: Any) -> Raster:
-        return _terrain.flowline_curvature(self, **kwargs)
+    def flowline_curvature(
+        self,
+        surface_fit: Literal["ZevenbergThorne", "Florinsky"] = "Florinsky",
+        curv_method: Literal["geometric", "directional"] = "geometric",
+        **kwargs: Any,
+    ) -> Raster:
+        return _terrain.flowline_curvature(self, surface_fit=surface_fit, curv_method=curv_method, **kwargs)
 
     @copy_doc(_terrain, "max_curvature")
-    def max_curvature(self, **kwargs: Any) -> Raster:
-        return _terrain.max_curvature(self, **kwargs)
+    def max_curvature(
+        self,
+        surface_fit: Literal["ZevenbergThorne", "Florinsky"] = "Florinsky",
+        curv_method: Literal["geometric", "directional"] = "geometric",
+        **kwargs: Any,
+    ) -> Raster:
+        return _terrain.max_curvature(self, surface_fit=surface_fit, curv_method=curv_method, **kwargs)
 
     @copy_doc(_terrain, "min_curvature")
-    def min_curvature(self, **kwargs: Any) -> Raster:
-        return _terrain.min_curvature(self, **kwargs)
+    def min_curvature(
+        self,
+        surface_fit: Literal["ZevenbergThorne", "Florinsky"] = "Florinsky",
+        curv_method: Literal["geometric", "directional"] = "geometric",
+        **kwargs: Any,
+    ) -> Raster:
+        return _terrain.min_curvature(self, surface_fit=surface_fit, curv_method=curv_method, **kwargs)
 
     @copy_doc(_terrain, "topographic_position_index")
-    def topographic_position_index(self, **kwargs: Any) -> Raster:
-        return _terrain.topographic_position_index(self, **kwargs)
+    def topographic_position_index(self, window_size: int = 3, **kwargs: Any) -> Raster:
+        return _terrain.topographic_position_index(self, window_size=window_size, **kwargs)
 
     @copy_doc(_terrain, "terrain_ruggedness_index")
-    def terrain_ruggedness_index(self, **kwargs: Any) -> Raster:
-        return _terrain.terrain_ruggedness_index(self, **kwargs)
+    def terrain_ruggedness_index(
+        self,
+        method: Literal["Riley", "Wilson"] = "Riley",
+        window_size: int = 3,
+        **kwargs: Any,
+    ) -> Raster:
+        return _terrain.terrain_ruggedness_index(self, method=method, window_size=window_size, **kwargs)
 
     @copy_doc(_terrain, "roughness")
-    def roughness(self, **kwargs: Any) -> Raster:
-        return _terrain.roughness(self, **kwargs)
+    def roughness(self, window_size: int = 3, **kwargs: Any) -> Raster:
+        return _terrain.roughness(self, window_size=window_size, **kwargs)
 
     @copy_doc(_terrain, "rugosity")
     def rugosity(self, **kwargs: Any) -> Raster:
         return _terrain.rugosity(self, **kwargs)
 
     @copy_doc(_terrain, "fractal_roughness")
-    def fractal_roughness(self, **kwargs: Any) -> Raster:
-        return _terrain.fractal_roughness(self, **kwargs)
+    def fractal_roughness(self, window_size_fractal: int = 13, **kwargs: Any) -> Raster:
+        return _terrain.fractal_roughness(self, window_size_fractal=window_size_fractal, **kwargs)
 
     @copy_doc(_terrain, "texture_shading")
-    def texture_shading(self, **kwargs: Any) -> Raster:
-        return _terrain.texture_shading(self, **kwargs)
+    def texture_shading(self, alpha: float = 0.8, **kwargs: Any) -> Raster:
+        return _terrain.texture_shading(self, alpha=alpha, **kwargs)
 
     def get_terrain_attribute(self, attribute: str | Sequence[str], **kwargs: Any) -> Any:
         return _terrain.get_terrain_attribute(self, attribute, **kwargs)

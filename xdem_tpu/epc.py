@@ -15,10 +15,69 @@ from xdem_tpu.vcrs import _transform_zz, _vcrs_from_user_input
 
 
 class EPC(PointCloud):
-    """An elevation point cloud with vertical CRS handling."""
+    """An elevation point cloud with vertical CRS handling.
 
-    def __init__(self, *args: Any, vcrs: Any = None, **kwargs: Any):
-        super().__init__(*args, **kwargs)
+    Like the reference (epc/epc.py:48), the first positional argument may be a point-cloud
+    file path (LAS/npz/csv — see :func:`read_epc`), a DataFrame with ``x``/``y`` columns and
+    the elevation in ``data_column``, or an existing PointCloud to wrap; bare coordinate
+    arrays are also accepted as ``x=``/``y=``/``z=`` keywords.
+    """
+
+    def __init__(self, *args: Any, data_column: str | None = None, vcrs: Any = None,
+                 **kwargs: Any):
+        # Positional dispatch by type: coordinate arrays EPC(x, y, z, crs=...) keep the
+        # PointCloud order; a single path/DataFrame/PointCloud first argument follows the
+        # reference's EPC(filename_or_dataset, data_column) form (epc/epc.py:70-76).
+        if args and isinstance(args[0], (np.ndarray, list, tuple)):
+            super().__init__(*args, **({"data_column": data_column} if data_column else {}),
+                             **kwargs)
+            self._vcrs = None
+            if vcrs is not None:
+                self.set_vcrs(vcrs)
+            return
+        filename_or_dataset = kwargs.pop("filename_or_dataset", None)
+        if args:
+            filename_or_dataset = args[0]
+            if len(args) > 1:
+                if data_column is not None:
+                    raise TypeError("data_column given both positionally and as a keyword.")
+                data_column = args[1]
+            if len(args) > 2:
+                raise TypeError("Too many positional arguments for a file/dataset input.")
+        if filename_or_dataset is not None:
+            import os
+            import pathlib
+
+            src = filename_or_dataset
+            if isinstance(src, (str, pathlib.Path)):
+                if not os.path.isfile(str(src)):
+                    raise FileNotFoundError(f"{src} does not exist")
+                src = read_epc(str(src), crs=kwargs.pop("crs", None))
+            if isinstance(src, PointCloud):
+                col = data_column or src.data_column
+                super().__init__(x=src.x, y=src.y, z=src.z, crs=src.crs, data_column=col,
+                                 aux_columns=getattr(src, "aux_columns", None), **kwargs)
+            elif hasattr(src, "columns"):  # pandas DataFrame with x/y + elevation columns
+                col = data_column or "z"
+                if not {"x", "y", col}.issubset(set(src.columns)):
+                    raise ValueError(
+                        f"DataFrame input needs 'x', 'y' and '{col}' columns "
+                        f"(got {list(src.columns)}); pass data_column= for the elevation."
+                    )
+                crs = kwargs.pop("crs", None)
+                if crs is None:
+                    raise ValueError("DataFrame input carries no CRS; pass crs=...")
+                super().__init__(x=src["x"].to_numpy(), y=src["y"].to_numpy(),
+                                 z=src[col].to_numpy(), crs=crs, data_column=col, **kwargs)
+            else:
+                raise TypeError(
+                    "First argument must be a file path, DataFrame or PointCloud "
+                    f"(got {type(src).__name__}); or pass x=/y=/z= arrays."
+                )
+        else:
+            if data_column is not None:
+                kwargs.setdefault("data_column", data_column)
+            super().__init__(**kwargs)
         self._vcrs = None
         if vcrs is not None:
             self.set_vcrs(vcrs)
@@ -56,6 +115,14 @@ class EPC(PointCloud):
         if src is None:
             raise ValueError("The EPC has no vertical CRS defined; set one with set_vcrs().")
         dst = _vcrs_from_user_input(vcrs)
+        if src == dst:
+            import warnings
+
+            warnings.warn(
+                "Source and destination vertical CRS are the same, skipping vertical transformation.",
+                category=UserWarning,
+            )
+            return None
         zz = _transform_zz(src, dst, self.crs, self.x, self.y, np.asarray(self.z))
         if inplace:
             self.z = zz
@@ -131,7 +198,8 @@ def read_epc(path: str, crs: Any = None) -> EPC:
 
 
 def write_epc(path: str, epc: PointCloud) -> None:
-    """Write an EPC to .npz or delimited text (.csv/.txt/.xyz; header x,y,z)."""
+    """Write an EPC to .las (ASPRS LAS 1.2, point format 0, EPSG in a GeoKey VLR),
+    .npz, or delimited text (.csv/.txt/.xyz; header x,y,z)."""
     lower = path.lower()
     if lower.endswith(".npz"):
         if not epc.crs.epsg:
@@ -140,12 +208,81 @@ def write_epc(path: str, epc: PointCloud) -> None:
                 f"({epc.crs}) has none. Reproject to an EPSG-coded CRS first, or write text."
             )
         np.savez(path, x=epc.x, y=epc.y, z=epc.z, crs=np.int64(epc.crs.epsg))
+    elif lower.endswith(".las"):
+        _write_las(path, epc)
     elif lower.endswith((".csv", ".txt", ".xyz")):
         delim = "," if lower.endswith(".csv") else " "
         np.savetxt(path, np.column_stack([epc.x, epc.y, epc.z]),
                    delimiter=delim, header=delim.join(("x", "y", "z")), comments="")
     else:
-        raise ValueError(f"Unsupported output format: '{path}' (use .npz or .csv/.txt/.xyz).")
+        raise ValueError(f"Unsupported output format: '{path}' (use .las, .npz or .csv/.txt/.xyz).")
+
+
+def _write_las(path: str, epc: PointCloud) -> None:
+    """Minimal ASPRS LAS 1.2 writer: point data record format 0 (20 bytes: scaled-int32 xyz
+    + zeroed attributes), mm coordinate scale, and the projected/geographic EPSG recorded in
+    a LASF_Projection GeoKeyDirectory VLR (record 34735) so :func:`read_epc` — and any
+    standard LAS reader — recovers the CRS. The reference delegates LAS I/O to laspy through
+    geoutils; this writer is self-contained."""
+    import struct
+
+    if not epc.crs.epsg:
+        raise ValueError(
+            "LAS stores the CRS as an EPSG GeoKey, but this point cloud's CRS "
+            f"({epc.crs}) has none. Reproject to an EPSG-coded CRS first."
+        )
+    x, y, z = epc.x, epc.y, epc.z
+    n = int(x.size)
+    ox = float(np.min(x)) if n else 0.0
+    oy = float(np.min(y)) if n else 0.0
+    oz = float(np.min(z)) if n else 0.0
+    # GeoKeyDirectory: version header + GTModelType (1=projected, 2=geographic) + the CS key
+    is_geographic = epc.crs.is_geographic if hasattr(epc.crs, "is_geographic") else False
+    # mm precision for projected coordinates; 1e-7 deg (~1 cm) for geographic horizontal.
+    # z stays metric mm in both cases (int32 * 1e-7 would cap the z extent at ~214 m).
+    # Each axis coarsens by decades until its span fits int32 (e.g. ±180 deg of longitude
+    # needs 1e-6): precision degrades gracefully instead of overflowing.
+    def _fit_scale(base: float, span: float) -> float:
+        s = base
+        while span / s > 0.9 * 2**31:
+            s *= 10.0
+        return s
+
+    base = 1e-7 if is_geographic else 1e-3
+    scale_x = _fit_scale(base, (float(np.max(x)) - ox) if n else 0.0)
+    scale_y = _fit_scale(base, (float(np.max(y)) - oy) if n else 0.0)
+    zscale = _fit_scale(1e-3, (float(np.max(z)) - oz) if n else 0.0)
+    cs_key = 2048 if is_geographic else 3072
+    keys = [(1, 1, 0, 2), (1024, 0, 1, 2 if is_geographic else 1), (cs_key, 0, 1, int(epc.crs.epsg))]
+    keys[0] = (1, 1, 0, len(keys) - 1)
+    geokeys = b"".join(struct.pack("<4H", *k) for k in keys)
+    vlr = struct.pack("<H16sHH32s", 0, b"LASF_Projection", 34735, len(geokeys),
+                      b"GeoKeyDirectory") + geokeys
+
+    header_size = 227
+    point_offset = header_size + len(vlr)
+    header = struct.pack(
+        "<4sHHIHH8sBB32s32sHHHII", b"LASF", 0, 0, 0, 0, 0, b"", 1, 2,
+        b"xdem_tpu", b"xdem_tpu write_epc", 1, 2026, header_size, point_offset, 1,
+    )
+    header += struct.pack("<BHI", 0, 20, n)  # point format 0, 20-byte records, count
+    header += struct.pack("<5I", n, 0, 0, 0, 0)  # points by return
+    header += struct.pack("<6d", scale_x, scale_y, zscale, ox, oy, oz)
+    header += struct.pack("<6d",
+                          float(np.max(x)) if n else 0.0, ox,
+                          float(np.max(y)) if n else 0.0, oy,
+                          float(np.max(z)) if n else 0.0, oz)
+    assert len(header) == header_size, len(header)
+
+    records = np.zeros((n, 20), dtype=np.uint8)
+    xyz_i = np.column_stack([
+        np.round((x - ox) / scale_x), np.round((y - oy) / scale_y), np.round((z - oz) / zscale)
+    ]).astype("<i4")
+    records[:, :12] = xyz_i.view(np.uint8).reshape(n, 12)
+    with open(path, "wb") as f:
+        f.write(header)
+        f.write(vlr)
+        f.write(records.tobytes())
 
 
 def _read_las(path: str) -> tuple[np.ndarray, np.ndarray, np.ndarray, int | None]:

@@ -287,38 +287,125 @@ def get_terrain_attribute(
     return ordered[0] if single else ordered
 
 
-def _wrapper(attr: str, doc: str, **fixed: Any):
-    def fn(dem: Any, **kwargs: Any) -> Any:
-        method = kwargs.pop("method", None)
-        if method is not None:
-            warnings.warn("'method' is deprecated, use 'surface_fit' instead.", DeprecationWarning, stacklevel=2)
-            kwargs["surface_fit"] = method
-        return get_terrain_attribute(dem, attribute=attr, **{**fixed, **kwargs})
+def _resolve_deprecated_method(method: Any, surface_fit: str) -> str:
+    """The reference deprecates `method=` as an alias of `surface_fit=` for the surface-fit
+    attributes (slope/aspect/hillshade, reference terrain.py:437-446)."""
+    if method is not None:
+        warnings.warn("'method' is deprecated, use 'surface_fit' instead.", DeprecationWarning, stacklevel=3)
+        return method
+    return surface_fit
 
-    fn.__name__ = attr
-    fn.__qualname__ = attr
-    fn.__doc__ = doc
+
+def slope(
+    dem: Any,
+    method: Literal["Horn", "ZevenbergThorne"] | None = None,
+    surface_fit: Literal["Horn", "ZevenbergThorne", "Florinsky"] = "Florinsky",
+    degrees: bool = True,
+    resolution: float | tuple[float, float] | None = None,
+    **kwargs: Any,
+) -> Any:
+    """Slope in degrees (default) or radians, from a local surface fit (Horn 1981 /
+    Zevenbergen & Thorne 1987 / Florinsky 2009). Reference terrain.py:694.
+
+    Extra keyword arguments (mesh=, tiled=, mp_config=, engine=, ...) forward to
+    :func:`get_terrain_attribute`.
+    """
+    surface_fit = _resolve_deprecated_method(method, surface_fit)
+    return get_terrain_attribute(dem, attribute="slope", surface_fit=surface_fit,
+                                 degrees=degrees, resolution=resolution, **kwargs)
+
+
+def aspect(
+    dem: Any,
+    method: Literal["Horn", "ZevenbergThorne"] | None = None,
+    surface_fit: Literal["Horn", "ZevenbergThorne", "Florinsky"] = "Florinsky",
+    degrees: bool = True,
+    **kwargs: Any,
+) -> Any:
+    """Aspect (0=N, 90=E, clockwise; flat = 180 as in GDAL) in degrees or radians.
+    Reference terrain.py:773."""
+    surface_fit = _resolve_deprecated_method(method, surface_fit)
+    return get_terrain_attribute(dem, attribute="aspect", surface_fit=surface_fit,
+                                 degrees=degrees, **kwargs)
+
+
+def hillshade(
+    dem: Any,
+    method: Literal["Horn", "ZevenbergThorne"] | None = None,
+    surface_fit: Literal["Horn", "ZevenbergThorne", "Florinsky"] = "Florinsky",
+    azimuth: float = 315.0,
+    altitude: float = 45.0,
+    z_factor: float = 1.0,
+    resolution: float | tuple[float, float] | None = None,
+    **kwargs: Any,
+) -> Any:
+    """GDAL-matching hillshade in [0, 255] (Horn 1981). Reference terrain.py:867."""
+    surface_fit = _resolve_deprecated_method(method, surface_fit)
+    return get_terrain_attribute(dem, attribute="hillshade", surface_fit=surface_fit,
+                                 hillshade_azimuth=azimuth, hillshade_altitude=altitude,
+                                 hillshade_z_factor=z_factor, resolution=resolution, **kwargs)
+
+
+def _curvature_fn(attr: str, refline: int, blurb: str):
+    def fn(
+        dem: Any,
+        resolution: float | tuple[float, float] | None = None,
+        surface_fit: Literal["ZevenbergThorne", "Florinsky"] = "Florinsky",
+        curv_method: Literal["geometric", "directional"] = "geometric",
+        **kwargs: Any,
+    ) -> Any:
+        return get_terrain_attribute(dem, attribute=attr, resolution=resolution,
+                                     surface_fit=surface_fit, curv_method=curv_method, **kwargs)
+
+    fn.__name__ = fn.__qualname__ = attr
+    fn.__doc__ = (f"{blurb} (100 m-1); `curv_method` picks the geometric (Minár 2020) or "
+                  f"directional-derivative (Zevenbergen & Thorne 1987) variant. "
+                  f"Reference terrain.py:{refline}.")
     return fn
 
 
-slope = _wrapper("slope", "Slope in degrees (default) or radians. Reference terrain.py:694.")
-aspect = _wrapper("aspect", "Aspect (0=N, 90=E, clockwise) in degrees or radians. Reference terrain.py:773.")
-hillshade = _wrapper("hillshade", "GDAL-matching hillshade in [0, 255]. Reference terrain.py:867.")
-profile_curvature = _wrapper("profile_curvature", "Profile curvature (100 m-1). Reference terrain.py:1016.")
-tangential_curvature = _wrapper("tangential_curvature", "Tangential curvature (100 m-1). Reference terrain.py:1092.")
-planform_curvature = _wrapper("planform_curvature", "Planform curvature (100 m-1). Reference terrain.py:1169.")
-flowline_curvature = _wrapper("flowline_curvature", "Flowline curvature (100 m-1). Reference terrain.py:1244.")
-max_curvature = _wrapper("max_curvature", "Maximal curvature (100 m-1). Reference terrain.py:1320.")
-min_curvature = _wrapper("min_curvature", "Minimal curvature (100 m-1). Reference terrain.py:1396.")
-topographic_position_index = _wrapper(
-    "topographic_position_index", "TPI (Weiss 2001). Reference terrain.py:1468."
-)
-terrain_ruggedness_index = _wrapper(
-    "terrain_ruggedness_index", "TRI (Riley 1999 / Wilson 2007). Reference terrain.py:1531."
-)
-roughness = _wrapper("roughness", "Roughness (Dartnell 2000): window max - min. Reference terrain.py:1600.")
-rugosity = _wrapper("rugosity", "Rugosity (Jenness 2004), 3x3 only. Reference terrain.py:1661.")
-fractal_roughness = _wrapper("fractal_roughness", "Fractal roughness (Taud & Parrot 2005). Reference terrain.py:1722.")
+profile_curvature = _curvature_fn("profile_curvature", 1016, "Profile curvature")
+tangential_curvature = _curvature_fn("tangential_curvature", 1092, "Tangential curvature")
+planform_curvature = _curvature_fn("planform_curvature", 1169, "Planform curvature")
+flowline_curvature = _curvature_fn("flowline_curvature", 1244, "Flowline curvature")
+max_curvature = _curvature_fn("max_curvature", 1320, "Maximal curvature")
+min_curvature = _curvature_fn("min_curvature", 1396, "Minimal curvature")
+
+
+def topographic_position_index(dem: Any, window_size: int = 3, **kwargs: Any) -> Any:
+    """TPI (Weiss 2001): difference to the window mean of neighbours. Reference terrain.py:1468."""
+    return get_terrain_attribute(dem, attribute="topographic_position_index",
+                                 window_size=window_size, **kwargs)
+
+
+def terrain_ruggedness_index(
+    dem: Any,
+    method: Literal["Riley", "Wilson"] = "Riley",
+    window_size: int = 3,
+    **kwargs: Any,
+) -> Any:
+    """TRI: cumulated differences to neighbouring pixels — Riley 1999 (sqrt of squared diffs,
+    topography) or Wilson 2007 (mean absolute diff, bathymetry). Here `method` selects the
+    TRI variant, NOT the deprecated surface-fit alias (reference terrain.py:1531-1546)."""
+    return get_terrain_attribute(dem, attribute="terrain_ruggedness_index",
+                                 tri_method=method, window_size=window_size, **kwargs)
+
+
+def roughness(dem: Any, window_size: int = 3, **kwargs: Any) -> Any:
+    """Roughness (Dartnell 2000): window max - min. Reference terrain.py:1600."""
+    return get_terrain_attribute(dem, attribute="roughness", window_size=window_size, **kwargs)
+
+
+def rugosity(dem: Any, resolution: float | tuple[float, float] | None = None, **kwargs: Any) -> Any:
+    """Rugosity (Jenness 2004): real-to-planimetric area ratio, 3x3 only. Reference terrain.py:1661."""
+    return get_terrain_attribute(dem, attribute="rugosity", resolution=resolution, **kwargs)
+
+
+def fractal_roughness(dem: Any, window_size_fractal: int = 13, **kwargs: Any) -> Any:
+    """Fractal roughness (Taud & Parrot 2005): local 3-D fractal dimension in [1, 3] by voxel
+    box-counting; window >= 5. Reference terrain.py:1722."""
+    return get_terrain_attribute(dem, attribute="fractal_roughness",
+                                 window_size_fractal=window_size_fractal, **kwargs)
 
 
 def texture_shading(dem: Any, alpha: float = 0.8, **kwargs: Any) -> Any:
@@ -331,13 +418,18 @@ def texture_shading(dem: Any, alpha: float = 0.8, **kwargs: Any) -> Any:
     return get_terrain_attribute(dem, attribute="texture_shading", texture_alpha=alpha, **kwargs)
 
 
-def curvature(dem: Any, **kwargs: Any) -> Any:
+def curvature(
+    dem: Any,
+    resolution: float | tuple[float, float] | None = None,
+    surface_fit: Literal["ZevenbergThorne", "Florinsky"] = "Florinsky",
+    **kwargs: Any,
+) -> Any:
     """Legacy total curvature -2(D+E)*100 (Moore et al. 1991). Deprecated in the reference
-    (terrain.py:944); kept for parity."""
+    (terrain.py:944, default surface_fit Florinsky); kept for parity."""
     warnings.warn(
-        "'curvature' is deprecated and will be removed; use profile/tangential/max/min curvatures.",
+        "The curvature attribute is deprecated, refer to docs for specific curvature functions.",
         DeprecationWarning,
         stacklevel=2,
     )
-    kwargs.setdefault("surface_fit", "ZevenbergThorne")
-    return get_terrain_attribute(dem, attribute="curvature", **kwargs)
+    return get_terrain_attribute(dem, attribute="curvature", resolution=resolution,
+                                 surface_fit=surface_fit, **kwargs)

@@ -70,9 +70,15 @@ class Workflows(ABC):
 
     schema: dict[str, Any] = {}
 
-    def __init__(self, config: str | dict[str, Any], output_dir: str | None = None):
+    def __init__(self, user_config: str | dict[str, Any], output: str | None = None,
+                 output_dir: str | None = None):
         from xdem_tpu.workflows.schemas import validate_configuration
 
+        # `user_config`/`output` are the reference's parameter names (workflows.py:82);
+        # output_dir is kept as an accepted alias.
+        config = user_config
+        if output_dir is None:
+            output_dir = output
         if isinstance(config, str):
             config = load_yaml_config(config)
         self.config = validate_configuration(config, self.schema)
