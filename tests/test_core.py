@@ -506,6 +506,29 @@ class TestRaster:
         dd = ref_dem_test - ref_dem_test
         assert np.nanmax(np.abs(np.asarray(dd.data))) == 0
 
+    def test_comparison_casts_to_mask(self, ref_dem_test):
+        """Comparisons yield boolean mask rasters like the reference's geoutils Raster
+        (reference tests/test_dem.py:161-168); NaN nodata compares False."""
+        arr = np.asarray(ref_dem_test.data)
+        thresh = float(np.nanmedian(arr))
+        mask = ref_dem_test > thresh
+        got = np.asarray(mask.data)
+        assert got.dtype == np.bool_ and type(mask) is type(ref_dem_test)
+        want = np.where(np.isfinite(arr), arr > thresh, False)
+        np.testing.assert_array_equal(got, want)
+        # Complements partition the finite pixels
+        low = np.asarray((ref_dem_test <= thresh).data)
+        assert not (got & low).any()
+        assert ((got | low) == np.isfinite(arr)).all()
+
+    def test_extra_arithmetic_ops(self, ref_dem_test):
+        arr = np.asarray(ref_dem_test.data)
+        np.testing.assert_allclose(np.asarray((2.0 * ref_dem_test).data), 2.0 * arr)
+        np.testing.assert_allclose(np.asarray(abs(-ref_dem_test).data), np.abs(arr))
+        np.testing.assert_allclose(np.asarray((ref_dem_test ** 2).data), arr ** 2, rtol=1e-6)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            np.testing.assert_allclose(np.asarray((1.0 / ref_dem_test).data), 1.0 / arr, rtol=1e-6)
+
     def test_to_pointcloud(self, ref_dem_test):
         pc = ref_dem_test.to_pointcloud(subsample=1000, random_state=42)
         assert len(pc) == 1000

@@ -437,6 +437,24 @@ class TestInitialShiftAndSerialization:
         assert tx == pytest.approx(-sx, abs=0.05 * mag)
         assert ty == pytest.approx(-sy, abs=0.05 * mag)
 
+    def test_initial_shift_validation(self):
+        """initial_shift input validation parity (reference affine.py:1813-1828 and
+        tests/test_dem.py:501-523): 2-tuples get a zero z, nonzero z warns and is zeroed,
+        malformed input raises."""
+        c = coreg.NuthKaab(initial_shift=(10, 50))
+        assert c._meta["inputs"]["affine"]["initial_shift"] == (10, 50, 0)
+        c = coreg.NuthKaab(initial_shift=(10, 50, 0))
+        assert c._meta["inputs"]["affine"]["initial_shift"] == (10, 50, 0)
+        with pytest.warns(UserWarning, match="altitude is currently work"):
+            c = coreg.NuthKaab(initial_shift=(10, 50, 20))
+        assert c._meta["inputs"]["affine"]["initial_shift"] == (10, 50, 0)
+        with pytest.raises(ValueError, match="three numerical values"):
+            coreg.NuthKaab(initial_shift=("2", 2))
+        with pytest.raises(ValueError, match="three numerical values"):
+            coreg.NuthKaab(initial_shift=(2, 3, 4, 5))
+        with pytest.raises(ValueError, match="three numerical values"):
+            coreg.NuthKaab(initial_shift=[2, 3])
+
     def test_save_load_roundtrip(self, ref_tba, tmp_path):
         sx, sy, sz = SHIFTS
         tba = _shifted(ref_tba, sx, sy, sz)

@@ -19,6 +19,7 @@ TPU-first re-design highlights:
 from __future__ import annotations
 
 import logging
+import warnings
 from functools import partial
 from typing import Any, Callable, Iterable, Literal
 
@@ -510,6 +511,24 @@ class AffineCoreg(Coreg):
         if not (meta and "subsample" in meta and subsample == 1.0):
             self._meta["inputs"]["random"]["subsample"] = subsample
         if initial_shift is not None:
+            # Validation matches the reference (affine.py:1813-1828): a 2- or 3-tuple of
+            # numbers; a nonzero z component is zeroed with a warning (not yet supported)
+            if not (
+                isinstance(initial_shift, tuple)
+                and len(initial_shift) in (2, 3)
+                and all(isinstance(v, (float, int)) for v in initial_shift)
+            ):
+                raise ValueError(
+                    "Argument `initial_shift` must be a tuple of exactly two or three numerical values."
+                )
+            if len(initial_shift) == 2:
+                initial_shift = (*initial_shift, 0)
+            elif initial_shift[2] != 0:
+                initial_shift = (*initial_shift[:2], 0)
+                warnings.warn(
+                    "Initial shift in altitude is currently work in progress.",
+                    category=UserWarning,
+                )
             self._meta["inputs"]["affine"]["initial_shift"] = tuple(initial_shift)
         if matrix is not None:
             from xdem_tpu.coreg.base import _check_matrix

@@ -305,8 +305,35 @@ class Raster:
     def __truediv__(self, other: Any) -> "Raster":
         return self._binary_op(other, lambda a, b: a / b)
 
+    def __rmul__(self, other: Any) -> "Raster":
+        return self._binary_op(other, lambda a, b: b * a)
+
+    def __rtruediv__(self, other: Any) -> "Raster":
+        return self._binary_op(other, lambda a, b: b / a)
+
+    def __pow__(self, other: Any) -> "Raster":
+        return self._binary_op(other, lambda a, b: a ** b)
+
     def __neg__(self) -> "Raster":
         return self.copy(new_array=-self.data)
+
+    def __abs__(self) -> "Raster":
+        return self.copy(new_array=jnp.abs(self.data))
+
+    # Comparisons cast to a boolean mask raster, like the reference's geoutils Raster
+    # (tests/test_dem.py:161-168: `dem > 1` is a bool raster). NaN nodata compares False.
+
+    def __gt__(self, other: Any) -> "Raster":
+        return self._binary_op(other, lambda a, b: a > b)
+
+    def __ge__(self, other: Any) -> "Raster":
+        return self._binary_op(other, lambda a, b: a >= b)
+
+    def __lt__(self, other: Any) -> "Raster":
+        return self._binary_op(other, lambda a, b: a < b)
+
+    def __le__(self, other: Any) -> "Raster":
+        return self._binary_op(other, lambda a, b: a <= b)
 
     # ---------------------------------------------------------------- geospatial ops
 
