@@ -529,6 +529,23 @@ class TestRaster:
         with np.errstate(divide="ignore", invalid="ignore"):
             np.testing.assert_allclose(np.asarray((1.0 / ref_dem_test).data), 1.0 / arr, rtol=1e-6)
 
+    def test_path_constructor_downsample_and_nodata(self, ref_dem_test, tmp_path):
+        """DEM(path, downsample=N) decimates on load; nodata= forces the nodata value
+        (reference dem.py:92 via geoutils' decimated read)."""
+        from xdem_tpu.dem import DEM
+
+        p = str(tmp_path / "d.tif")
+        ref_dem_test.save(p)
+        full = DEM(p)
+        half = DEM(p, downsample=2)
+        assert half.res[0] == 2 * full.res[0]
+        np.testing.assert_array_equal(np.asarray(half.data), np.asarray(full.data)[::2, ::2])
+        assert half.bounds.left == full.bounds.left and half.bounds.top == full.bounds.top
+        forced = DEM(p, nodata=float(np.nanmax(np.asarray(full.data))))
+        assert (~np.isfinite(np.asarray(forced.data))).sum() > (~np.isfinite(np.asarray(full.data))).sum()
+        with pytest.raises(TypeError, match="file path"):
+            DEM(np.ones((4, 4)), full.transform, full.crs, downsample=2)
+
     def test_to_pointcloud(self, ref_dem_test):
         pc = ref_dem_test.to_pointcloud(subsample=1000, random_state=42)
         assert len(pc) == 1000

@@ -46,12 +46,15 @@ class Raster:
         nodata: float | None = None,
         area_or_point: Literal["Area", "Point"] = "Area",
         tags: dict[str, str] | None = None,
+        downsample: int = 1,
     ):
         import os
 
         if isinstance(data, (str, os.PathLike)):
             # Path constructor: `DEM(path)` / `Raster(path)` like the reference
-            # (/root/reference/xdem/dem.py:92 via geoutils.Raster).
+            # (/root/reference/xdem/dem.py:92 via geoutils.Raster). `downsample=N` loads
+            # every Nth pixel (geoutils' decimated read); `nodata=` forces the nodata value
+            # when the file metadata lacks or mislabels one.
             if transform is not None or crs is not None:
                 raise TypeError("When constructing from a file path, do not pass transform/crs.")
             from xdem_tpu import io as _io
@@ -65,7 +68,17 @@ class Raster:
             self.tags = dict(loaded.tags)
             if tags:
                 self.tags.update(tags)
+            if nodata is not None:
+                self.data = jnp.where(self.data == float(nodata), jnp.nan, self.data)
+                self.nodata = nodata
+            if downsample and int(downsample) > 1:
+                ds = int(downsample)
+                self.data = self.data[::ds, ::ds]
+                t = self.transform
+                self.transform = Affine(t.a * ds, t.b * ds, t.c, t.d, t.e * ds, t.f)
             return
+        if downsample and int(downsample) > 1:
+            raise TypeError("downsample= only applies when constructing from a file path.")
         if transform is None or crs is None:
             raise TypeError("Raster.__init__() missing 2 required positional arguments: "
                             "'transform' and 'crs'")

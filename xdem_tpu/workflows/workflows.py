@@ -97,19 +97,13 @@ class Workflows(ABC):
 
     def _load_dem(self, dem_cfg: dict[str, Any]) -> DEM:
         """Load a DEM from an inputs config dict (path, nodata, vcrs, downsample)."""
-        dem = DEM.open(dem_cfg["path_to_elev"])
-        if dem_cfg.get("force_source_nodata") is not None:
-            nd = float(dem_cfg["force_source_nodata"])
-            import jax.numpy as jnp
-
-            dem.data = jnp.where(dem.data == nd, jnp.nan, dem.data)
-            dem.nodata = nd
-        # Downsample BEFORE set_vcrs: the coarse DEM is rebuilt from the reprojected raster
-        # and would otherwise lose the vertical CRS (and nodata) applied to the original.
-        ds = dem_cfg.get("downsample", 1)
-        if ds and ds > 1:
-            coarse = dem.reproject(res=(dem.res[0] * ds, dem.res[1] * ds))
-            dem = DEM(coarse.data, coarse.transform, coarse.crs, nodata=dem.nodata)
+        # Decimated read + forced nodata through the path constructor, like the reference's
+        # DEM(path, downsample=..., nodata=...) (geoutils decimated read; dem.py:92)
+        nd = dem_cfg.get("force_source_nodata")
+        ds = int(dem_cfg.get("downsample", 1) or 1)
+        dem = DEM(dem_cfg["path_to_elev"],
+                  nodata=float(nd) if nd is not None else None,
+                  downsample=ds if ds > 1 else 1)
         if dem_cfg.get("force_vcrs") is not None:
             dem.set_vcrs(dem_cfg["force_vcrs"])
         return dem
