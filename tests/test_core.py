@@ -529,6 +529,39 @@ class TestRaster:
         with np.errstate(divide="ignore", invalid="ignore"):
             np.testing.assert_allclose(np.asarray((1.0 / ref_dem_test).data), 1.0 / arr, rtol=1e-6)
 
+    def test_set_mask_and_subsample(self, ref_dem_test):
+        """set_mask poisons pixels to nodata in place; subsample draws valid values or
+        (rows, cols) indices (reference geoutils Raster methods used across its docs)."""
+        dem = ref_dem_test.copy()
+        mask = np.zeros(dem.shape, dtype=bool)
+        mask[:10, :10] = True
+        dem.set_mask(mask)
+        assert not np.isfinite(np.asarray(dem.data)[:10, :10]).any()
+        with pytest.raises(ValueError, match="shape"):
+            dem.set_mask(np.ones((3, 3), dtype=bool))
+        vals = ref_dem_test.subsample(0.1, random_state=1)
+        n_valid = int(np.isfinite(np.asarray(ref_dem_test.data)).sum())
+        assert vals.size == int(0.1 * n_valid) and np.isfinite(vals).all()
+        rr, cc = ref_dem_test.subsample(50, random_state=1, return_indices=True)
+        assert rr.size == 50
+        assert np.isfinite(np.asarray(ref_dem_test.data)[rr, cc]).all()
+
+    def test_vector_rasterize_index_map(self, ref_dem_test):
+        """Vector.rasterize burns per-feature indices 1..N by default, a scalar otherwise
+        (reference geoutils Vector.rasterize, plot_norm_regional_hypso.py:49)."""
+        outlines = examples.get_glacier_outlines()
+        full = examples.get_ref_dem()
+        idx = outlines.rasterize(full)
+        arr = np.asarray(idx.data)
+        mask = outlines.create_mask(full)
+        assert ((arr > 0) == mask).all()
+        assert arr.max() <= len(outlines.polygons)
+        burn = outlines.rasterize(full, in_value=7.5, out_value=np.nan)
+        b = np.asarray(burn.data)
+        assert np.nanmax(b) == 7.5 and np.isnan(b[~mask]).all()
+        with pytest.raises(ValueError, match="entries"):
+            outlines.rasterize(full, in_value=[1.0])
+
     def test_path_constructor_downsample_and_nodata(self, ref_dem_test, tmp_path):
         """DEM(path, downsample=N) decimates on load; nodata= forces the nodata value
         (reference dem.py:92 via geoutils' decimated read)."""

@@ -401,6 +401,31 @@ class Raster:
         _, y = self.transform.xy(rows, np.zeros_like(rows))
         return x, y
 
+    def set_mask(self, mask: Any) -> None:
+        """Mask pixels where ``mask`` is True (set to nodata, i.e. NaN on device) in place —
+        the reference's geoutils `Raster.set_mask` (used throughout its docs, e.g.
+        doc/source/uncertainty.md:292)."""
+        m = np.asarray(mask.data) if isinstance(mask, Raster) else np.asarray(mask)
+        if m.shape != self.shape:
+            raise ValueError(f"Mask shape {m.shape} does not match raster shape {self.shape}.")
+        self.data = jnp.where(jnp.asarray(m.astype(bool)), jnp.nan, self.data)
+
+    def subsample(self, subsample: int | float, random_state: int | None = None,
+                  return_indices: bool = False):
+        """Random subsample of the valid pixels: values by default, (rows, cols) index
+        arrays with ``return_indices=True``. A float <= 1 is a fraction of the valid count,
+        an int is a count (the reference's geoutils `Raster.subsample`, e.g.
+        examples/advanced/plot_norm_regional_hypso.py:62)."""
+        arr = self.get_nanarray()
+        rr, cc = np.nonzero(np.isfinite(arr))
+        n = rr.size
+        count = int(subsample * n) if isinstance(subsample, float) and subsample <= 1 else int(subsample)
+        rng = np.random.default_rng(random_state)
+        idx = rng.choice(n, min(count, n), replace=False)
+        if return_indices:
+            return rr[idx], cc[idx]
+        return arr[rr[idx], cc[idx]]
+
     def translate(self, xoff: float, yoff: float, zoff: float = 0.0, inplace: bool = False) -> "Raster":
         """Shift the georeferencing (and optionally elevation) without resampling."""
         new_transform = self.transform.translation(xoff, yoff)

@@ -146,6 +146,37 @@ class Vector:
         return Vector([self.polygons[i] for i in keep], crs=self.crs,
                       properties=[self.properties[i] for i in keep])
 
+    def rasterize(self, ref: Any = None, transform: Affine | None = None,
+                  shape: Tuple[int, int] | None = None, crs: CRS | int | str | None = None,
+                  in_value: Any = None, out_value: float = 0.0):
+        """Rasterize features to a value grid (the reference's geoutils `Vector.rasterize`,
+        e.g. examples/advanced/plot_norm_regional_hypso.py:49).
+
+        ``in_value=None`` burns the per-feature index 1..N (an index map); a scalar burns
+        that value for every feature; a sequence gives one value per feature. Later features
+        overwrite earlier ones. Returns a float32 Raster with ``out_value`` elsewhere.
+        """
+        from xdem_tpu.raster import Raster
+
+        if ref is not None:
+            transform, shape, crs = ref.transform, ref.shape, ref.crs
+        assert transform is not None and shape is not None
+        vec = self if crs is None or CRS(crs) == self.crs else self.to_crs(crs)
+        n = len(vec.polygons)
+        if in_value is None:
+            values = list(range(1, n + 1))
+        elif np.isscalar(in_value):
+            values = [float(in_value)] * n
+        else:
+            values = [float(v) for v in in_value]
+            if len(values) != n:
+                raise ValueError(f"in_value has {len(values)} entries for {n} features.")
+        out = np.full(shape, float(out_value), dtype=np.float32)
+        for poly, val in zip(vec.polygons, values):
+            m = Vector([poly], crs=vec.crs).create_mask(transform=transform, shape=shape)
+            out[m] = val
+        return Raster(out, transform=transform, crs=crs if crs is not None else vec.crs)
+
     def create_mask(self, ref: Any = None, transform: Affine | None = None, shape: Tuple[int, int] | None = None,
                     crs: CRS | int | str | None = None) -> np.ndarray:
         """Rasterize to a boolean mask (True inside polygons) on a reference grid.
