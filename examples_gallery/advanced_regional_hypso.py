@@ -15,10 +15,9 @@ mask = examples.get_glacier_mask()
 dh = np.where(mask, np.asarray((tba - ref).data), np.nan)
 ref_arr = ref.get_nanarray()
 
-# Label glaciers by connected outline (here: a simple two-region split for the example)
-gid = np.zeros(ref.shape, dtype=int)
-gid[mask] = 1
-gid[mask & (np.arange(ref.shape[1])[None, :] > ref.shape[1] // 2)] = 2
+# Per-glacier index map from the outlines, like the reference's
+# glacier_outlines.rasterize(dem) (plot_norm_regional_hypso.py:49)
+gid = np.asarray(examples.get_glacier_outlines().rasterize(ref).data).astype(int)
 
 # Punch 60% voids into the glacier dh
 rng = np.random.default_rng(42)

@@ -529,6 +529,25 @@ class TestRaster:
         with np.errstate(divide="ignore", invalid="ignore"):
             np.testing.assert_allclose(np.asarray((1.0 / ref_dem_test).data), 1.0 / arr, rtol=1e-6)
 
+    def test_deprecate_version_gate(self):
+        """deprecate() warns until the removal version, then raises (reference
+        _misc.py:92-151, tests/test_misc.py:52)."""
+        from xdem_tpu._misc import deprecate
+
+        @deprecate(removal_version="9.9.9", details="Use shiny instead.")
+        def f():
+            return 1
+
+        with pytest.warns(DeprecationWarning, match="removed in version 9.9.9"):
+            assert f() == 1
+
+        @deprecate(removal_version="0.0.1")
+        def g():
+            return 1
+
+        with pytest.raises(ValueError, match="was removed in 0.0.1"):
+            g()
+
     def test_set_mask_and_subsample(self, ref_dem_test):
         """set_mask poisons pixels to nodata in place; subsample draws valid values or
         (rows, cols) indices (reference geoutils Raster methods used across its docs)."""

@@ -44,17 +44,34 @@ class DeprecationError(Exception):
 
 
 def deprecate(removal_version: str | None = None, details: str | None = None) -> Callable[[Callable[..., T]], Callable[..., T]]:
-    """Mark a function as deprecated: warns on call, mentioning the removal version."""
+    """Mark a function as deprecated: warns on call, mentioning the removal version; once
+    the package version reaches ``removal_version``, calling raises instead (reference
+    _misc.py:92-151)."""
+
+    def _ver(v: str) -> tuple[int, ...]:
+        return tuple(int(p) for p in v.split(".")[:3] if p.split("+")[0].split("rc")[0].isdigit())
 
     def decorator(func: Callable[..., T]) -> Callable[..., T]:
         @functools.wraps(func)
         def wrapper(*args: Any, **kwargs: Any) -> T:
-            msg = f"Call to deprecated function '{func.__name__}'."
-            if removal_version is not None:
-                msg += f" This functionality will be removed in version {removal_version}."
+            import xdem_tpu
+
+            current = _ver(xdem_tpu.__version__)
+            should_warn = removal_version is None or _ver(removal_version) > current
+            if should_warn:
+                msg = f"Call to deprecated function '{func.__name__}'."
+            else:
+                msg = f"Deprecated function '{func.__name__}' was removed in {removal_version}."
             if details is not None:
                 msg += f" {details}"
-            warnings.warn(msg, DeprecationWarning, stacklevel=2)
+            if should_warn and removal_version is not None:
+                msg += f" This functionality will be removed in version {removal_version}."
+            elif not should_warn:
+                msg += f" Current version: {xdem_tpu.__version__}."
+            if should_warn:
+                warnings.warn(msg, DeprecationWarning, stacklevel=2)
+            else:
+                raise ValueError(msg)
             return func(*args, **kwargs)
 
         return wrapper
