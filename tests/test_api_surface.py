@@ -125,6 +125,10 @@ class TestEPCConstructor:
         base = EPC(x=[0.0], y=[0.0], z=[1.0], crs=32633)
         wrapped = EPC(base, vcrs="EGM96")
         assert wrapped.vcrs_name == "EGM96"
+        # Re-wrapping carries the source's vertical CRS; a conflicting crs= raises
+        assert EPC(wrapped).vcrs_name == "EGM96"
+        with pytest.raises(ValueError, match="reproject"):
+            EPC(wrapped, crs=4326)
 
     def test_missing_file_raises(self):
         with pytest.raises(FileNotFoundError):

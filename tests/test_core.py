@@ -564,6 +564,32 @@ class TestRaster:
         rr, cc = ref_dem_test.subsample(50, random_state=1, return_indices=True)
         assert rr.size == 50
         assert np.isfinite(np.asarray(ref_dem_test.data)[rr, cc]).all()
+        # subsample <= 1 is a FRACTION even as an int: 1 means all valid pixels
+        assert ref_dem_test.subsample(1).size == n_valid
+        # A float mask's NaN (= the mask raster has no data there) must not mask
+        d2 = ref_dem_test.copy()
+        fmask = np.zeros(d2.shape, np.float32)
+        fmask[0, 0] = np.nan
+        fmask[1, 1] = 1.0
+        d2.set_mask(fmask)
+        a2 = np.asarray(d2.data)
+        a0 = np.asarray(ref_dem_test.data)
+        assert np.isfinite(a2[0, 0]) == np.isfinite(a0[0, 0])
+        assert not np.isfinite(a2[1, 1])
+
+    def test_eq_mask_and_ambiguous_bool(self, ref_dem_test):
+        """== / != are elementwise mask rasters; truthiness raises like numpy; None
+        comparison keeps object semantics."""
+        eq = ref_dem_test == ref_dem_test
+        arr = np.asarray(eq.data)
+        assert arr.dtype == np.bool_
+        assert arr[np.isfinite(np.asarray(ref_dem_test.data))].all()
+        assert (ref_dem_test == None) is False  # noqa: E711
+        assert (ref_dem_test != None) is True  # noqa: E711
+        with pytest.raises(ValueError, match="ambiguous"):
+            bool(ref_dem_test)
+        # hashable despite __eq__ (identity hash)
+        assert len({ref_dem_test, ref_dem_test}) == 1
 
     def test_vector_rasterize_index_map(self, ref_dem_test):
         """Vector.rasterize burns per-feature indices 1..N by default, a scalar otherwise

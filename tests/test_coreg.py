@@ -437,6 +437,23 @@ class TestInitialShiftAndSerialization:
         assert tx == pytest.approx(-sx, abs=0.05 * mag)
         assert ty == pytest.approx(-sy, abs=0.05 * mag)
 
+    def test_pipeline_fit_and_apply_array_input(self, ref_tba):
+        """Pipelines accept bare arrays with flat transform/crs, threading the updated
+        transform through the chained step applies and returning (array, transform) like a
+        single Coreg (reference base.py:3018-3051)."""
+        sx, sy, sz = SHIFTS
+        tba = _shifted(ref_tba, sx, sy, sz)
+        pipe = coreg.VerticalShift() + coreg.VerticalShift()
+        arr, out_transform = pipe.fit_and_apply(
+            np.asarray(ref_tba.data), np.asarray(tba.data),
+            transform=ref_tba.transform, crs=ref_tba.crs,
+        )
+        assert arr.shape == tba.shape
+        # Raster input still returns a raster
+        pipe2 = coreg.VerticalShift() + coreg.VerticalShift()
+        out = pipe2.fit_and_apply(ref_tba, tba)
+        assert out.shape == tba.shape
+
     def test_initial_shift_validation(self):
         """initial_shift input validation parity (reference affine.py:1813-1828 and
         tests/test_dem.py:501-523): 2-tuples get a zero z, nonzero z warns and is zeroed,

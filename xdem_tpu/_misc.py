@@ -39,8 +39,10 @@ def get_progress(iterable: Iterable[T], total: int | None = None, desc: str | No
     return iter(iterable)
 
 
-class DeprecationError(Exception):
-    """Raised when calling functionality past its removal version."""
+class DeprecationError(ValueError):
+    """Raised when calling functionality past its removal version (a ValueError so callers
+    matching the reference's ValueError still catch it; reference _misc.py:144 raises
+    ValueError directly)."""
 
 
 def deprecate(removal_version: str | None = None, details: str | None = None) -> Callable[[Callable[..., T]], Callable[..., T]]:
@@ -49,7 +51,17 @@ def deprecate(removal_version: str | None = None, details: str | None = None) ->
     _misc.py:92-151)."""
 
     def _ver(v: str) -> tuple[int, ...]:
-        return tuple(int(p) for p in v.split(".")[:3] if p.split("+")[0].split("rc")[0].isdigit())
+        # Base-version parse: leading digits of each dot component ('0.2.0rc1+local' ->
+        # (0, 2, 0)), the stdlib-free analog of packaging's Version().base_version
+        import re
+
+        parts = []
+        for p in v.split(".")[:3]:
+            m = re.match(r"\d+", p)
+            if m is None:
+                break
+            parts.append(int(m.group()))
+        return tuple(parts)
 
     def decorator(func: Callable[..., T]) -> Callable[..., T]:
         @functools.wraps(func)
@@ -71,7 +83,7 @@ def deprecate(removal_version: str | None = None, details: str | None = None) ->
             if should_warn:
                 warnings.warn(msg, DeprecationWarning, stacklevel=2)
             else:
-                raise ValueError(msg)
+                raise DeprecationError(msg)
             return func(*args, **kwargs)
 
         return wrapper

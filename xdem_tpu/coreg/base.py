@@ -494,7 +494,7 @@ def _preprocess_coreg_fit(
         ref_out = jnp.asarray(reference_elev) if ref_is_rst else reference_elev
         tba_out = jnp.asarray(to_be_aligned_elev) if tba_is_rst else to_be_aligned_elev
 
-    mask = _mask_to_array(inlier_mask, ref_raster or tba_raster)
+    mask = _mask_to_array(inlier_mask, ref_raster if ref_raster is not None else tba_raster)
     # Pixel-interpretation shift at the RESOLVED level so bare-array raster-point inputs
     # behave like Raster-wrapped ones: a "Point" grid carries samples at pixel corners; the
     # gather interpolation assumes centers, so the mixed raster-point paths get a half-pixel-
@@ -1092,34 +1092,37 @@ class CoregPipeline(Coreg):
     ) -> "CoregPipeline":
         """Fit each step on the running to-be-aligned elevation (reference base.py:2972)."""
         tba = to_be_aligned_elev
+        # The in-fit apply of each step needs the georeferencing when tba is a bare array
+        # (reference base.py:3018-3051 threads transform/crs through the step applies)
+        apply_kw = {k: kwargs[k] for k in ("transform", "crs", "z_name") if k in kwargs}
         for i, step in enumerate(self.pipeline):
             logging.info("Running pipeline step: %d / %d", i + 1, len(self.pipeline))
             step_bias = self._parse_bias_vars(i, bias_vars)
             step.fit(reference_elev, tba, inlier_mask=inlier_mask, bias_vars=step_bias, **kwargs)
-            tba = step.apply(tba, bias_vars=step_bias)
+            tba = step.apply(tba, bias_vars=step_bias, **apply_kw)
+            if isinstance(tba, tuple):  # array input returns (array, transform)
+                apply_kw["transform"] = tba[1]
+                tba = tba[0]
         self._fit_called = True
         return self
 
     def apply(self, elev: Any, bias_vars: dict[str, Any] | None = None, **kwargs: Any) -> Any:
-        """Chain the apply of each step (reference base.py:3098)."""
+        """Chain the apply of each step (reference base.py:3098). For bare-array input each
+        step returns (array, transform); the updated transform threads into the next step
+        and the final pair is returned like a single Coreg.apply would."""
         out = elev
         for i, step in enumerate(self.pipeline):
             step_bias = self._parse_bias_vars(i, bias_vars)
             out = step.apply(out, bias_vars=step_bias, **kwargs)
+            if isinstance(out, tuple):
+                kwargs["transform"] = out[1]
+                out = out[0]
+        if "transform" in kwargs and not isinstance(elev, Raster):
+            return out, kwargs["transform"]
         return out
 
-    def fit_and_apply(self, reference_elev, to_be_aligned_elev, inlier_mask=None, bias_vars=None,
-                      fit_kwargs=None, apply_kwargs=None, **kwargs):
-        fkw = {
-            k: kwargs.pop(k)
-            for k in ("weights", "subsample", "transform", "crs", "area_or_point", "z_name", "random_state")
-            if k in kwargs
-        }
-        fkw.update(fit_kwargs or {})
-        akw = dict(kwargs)
-        akw.update(apply_kwargs or {})
-        self.fit(reference_elev, to_be_aligned_elev, inlier_mask=inlier_mask, bias_vars=bias_vars, **fkw)
-        return self.apply(to_be_aligned_elev, bias_vars=bias_vars, **akw)
+    # fit_and_apply is inherited from Coreg: the same flat-kwarg routing (transform/crs/
+    # z_name copied into the apply call) and fit_kwargs/apply_kwargs dicts apply to pipelines.
 
     def _to_matrix_func(self) -> np.ndarray:
         """Product of the step matrices (reference base.py:3187)."""

@@ -45,7 +45,9 @@ class DEMCollection:
 
     @property
     def reference_index(self) -> int:
-        return self.dems.index(self.reference_dem)
+        # Identity scan: raster == raster is ELEMENTWISE (a mask raster), so list.index
+        # would compare by truthiness instead of identity
+        return next(i for i, d in enumerate(self.dems) if d is self.reference_dem)
 
     @property
     def reference_timestamp(self) -> Any:

@@ -10,6 +10,7 @@ from typing import Any
 
 import numpy as np
 
+from xdem_tpu.georef import CRS
 from xdem_tpu.pointcloud import PointCloud
 from xdem_tpu.vcrs import _transform_zz, _vcrs_from_user_input
 
@@ -54,9 +55,18 @@ class EPC(PointCloud):
                     raise FileNotFoundError(f"{src} does not exist")
                 src = read_epc(str(src), crs=kwargs.pop("crs", None))
             if isinstance(src, PointCloud):
+                wrap_crs = kwargs.pop("crs", None)
+                if wrap_crs is not None and CRS(wrap_crs) != src.crs:
+                    raise ValueError(
+                        "Wrapping does not reproject: the PointCloud is already in "
+                        f"{src.crs}; call .to_crs({wrap_crs}) first."
+                    )
                 col = data_column or src.data_column
                 super().__init__(x=src.x, y=src.y, z=src.z, crs=src.crs, data_column=col,
                                  aux_columns=getattr(src, "aux_columns", None), **kwargs)
+                # Wrapping an EPC carries its vertical CRS unless explicitly overridden
+                if vcrs is None:
+                    vcrs = getattr(src, "_vcrs", None)
             elif hasattr(src, "columns"):  # pandas DataFrame with x/y + elevation columns
                 col = data_column or "z"
                 if not {"x", "y", col}.issubset(set(src.columns)):

@@ -74,8 +74,10 @@ class Raster:
             if downsample and int(downsample) > 1:
                 ds = int(downsample)
                 self.data = self.data[::ds, ::ds]
+                # Both strides scale all four linear terms (x = a*col + b*row + c;
+                # y = d*col + e*row + f) — including shear on rotated grids
                 t = self.transform
-                self.transform = Affine(t.a * ds, t.b * ds, t.c, t.d, t.e * ds, t.f)
+                self.transform = Affine(t.a * ds, t.b * ds, t.c, t.d * ds, t.e * ds, t.f)
             return
         if downsample and int(downsample) > 1:
             raise TypeError("downsample= only applies when constructing from a file path.")
@@ -348,6 +350,28 @@ class Raster:
     def __le__(self, other: Any) -> "Raster":
         return self._binary_op(other, lambda a, b: a <= b)
 
+    def __eq__(self, other: Any) -> Any:  # type: ignore[override]
+        # Elementwise like the other comparisons; non-numeric operands (None, strings)
+        # keep ordinary equality semantics instead of raising
+        if isinstance(other, (Raster, int, float, np.ndarray, jnp.ndarray)):
+            return self._binary_op(other, lambda a, b: a == b)
+        return NotImplemented
+
+    def __ne__(self, other: Any) -> Any:  # type: ignore[override]
+        if isinstance(other, (Raster, int, float, np.ndarray, jnp.ndarray)):
+            return self._binary_op(other, lambda a, b: a != b)
+        return NotImplemented
+
+    # Defining __eq__ would otherwise clear hashability; identity hash keeps rasters
+    # usable in dicts/sets (matching object semantics)
+    __hash__ = object.__hash__
+
+    def __bool__(self) -> bool:
+        raise ValueError(
+            "The truth value of a raster is ambiguous (comparisons are elementwise); use "
+            "`is`/`is not` for identity, or reduce explicitly (e.g. np.all/np.any on .data)."
+        )
+
     # ---------------------------------------------------------------- geospatial ops
 
     def get_metric_crs(self) -> CRS:
@@ -408,6 +432,10 @@ class Raster:
         m = np.asarray(mask.data) if isinstance(mask, Raster) else np.asarray(mask)
         if m.shape != self.shape:
             raise ValueError(f"Mask shape {m.shape} does not match raster shape {self.shape}.")
+        if np.issubdtype(m.dtype, np.floating):
+            # A float mask's NaN means "mask has no data there" = do not mask (geoutils
+            # fills masked mask values with False), NOT astype(bool)'s NaN -> True
+            m = np.where(np.isfinite(m), m, 0.0)
         self.data = jnp.where(jnp.asarray(m.astype(bool)), jnp.nan, self.data)
 
     def subsample(self, subsample: int | float, random_state: int | None = None,
@@ -419,7 +447,9 @@ class Raster:
         arr = self.get_nanarray()
         rr, cc = np.nonzero(np.isfinite(arr))
         n = rr.size
-        count = int(subsample * n) if isinstance(subsample, float) and subsample <= 1 else int(subsample)
+        # subsample <= 1 is a fraction regardless of int/float (geoutils subsample_array
+        # and coreg/affine.py:71 semantics: subsample=1 means 100% of the valid pixels)
+        count = int(subsample * n) if subsample <= 1 else int(subsample)
         rng = np.random.default_rng(random_state)
         idx = rng.choice(n, min(count, n), replace=False)
         if return_indices:

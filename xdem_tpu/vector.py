@@ -172,9 +172,25 @@ class Vector:
             if len(values) != n:
                 raise ValueError(f"in_value has {len(values)} entries for {n} features.")
         out = np.full(shape, float(out_value), dtype=np.float32)
+        t = transform
+        north_up = t.b == 0 and t.d == 0 and t.a > 0 and t.e < 0
+        h, w = shape
         for poly, val in zip(vec.polygons, values):
-            m = Vector([poly], crs=vec.crs).create_mask(transform=transform, shape=shape)
-            out[m] = val
+            if north_up:
+                # Confine the scanline fill to the feature's bounding-box window: per-feature
+                # full-grid passes would be O(n_features * h * w)
+                pts = np.vstack([np.asarray(r) for r in poly])
+                r0 = int(np.clip(np.floor((pts[:, 1].max() - t.f) / t.e - 0.5), 0, h - 1))
+                r1 = int(np.clip(np.ceil((pts[:, 1].min() - t.f) / t.e + 0.5), 0, h - 1))
+                c0 = int(np.clip(np.floor((pts[:, 0].min() - t.c) / t.a - 0.5), 0, w - 1))
+                c1 = int(np.clip(np.ceil((pts[:, 0].max() - t.c) / t.a + 0.5), 0, w - 1))
+                t_win = Affine(t.a, t.b, t.c + t.a * c0, t.d, t.e, t.f + t.e * r0)
+                m = Vector([poly], crs=vec.crs).create_mask(
+                    transform=t_win, shape=(r1 - r0 + 1, c1 - c0 + 1))
+                out[r0:r1 + 1, c0:c1 + 1][m] = val
+            else:
+                m = Vector([poly], crs=vec.crs).create_mask(transform=t, shape=shape)
+                out[m] = val
         return Raster(out, transform=transform, crs=crs if crs is not None else vec.crs)
 
     def create_mask(self, ref: Any = None, transform: Affine | None = None, shape: Tuple[int, int] | None = None,
