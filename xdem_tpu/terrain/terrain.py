@@ -309,6 +309,14 @@ def slope(
 
     Extra keyword arguments (mesh=, tiled=, mp_config=, engine=, ...) forward to
     :func:`get_terrain_attribute`.
+
+    A unit ramp has a 45-degree slope (the reference's own docstring example,
+    terrain.py:268-279):
+
+    >>> import numpy as np
+    >>> ramp = np.repeat(np.arange(5, dtype=float)[None, :], 5, axis=0)
+    >>> round(float(slope(ramp, surface_fit="ZevenbergThorne", resolution=1.0)[2, 2]), 4)
+    45.0
     """
     surface_fit = _resolve_deprecated_method(method, surface_fit)
     return get_terrain_attribute(dem, attribute="slope", surface_fit=surface_fit,
@@ -322,8 +330,15 @@ def aspect(
     degrees: bool = True,
     **kwargs: Any,
 ) -> Any:
-    """Aspect (0=N, 90=E, clockwise; flat = 180 as in GDAL) in degrees or radians.
-    Reference terrain.py:773."""
+    """Aspect (0=N, 90=E, clockwise) in degrees or radians. Reference terrain.py:773.
+
+    A ramp rising eastward faces west:
+
+    >>> import numpy as np
+    >>> ramp = np.repeat(np.arange(5, dtype=float)[None, :], 5, axis=0)
+    >>> round(float(aspect(ramp, surface_fit="ZevenbergThorne", resolution=1.0)[2, 2]), 4)
+    270.0
+    """
     surface_fit = _resolve_deprecated_method(method, surface_fit)
     return get_terrain_attribute(dem, attribute="aspect", surface_fit=surface_fit,
                                  degrees=degrees, **kwargs)
@@ -339,7 +354,14 @@ def hillshade(
     resolution: float | tuple[float, float] | None = None,
     **kwargs: Any,
 ) -> Any:
-    """GDAL-matching hillshade in [0, 255] (Horn 1981). Reference terrain.py:867."""
+    """GDAL-matching hillshade in [0, 255] (Horn 1981). Reference terrain.py:867.
+
+    A flat surface under the default 45-degree sun shades to 1.5 + 254*sin(45deg):
+
+    >>> import numpy as np
+    >>> round(float(hillshade(np.zeros((5, 5)), resolution=1.0)[2, 2]), 2)
+    181.11
+    """
     surface_fit = _resolve_deprecated_method(method, surface_fit)
     return get_terrain_attribute(dem, attribute="hillshade", surface_fit=surface_fit,
                                  hillshade_azimuth=azimuth, hillshade_altitude=altitude,
@@ -373,7 +395,15 @@ min_curvature = _curvature_fn("min_curvature", 1396, "Minimal curvature")
 
 
 def topographic_position_index(dem: Any, window_size: int = 3, **kwargs: Any) -> Any:
-    """TPI (Weiss 2001): difference to the window mean of neighbours. Reference terrain.py:1468."""
+    """TPI (Weiss 2001): difference to the window mean of neighbours. Reference terrain.py:1468.
+
+    A unit bump on a flat plane sits one unit above its (all-zero) neighbours:
+
+    >>> import numpy as np
+    >>> bump = np.zeros((5, 5)); bump[2, 2] = 1.0
+    >>> float(topographic_position_index(bump)[2, 2])
+    1.0
+    """
     return get_terrain_attribute(dem, attribute="topographic_position_index",
                                  window_size=window_size, **kwargs)
 
@@ -386,13 +416,27 @@ def terrain_ruggedness_index(
 ) -> Any:
     """TRI: cumulated differences to neighbouring pixels — Riley 1999 (sqrt of squared diffs,
     topography) or Wilson 2007 (mean absolute diff, bathymetry). Here `method` selects the
-    TRI variant, NOT the deprecated surface-fit alias (reference terrain.py:1531-1546)."""
+    TRI variant, NOT the deprecated surface-fit alias (reference terrain.py:1531-1546).
+
+    Riley on a unit bump: sqrt of eight squared unit differences = 2*sqrt(2):
+
+    >>> import numpy as np
+    >>> bump = np.zeros((5, 5)); bump[2, 2] = 1.0
+    >>> round(float(terrain_ruggedness_index(bump)[2, 2]), 4)
+    2.8284
+    """
     return get_terrain_attribute(dem, attribute="terrain_ruggedness_index",
                                  tri_method=method, window_size=window_size, **kwargs)
 
 
 def roughness(dem: Any, window_size: int = 3, **kwargs: Any) -> Any:
-    """Roughness (Dartnell 2000): window max - min. Reference terrain.py:1600."""
+    """Roughness (Dartnell 2000): window max - min. Reference terrain.py:1600.
+
+    >>> import numpy as np
+    >>> bump = np.zeros((5, 5)); bump[2, 2] = 1.0
+    >>> float(roughness(bump)[2, 2])
+    1.0
+    """
     return get_terrain_attribute(dem, attribute="roughness", window_size=window_size, **kwargs)
 
 
