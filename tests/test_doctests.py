@@ -14,6 +14,8 @@ import xdem_tpu.config  # noqa: F401  (the package re-exports `config` as the di
 import xdem_tpu.fit  # module object must come from sys.modules)
 import xdem_tpu.geoid
 import xdem_tpu.georef
+import xdem_tpu.coreg.base
+import xdem_tpu.ops.reductions
 import xdem_tpu.terrain.terrain
 import xdem_tpu.vector
 import xdem_tpu.volume
@@ -23,7 +25,8 @@ _config_mod = sys.modules["xdem_tpu.config"]
 
 @pytest.mark.parametrize("module", [xdem_tpu.georef, xdem_tpu.fit, xdem_tpu.volume,
                                     xdem_tpu.geoid, _config_mod, xdem_tpu.vector,
-                                    xdem_tpu.terrain.terrain])
+                                    xdem_tpu.terrain.terrain, xdem_tpu.coreg.base,
+                                    xdem_tpu.ops.reductions])
 def test_doctests(module):
     results = doctest.testmod(module, verbose=False)
     assert results.failed == 0, f"{results.failed} doctest failures in {module.__name__}"

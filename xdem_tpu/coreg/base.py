@@ -83,7 +83,16 @@ def matrix_from_translations_rotations(
 
     The reference's keyword names (``t1/t2/t3`` for the translations, ``alpha1/alpha2/alpha3``
     for the rotations) are accepted as aliases of this project's ``t_x/t_y/t_z`` and
-    ``alpha/beta/gamma``."""
+    ``alpha/beta/gamma``.
+
+    Translations land in the last column, and inversion negates a pure translation:
+
+    >>> m = matrix_from_translations_rotations(1.0, 2.0, 3.0, 0.0, 0.0, 0.0)
+    >>> m[:3, 3]
+    array([1., 2., 3.])
+    >>> [round(float(v), 6) for v in translations_rotations_from_matrix(invert_matrix(m))[:3]]
+    [-1.0, -2.0, -3.0]
+    """
     t_x = t_x if t1 is None else t1
     t_y = t_y if t2 is None else t2
     t_z = t_z if t3 is None else t3

@@ -26,7 +26,14 @@ def nanmedian(x: jnp.ndarray, axis=None) -> jnp.ndarray:
 
 @jax.jit
 def nmad(x: jnp.ndarray) -> jnp.ndarray:
-    """Normalized median absolute deviation: 1.4826 * median(|x - median(x)|), NaN-aware."""
+    """Normalized median absolute deviation: 1.4826 * median(|x - median(x)|), NaN-aware.
+
+    Robust to the outlier that would wreck a standard deviation:
+
+    >>> import numpy as np
+    >>> round(float(nmad(np.array([1.0, 2.0, 3.0, 4.0, 100.0]))), 4)
+    1.4826
+    """
     med = jnp.nanmedian(x)
     return _NMAD_FACTOR * jnp.nanmedian(jnp.abs(x - med))
 
