@@ -291,18 +291,40 @@ def _make_fractal_kernel(w: int, tr: int, tc: int):
         # temporaries (~200 tile-sized values), fitting at tile=128 but not 256.
         sum_y = jnp.zeros((tr, tc), dtype=jnp.float32)
         sum_xy = jnp.zeros((tr, tc), dtype=jnp.float32)
+        # Box maxima reuse: a q-box is the max of (q/p)^2 p-boxes for any divisor p of q
+        # already computed (max is associative, so this is bit-exact). For w=13
+        # (qs=[1,2,3,6]) the q=6 boxes drop from 35 window reads each to 3 in-register
+        # maxima of the q=3 boxes — the window-offset reads are the kernel's dominant cost.
+        box_cache: dict[int, dict[tuple[int, int], Any]] = {}
         for q, lq in zip(qs, log_q):
             nq = (w - 1) // q
+            src = max((p for p in box_cache if p > 1 and q % p == 0), default=None)
+            boxes: dict[tuple[int, int], Any] = {}
             ns = jnp.zeros((tr, tc), dtype=jnp.float32)
             for bj in range(nq):
                 for bk in range(nq):
-                    m = sl(bj * q, bk * q)
-                    for u in range(q):
-                        for v in range(q):
-                            if u == 0 and v == 0:
-                                continue
-                            m = jnp.maximum(m, sl(bj * q + u, bk * q + v))
+                    if src is not None:
+                        f = q // src
+                        m = None
+                        for u in range(f):
+                            for v in range(f):
+                                sub = box_cache[src][(bj * f + u, bk * f + v)]
+                                m = sub if m is None else jnp.maximum(m, sub)
+                    else:
+                        m = sl(bj * q, bk * q)
+                        for u in range(q):
+                            for v in range(q):
+                                if u == 0 and v == 0:
+                                    continue
+                                m = jnp.maximum(m, sl(bj * q + u, bk * q + v))
+                    boxes[(bj, bk)] = m
                     ns = ns + jnp.clip(m - center, 0.0, float(w))
+            def _best_src(q2: int) -> int | None:
+                return max((p for p in qs if 1 < p < q2 and q2 % p == 0), default=None)
+
+            # Keep only boxes that a later scale will actually consume (VMEM stack pressure)
+            if q > 1 and any(_best_src(q2) == q for q2 in qs if q2 > q):
+                box_cache[q] = boxes
             y = jnp.log(ns / q)
             sum_y = sum_y + y
             sum_xy = sum_xy + lq * y
