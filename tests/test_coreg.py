@@ -247,6 +247,20 @@ class TestBiasCorr:
         with pytest.raises(ValueError, match="bias_var"):
             c.fit(ref_tba, ref_tba)
 
+    def test_biascorr_constructor_validation(self):
+        """Constructor argument validation parity (reference tests/test_coreg/
+        test_biascorr.py:104-160)."""
+        with pytest.raises(ValueError, match="must be 'bin_and_fit', 'fit' or 'bin'"):
+            coreg.BiasCorr(fit_or_bin=True)
+        with pytest.raises(TypeError, match="fit_func"):
+            coreg.BiasCorr(fit_func="yay")
+        with pytest.raises(TypeError, match="bin_sizes"):
+            coreg.BiasCorr(fit_or_bin="bin", bin_sizes={"a": 1.5})
+        with pytest.raises(TypeError, match="bin_statistic"):
+            coreg.BiasCorr(fit_or_bin="bin", bin_statistic=3)
+        # Valid dict forms pass
+        coreg.BiasCorr(fit_or_bin="bin", bin_sizes={"a": 5, "b": [0.0, 1.0, 2.0]})
+
 
 class TestBaseBehaviors:
     """Coreg base-class behaviors (reference test_base.py:328-455)."""

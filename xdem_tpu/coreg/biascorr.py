@@ -88,7 +88,12 @@ class BiasCorr(Coreg):
                 fit_optimizer = fit_workflows[fit_func]["optimizer"]
                 fit_func = fit_workflows[fit_func]["func"]
         if fit_or_bin in ("bin", "bin_and_fit"):
-            if not (isinstance(bin_sizes, int) or isinstance(bin_sizes, dict)):
+            if not (isinstance(bin_sizes, int) or (
+                isinstance(bin_sizes, dict)
+                and all(isinstance(v, (int, Iterable)) for v in bin_sizes.values())
+            )):
+                # A dict of plain floats is neither a size nor bin edges (reference
+                # biascorr.py:106-111 rejects it the same way)
                 raise TypeError(
                     f"Argument `bin_sizes` must be an integer, or a dictionary of integers or iterables, "
                     f"got {type(bin_sizes)}."
