@@ -1,0 +1,71 @@
+"""Direct micro-tests for the small ops helpers that higher-level paths use internally
+(masked reductions, shape bucketing, pixel-center coordinates, 2-D mesh adaptation)."""
+
+import numpy as np
+import pytest
+
+from xdem_tpu.georef import Affine
+from xdem_tpu.ops.interp import grid_coords
+from xdem_tpu.ops.reductions import masked_median, masked_nmad, nmad
+from xdem_tpu.ops.transfer import pad_to_bucket
+
+
+class TestMaskedReductions:
+    def test_masked_median_and_nmad_match_numpy(self):
+        rng = np.random.default_rng(0)
+        x = rng.normal(10, 3, 1000).astype(np.float32)
+        valid = rng.random(1000) > 0.3
+        assert float(masked_median(x, valid)) == pytest.approx(np.median(x[valid]), rel=1e-6)
+        want_nmad = 1.4826 * np.median(np.abs(x[valid] - np.median(x[valid])))
+        assert float(masked_nmad(x, valid)) == pytest.approx(want_nmad, rel=1e-5)
+
+    def test_masked_equals_nan_poisoned(self):
+        x = np.array([1.0, 2.0, 3.0, 4.0, 100.0], np.float32)
+        valid = np.array([True, True, True, True, False])
+        assert float(masked_nmad(x, valid)) == pytest.approx(float(nmad(np.where(valid, x, np.nan))))
+
+
+class TestPadToBucket:
+    def test_noop_on_bucket_grid(self):
+        import jax.numpy as jnp
+
+        a = jnp.ones((64, 128))
+        (out,), shape = pad_to_bucket(64, (a, jnp.nan))
+        assert out is a and shape == (64, 128)
+        (out,), shape = pad_to_bucket(0, (a, jnp.nan))
+        assert out is a
+
+    def test_pads_with_fill_and_returns_shape(self):
+        import jax.numpy as jnp
+
+        a = jnp.ones((50, 70))
+        b = jnp.zeros((50, 70), bool)
+        (pa, pb), shape = pad_to_bucket(64, (a, jnp.nan), (b, False))
+        assert shape == (50, 70)
+        assert pa.shape == (64, 128) and pb.shape == (64, 128)
+        assert bool(jnp.isnan(pa[55, 10])) and not bool(pb[55, 10])
+        assert float(pa[10, 10]) == 1.0
+
+
+class TestGridCoords:
+    def test_pixel_centers(self):
+        t = Affine.from_origin(100.0, 500.0, 10.0, 10.0)
+        x, y = grid_coords((3, 4), t)
+        assert float(x[0, 0]) == 105.0 and float(y[0, 0]) == 495.0
+        assert float(x[0, 3]) == 135.0 and float(y[2, 0]) == 475.0
+
+
+class TestMesh2D:
+    def test_as_mesh_2d_adapts_shapes(self):
+        import jax
+
+        from xdem_tpu.parallel.mesh import as_mesh_2d, make_mesh
+
+        m1 = make_mesh(8)
+        m2 = as_mesh_2d(m1)
+        assert len(m2.axis_names) == 2
+        assert int(np.prod(list(m2.shape.values()))) == 8
+        # Already-2D meshes pass through with both axes kept
+        m3 = as_mesh_2d(make_mesh(8, shape=(4, 2)))
+        assert sorted(m3.shape.values()) == [2, 4]
+        assert jax.devices()[0].platform == "cpu"
