@@ -529,6 +529,21 @@ class TestRaster:
         with np.errstate(divide="ignore", invalid="ignore"):
             np.testing.assert_allclose(np.asarray((1.0 / ref_dem_test).data), 1.0 / arr, rtol=1e-6)
 
+    def test_get_stats_reference_aliases(self, ref_dem_test):
+        """get_stats accepts the reference's stat names case/space-insensitively, including
+        LE90 / 90th percentile / sum of squares (geoutils Raster.get_stats alias set)."""
+        s = ref_dem_test.get_stats(["LE90", "90thpercentile", "sumofsquares",
+                                    "Standard deviation", "validcount"])
+        arr = np.asarray(ref_dem_test.data)
+        v = arr[np.isfinite(arr)]
+        assert s["LE90"] == float(np.percentile(np.abs(v), 90))
+        assert s["90thpercentile"] == float(np.percentile(v, 90))
+        assert s["sumofsquares"] == pytest.approx(float(np.sum(v ** 2)), rel=1e-6)
+        assert s["Standard deviation"] == float(np.std(v))
+        assert s["validcount"] == v.size
+        with pytest.raises(KeyError, match="Unknown statistic"):
+            ref_dem_test.get_stats(["bogus"])
+
     def test_deprecate_version_gate(self):
         """deprecate() warns until the removal version, then raises (reference
         _misc.py:92-151, tests/test_misc.py:52)."""

@@ -647,12 +647,39 @@ class Raster:
         return PointCloud(x=x, y=y, z=z, crs=self.crs, data_column=data_column_name)
 
     def get_stats(self, stats: Sequence[str] | None = None) -> dict[str, float]:
-        """Common raster statistics over valid pixels."""
+        """Common raster statistics over valid pixels.
+
+        ``stats`` accepts the reference's full name set case/space-insensitively (geoutils
+        Raster.get_stats): mean/median/max/min/sum/std ("standard deviation")/nmad/rmse/
+        sumofsquares/90thpercentile/le90/validcount/totalcount/percentagevalidpoints."""
         arr = np.asarray(self.data)
-        out = stats_from_values(arr[np.isfinite(arr)], int(arr.size))
-        if stats is not None:
-            return {k: out[k] for k in stats}
-        return out
+        valid = arr[np.isfinite(arr)]
+        out = stats_from_values(valid, int(arr.size))
+        if stats is None:
+            return out
+        alias = {
+            "standarddeviation": "std",
+            "validcount": "valid_count",
+            "totalcount": "total_count",
+            "percentagevalidpoints": "percentage_valid_points",
+        }
+        result = {}
+        for name in stats:
+            key = name.lower().replace(" ", "").replace("_", "")
+            key = alias.get(key, key)
+            if key in out:
+                result[name] = out[key]
+            elif name in out:
+                result[name] = out[name]
+            elif key == "sumofsquares":
+                result[name] = float(np.sum(valid**2)) if valid.size else float("nan")
+            elif key == "90thpercentile":
+                result[name] = float(np.percentile(valid, 90)) if valid.size else float("nan")
+            elif key == "le90":
+                result[name] = float(np.percentile(np.abs(valid), 90)) if valid.size else float("nan")
+            else:
+                raise KeyError(f"Unknown statistic '{name}'.")
+        return result
 
 
 def stats_from_values(valid: np.ndarray, total_count: int) -> dict[str, float]:
