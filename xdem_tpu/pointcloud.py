@@ -226,12 +226,14 @@ class PointCloud:
                       crs if crs is not None else self.crs)
 
     def get_stats(self, stats: Any = None) -> Dict[str, float]:
-        """Statistics of the data column over valid points (geoutils PointCloud.get_stats)."""
-        from xdem_tpu.raster import stats_from_values
+        """Statistics of the data column over valid points (geoutils PointCloud.get_stats);
+        `stats` accepts the reference's alias set incl. LE90/90thpercentile/sumofsquares."""
+        from xdem_tpu.raster import select_stats, stats_from_values
 
-        out = stats_from_values(self.z[np.isfinite(self.z)], int(self.z.size))
+        valid = self.z[np.isfinite(self.z)]
+        out = stats_from_values(valid, int(self.z.size))
         if stats is not None:
-            return {k: out[k] for k in stats}
+            return select_stats(out, valid, stats)
         return out
 
     def info(self) -> str:

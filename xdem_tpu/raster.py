@@ -657,29 +657,7 @@ class Raster:
         out = stats_from_values(valid, int(arr.size))
         if stats is None:
             return out
-        alias = {
-            "standarddeviation": "std",
-            "validcount": "valid_count",
-            "totalcount": "total_count",
-            "percentagevalidpoints": "percentage_valid_points",
-        }
-        result = {}
-        for name in stats:
-            key = name.lower().replace(" ", "").replace("_", "")
-            key = alias.get(key, key)
-            if key in out:
-                result[name] = out[key]
-            elif name in out:
-                result[name] = out[name]
-            elif key == "sumofsquares":
-                result[name] = float(np.sum(valid**2)) if valid.size else float("nan")
-            elif key == "90thpercentile":
-                result[name] = float(np.percentile(valid, 90)) if valid.size else float("nan")
-            elif key == "le90":
-                result[name] = float(np.percentile(np.abs(valid), 90)) if valid.size else float("nan")
-            else:
-                raise KeyError(f"Unknown statistic '{name}'.")
-        return result
+        return select_stats(out, valid, stats)
 
 
 def stats_from_values(valid: np.ndarray, total_count: int) -> dict[str, float]:
@@ -699,6 +677,35 @@ def stats_from_values(valid: np.ndarray, total_count: int) -> dict[str, float]:
         "percentage_valid_points": (float(100 * valid.size / total_count)
                                     if total_count else float("nan")),
     }
+
+
+def select_stats(out: dict[str, float], valid: np.ndarray, stats: Sequence[str]) -> dict[str, float]:
+    """Resolve requested statistic names against a stats_from_values dict, accepting the
+    reference's aliases case/space-insensitively plus the three percentile-family extras
+    (geoutils Raster.get_stats name set)."""
+    alias = {
+        "standarddeviation": "std",
+        "validcount": "valid_count",
+        "totalcount": "total_count",
+        "percentagevalidpoints": "percentage_valid_points",
+    }
+    result = {}
+    for name in stats:
+        key = name.lower().replace(" ", "").replace("_", "")
+        key = alias.get(key, key)
+        if key in out:
+            result[name] = out[key]
+        elif name in out:
+            result[name] = out[name]
+        elif key == "sumofsquares":
+            result[name] = float(np.sum(valid**2)) if valid.size else float("nan")
+        elif key == "90thpercentile":
+            result[name] = float(np.percentile(valid, 90)) if valid.size else float("nan")
+        elif key == "le90":
+            result[name] = float(np.percentile(np.abs(valid), 90)) if valid.size else float("nan")
+        else:
+            raise KeyError(f"Unknown statistic '{name}'.")
+    return result
 
 
 def _mask_to_polygons(mask: np.ndarray) -> list:
