@@ -18,32 +18,7 @@ import numpy as np
 from xdem_tpu.dem import DEM
 from xdem_tpu.raster import Raster
 
-# Statistic aliases: config name -> Raster.get_stats key or callable (reference :58-74)
-_STATS_ALIASES = {
-    "mean": "mean",
-    "median": "median",
-    "max": "max",
-    "min": "min",
-    "sum": "sum",
-    "std": "std",
-    "standarddeviation": "std",
-    "nmad": "nmad",
-    "rmse": "rmse",
-    "validcount": "valid_count",
-    "totalcount": "total_count",
-    "percentagevalidpoints": "percentage_valid_points",
-}
-
-
-def _extra_stats(name: str, arr: np.ndarray) -> float:
-    valid = arr[np.isfinite(arr)]
-    if name == "sumofsquares":
-        return float(np.sum(valid**2))
-    if name == "90thpercentile":
-        return float(np.percentile(valid, 90)) if valid.size else float("nan")
-    if name == "le90":
-        return float(np.percentile(np.abs(valid), 90)) if valid.size else float("nan")
-    raise KeyError(name)
+# Statistic names resolve through Raster.get_stats' shared alias resolver (reference :58-74)
 
 
 def load_yaml_config(path: str) -> dict[str, Any]:
@@ -122,15 +97,7 @@ class Workflows(ABC):
         return np.asarray(mask_r.data) > 0
 
     def compute_stats(self, raster: Raster, names: list[str]) -> dict[str, float]:
-        base = raster.get_stats()
-        arr = raster.get_nanarray()
-        out = {}
-        for name in names:
-            if name in _STATS_ALIASES:
-                out[name] = base[_STATS_ALIASES[name]]
-            else:
-                out[name] = _extra_stats(name, arr)
-        return out
+        return raster.get_stats(names)
 
     def save_stats_table(self, stats: dict[str, Any], name: str) -> Path:
         import pandas as pd
