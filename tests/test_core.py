@@ -533,14 +533,18 @@ class TestRaster:
         """get_stats accepts the reference's stat names case/space-insensitively, including
         LE90 / 90th percentile / sum of squares (geoutils Raster.get_stats alias set)."""
         s = ref_dem_test.get_stats(["LE90", "90thpercentile", "sumofsquares",
-                                    "Standard deviation", "validcount"])
+                                    "Standard deviation", "validcount", "Maximum"])
         arr = np.asarray(ref_dem_test.data)
         v = arr[np.isfinite(arr)]
-        assert s["LE90"] == float(np.percentile(np.abs(v), 90))
+        # LE90 is geoutils' linear_error: the central 90% interval width p95 - p5
+        assert s["LE90"] == float(np.percentile(v, 95) - np.percentile(v, 5))
         assert s["90thpercentile"] == float(np.percentile(v, 90))
         assert s["sumofsquares"] == pytest.approx(float(np.sum(v ** 2)), rel=1e-6)
         assert s["Standard deviation"] == float(np.std(v))
         assert s["validcount"] == v.size
+        assert s["Maximum"] == float(np.max(v))
+        # Single-string form returns the scalar (reference accuracy.py:230)
+        assert ref_dem_test.get_stats("mean") == float(np.mean(v))
         with pytest.raises(KeyError, match="Unknown statistic"):
             ref_dem_test.get_stats(["bogus"])
 

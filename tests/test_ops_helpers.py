@@ -59,12 +59,15 @@ class TestMesh2D:
     def test_as_mesh_2d_adapts_shapes(self):
         import jax
 
-        from xdem_tpu.parallel.mesh import as_mesh_2d, make_mesh
+        from xdem_tpu.parallel.mesh import as_mesh_1d, as_mesh_2d, make_mesh
 
-        m1 = make_mesh(8)
-        m2 = as_mesh_2d(m1)
+        # A genuinely 1-D mesh must reshape to a near-square 2-D one
+        m1d = as_mesh_1d(make_mesh(8))
+        assert len(m1d.axis_names) == 1
+        m2 = as_mesh_2d(m1d)
         assert len(m2.axis_names) == 2
         assert int(np.prod(list(m2.shape.values()))) == 8
+        assert sorted(m2.shape.values()) == [2, 4]
         # Already-2D meshes pass through with both axes kept
         m3 = as_mesh_2d(make_mesh(8, shape=(4, 2)))
         assert sorted(m3.shape.values()) == [2, 4]

@@ -232,9 +232,11 @@ class PointCloud:
 
         valid = self.z[np.isfinite(self.z)]
         out = stats_from_values(valid, int(self.z.size))
-        if stats is not None:
-            return select_stats(out, valid, stats)
-        return out
+        if stats is None:
+            return out
+        if isinstance(stats, str):
+            return select_stats(out, valid, [stats])[stats]
+        return select_stats(out, valid, stats)
 
     def info(self) -> str:
         """Human-readable summary (printed by geoutils PointCloud.info)."""

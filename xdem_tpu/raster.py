@@ -652,11 +652,13 @@ class Raster:
         ``stats`` accepts the reference's full name set case/space-insensitively (geoutils
         Raster.get_stats): mean/median/max/min/sum/std ("standard deviation")/nmad/rmse/
         sumofsquares/90thpercentile/le90/validcount/totalcount/percentagevalidpoints."""
-        arr = np.asarray(self.data)
+        arr = self.get_nanarray()  # cached: repeated get_stats costs one D2H transfer total
         valid = arr[np.isfinite(arr)]
         out = stats_from_values(valid, int(arr.size))
         if stats is None:
             return out
+        if isinstance(stats, str):  # single-name form returns the scalar (reference accuracy.py:230)
+            return select_stats(out, valid, [stats])[stats]
         return select_stats(out, valid, stats)
 
 
@@ -685,6 +687,8 @@ def select_stats(out: dict[str, float], valid: np.ndarray, stats: Sequence[str])
     (geoutils Raster.get_stats name set)."""
     alias = {
         "standarddeviation": "std",
+        "maximum": "max",
+        "minimum": "min",
         "validcount": "valid_count",
         "totalcount": "total_count",
         "percentagevalidpoints": "percentage_valid_points",
@@ -695,14 +699,15 @@ def select_stats(out: dict[str, float], valid: np.ndarray, stats: Sequence[str])
         key = alias.get(key, key)
         if key in out:
             result[name] = out[key]
-        elif name in out:
-            result[name] = out[name]
         elif key == "sumofsquares":
             result[name] = float(np.sum(valid**2)) if valid.size else float("nan")
         elif key == "90thpercentile":
             result[name] = float(np.percentile(valid, 90)) if valid.size else float("nan")
         elif key == "le90":
-            result[name] = float(np.percentile(np.abs(valid), 90)) if valid.size else float("nan")
+            # geoutils' linear_error: the central 90% interval width p95 - p5 (NOT the
+            # 90th percentile of |x| — the two differ by ~2x on symmetric errors)
+            result[name] = (float(np.percentile(valid, 95) - np.percentile(valid, 5))
+                            if valid.size else float("nan"))
         else:
             raise KeyError(f"Unknown statistic '{name}'.")
     return result

@@ -295,6 +295,9 @@ def _make_fractal_kernel(w: int, tr: int, tc: int):
         # already computed (max is associative, so this is bit-exact). For w=13
         # (qs=[1,2,3,6]) the q=6 boxes drop from 35 window reads each to 3 in-register
         # maxima of the q=3 boxes — the window-offset reads are the kernel's dominant cost.
+        def _best_src(q2: int) -> int | None:
+            return max((p for p in qs if 1 < p < q2 and q2 % p == 0), default=None)
+
         box_cache: dict[int, dict[tuple[int, int], Any]] = {}
         for q, lq in zip(qs, log_q):
             nq = (w - 1) // q
@@ -319,9 +322,6 @@ def _make_fractal_kernel(w: int, tr: int, tc: int):
                                 m = jnp.maximum(m, sl(bj * q + u, bk * q + v))
                     boxes[(bj, bk)] = m
                     ns = ns + jnp.clip(m - center, 0.0, float(w))
-            def _best_src(q2: int) -> int | None:
-                return max((p for p in qs if 1 < p < q2 and q2 % p == 0), default=None)
-
             # Keep only boxes that a later scale will actually consume (VMEM stack pressure)
             if q > 1 and any(_best_src(q2) == q for q2 in qs if q2 > q):
                 box_cache[q] = boxes
