@@ -553,6 +553,42 @@ class TestEPCFormats:
         with pytest.raises(ValueError, match="EPSG"):
             write_epc(str(tmp_path / "x.las"), epc)
 
+    def test_las_fuzzed_headers_fail_cleanly(self, tmp_path):
+        """Mutated LAS headers must raise (OSError/ValueError) or parse, never crash or
+        hang — same discipline as the GeoTIFF codec fuzz test. Guards the header-size,
+        point-count and VLR-walk bounds checks in _read_las."""
+        from xdem_tpu.epc import EPC, read_epc, write_epc
+
+        x, y, z = self._pts()
+        p = str(tmp_path / "fuzz.las")
+        write_epc(p, EPC(x=x, y=y, z=z, crs=32633))
+        raw = np.frombuffer(open(p, "rb").read(), np.uint8).copy()
+        rng = np.random.default_rng(7)
+        mut_path = str(tmp_path / "mut.las")
+        for trial in range(150):
+            mutated = raw.copy()
+            n_flips = int(rng.integers(1, 9))
+            # Corrupt header + VLR region (first 300 bytes), keeping the LASF signature
+            idx = rng.integers(4, min(300, len(mutated)), n_flips)
+            mutated[idx] = rng.integers(0, 256, n_flips).astype(np.uint8)
+            open(mut_path, "wb").write(mutated.tobytes())
+            try:
+                epc = read_epc(mut_path, crs=32633)
+                assert len(epc) <= len(x)  # parsed: point count must stay in-file bounds
+            except (OSError, ValueError):
+                pass  # clean rejection
+
+    def test_las_truncated_point_data(self, tmp_path):
+        from xdem_tpu.epc import EPC, read_epc, write_epc
+
+        x, y, z = self._pts()
+        p = str(tmp_path / "t.las")
+        write_epc(p, EPC(x=x, y=y, z=z, crs=32633))
+        raw = open(p, "rb").read()
+        open(p, "wb").write(raw[: len(raw) - 100])
+        with pytest.raises(OSError, match="truncated"):
+            read_epc(p)
+
     def test_las_without_crs_requires_kwarg(self, tmp_path):
         from xdem_tpu.epc import read_epc
 
