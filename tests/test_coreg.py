@@ -62,9 +62,12 @@ class TestApplyMatrix:
 
     def test_translation_updates_transform(self, ref_tba):
         m = matrix_from_translations_rotations(t_x=40.0, t_y=-20.0, t_z=2.0)
-        out = apply_matrix(ref_tba, m)
+        out = apply_matrix(ref_tba, m, resample=False)  # lossless: translated transform
         assert out.transform.c == pytest.approx(ref_tba.transform.c + 40.0)
         assert out.transform.f == pytest.approx(ref_tba.transform.f - 20.0)
+        # Reference-default resample=True comes back on the input grid instead
+        res = apply_matrix(ref_tba, m)
+        assert res.transform.almost_equals(ref_tba.transform)
 
     def test_small_rotation_regrid(self, ref_tba):
         # A small rotation applied then inverted should approximately restore the DEM
@@ -1063,9 +1066,9 @@ class TestCoregLayerReviewRegressions:
 
         ref = examples.get_ref_dem_test()
         m = matrix_from_translations_rotations(7.0, -3.0, 1.0)
-        moved = apply_matrix(ref, m)                      # default: translated transform
+        moved = apply_matrix(ref, m, resample=False)      # lossless translated transform
         assert not moved.transform.almost_equals(ref.transform)
-        resampled = apply_matrix(ref, m, resample=True)   # reference default behavior
+        resampled = apply_matrix(ref, m)                  # reference-default: resample back
         assert resampled.transform.almost_equals(ref.transform)
         # Values at common coordinates agree between the two forms
         sub = np.asarray(resampled.data)[10:-10, 10:-10]

@@ -312,7 +312,7 @@ def apply_matrix(
     matrix: np.ndarray,
     invert: bool = False,
     centroid: tuple[float, float, float] | None = None,
-    resample: bool = False,
+    resample: bool = True,
     resampling: str = "linear",
     transform: Affine | None = None,
     crs: Any = None,
@@ -322,16 +322,16 @@ def apply_matrix(
 ):
     """Apply a 4x4 rigid transform matrix to an elevation dataset (reference base.py:1686).
 
-    `resample=True` resamples the result back onto the INPUT georeferencing (the
-    reference's default behavior for its apply pipeline); the default False returns the
-    data with the translated transform — lossless for pure translations. `crs` is accepted
+    `resample=True` (the reference's default, base.py:1678) resamples the result back onto
+    the INPUT georeferencing; `resample=False` returns the data with the translated
+    transform — lossless for pure translations. `crs` is accepted
     for reference-signature parity: the grid `transform` fully determines the regrid (the
     matrix acts in projected coordinates), so the CRS never enters the computation.
     `z_name` names the elevation column when `elev` is a dataframe (the reference's
     geodataframe path, base.py:1701); the transformed dataframe is returned with the same
     column layout.
     """
-    resampling = {"bilinear": "linear"}.get(resampling, resampling)
+    resampling = {"bilinear": "linear", "cubic_spline": "cubic"}.get(resampling, resampling)
     if invert:
         matrix = invert_matrix(matrix)
     if isinstance(elev, PointCloud):
@@ -769,7 +769,7 @@ class Coreg:
             else:
                 shift_matrix = matrix_from_translations_rotations(t_x=sx0, t_y=sy0, t_z=sz0)
                 tba_r = Raster(tba, transform, crs)
-                shifted = apply_matrix(tba_r, shift_matrix)
+                shifted = apply_matrix(tba_r, shift_matrix, resample=False)
                 data = _reproject_horizontal_shift_samecrs(
                     shifted.data, src_transform=shifted.transform, dst_transform=transform
                 )
@@ -942,7 +942,7 @@ class Coreg:
 
             resampling = _pkg_config["resampling"]
         # Alias applies to EXPLICIT arguments too (the canonical rasterio name)
-        resampling = {"bilinear": "linear"}.get(resampling, resampling)
+        resampling = {"bilinear": "linear", "cubic_spline": "cubic"}.get(resampling, resampling)
 
         if bias_vars is not None:
             bias_vars = {k: (v.data if isinstance(v, Raster) else jnp.asarray(v)) for k, v in bias_vars.items()}
@@ -961,9 +961,11 @@ class Coreg:
             # Affine fallback: apply the matrix (reference base.py:2690-2723)
             if not self.is_affine:
                 raise
+            # resample=False: the shared post-processing below resamples back onto the
+            # original grid exactly when the caller asked for it.
             applied = apply_matrix(
                 elev, self.to_matrix(), centroid=self._meta["outputs"]["affine"].get("centroid"),
-                resampling=resampling, transform=transform, crs=crs,
+                resample=False, resampling=resampling, transform=transform, crs=crs,
             )
 
         # Post-processing: resample back onto the original grid for rasters (base.py:535)
@@ -1029,8 +1031,8 @@ class Coreg:
         t = translations_rotations_from_matrix(self.to_matrix())
         return t[0], t[1], t[2]
 
-    def to_rotations(self) -> tuple[float, float, float]:
-        t = translations_rotations_from_matrix(self.to_matrix())
+    def to_rotations(self, return_degrees: bool = True) -> tuple[float, float, float]:
+        t = translations_rotations_from_matrix(self.to_matrix(), return_degrees=return_degrees)
         return t[3], t[4], t[5]
 
     def _to_matrix_func(self) -> np.ndarray:

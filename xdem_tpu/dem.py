@@ -139,8 +139,9 @@ class DEM(Raster):
             self.tags["VCRS"] = str(self._vcrs)
         super().save(path, **kwargs)
 
-    def info(self, stats: bool = False, verbose: bool = False) -> str:
-        """Summary of the DEM's georeferencing (reference Raster.info/dem parity).
+    def info(self, stats: bool = False, verbose: bool = True) -> str:
+        """Summary of the DEM's georeferencing (reference Raster.info/dem parity;
+        like the reference, the default prints — pass ``verbose=False`` for quiet use).
 
         :param stats: Also include value statistics (min/max/mean/median/std/NMAD).
         :param verbose: Also print the summary (returns it either way).
@@ -310,6 +311,7 @@ class DEM(Raster):
         coreg_method: Any = None,
         inlier_mask: Any = None,
         bias_vars: dict[str, Any] | None = None,
+        random_state: int | None = None,
         **kwargs: Any,
     ) -> "DEM":
         """Coregister THIS DEM to a reference elevation dataset (reference dem.py:622:
@@ -318,6 +320,8 @@ class DEM(Raster):
             from xdem_tpu.coreg import NuthKaab
 
             coreg_method = NuthKaab()
+        if random_state is not None:
+            kwargs.setdefault("random_state", random_state)
         return coreg_method.fit_and_apply(reference_elev, self.copy(), inlier_mask=inlier_mask,
                                           bias_vars=bias_vars, **kwargs)
 

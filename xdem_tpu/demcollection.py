@@ -54,7 +54,7 @@ class DEMCollection:
         """Timestamp of the reference DEM (reference demcollection.py:100)."""
         return self.timestamps[self.reference_index]
 
-    def subtract_dems(self, resampling_method: str = "cubic") -> list[dDEM]:
+    def subtract_dems(self, resampling_method: str = "cubic_spline") -> list[dDEM]:
         """dDEMs between the reference DEM and every DEM (reference demcollection.py:104).
 
         Like the reference, the reference DEM itself yields an all-zero dDEM so the list
@@ -78,7 +78,7 @@ class DEMCollection:
         self.ddems_are_intervalwise = False
         return ddems
 
-    def subtract_dems_intervalwise(self, resampling_method: str = "cubic") -> list[dDEM]:
+    def subtract_dems_intervalwise(self, resampling_method: str = "cubic_spline") -> list[dDEM]:
         """Consecutive-interval dDEMs (later - earlier)."""
         ddems = []
         for i in range(len(self.dems) - 1):

@@ -229,7 +229,7 @@ def robust_norder_polynomial_fit(
     ydata: np.ndarray,
     sigma: np.ndarray | None = None,
     max_order: int = 6,
-    estimator_name: Literal["Linear", "Theil-Sen", "RANSAC", "Huber"] | None = None,
+    estimator_name: Literal["Linear", "Theil-Sen", "RANSAC", "Huber"] = "Huber",
     cost_func: Callable[[np.ndarray], float] = soft_loss,
     margin_improvement: float = 20.0,
     subsample: float | int = 1,

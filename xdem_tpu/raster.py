@@ -474,7 +474,7 @@ class Raster:
         crs: CRS | int | str | None = None,
         res: float | Tuple[float, float] | None = None,
         bounds: Tuple[float, float, float, float] | None = None,
-        resampling: Literal["nearest", "linear", "bilinear", "cubic"] | None = None,
+        resampling: Literal["nearest", "linear", "bilinear", "cubic", "cubic_spline"] | None = None,
         silent: bool = True,
     ) -> "Raster":
         """Reproject/regrid onto a reference raster's grid or an explicit crs/res/bounds.
@@ -489,7 +489,9 @@ class Raster:
             from xdem_tpu.config import config
 
             resampling = config["resampling"]
-        method = {"bilinear": "linear"}.get(resampling, resampling)
+        # Canonical rasterio names accepted for migration parity ("cubic_spline" is the
+        # reference DEMCollection default).
+        method = {"bilinear": "linear", "cubic_spline": "cubic"}.get(resampling, resampling)
         if ref is not None:
             dst_crs, dst_transform, dst_shape = ref.crs, ref.transform, ref.shape
         else:

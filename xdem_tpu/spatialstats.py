@@ -331,11 +331,12 @@ def get_perbin_nd_binning(
     df: pd.DataFrame,
     list_var: Sequence[np.ndarray],
     list_var_names: str | Sequence[str],
-    statistic: str | Callable[[np.ndarray], float] = _stat_nmad,
+    statistic: str | Callable[[np.ndarray], float] = np.nanmedian,
     min_count: int | None = 0,
 ) -> np.ndarray:
     """Per-bin (piecewise-constant) lookup of a binned statistic at variable values
-    (reference :425); bins with fewer than ``min_count`` samples stay NaN."""
+    (reference :425, default statistic nanmedian like the reference); bins with fewer
+    than ``min_count`` samples stay NaN."""
     if isinstance(list_var_names, str):
         list_var_names = [list_var_names]
     stat_name = statistic if isinstance(statistic, str) else statistic.__name__
@@ -2653,13 +2654,13 @@ def plot_2d_binning(
     label_var_name_1: str | None = None,
     label_var_name_2: str | None = None,
     label_statistic: str | None = None,
-    cmap: str = "viridis",
-    min_count: int = 100,
+    cmap: str = "Reds",
+    min_count: int = 30,
     scale_var_1: str = "linear",
     scale_var_2: str = "linear",
     vmin: float | None = None,
     vmax: float | None = None,
-    nodata_color: Any = "white",
+    nodata_color: Any = "yellow",
     ax: Any = None,
     out_fname: str | None = None,
 ) -> Any:
