@@ -784,6 +784,27 @@ class TestSpatialstatsReviewRegressions:
                                        ["var1", "var2"], statistic="nanmedian")
         assert np.isfinite(arr).all()
 
+    def test_interp_nd_binning_from_scratch_frame(self):
+        """The reference accepts ad-hoc frames with numeric mid-value columns and no 'nd'
+        column (its own doctest, reference spatialstats.py:268-289), with specific
+        validation errors (:295-305)."""
+        df = pd.DataFrame({"var1": [1, 2, 3, 1, 2, 3, 1, 2, 3],
+                           "var2": [1, 1, 1, 2, 2, 2, 3, 3, 3],
+                           "statistic": [1, 2, 3, 4, 5, 6, 7, 8, 9]})
+        fn = ss.interp_nd_binning(df, ["var1", "var2"], statistic="statistic", min_count=None)
+        assert float(fn((2, 2))) == pytest.approx(5.0)
+        assert float(fn((1.5, 1.5))) == pytest.approx(3.0)
+        assert float(fn((-1, 1))) == pytest.approx(1.0)  # flat extrapolation
+        with pytest.raises(ValueError, match='Variable "nope" does not exist'):
+            ss.interp_nd_binning(df, ["nope"], statistic="statistic", min_count=None)
+        with pytest.raises(ValueError, match='Statistic "missing" does not exist'):
+            ss.interp_nd_binning(df, ["var1"], statistic="missing", min_count=None)
+        with pytest.raises(ValueError, match='"count" is not in the provided dataframe'):
+            ss.interp_nd_binning(df, ["var1"], statistic="statistic", min_count=5)
+        with pytest.raises(ValueError, match="empty"):
+            ss.interp_nd_binning(pd.DataFrame({"var1": [], "statistic": []}),
+                                 ["var1"], statistic="statistic", min_count=None)
+
     def test_convolution_even_kernel_matches_scipy(self):
         rng = np.random.default_rng(1)
         a = rng.normal(size=(1, 10, 12))

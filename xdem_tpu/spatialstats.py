@@ -200,6 +200,21 @@ def interp_nd_binning(
     linear interpolator with nearest extrapolation is returned. ``interpolate_method``
     ("linear" default, or "nearest") controls how masked/edge bins are in-filled before
     building the interpolator (reference :241,377).
+
+    Accepts an ``nd_binning`` output frame (interval columns + "nd") or a from-scratch
+    frame with numeric mid-value columns (the reference's doctest form, :268-289):
+
+    >>> df = pd.DataFrame({"var1": [1, 2, 3, 1, 2, 3, 1, 2, 3],
+    ...                    "var2": [1, 1, 1, 2, 2, 2, 3, 3, 3],
+    ...                    "statistic": [1, 2, 3, 4, 5, 6, 7, 8, 9]})
+    >>> fun = interp_nd_binning(df, list_var_names=["var1", "var2"],
+    ...                         statistic="statistic", min_count=None)
+    >>> float(fun((2, 2)))      # right on a bin midpoint
+    5.0
+    >>> float(fun((1.5, 1.5)))  # linear inside the grid
+    3.0
+    >>> float(fun((-1, 1)))     # nearest (flat) extrapolation outside
+    1.0
     """
     if interpolate_method not in ("linear", "nearest"):
         raise ValueError(f"interpolate_method must be 'linear' or 'nearest', got {interpolate_method!r}.")
@@ -207,28 +222,58 @@ def interp_nd_binning(
         list_var_names = [list_var_names]
     stat_name = statistic if isinstance(statistic, str) else statistic.__name__
 
-    sub = df[df["nd"] == len(list_var_names)].copy()
+    # Input validation with the reference's semantics (spatialstats.py:295-305): the frame
+    # can be an nd_binning output OR built from scratch with numeric mid-value columns.
+    for name in list_var_names:
+        if name not in df.columns:
+            raise ValueError(f'Variable "{name}" does not exist in the provided dataframe.')
+    if stat_name not in df.columns:
+        raise ValueError(f'Statistic "{stat_name}" does not exist in the provided dataframe.')
+    if min_count is not None and "count" not in df.columns:
+        raise ValueError('Statistic "count" is not in the provided dataframe, necessary to '
+                         "use the min_count argument.")
+    if df.empty:
+        raise ValueError("Dataframe is empty.")
+
+    sub = df.copy()
+    # nd_binning outputs carry an "nd" column: keep only the requested dimensionality.
     # Sibling combos of the SAME dimensionality (e.g. (var1,var3) rows when asking for
     # (var1,var2) out of a 3-variable binning) carry NaN in the requested columns: filter
-    # them like the reference (spatialstats.py:331) or .mid access crashes below
+    # them like the reference (spatialstats.py:331)
+    if "nd" in sub.columns:
+        sub = sub[sub["nd"] == len(list_var_names)]
     for name in list_var_names:
         sub = sub[sub[name].notna()]
+    sub = sub.copy()
+    # Each variable column may hold numeric mid values, pd.Interval objects, or interval
+    # strings (a round-trip through CSV stringifies intervals; reference :315-328)
+    for name in list_var_names:
+        vals = sub[name].values
+        if all(isinstance(x, (int, float, np.integer, np.floating)) for x in vals):
+            sub[name] = np.asarray(vals, dtype=np.float64)
+        elif any(isinstance(x, pd.Interval) for x in vals):
+            sub[name] = pd.IntervalIndex(vals).mid.values
+        elif any(isinstance(_pandas_str_to_interval(x), pd.Interval) for x in vals):
+            sub[name] = pd.IntervalIndex([_pandas_str_to_interval(x) for x in vals]).mid.values
+        else:
+            raise ValueError("The variable columns must be provided as numerical mid values, "
+                             "or pd.Interval values.")
+    sub = sub[np.logical_and.reduce([np.isfinite(sub[name].values.astype(np.float64))
+                                     for name in list_var_names])]
     if len(sub) == 0:
         raise ValueError(f"No {len(list_var_names)}-D binning found in the DataFrame.")
-    sub = sub.copy()
-    for name in list_var_names:
-        sub[name] = sub[name].apply(_pandas_str_to_interval)
 
     # Build the regular grid of bin midpoints
     mids = []
     for name in list_var_names:
-        uniq = sorted({iv.mid for iv in sub[name]})
+        uniq = sorted(set(np.asarray(sub[name].values, dtype=np.float64)))
         mids.append(np.asarray(uniq, dtype=np.float64))
     shape = tuple(len(m) for m in mids)
     grid = np.full(shape, np.nan)
     counts = np.zeros(shape)
     for _, row in sub.iterrows():
-        idx = tuple(int(np.argmin(np.abs(mids[i] - row[name].mid))) for i, name in enumerate(list_var_names))
+        idx = tuple(int(np.argmin(np.abs(mids[i] - float(row[name]))))
+                    for i, name in enumerate(list_var_names))
         grid[idx] = row[stat_name]
         counts[idx] = row.get("count", np.nan)
     if min_count is not None:
