@@ -447,6 +447,18 @@ class TestDeviceMask:
 
 
 class TestRaster:
+    def test_value_at_coords(self, ref_dem_test):
+        """Nearest-pixel lookup (geoutils Raster.value_at_coords): exact pixel values at
+        pixel centers, NaN out of bounds, scalar for scalar input."""
+        arr = np.asarray(ref_dem_test.data)
+        x, y = ref_dem_test.ij2xy(np.array([3, 10]), np.array([7, 2]))
+        vals = ref_dem_test.value_at_coords(x, y)
+        assert vals == pytest.approx([arr[3, 7], arr[10, 2]])
+        b = ref_dem_test.bounds
+        assert np.isnan(ref_dem_test.value_at_coords(b.left - 100.0, b.top + 100.0))
+        one = ref_dem_test.value_at_coords(float(np.atleast_1d(x)[0]), float(np.atleast_1d(y)[0]))
+        assert np.ndim(one) == 0 and one == pytest.approx(arr[3, 7])
+
     def test_reproject_to_self_grid(self, ref_dem_test):
         back = ref_dem_test.reproject(ref_dem_test)
         a = np.asarray(ref_dem_test.data)

@@ -407,6 +407,20 @@ class Raster:
             y = y + 0.5 * (t.d + t.e)
         return _interp_points_dev(self.data, self.transform, x, y, method=method)
 
+    def value_at_coords(self, x: Any, y: Any) -> np.ndarray:
+        """Raster value of the pixel CONTAINING each world (x, y) point — nearest-pixel
+        lookup, no interpolation (geoutils Raster.value_at_coords); out-of-bounds points
+        return NaN. Use :meth:`interp_points` for sub-pixel interpolation."""
+        rows, cols = self.transform.rowcol(np.asarray(x, np.float64), np.asarray(y, np.float64))
+        rows = np.atleast_1d(np.asarray(rows, np.int64))
+        cols = np.atleast_1d(np.asarray(cols, np.int64))
+        h, w = self.shape
+        inside = (rows >= 0) & (rows < h) & (cols >= 0) & (cols < w)
+        arr = self.get_nanarray()
+        out = np.full(rows.shape, np.nan, dtype=np.float64)
+        out[inside] = arr[rows[inside], cols[inside]]
+        return out if out.size > 1 else out.reshape(())[()]
+
     def xy2ij(self, x: Any, y: Any) -> Tuple[Any, Any]:
         return self.transform.rowcol(x, y)
 
