@@ -680,6 +680,32 @@ class TestExamples:
         # Convex hulls cover the blobs: vast majority of true pixels inside
         assert (mask & true_mask).sum() / true_mask.sum() > 0.95
 
+    def test_vector_crop(self, ref_dem_test):
+        """Vector.crop keeps intersecting features; clip=True cuts rings to the rectangle
+        (the reference crops outlines to a cropped DEM's bounds, examples.py:245)."""
+        from xdem_tpu.vector import Vector
+
+        sq = np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0], [0.0, 0.0]])
+        far = sq + 100.0
+        v = Vector([[sq], [far]], crs=32633, properties=[{"name": "near"}, {"name": "far"}])
+        out = v.crop((-5.0, -5.0, 5.0, 5.0))
+        assert len(out) == 1 and out.properties[0]["name"] == "near"
+        clipped = v.crop((-5.0, -5.0, 5.0, 5.0), clip=True)
+        assert len(clipped) == 1
+        ring = clipped.polygons[0][0]
+        assert ring[:, 0].max() <= 5.0 and ring[:, 1].max() <= 5.0
+        assert ring[:, 0].min() >= 0.0 and ring[:, 1].min() >= 0.0
+        # Raster input: cropping the full outlines to the test DEM keeps a subset
+        full = examples.get_glacier_outlines()
+        sub = full.crop(ref_dem_test)
+        assert 0 < len(sub) <= len(full)
+        # Every kept feature's bbox intersects the DEM bounds
+        b = ref_dem_test.bounds
+        for poly in sub.polygons:
+            ext = poly[0]
+            assert ext[:, 0].max() >= b.left and ext[:, 0].min() <= b.right
+            assert ext[:, 1].max() >= b.bottom and ext[:, 1].min() <= b.top
+
 
 class TestExamplePaths:
     def test_get_path_dem(self, tmp_path, monkeypatch):

@@ -127,6 +127,80 @@ class Vector:
             out_polys.append(rings)
         return Vector(out_polys, crs=crs, properties=self.properties)
 
+    def crop(self, bbox: Any, clip: bool = False) -> "Vector":
+        """Features intersecting a bounding box (geoutils Vector.crop; the reference crops
+        outlines to a cropped DEM's bounds, examples.py:245).
+
+        ``bbox`` is a Raster/DEM (its bounds are used, reprojected from its CRS if needed),
+        a Vector, or a (left, bottom, right, top) tuple in THIS vector's CRS. With
+        ``clip=True``, polygon rings are additionally clipped to the rectangle
+        (Sutherland–Hodgman; exact for the convex rectangle).
+        """
+        if hasattr(bbox, "transform") and hasattr(bbox, "crs"):  # Raster-like
+            b = bbox.bounds
+            corners_x = np.array([b.left, b.right, b.right, b.left])
+            corners_y = np.array([b.bottom, b.bottom, b.top, b.top])
+            if CRS(bbox.crs) != self.crs:
+                corners_x, corners_y = transform_points(CRS(bbox.crs), self.crs, corners_x, corners_y)
+            left, bottom = corners_x.min(), corners_y.min()
+            right, top = corners_x.max(), corners_y.max()
+        elif isinstance(bbox, Vector):
+            other = bbox.to_crs(self.crs) if bbox.crs != self.crs else bbox
+            left, bottom, right, top = other.bounds
+        else:
+            left, bottom, right, top = (float(v) for v in bbox)
+
+        def ring_intersects(ring: np.ndarray) -> bool:
+            return bool((ring[:, 0].max() >= left) and (ring[:, 0].min() <= right)
+                        and (ring[:, 1].max() >= bottom) and (ring[:, 1].min() <= top))
+
+        def clip_ring(ring: np.ndarray) -> np.ndarray | None:
+            pts = ring
+            for inside, project in (
+                (lambda p: p[0] >= left, lambda a, b: a + (b - a) * (left - a[0]) / (b[0] - a[0])),
+                (lambda p: p[0] <= right, lambda a, b: a + (b - a) * (right - a[0]) / (b[0] - a[0])),
+                (lambda p: p[1] >= bottom, lambda a, b: a + (b - a) * (bottom - a[1]) / (b[1] - a[1])),
+                (lambda p: p[1] <= top, lambda a, b: a + (b - a) * (top - a[1]) / (b[1] - a[1])),
+            ):
+                if len(pts) == 0:
+                    return None
+                out = []
+                closed = np.vstack([pts, pts[:1]]) if not np.array_equal(pts[0], pts[-1]) else pts
+                for a, b in zip(closed[:-1], closed[1:]):
+                    a_in, b_in = inside(a), inside(b)
+                    if a_in:
+                        out.append(a)
+                        if not b_in:
+                            out.append(project(a, b))
+                    elif b_in:
+                        out.append(project(a, b))
+                pts = np.asarray(out, dtype=np.float64).reshape(-1, 2)
+            if len(pts) < 3:
+                return None
+            if not np.array_equal(pts[0], pts[-1]):
+                pts = np.vstack([pts, pts[:1]])
+            return pts
+
+        out_polys, out_props = [], []
+        for poly, props in zip(self.polygons, self.properties):
+            if not ring_intersects(poly[0]):
+                continue
+            if not clip:
+                out_polys.append([ring.copy() for ring in poly])
+                out_props.append(dict(props))
+                continue
+            ext = clip_ring(poly[0])
+            if ext is None:
+                continue
+            rings = [ext]
+            for hole in poly[1:]:
+                h = clip_ring(hole)
+                if h is not None:
+                    rings.append(h)
+            out_polys.append(rings)
+            out_props.append(dict(props))
+        return Vector(out_polys, crs=self.crs, properties=out_props)
+
     def query(self, expr: str) -> "Vector":
         """Filter features with a pandas query over their GeoJSON properties.
 
