@@ -458,6 +458,15 @@ class TestRaster:
         assert np.isnan(ref_dem_test.value_at_coords(b.left - 100.0, b.top + 100.0))
         one = ref_dem_test.value_at_coords(float(np.atleast_1d(x)[0]), float(np.atleast_1d(y)[0]))
         assert np.ndim(one) == 0 and one == pytest.approx(arr[3, 7])
+        # Off-center points stay in the CONTAINING pixel (fractional rowcol rounds, not
+        # truncates): 0.4 px east/south of the (3, 7) center is still pixel (3, 7)
+        rx, ry = ref_dem_test.res
+        off = ref_dem_test.value_at_coords(float(np.atleast_1d(x)[0]) + 0.4 * rx,
+                                           float(np.atleast_1d(y)[0]) - 0.4 * ry)
+        assert off == pytest.approx(arr[3, 7])
+        # And just inside the left edge is pixel column 0, not out of bounds
+        edge = ref_dem_test.value_at_coords(b.left + 0.1 * rx, float(np.atleast_1d(y)[0]))
+        assert edge == pytest.approx(arr[3, 0])
 
     def test_reproject_to_self_grid(self, ref_dem_test):
         back = ref_dem_test.reproject(ref_dem_test)

@@ -412,8 +412,11 @@ class Raster:
         lookup, no interpolation (geoutils Raster.value_at_coords); out-of-bounds points
         return NaN. Use :meth:`interp_points` for sub-pixel interpolation."""
         rows, cols = self.transform.rowcol(np.asarray(x, np.float64), np.asarray(y, np.float64))
-        rows = np.atleast_1d(np.asarray(rows, np.int64))
-        cols = np.atleast_1d(np.asarray(cols, np.int64))
+        # rowcol is fractional in the center-of-pixel convention: pixel i spans [i-0.5, i+0.5),
+        # so the CONTAINING pixel is floor(frac + 0.5) — plain int truncation would shift
+        # points in the lower half of each pixel and call near-edge outside points "inside".
+        rows = np.atleast_1d(np.floor(np.asarray(rows, np.float64) + 0.5).astype(np.int64))
+        cols = np.atleast_1d(np.floor(np.asarray(cols, np.float64) + 0.5).astype(np.int64))
         h, w = self.shape
         inside = (rows >= 0) & (rows < h) & (cols >= 0) & (cols < w)
         arr = self.get_nanarray()
