@@ -1016,6 +1016,35 @@ class TestCoregLayerReviewRegressions:
             jnp.asarray(arr), src_transform=t_shift, dst_transform=t))
         np.testing.assert_allclose(out[4:60, 4:60], arr[1:57, 2:58], atol=1e-5)
 
+    def test_samecrs_shift_reproject_subpixel_scipy_oracle(self):
+        """Fractional-pixel shifts against scipy's RegularGridInterpolator (the reference
+        delegates to the same bilinear semantics via geoutils interp_points,
+        reference base.py:1615-1655)."""
+        from scipy.interpolate import RegularGridInterpolator
+
+        from xdem_tpu.coreg.base import _reproject_horizontal_shift_samecrs
+        from xdem_tpu.georef import Affine
+
+        rng = np.random.default_rng(1)
+        arr = rng.normal(500, 50, (48, 40)).astype(np.float32)
+        t = Affine(2.0, 0, 318000.0, 0, -2.0, 8.7e6)
+        dx, dy = 0.6 * 2.0, -0.35 * 2.0  # fractional-pixel shift in world units
+        out = np.asarray(_reproject_horizontal_shift_samecrs(
+            jnp.asarray(arr), src_transform=t.translation(dx, dy), dst_transform=t))
+        # scipy oracle: sample the shifted source at destination pixel centers
+        rows = np.arange(48, dtype=np.float64)
+        cols = np.arange(40, dtype=np.float64)
+        rgi = RegularGridInterpolator((rows, cols), arr.astype(np.float64),
+                                      method="linear", bounds_error=False)
+        # dst pixel (r, c) center sits at src fractional pixel (r - dy/e, c - dx/a)
+        rr, cc = np.meshgrid(rows, cols, indexing="ij")
+        src_r = rr - dy / -2.0
+        src_c = cc - dx / 2.0
+        expected = rgi(np.stack([src_r.ravel(), src_c.ravel()], axis=-1)).reshape(48, 40)
+        both = np.isfinite(out) & np.isfinite(expected)
+        assert both.mean() > 0.9
+        np.testing.assert_allclose(out[both], expected[both], atol=2e-3)
+
     def test_meta_key_routing(self):
         from xdem_tpu import coreg
 

@@ -310,6 +310,22 @@ class TestSpatialstatsParity:
         q2 = rng.uniform(-7, 7, 200)
         np.testing.assert_allclose(f_ours((q1, q2)), f_ref((q1, q2)), rtol=1e-5, atol=1e-7)
 
+    def test_interp_nd_binning_from_scratch_frame(self, ref_mods):
+        """Ad-hoc frames with numeric mid columns and no 'nd' column (the reference's own
+        doctest form, spatialstats.py:268-289) interpolate identically."""
+        rss = ref_mods["spatialstats"]
+        from xdem_tpu import spatialstats as oss
+
+        df = pd.DataFrame({"var1": [1, 2, 3, 1, 2, 3, 1, 2, 3],
+                           "var2": [1, 1, 1, 2, 2, 2, 3, 3, 3],
+                           "statistic": [1.0, 2, 3, 4, 5, 6, 7, 8, 9]})
+        f_ref = rss.interp_nd_binning(df, ["var1", "var2"], statistic="statistic", min_count=None)
+        f_ours = oss.interp_nd_binning(df, ["var1", "var2"], statistic="statistic", min_count=None)
+        rng = np.random.default_rng(11)
+        q1 = rng.uniform(-1, 5, 300)
+        q2 = rng.uniform(-1, 5, 300)
+        np.testing.assert_allclose(f_ours((q1, q2)), f_ref((q1, q2)), rtol=1e-8, atol=1e-10)
+
     @pytest.mark.parametrize("interpolate_method", ["linear", "nearest"])
     def test_interp_nd_binning_masked_infill(self, ref_mods, interpolate_method):
         """Masked-bin in-fill parity for both interpolate_method modes (reference :241,377):
