@@ -467,6 +467,18 @@ class TestRaster:
         # And just inside the left edge is pixel column 0, not out of bounds
         edge = ref_dem_test.value_at_coords(b.left + 0.1 * rx, float(np.atleast_1d(y)[0]))
         assert edge == pytest.approx(arr[3, 0])
+        # Array-in/array-out even for a single point (geoutils contract)
+        one_arr = ref_dem_test.value_at_coords(np.atleast_1d(x)[:1], np.atleast_1d(y)[:1])
+        assert one_arr.shape == (1,) and one_arr[0] == pytest.approx(arr[3, 7])
+        # NaN coordinates give NaN, silently (filterwarnings turns warnings into errors)
+        assert np.isnan(ref_dem_test.value_at_coords(np.nan, np.nan))
+        # Point-convention rasters read the SAME pixel as interp_points(method="nearest")
+        pt = ref_dem_test.copy()
+        pt.set_area_or_point("Point", shift_area_or_point=False)
+        xq = float(np.atleast_1d(x)[0]) + 0.2 * rx
+        yq = float(np.atleast_1d(y)[0]) - 0.2 * ry
+        v_nn = float(np.asarray(pt.interp_points((xq, yq), method="nearest")))
+        assert pt.value_at_coords(xq, yq) == pytest.approx(v_nn)
 
     def test_reproject_to_self_grid(self, ref_dem_test):
         back = ref_dem_test.reproject(ref_dem_test)
@@ -699,6 +711,12 @@ class TestExamples:
         v = Vector([[sq], [far]], crs=32633, properties=[{"name": "near"}, {"name": "far"}])
         out = v.crop((-5.0, -5.0, 5.0, 5.0))
         assert len(out) == 1 and out.properties[0]["name"] == "near"
+        # True geometric intersection, not bbox: a triangle whose bbox overlaps the crop
+        # rectangle but whose geometry is disjoint must be dropped
+        tri = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]])
+        vt = Vector([[tri]], crs=32633)
+        assert len(vt.crop((6.0, 6.0, 9.0, 9.0))) == 0
+        assert len(vt.crop((1.0, 1.0, 4.0, 4.0))) == 1
         clipped = v.crop((-5.0, -5.0, 5.0, 5.0), clip=True)
         assert len(clipped) == 1
         ring = clipped.polygons[0][0]

@@ -1016,6 +1016,20 @@ class TestCoregLayerReviewRegressions:
             jnp.asarray(arr), src_transform=t_shift, dst_transform=t))
         np.testing.assert_allclose(out[4:60, 4:60], arr[1:57, 2:58], atol=1e-5)
 
+    def test_apply_ndarray_resamples_onto_input_grid(self, ref_tba):
+        """Coreg.apply with ndarray input honors resample=True like the reference's
+        _postprocess_coreg_apply (base.py:535): the returned transform is the INPUT one."""
+        from xdem_tpu import coreg
+
+        c = coreg.AffineCoreg.from_translations(7.0, -3.0, 1.0)
+        arr = np.asarray(ref_tba.data)
+        data, tf = c.apply(arr, transform=ref_tba.transform, crs=ref_tba.crs)
+        assert tf.almost_equals(ref_tba.transform)
+        assert data.shape == arr.shape and np.isfinite(data).any()
+        # resample=False keeps the lossless translated transform
+        data2, tf2 = c.apply(arr, transform=ref_tba.transform, crs=ref_tba.crs, resample=False)
+        assert not tf2.almost_equals(ref_tba.transform)
+
     def test_samecrs_shift_reproject_subpixel_scipy_oracle(self):
         """Fractional-pixel shifts against scipy's RegularGridInterpolator (the reference
         delegates to the same bilinear semantics via geoutils interp_points,

@@ -968,14 +968,25 @@ class Coreg:
                 resample=False, resampling=resampling, transform=transform, crs=crs,
             )
 
-        # Post-processing: resample back onto the original grid for rasters (base.py:535)
-        if is_raster_obj and resample and isinstance(applied, Raster):
-            if not applied.transform.almost_equals(elev.transform):
-                data = _reproject_horizontal_shift_samecrs(
-                    applied.data, src_transform=applied.transform, dst_transform=elev.transform,
-                    resampling=resampling,
-                )
-                applied = elev.copy(new_array=data)
+        # Post-processing: resample back onto the original grid (base.py:535) — for Raster
+        # objects AND bare (array, transform) outputs (the reference resamples both).
+        if resample:
+            if is_raster_obj and isinstance(applied, Raster):
+                if not applied.transform.almost_equals(elev.transform):
+                    data = _reproject_horizontal_shift_samecrs(
+                        applied.data, src_transform=applied.transform, dst_transform=elev.transform,
+                        resampling=resampling,
+                    )
+                    applied = elev.copy(new_array=data)
+            elif (not is_raster_obj and transform is not None and isinstance(applied, tuple)
+                  and len(applied) == 2):
+                data, new_transform = applied
+                if not new_transform.almost_equals(transform):
+                    data = np.asarray(_reproject_horizontal_shift_samecrs(
+                        jnp.asarray(data), src_transform=new_transform, dst_transform=transform,
+                        resampling=resampling,
+                    ))
+                    applied = (data, transform)
         return applied
 
     def _apply_func(self, **kwargs: Any) -> Any:

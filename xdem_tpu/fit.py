@@ -261,7 +261,8 @@ def robust_norder_polynomial_fit(
     costs = np.empty(max_order)
     coefs_list: list[np.ndarray] = []
     for deg in range(1, max_order + 1):
-        if estimator_name is not None and linear_pkg == "sklearn":
+        if linear_pkg == "sklearn":
+            # An invalid estimator_name (incl. None) raises inside, like the reference
             c = _sklearn_polyfit(x, y, deg, estimator_name, random_state=random_state,
                                  sigma=s, **kwargs)
         else:

@@ -407,22 +407,42 @@ class Raster:
             y = y + 0.5 * (t.d + t.e)
         return _interp_points_dev(self.data, self.transform, x, y, method=method)
 
-    def value_at_coords(self, x: Any, y: Any) -> np.ndarray:
+    def value_at_coords(self, x: Any, y: Any,
+                        shift_area_or_point: bool | None = None) -> np.ndarray:
         """Raster value of the pixel CONTAINING each world (x, y) point — nearest-pixel
-        lookup, no interpolation (geoutils Raster.value_at_coords); out-of-bounds points
-        return NaN. Use :meth:`interp_points` for sub-pixel interpolation."""
-        rows, cols = self.transform.rowcol(np.asarray(x, np.float64), np.asarray(y, np.float64))
+        lookup, no interpolation (geoutils Raster.value_at_coords); out-of-bounds or
+        non-finite points return NaN. Scalar input gives a scalar, array input an array.
+        "Point"-convention rasters get the same half-pixel shift as :meth:`interp_points`
+        (so the two methods always read the same pixel). Use :meth:`interp_points` for
+        sub-pixel interpolation."""
+        scalar_in = np.ndim(x) == 0 and np.ndim(y) == 0
+        xa = np.atleast_1d(np.asarray(x, np.float64))
+        ya = np.atleast_1d(np.asarray(y, np.float64))
+        if shift_area_or_point is None:
+            from xdem_tpu.config import config
+
+            shift_area_or_point = config["shift_area_or_point"]
+        if shift_area_or_point and self.area_or_point == "Point":
+            t = self.transform
+            xa = xa + 0.5 * (t.a + t.b)
+            ya = ya + 0.5 * (t.d + t.e)
+        rows, cols = self.transform.rowcol(xa, ya)
         # rowcol is fractional in the center-of-pixel convention: pixel i spans [i-0.5, i+0.5),
         # so the CONTAINING pixel is floor(frac + 0.5) — plain int truncation would shift
         # points in the lower half of each pixel and call near-edge outside points "inside".
-        rows = np.atleast_1d(np.floor(np.asarray(rows, np.float64) + 0.5).astype(np.int64))
-        cols = np.atleast_1d(np.floor(np.asarray(cols, np.float64) + 0.5).astype(np.int64))
+        rows = np.asarray(rows, np.float64)
+        cols = np.asarray(cols, np.float64)
+        finite = np.isfinite(rows) & np.isfinite(cols)
+        ri = np.floor(np.where(finite, rows, -1.0) + 0.5).astype(np.int64)
+        ci = np.floor(np.where(finite, cols, -1.0) + 0.5).astype(np.int64)
         h, w = self.shape
-        inside = (rows >= 0) & (rows < h) & (cols >= 0) & (cols < w)
-        arr = self.get_nanarray()
-        out = np.full(rows.shape, np.nan, dtype=np.float64)
-        out[inside] = arr[rows[inside], cols[inside]]
-        return out if out.size > 1 else out.reshape(())[()]
+        inside = finite & (ri >= 0) & (ri < h) & (ci >= 0) & (ci < w)
+        if getattr(self, "_np_cache", None) is None:
+            self._np_cache = np.asarray(self.data)
+        arr = self._np_cache  # read-only use: avoid get_nanarray's full-raster copy
+        out = np.full(ri.shape, np.nan, dtype=np.float64)
+        out[inside] = arr[ri[inside], ci[inside]]
+        return out.reshape(())[()] if scalar_in else out
 
     def xy2ij(self, x: Any, y: Any) -> Tuple[Any, Any]:
         return self.transform.rowcol(x, y)

@@ -132,18 +132,29 @@ class Vector:
         outlines to a cropped DEM's bounds, examples.py:245).
 
         ``bbox`` is a Raster/DEM (its bounds are used, reprojected from its CRS if needed),
-        a Vector, or a (left, bottom, right, top) tuple in THIS vector's CRS. With
-        ``clip=True``, polygon rings are additionally clipped to the rectangle
+        a Vector, or a (left, bottom, right, top) tuple in THIS vector's CRS. Features are
+        kept when their EXTERIOR ring truly intersects the rectangle (not just its bbox;
+        the rare rectangle-entirely-inside-a-hole case is still counted as intersecting).
+        With ``clip=True``, polygon rings are additionally clipped to the rectangle
         (Sutherland–Hodgman; exact for the convex rectangle).
         """
         if hasattr(bbox, "transform") and hasattr(bbox, "crs"):  # Raster-like
             b = bbox.bounds
-            corners_x = np.array([b.left, b.right, b.right, b.left])
-            corners_y = np.array([b.bottom, b.bottom, b.top, b.top])
+            # Densify the boundary before reprojecting: under a curved reprojection the
+            # true extent can bulge past the 4 corners' hull
+            t = np.linspace(0.0, 1.0, 21)
+            ex = np.concatenate([b.left + (b.right - b.left) * t,      # bottom edge
+                                 np.full_like(t, b.right),             # right edge
+                                 b.right + (b.left - b.right) * t,     # top edge
+                                 np.full_like(t, b.left)])             # left edge
+            ey = np.concatenate([np.full_like(t, b.bottom),
+                                 b.bottom + (b.top - b.bottom) * t,
+                                 np.full_like(t, b.top),
+                                 b.top + (b.bottom - b.top) * t])
             if CRS(bbox.crs) != self.crs:
-                corners_x, corners_y = transform_points(CRS(bbox.crs), self.crs, corners_x, corners_y)
-            left, bottom = corners_x.min(), corners_y.min()
-            right, top = corners_x.max(), corners_y.max()
+                ex, ey = transform_points(CRS(bbox.crs), self.crs, ex, ey)
+            left, bottom = ex.min(), ey.min()
+            right, top = ex.max(), ey.max()
         elif isinstance(bbox, Vector):
             other = bbox.to_crs(self.crs) if bbox.crs != self.crs else bbox
             left, bottom, right, top = other.bounds
@@ -177,13 +188,16 @@ class Vector:
                 pts = np.asarray(out, dtype=np.float64).reshape(-1, 2)
             if len(pts) < 3:
                 return None
-            if not np.array_equal(pts[0], pts[-1]):
-                pts = np.vstack([pts, pts[:1]])
-            return pts
+            # Internal convention keeps rings UNCLOSED (see from_geojson)
+            if np.array_equal(pts[0], pts[-1]):
+                pts = pts[:-1]
+            return pts if len(pts) >= 3 else None
 
         out_polys, out_props = [], []
         for poly, props in zip(self.polygons, self.properties):
-            if not ring_intersects(poly[0]):
+            # Cheap bbox rejection, then a true geometric test: the clipped exterior is
+            # non-empty iff the exterior polygon intersects the rectangle
+            if not ring_intersects(poly[0]) or clip_ring(poly[0]) is None:
                 continue
             if not clip:
                 out_polys.append([ring.copy() for ring in poly])
