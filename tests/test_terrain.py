@@ -275,6 +275,31 @@ class TestPallasEngine:
                 d = np.minimum(d, 360 - d)
             assert np.max(d) < 1e-3, f"{a}: {np.max(d)}"
 
+    def test_pallas_full_curvature_stack(self, smooth_dem):
+        """All 9 surface-fit attributes through the Pallas engine (auto 128x128 tiles: the
+        curvature algebra overflows Mosaic's scoped VMEM at larger tiles — measured on v5e,
+        where this stack used to fail the remote compile outright)."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        dem, res = smooth_dem
+        attrs = ["slope", "aspect", "hillshade", "profile_curvature", "tangential_curvature",
+                 "planform_curvature", "flowline_curvature", "max_curvature", "min_curvature"]
+        want = terrain.get_terrain_attribute(dem, attrs, resolution=res)
+        with pltpu.force_tpu_interpret_mode():
+            got = terrain.get_terrain_attribute(dem, attrs, resolution=res, engine="pallas")
+        for i, a in enumerate(attrs):
+            g, w = np.asarray(got[i]), np.asarray(want[i])
+            assert (np.isfinite(g) == np.isfinite(w)).all(), a
+            both = np.isfinite(g)
+            d = np.abs(g[both] - w[both])
+            if a == "aspect":
+                # degrees: the polynomial atan2 costs ~1e-2 deg worst-case (GDAL oracle
+                # tolerance is ~0.18 deg)
+                d = np.minimum(d, 360 - d)
+                assert np.max(d) < 2e-2, f"{a}: {np.max(d)}"
+            else:
+                assert np.max(d) < 5e-3, f"{a}: {np.max(d)}"
+
 
 class TestShardedWindowed:
     def test_windowed_and_fractal_sharded(self, smooth_dem):

@@ -165,12 +165,16 @@ def surface_attributes_pallas(
     hillshade_altitude: float = 45.0,
     hillshade_azimuth: float = 315.0,
     hillshade_z_factor: float = 1.0,
-    tile: int = 256,
+    tile: int | None = None,
     tile_cols: int | None = None,
 ) -> jnp.ndarray:
     """Fused Pallas surface-fit attributes; identical semantics to surfit.surface_attributes.
 
-    Tiles are (tile, tile_cols or tile); wider lanes cut the aligned over-fetch ratio."""
+    Tiles are (tile, tile_cols or tile); wider lanes cut the aligned over-fetch ratio.
+    ``tile=None`` auto-selects: curvature algebra carries enough VMEM temporaries that
+    Mosaic's scoped-VMEM stack overflows past 128x128 tiles (measured on v5e: ANY curvature
+    attribute at 256x256 or 128x256 fails to compile; the full 9-attribute stack at 128x128
+    compiles and beats the XLA pass 21.5 vs 28.8 ms at 4096^2)."""
     fit = surface_fit.lower()
     geometric = curv_method.lower() == "geometric"
     if fit == "horn" and any(a in _CURVATURE_ATTRS for a in attrs):
@@ -189,10 +193,16 @@ def surface_attributes_pallas(
 
     # Pad: aligned over-fetch margins of NaN plus rounding the extent up to tile multiples.
     # Wider lanes amortize the 128-lane aligned over-fetch (256x512 beats the XLA fused pass
-    # at 3 attributes), but many simultaneous attributes blow Mosaic's scoped-VMEM stack —
-    # fall back to square tiles then.
-    tr = int(tile)
-    tc = int(tile_cols) if tile_cols is not None else (512 if len(attrs) <= 5 and tr >= 256 else tr)
+    # at 3 attributes), but the curvature algebra's VMEM temporaries blow Mosaic's
+    # scoped-VMEM stack past 128x128 — auto-select accordingly.
+    has_curv = any(a in _CURVATURE_ATTRS for a in attrs)
+    tr = int(tile) if tile is not None else (128 if has_curv else 256)
+    if tile_cols is not None:
+        tc = int(tile_cols)
+    elif has_curv and tile is None:
+        tc = tr
+    else:
+        tc = 512 if len(attrs) <= 5 and tr >= 256 else tr
     gh = -(-h // tr)
     gw = -(-w // tc)
     ph = gh * tr - h
