@@ -24,7 +24,7 @@ stable = ~examples.get_glacier_mask()
 dh = Raster(tba.data - ref.data, ref.transform, ref.crs)
 slope, maxc = terrain.get_terrain_attribute(ref, ["slope", "max_curvature"])
 
-sig, err_fun, df = spatialstats.infer_heteroscedasticity_from_stable(
+sig, df, err_fun = spatialstats.infer_heteroscedasticity_from_stable(
     dvalues=dh, list_var=[slope, maxc], list_var_names=["slope", "max_curvature"],
     stable_mask=stable, subsample=200_000, random_state=42,
 )

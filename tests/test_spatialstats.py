@@ -85,7 +85,7 @@ class TestHeteroscedasticity:
         var = np.tile(np.linspace(0, 10, n), (n, 1))
         sigma_true = 0.5 + 0.3 * var
         dh = rng.normal(size=(n, n)) * sigma_true
-        err, err_fun, df = ss.infer_heteroscedasticity_from_stable(dh, [var], list_var_names=["v"])
+        err, df, err_fun = ss.infer_heteroscedasticity_from_stable(dh, [var], list_var_names=["v"])
         # Error function approximates the true sigma within 15% in the mid-range
         test_v = np.array([2.0, 5.0, 8.0])
         got = err_fun(test_v)
@@ -578,11 +578,11 @@ class TestHeteroscedasticityDevicePath:
         slope_r = Raster(slope, t, 32633)
 
         # Device path (Raster inputs + subsample)
-        sig_dev, fun_dev, _ = ss.infer_heteroscedasticity_from_stable(
+        sig_dev, _, fun_dev = ss.infer_heteroscedasticity_from_stable(
             dh_r, [slope_r], list_var_names=["slope"], subsample=60000, random_state=42
         )
         # Host path (plain arrays)
-        sig_host, fun_host, _ = ss.infer_heteroscedasticity_from_stable(
+        sig_host, _, fun_host = ss.infer_heteroscedasticity_from_stable(
             dh, [slope.astype(np.float64)], list_var_names=["slope"],
             subsample=60000, random_state=42,
         )
@@ -727,8 +727,8 @@ class TestMeshUncertaintyPipeline:
         attrs = terrain.get_terrain_attribute(ref, ["slope", "max_curvature"])
         args = dict(dvalues=dh, list_var=attrs, list_var_names=["slope", "max_curvature"],
                     stable_mask=mask, subsample=50_000, random_state=0)
-        sig1, _, df1 = infer_heteroscedasticity_from_stable(**args)
-        sig2, _, df2 = infer_heteroscedasticity_from_stable(**args, mesh=self._mesh(8))
+        sig1, df1, _ = infer_heteroscedasticity_from_stable(**args)
+        sig2, df2, _ = infer_heteroscedasticity_from_stable(**args, mesh=self._mesh(8))
         np.testing.assert_array_equal(np.asarray(sig1.data), np.asarray(sig2.data))
         pd.testing.assert_frame_equal(df1, df2)
 

@@ -612,10 +612,11 @@ def infer_heteroscedasticity_from_stable(
     subsample: int | None = None,
     random_state: int | None = None,
     mesh: Any = None,
-) -> tuple[Any, Callable[..., np.ndarray], pd.DataFrame]:
+) -> tuple[Any, pd.DataFrame, Callable[..., np.ndarray]]:
     """Infer the per-pixel error sigma(vars) from stable terrain (reference :808).
 
-    Returns (error raster/array over the full extent, error function, binning dataframe).
+    Returns (error raster/array over the full extent, binning dataframe, error function) —
+    the reference's tuple order (reference :875-877).
     `subsample` optionally bins a random subset of the stable values (the binned spread is
     statistically identical for >~1e6 samples and keeps 1e8-pixel rasters tractable); the
     error is still evaluated over the full extent.
@@ -772,7 +773,7 @@ def infer_heteroscedasticity_from_stable(
         sig_dev = error_fun.scale * _interp_grid_device(unscaled.mids_ext, unscaled.grid_ext, vars_j)
         if pad_rows:
             sig_dev = sig_dev[:-pad_rows]
-        return Raster(sig_dev.astype(jnp.float32), dvalues.transform, dvalues.crs), error_fun, df
+        return Raster(sig_dev.astype(jnp.float32), dvalues.transform, dvalues.crs), df, error_fun
 
     all_arrays, _ = _preprocess_values_with_mask_to_array(
         [dvalues] + list(list_var), include_mask=stable_mask, exclude_mask=unstable_mask
@@ -798,7 +799,7 @@ def infer_heteroscedasticity_from_stable(
     error = error_fun(*full_vars)
     if isinstance(dvalues, Raster):
         error = Raster(error.astype(np.float32), dvalues.transform, dvalues.crs)
-    return error, error_fun, df
+    return error, df, error_fun
 
 
 # ---------------------------------------------------------------------- convolution utils

@@ -146,7 +146,7 @@ def estimate_uncertainty(
             attrs = [attrs]
         # Bin the spread on at most 5e6 stable samples (identical statistics, tractable at
         # 1e8-pixel rasters); the error raster is still evaluated over the full extent.
-        sig_dh, _err_fun, _df = spatialstats.infer_heteroscedasticity_from_stable(
+        sig_dh, _df, _err_fun = spatialstats.infer_heteroscedasticity_from_stable(
             dvalues=dh,
             list_var=attrs,
             list_var_names=list(list_vars),
@@ -261,7 +261,7 @@ def _estimate_uncertainty_points(
         if not isinstance(attrs, list):
             attrs = [attrs]
         var_pts = [np.asarray(a.interp_points((x, y)), np.float64) for a in attrs]
-        _sig_pts, err_fun, _df = spatialstats.infer_heteroscedasticity_from_stable(
+        _sig_pts, _df, err_fun = spatialstats.infer_heteroscedasticity_from_stable(
             dvalues=dh_stable,
             list_var=var_pts,
             list_var_names=list(list_vars),
