@@ -217,6 +217,9 @@ available = [
     "longyearbyen_tba_dem_coreg",
 ]
 
+# Names also offered as cropped "_test" variants via get_path_test (reference examples.py:66)
+available_test = [n for n in available if n != "giza_dem"]
+
 
 def _generate(name: str, test: bool = False, output_dir: str | None = None,
               overwrite: bool = False) -> str:
