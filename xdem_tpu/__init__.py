@@ -66,6 +66,11 @@ def __getattr__(name: str):
     raise AttributeError(f"module 'xdem_tpu' has no attribute {name!r}")
 
 
+def __dir__():
+    # Surface the lazy submodules in dir()/tab completion (PEP 562)
+    return sorted(set(globals()) | {"coreg", "workflows", "uncertainty", "parallel", "io"})
+
+
 __all__ = [
     "DEM",
     "dDEM",
