@@ -967,6 +967,15 @@ class TestProjectionControlPoints:
         assert x / ft == pytest.approx(2963503.91, abs=0.05)
         assert y / ft == pytest.approx(254759.80, abs=0.05)
 
+    def test_lcc1sp_jamaica_worked_example(self):
+        # EPSG GN7-2 LCC (1SP) example: Jamaica 1969 / Jamaica National Grid (Clarke 1866),
+        # 17d55'55.80"N 76d56'37.26"W -> E 255966.58, N 142493.51
+        d = dict(proj="lcc", ellps="clrk66", lat_1=18.0, lat_0=18.0, lon_0=-77.0,
+                 k_0=1.0, x_0=250000.0, y_0=150000.0)
+        x, y = self._fwd_raw(d, -self._dms(76, 56, 37.26), self._dms(17, 55, 55.80))
+        assert x == pytest.approx(255966.58, abs=0.05)
+        assert y == pytest.approx(142493.51, abs=0.05)
+
     def test_polar_stereo_variant_b_worked_example(self):
         # EPSG GN7-2 PS variant B example: Australian Antarctic (EPSG:3032), 75dS 120dE
         x, y = self._fwd_raw(3032, 120.0, -75.0)
