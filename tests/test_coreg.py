@@ -440,6 +440,44 @@ class TestBlockwise:
         with pytest.raises(ValueError, match="instantiated"):
             coreg.BlockwiseCoreg(coreg.NuthKaab)
 
+    def test_output_config_exclusive(self, tmp_path):
+        """mp_config and parent_path are mutually exclusive (reference blockwise.py:75-76)."""
+        mc = coreg.MultiprocConfig(chunk_size=64, outfile=tmp_path / "a.tif")
+        with pytest.raises(ValueError, match="at most one"):
+            coreg.BlockwiseCoreg(coreg.NuthKaab(), mp_config=mc, parent_path=str(tmp_path))
+
+    def test_mp_config_consumed(self, tmp_path):
+        """chunk_size sets the tile sizes and outfile the default apply_tiled destination."""
+        out = tmp_path / "sub" / "aligned.tif"
+        bw = coreg.BlockwiseCoreg(coreg.NuthKaab(), mp_config=coreg.MultiprocConfig(chunk_size=64, outfile=out))
+        assert bw.block_size_fit == 64 and bw.block_size_apply == 64
+        assert bw.output_path_aligned == out
+        assert out.parent.is_dir()  # created like the reference (blockwise.py:110)
+
+    def test_parent_path_consumed(self, ref_tba, tmp_path):
+        sx, sy = (-8.0, 6.0)
+        tba = _shifted(ref_tba, sx, sy, 0.0)
+        bw = coreg.BlockwiseCoreg(coreg.NuthKaab(), block_size_fit=256, parent_path=str(tmp_path))
+        bw.fit(ref_tba, tba)
+        path = bw.apply_tiled(tba)  # no out_path: uses the configured destination
+        assert path == str(tmp_path / "aligned_dem.tif")
+        assert (tmp_path / "aligned_dem.tif").exists()
+
+    def test_apply_tiled_without_destination_raises(self, ref_tba):
+        bw = coreg.BlockwiseCoreg(coreg.NuthKaab(), block_size_fit=256)
+        with pytest.raises(ValueError, match="No output destination"):
+            bw.apply_tiled(ref_tba)
+
+    def test_rotational_step_raises(self):
+        """Plane aggregation needs translation-only steps (reference blockwise.py:87-91)."""
+        with pytest.raises(ValueError, match="translation-only"):
+            coreg.BlockwiseCoreg(coreg.ICP())
+        coreg.BlockwiseCoreg(coreg.ICP(only_translation=True))  # fine
+
+    def test_cluster_raises(self):
+        with pytest.raises(ValueError, match="cluster"):
+            coreg.MultiprocConfig(chunk_size=64, outfile="a.tif", cluster=object())
+
 
 class TestInitialShiftAndSerialization:
     def test_initial_shift_recovery(self, ref_tba):

@@ -18,7 +18,7 @@ from xdem_tpu.coreg.affine import (
     VerticalShift,
 )
 from xdem_tpu.coreg.biascorr import BiasCorr, Deramp, DirectionalBias, TerrainBias
-from xdem_tpu.coreg.blockwise import BlockwiseCoreg, BlockwiseNuthKaab
+from xdem_tpu.coreg.blockwise import BlockwiseCoreg, BlockwiseNuthKaab, MultiprocConfig
 
 __all__ = [
     "Coreg",
@@ -36,6 +36,7 @@ __all__ = [
     "TerrainBias",
     "BlockwiseCoreg",
     "BlockwiseNuthKaab",
+    "MultiprocConfig",
     "apply_matrix",
     "invert_matrix",
     "matrix_from_translations_rotations",

@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import itertools
 import logging
+import os
+from pathlib import Path
 from typing import Any
 
 from functools import partial
@@ -29,29 +31,91 @@ from xdem_tpu.ops.transfer import device_mask
 from xdem_tpu.raster import Raster
 
 
+class MultiprocConfig:
+    """Tiling-size + output-destination configuration for blockwise processing.
+
+    API parity with the reference's geoutils ``MultiprocConfig`` (used at
+    /root/reference/xdem/coreg/blockwise.py:60-112): ``chunk_size`` is the fit/apply tile
+    size and ``outfile`` the streamed-output destination. The reference's object also
+    carries a process-pool ``cluster``; on this backend tiles are solved in one vmapped
+    device dispatch, so a cluster has no meaning and raises.
+    """
+
+    def __init__(self, chunk_size: int = 500, outfile: str | Path = "aligned_dem.tif",
+                 driver: str = "GTiff", cluster: Any = None):
+        if cluster is not None:
+            raise ValueError(
+                "Process-pool clusters do not exist on this backend: blockwise tiles are "
+                "batched into a single device dispatch. Leave cluster=None."
+            )
+        self.chunk_size = int(chunk_size)
+        self.outfile = str(outfile)
+        self.driver = driver
+
+
 class BlockwiseCoreg:
-    """Tile-parallel coregistration: fit an affine step per tile, aggregate with RANSAC planes."""
+    """Tile-parallel coregistration: fit an affine step per tile, aggregate with RANSAC planes.
+
+    ``mp_config`` / ``parent_path`` configure the streamed-output destination exactly like
+    the reference (blockwise.py:75-112: at most one of the two; ``mp_config.chunk_size``
+    sets the tile sizes; the output path feeds :meth:`apply_tiled`). Unlike the reference,
+    both may be omitted: the default is the purely in-memory :meth:`apply`, which needs no
+    output file.
+    """
 
     def __init__(
         self,
         step: Coreg,
         block_size_fit: int = 500,
         block_size_apply: int = 500,
-        mp_config: Any = None,
+        mp_config: MultiprocConfig | None = None,
         parent_path: str | None = None,
     ):
+        if mp_config is not None and parent_path is not None:
+            raise ValueError("Pass at most one of 'mp_config' and 'parent_path'.")
         if isinstance(step, type):
             raise ValueError(
                 "The 'step' argument must be an instantiated Coreg subclass. Hint: write e.g. ICP() instead of ICP"
             )
         if not step.is_affine:
             raise ValueError("The blockwise coregistration only supports affine coregistration methods.")
+        inputs = step.meta.get("inputs", {})
+        only_translation = inputs.get("specific", {}).get(
+            "only_translation", inputs.get("affine", {}).get("only_translation", True)
+        )
+        if not only_translation:
+            raise ValueError(
+                "Blockwise aggregation fits planes through per-tile translations, so the step "
+                "must be translation-only. Construct it with only_translation=True."
+            )
         self.procstep = step
         self.block_size_fit = block_size_fit
         self.block_size_apply = block_size_apply
         from xdem_tpu.coreg.affine import NuthKaab
 
         self.apply_z_correction = step.vertical_shift if isinstance(step, NuthKaab) else True
+
+        self.mp_config: MultiprocConfig | None = None
+        self.parent_path: Path | None = None
+        self.output_path_aligned: Path | None = None
+        if mp_config is not None:
+            if not hasattr(mp_config, "outfile"):
+                raise TypeError(
+                    "mp_config must provide an 'outfile' attribute (and optionally "
+                    "'chunk_size') — use xdem_tpu.coreg.MultiprocConfig."
+                )
+            self.mp_config = mp_config
+            chunk = getattr(mp_config, "chunk_size", None)
+            if chunk:
+                self.block_size_fit = self.block_size_apply = int(chunk)
+            self.parent_path = Path(mp_config.outfile).parent
+            self.output_path_aligned = Path(mp_config.outfile)
+        elif parent_path is not None:
+            self.parent_path = Path(parent_path)
+            self.output_path_aligned = self.parent_path / "aligned_dem.tif"
+        if self.parent_path is not None:
+            os.makedirs(self.parent_path, exist_ok=True)
+
         self.meta: dict[str, Any] = {"inputs": {}, "outputs": {}}
         self.shape_tiling_grid = (0, 0)
 
@@ -199,9 +263,12 @@ class BlockwiseCoreg:
         self.fit(reference_elev, to_be_aligned_elev, inlier_mask=inlier_mask)
         return self.apply(to_be_aligned_elev)
 
-    def apply_tiled(self, elev: Raster, out_path: str, tile_rows: int = 1024,
+    def apply_tiled(self, elev: Raster, out_path: str | None = None, tile_rows: int = 1024,
                     resampling: str = "linear", nodata: float = -9999.0) -> str:
         """Out-of-core apply: warp row bands and stream them into a GeoTIFF.
+
+        ``out_path`` defaults to the destination configured at construction via
+        ``mp_config``/``parent_path`` (reference blockwise.py:112 ``output_path_aligned``).
 
         The whole-array apply materializes ~7 full-raster intermediates; here each output
         band samples only its source band plus a halo bounded by the plane shift field's
@@ -211,6 +278,14 @@ class BlockwiseCoreg:
         import numpy as np
 
         from xdem_tpu.io import StreamingRasterWriter
+
+        if out_path is None:
+            if self.output_path_aligned is None:
+                raise ValueError(
+                    "No output destination: pass out_path=, or construct the BlockwiseCoreg "
+                    "with mp_config=/parent_path=."
+                )
+            out_path = str(self.output_path_aligned)
 
         coeff_x, coeff_y, coeff_z = self.ransac_all()
         h, w = elev.shape
