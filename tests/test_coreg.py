@@ -137,6 +137,20 @@ class TestAffineMethods:
         aligned = c.apply(tba)
         assert np.nanmax(np.abs(np.asarray((ref_tba - aligned).data))) < 1e-2
 
+    def test_nuthkaab_no_vertical_shift(self, ref_tba):
+        """vertical_shift=False zeroes shift_z but leaves the horizontal solve untouched
+        (reference test_affine.py:581-600)."""
+        sx, sy, sz = SHIFTS
+        tba = _shifted(ref_tba, sx, sy, sz)
+        c1 = coreg.NuthKaab(vertical_shift=True)
+        c2 = coreg.NuthKaab(vertical_shift=False)
+        c1.fit(ref_tba, tba, random_state=42)
+        c2.fit(ref_tba, tba, random_state=42)
+        m1, m2 = c1.to_matrix(), c2.to_matrix()
+        assert m2[2, 3] == 0
+        m2[2, 3] = m1[2, 3]
+        assert np.array_equal(m1, m2)
+
     def test_cpd_runs_and_estimates_vertical(self, ref_tba):
         # CPD cannot resolve horizontal shifts on same-grid samples — documented reference
         # behavior (reference tests/test_coreg/test_affine.py:445-446: "only 10% of variance

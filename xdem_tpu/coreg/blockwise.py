@@ -410,11 +410,13 @@ class BlockwiseNuthKaab(BlockwiseCoreg):
     def __init__(self, block_size_fit: int = 500, block_size_apply: int = 500,
                  subsample_per_tile: int = 20000, max_iterations: int = 10,
                  tolerance: float = 0.001, random_state: int | None = None,
-                 mesh=None):
+                 mesh=None, mp_config: MultiprocConfig | None = None,
+                 parent_path: str | None = None):
         from xdem_tpu.coreg.affine import NuthKaab
 
         super().__init__(NuthKaab(max_iterations=max_iterations, offset_threshold=tolerance),
-                         block_size_fit=block_size_fit, block_size_apply=block_size_apply)
+                         block_size_fit=block_size_fit, block_size_apply=block_size_apply,
+                         mp_config=mp_config, parent_path=parent_path)
         self.subsample_per_tile = subsample_per_tile
         self.random_state = random_state
         self.mesh = mesh  # jax.sharding.Mesh: shard tile solves across devices
