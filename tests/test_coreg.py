@@ -492,6 +492,46 @@ class TestBlockwise:
         with pytest.raises(ValueError, match="cluster"):
             coreg.MultiprocConfig(chunk_size=64, outfile="a.tif", cluster=object())
 
+    def test_ransac_horizontal_tiles(self):
+        """A single row of tiles (y constant) degrades to a 1-D fit on x
+        (reference blockwise.py:268-272, test_ransac_on_horizontal_tiles)."""
+        x = np.arange(8, dtype=np.float64) * 100.0
+        y = np.full(8, 500.0)
+        shifts = 0.002 * x + 1.5
+        a, b, c = coreg.BlockwiseCoreg._ransac(x, y, shifts)
+        assert a == pytest.approx(0.002, rel=1e-6)
+        assert b == 0.0
+        assert c == pytest.approx(1.5, rel=1e-6)
+
+    def test_ransac_vertical_tiles(self):
+        x = np.full(8, 500.0)
+        y = np.arange(8, dtype=np.float64) * 100.0
+        shifts = -0.001 * y + 0.25
+        a, b, c = coreg.BlockwiseCoreg._ransac(x, y, shifts)
+        assert a == 0.0
+        assert b == pytest.approx(-0.001, rel=1e-6)
+        assert c == pytest.approx(0.25, rel=1e-6)
+
+    def test_ransac_2d_grid_with_outliers(self):
+        """Full grid recovers the plane; gross per-tile outliers (failed fits) are rejected."""
+        gx, gy = np.meshgrid(np.arange(6) * 100.0, np.arange(6) * 100.0)
+        x, y = gx.ravel(), gy.ravel()
+        shifts = 0.003 * x - 0.002 * y + 2.0
+        shifts[7] = 900.0  # a diverged tile
+        shifts[20] = np.nan  # a failed tile
+        a, b, c = coreg.BlockwiseCoreg._ransac(x, y, shifts)
+        assert a == pytest.approx(0.003, abs=1e-5)
+        assert b == pytest.approx(-0.002, abs=1e-5)
+        assert c == pytest.approx(2.0, abs=2e-2)
+
+    def test_ransac_few_tiles_constant(self):
+        """Under 6 valid tiles a plane would overfit: the robust constant shift is used."""
+        x = np.array([0.0, 100.0, 200.0])
+        y = np.array([0.0, 50.0, 100.0])
+        a, b, c = coreg.BlockwiseCoreg._ransac(x, y, np.array([1.0, 1.2, 1.1]))
+        assert (a, b) == (0.0, 0.0)
+        assert c == pytest.approx(1.1)
+
 
 class TestInitialShiftAndSerialization:
     def test_initial_shift_recovery(self, ref_tba):
