@@ -8,6 +8,7 @@ reference's use of geopandas vectors in coreg and spatialstats.
 from __future__ import annotations
 
 import json
+import os
 import re
 from typing import Any, List, Sequence, Tuple
 
@@ -30,8 +31,16 @@ class Vector:
            [0, 1, 1, 1, 1]])
     """
 
-    def __init__(self, polygons: Sequence[Sequence[np.ndarray]], crs: CRS | int | str = 4326,
+    def __init__(self, polygons: "str | Sequence[Sequence[np.ndarray]]", crs: CRS | int | str = 4326,
                  properties: Sequence[dict] | None = None):
+        # A path loads the file, like the reference's Vector(filename) (geoutils idiom used
+        # throughout /root/reference, e.g. xdem/examples.py:116)
+        if isinstance(polygons, (str, os.PathLike)):
+            loaded = type(self).from_geojson(str(polygons))
+            self.polygons = loaded.polygons
+            self.crs = loaded.crs
+            self.properties = loaded.properties
+            return
         # polygons: list of list-of-rings; each ring an (N, 2) array of (x, y)
         self.polygons: List[List[np.ndarray]] = [
             [np.asarray(ring, dtype=np.float64).reshape(-1, 2) for ring in poly] for poly in polygons
