@@ -600,6 +600,26 @@ class TestRaster:
         with pytest.raises(ValueError, match="was removed in 0.0.1"):
             g()
 
+    def test_diff_environment_yml(self, capsys):
+        """diff_environment_yml prints dev-only deps (conda line, then pip line with 'None'
+        placeholder) and raises when a base dep is missing from dev (reference
+        _misc.py:214-298, tests/test_misc.py env-diff cases)."""
+        from xdem_tpu._misc import diff_environment_yml
+
+        env = {"dependencies": ["numpy", "jax", {"pip": ["alpha"]}]}
+        devenv = {"dependencies": ["numpy", "jax", "pytest", {"pip": ["alpha", "beta", "-e ./"]}]}
+        diff_environment_yml(env, devenv, input_dict=True)
+        out = capsys.readouterr().out.splitlines()
+        assert out == ["pytest", "beta"]
+
+        diff_environment_yml(env, env, input_dict=True, print_dep="pip")
+        assert capsys.readouterr().out.splitlines() == ["None"]
+
+        with pytest.raises(ValueError, match="listed in env but not dev-env"):
+            diff_environment_yml({"dependencies": ["onlyinenv"]}, {"dependencies": []}, input_dict=True)
+        with pytest.raises(ValueError, match='"print_dep"'):
+            diff_environment_yml(env, devenv, input_dict=True, print_dep="bogus")
+
     def test_set_mask_and_subsample(self, ref_dem_test):
         """set_mask poisons pixels to nodata in place; subsample draws valid values or
         (rows, cols) indices (reference geoutils Raster methods used across its docs)."""

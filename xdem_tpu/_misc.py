@@ -91,6 +91,76 @@ def deprecate(removal_version: str | None = None, details: str | None = None) ->
     return decorator
 
 
+def diff_environment_yml(
+    fn_env: Any, fn_devenv: Any, print_dep: str = "both", input_dict: bool = False
+) -> None:
+    """Print the dependencies present in a dev environment file but not the base one, for CI
+    setup scripts to capture (role parity with reference _misc.py:214-298).
+
+    Checks that every base-env dependency also appears in the dev env (raises otherwise).
+    Conda dependencies are plain list entries; a trailing ``{"pip": [...]}`` dict holds pip
+    ones (an editable self-install ``-e ./`` is ignored). Output is one space-joined line per
+    requested channel — conda first, then pip; an empty pip diff prints ``None`` so shell
+    scripts read a stable token.
+
+    :param fn_env: Path to the base environment.yml (or its dict when ``input_dict``).
+    :param fn_devenv: Path to the dev environment.yml (or its dict when ``input_dict``).
+    :param print_dep: Which channel(s) to print: "conda", "pip" or "both".
+    :param input_dict: Interpret the first two arguments as already-loaded dicts.
+    """
+    import copy as _copy
+
+    if print_dep not in ("both", "conda", "pip"):
+        raise ValueError('The argument "print_dep" can only be "conda", "pip" or "both".')
+
+    if input_dict:
+        env, devenv = _copy.deepcopy(fn_env), _copy.deepcopy(fn_devenv)
+    else:
+        yaml = import_optional("yaml", package_name="pyyaml")
+        with open(fn_env) as f:
+            env = yaml.safe_load(f)
+        with open(fn_devenv) as f:
+            devenv = yaml.safe_load(f)
+
+    conda_env = list(env["dependencies"])
+    conda_devenv = list(devenv["dependencies"])
+
+    def _pop_pip(deps: list[Any]) -> list[str]:
+        if deps and isinstance(deps[-1], dict):
+            pip = list(deps.pop()["pip"])
+            if "-e ./" in pip:
+                pip.remove("-e ./")
+            return pip
+        return []
+
+    pip_devenv = _pop_pip(conda_devenv)
+    pip_env = _pop_pip(conda_env)
+
+    if pip_devenv or pip_env:
+        pip_only_in_env = sorted(set(pip_env) - set(pip_devenv))
+        if pip_only_in_env:
+            raise ValueError(
+                "The following pip dependencies are listed in env but not dev-env: "
+                + ",".join(pip_only_in_env)
+            )
+        pip_diff = sorted(set(pip_devenv) - set(pip_env))
+    else:
+        pip_diff = []
+
+    conda_only_in_env = sorted(set(conda_env) - set(conda_devenv))
+    if conda_only_in_env:
+        raise ValueError(
+            "The following dependencies are listed in env but not dev-env: "
+            + ",".join(conda_only_in_env)
+        )
+    conda_diff = sorted(set(conda_devenv) - set(conda_env))
+
+    if print_dep in ("both", "conda"):
+        print(" ".join(conda_diff))
+    if print_dep in ("both", "pip"):
+        print(" ".join(pip_diff) if pip_diff else "None")
+
+
 def copy_doc(module: Any, name: str | None = None) -> Callable[[Callable[..., T]], Callable[..., T]]:
     """Copy the docstring of `module.<name>` onto the decorated function/method."""
 
