@@ -446,6 +446,73 @@ class TestDeviceMask:
             device_mask(None)
 
 
+class TestMaskedArrayInputs:
+    """np.ma.MaskedArray is the reference's array idiom (geoutils Raster.data): every public
+    array entry point must honor the mask — np.asarray() alone silently leaks the garbage
+    under it. Each case plants a poison value beneath the mask and checks masked input gives
+    the NaN-input result."""
+
+    @pytest.fixture()
+    def masked_pair(self):
+        rng = np.random.default_rng(7)
+        a = (rng.random((40, 40)) * 50 + 100).astype(np.float64)
+        mask = rng.random((40, 40)) > 0.8
+        poisoned = a.copy()
+        poisoned[mask] = 1e9  # garbage under the mask
+        ma = np.ma.masked_array(poisoned, mask)
+        nan = a.copy()
+        nan[mask] = np.nan
+        return ma, nan
+
+    def test_terrain(self, masked_pair):
+        from xdem_tpu import terrain
+
+        ma, nan = masked_pair
+        got = np.asarray(terrain.slope(ma, resolution=10.0))
+        want = np.asarray(terrain.slope(nan.astype(np.float32), resolution=10.0))
+        np.testing.assert_allclose(got, want, rtol=0, atol=0, equal_nan=True)
+
+    def test_nd_binning(self, masked_pair):
+        from xdem_tpu import spatialstats
+
+        ma, nan = masked_pair
+        df_ma = spatialstats.nd_binning(ma, [nan], ["v"])
+        df_nan = spatialstats.nd_binning(nan, [nan], ["v"])
+        np.testing.assert_allclose(df_ma["nanmedian"].values.astype(float),
+                                   df_nan["nanmedian"].values.astype(float), equal_nan=True)
+
+    def test_hypsometric_binning(self, masked_pair):
+        from xdem_tpu import volume
+
+        ma, nan = masked_pair
+        ref = np.tile(np.linspace(0, 400, 40), (40, 1))
+        df_ma = volume.hypsometric_binning(ma, ref)
+        df_nan = volume.hypsometric_binning(nan, ref)
+        np.testing.assert_allclose(df_ma["value"].values, df_nan["value"].values, equal_nan=True)
+
+    def test_polynomial_fit(self, masked_pair):
+        from xdem_tpu import fit
+
+        ma, nan = masked_pair
+        x = np.tile(np.arange(40.0), (40, 1))
+        coefs_ma, deg_ma = fit.robust_norder_polynomial_fit(x.ravel(), ma.ravel(), random_state=1)
+        coefs_nan, deg_nan = fit.robust_norder_polynomial_fit(x.ravel(), nan.ravel(), random_state=1)
+        assert deg_ma == deg_nan
+        np.testing.assert_allclose(coefs_ma, coefs_nan)
+
+    def test_coreg_fit(self, masked_pair):
+        from xdem_tpu import coreg
+
+        ma, nan = masked_pair
+        transform = (10.0, 0.0, 0.0, 0.0, -10.0, 400.0)
+        c_ma = coreg.VerticalShift(subsample=1000)
+        c_ma.fit(nan + 2.0, ma, transform=transform, crs=32633, random_state=1)
+        c_nan = coreg.VerticalShift(subsample=1000)
+        c_nan.fit(nan + 2.0, nan, transform=transform, crs=32633, random_state=1)
+        assert c_ma.meta["outputs"]["affine"]["shift_z"] == pytest.approx(
+            c_nan.meta["outputs"]["affine"]["shift_z"], abs=1e-6)
+
+
 class TestRaster:
     def test_value_at_coords(self, ref_dem_test):
         """Nearest-pixel lookup (geoutils Raster.value_at_coords): exact pixel values at

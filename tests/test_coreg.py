@@ -5,6 +5,8 @@ the reference DEM itself must be recovered within 1% of the shift and remove >99
 variance (reference :163-200).
 """
 
+import warnings
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -281,6 +283,64 @@ class TestBiasCorr:
 
 class TestBaseBehaviors:
     """Coreg base-class behaviors (reference test_base.py:328-455)."""
+
+    def test_raise_all_nans_and_tuple_transform(self):
+        """All-NaN inputs fail gracefully with ValueError across methods, and `transform=`
+        accepts a raw 6-value affine tuple (reference test_affine.py test_raise_all_nans;
+        the reference takes any rio transform input)."""
+        from xdem_tpu.georef import CRS
+
+        dem1 = np.ones((50, 50), dtype=float)
+        dem2 = dem1 + np.nan
+        transform = (1.0, 0.0, 0.0, 0.0, -1.0, 50.0)  # tuple, not Affine
+        crs = CRS.from_epsg(32633)
+
+        for method in (coreg.VerticalShift(), coreg.ICP(), coreg.NuthKaab()):
+            with pytest.raises(ValueError, match="[Nn]o valid"):
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore")
+                    method.fit(dem1, dem2, transform=transform, crs=crs)
+
+        # Three isolated valid pixels: VerticalShift recovers the offset; ICP's regularized
+        # point-to-plane solve stays finite and reduces to the pure z-shift (the reference's
+        # scipy optimizer errors out here; ours solves the degenerate case).
+        dem2[[3, 20, 40], [2, 21, 41]] = 1.2
+        v = coreg.VerticalShift()
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            v.fit(dem1, dem2, transform=transform, crs=crs)
+        assert v.meta["outputs"]["affine"]["shift_z"] == pytest.approx(-0.2, abs=1e-4)
+        icp = coreg.ICP()
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            icp.fit(dem1, dem2, transform=transform, crs=crs)
+        m = np.asarray(icp.to_matrix())
+        assert np.isfinite(m).all()
+        assert m[2, 3] == pytest.approx(-0.2, abs=1e-3)
+
+    def test_fit_mixed_array_and_raster(self, ref_tba):
+        """A plain 2-D array may be paired with a Raster: the raster side's georeferencing
+        applies to both grids (reference base.py:124 takes any raster input's transform/crs),
+        and a shape mismatch raises since an array cannot be reprojected."""
+        tba = _shifted(ref_tba, 6.0, -4.0, 1.5)
+        c1 = coreg.VerticalShift(subsample=20000)
+        c1.fit(np.asarray(ref_tba.data), tba, random_state=1)
+        c2 = coreg.VerticalShift(subsample=20000)
+        c2.fit(ref_tba, np.asarray(tba.data), random_state=1)
+        assert c1.meta["outputs"]["affine"]["shift_z"] == pytest.approx(
+            c2.meta["outputs"]["affine"]["shift_z"], abs=1e-6)
+        with pytest.raises(ValueError, match="already be on the raster"):
+            coreg.VerticalShift().fit(np.asarray(ref_tba.data)[:100], tba)
+
+    def test_fit_rejects_nonfinite_outputs(self, ref_tba):
+        """A fit whose solver produced non-finite parameters raises instead of silently
+        storing a NaN matrix (the reference surfaces these as optimizer ValueErrors)."""
+        class _Broken(coreg.VerticalShift):
+            def _fit_rst_rst(self, *args, **kwargs):
+                self._meta["outputs"]["affine"] = {"shift_z": float("nan")}
+
+        with pytest.raises(ValueError, match="non-finite"):
+            _Broken().fit(ref_tba, ref_tba.copy())
 
     def test_cropped_mask_regridded(self, ref_tba):
         """An inlier-mask raster on a smaller grid is regridded onto the fit grid; outside

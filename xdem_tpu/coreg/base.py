@@ -24,6 +24,7 @@ import numpy as np
 from xdem_tpu.georef import CRS, Affine
 from xdem_tpu.ops.interp import interp_points as _interp_points_dev
 from xdem_tpu.ops.interp import interp_rowcol
+from xdem_tpu.ops.transfer import unmask
 from xdem_tpu.profiler import profile as _profile
 from xdem_tpu.pointcloud import PointCloud
 from xdem_tpu.raster import Raster
@@ -430,7 +431,21 @@ def _mask_to_array(inlier_mask: Any, ref: Raster | None) -> np.ndarray | None:
             regridded = inlier_mask.reproject(ref, resampling="nearest")
             return np.nan_to_num(np.asarray(regridded.data), nan=0.0) > 0
         return np.asarray(inlier_mask.data) > 0
+    if isinstance(inlier_mask, np.ma.MaskedArray):
+        # geoutils Mask.data is a masked bool array; masked slots are NOT inliers
+        return np.asarray(inlier_mask.filled(False), dtype=bool)
     return np.asarray(inlier_mask, dtype=bool)
+
+
+def _as_affine(transform: Any) -> Affine | None:
+    """Accept any 6-value affine form (Affine, rasterio-style tuple/list/iterable) for the
+    `transform=` kwargs, like the reference accepts any rio.transform input."""
+    if transform is None or isinstance(transform, Affine):
+        return transform
+    vals = [float(v) for v in tuple(transform)]
+    if len(vals) < 6:
+        raise ValueError(f"'transform' must have 6 affine coefficients, got {len(vals)}.")
+    return Affine(*vals[:6])
 
 
 def _preprocess_coreg_fit(
@@ -443,6 +458,7 @@ def _preprocess_coreg_fit(
 ) -> tuple[Any, Any, np.ndarray | None, Affine | None, Any, str | None]:
     """Normalize fit inputs: raster-raster (reprojected to common grid), raster-point, or
     point-point (reference base.py:316)."""
+    transform = _as_affine(transform)
     ref_is_rst = isinstance(reference_elev, Raster) or (
         not isinstance(reference_elev, PointCloud) and np.ndim(reference_elev) == 2
     )
@@ -497,11 +513,35 @@ def _preprocess_coreg_fit(
             else to_be_aligned_elev
         crs = reference_elev.crs
     else:
+        # Mixed plain-array + Raster raster-raster: the raster side's georeferencing applies
+        # to both grids (reference base.py:124 uses any raster input's transform/crs when
+        # none is given; an array cannot be reprojected, so the shapes must already agree).
+        one_raster = ref_raster if ref_raster is not None else tba_raster
+        if one_raster is not None and ref_is_rst and tba_is_rst:
+            arr_side = to_be_aligned_elev if ref_raster is not None else reference_elev
+            if np.shape(arr_side) != one_raster.shape:
+                raise ValueError(
+                    f"A plain-array elevation ({np.shape(arr_side)}) must already be on the "
+                    f"raster input's grid ({one_raster.shape}); reproject or pass two Rasters."
+                )
+            if transform is None:
+                transform = one_raster.transform
+            else:
+                warnings.warn(
+                    "A raster was passed alongside an explicit 'transform'; the raster's own "
+                    "transform is used.", UserWarning,
+                )
+                transform = one_raster.transform
+            crs = one_raster.crs if crs is None else crs
+            if area_or_point is None:
+                area_or_point = one_raster.area_or_point
         # Bare arrays: transform/crs must be provided
         if (ref_is_rst and tba_is_rst) and transform is None:
             raise ValueError("'transform' must be given if both inputs are plain arrays.")
-        ref_out = jnp.asarray(reference_elev) if ref_is_rst else reference_elev
-        tba_out = jnp.asarray(to_be_aligned_elev) if tba_is_rst else to_be_aligned_elev
+        ref_out = jnp.asarray(reference_elev.data if ref_raster is not None else unmask(reference_elev)) \
+            if ref_is_rst else reference_elev
+        tba_out = jnp.asarray(to_be_aligned_elev.data if tba_raster is not None else unmask(to_be_aligned_elev)) \
+            if tba_is_rst else to_be_aligned_elev
 
     mask = _mask_to_array(inlier_mask, ref_raster if ref_raster is not None else tba_raster)
     # Pixel-interpretation shift at the RESOLVED level so bare-array raster-point inputs
@@ -755,7 +795,7 @@ class Coreg:
 
         if bias_vars is not None:
             bias_vars = {
-                k: (v.data if isinstance(v, Raster) else jnp.asarray(v)) for k, v in bias_vars.items()
+                k: (v.data if isinstance(v, Raster) else jnp.asarray(unmask(v))) for k, v in bias_vars.items()
             }
 
         # Initial shift: pre-translate the to-be-aligned input before fitting, and re-add the
@@ -797,6 +837,16 @@ class Coreg:
                 m = np.asarray(aff["matrix"]).copy()
                 m[:3, 3] += [sx0, sy0, sz0]
                 aff["matrix"] = m
+
+        # Graceful failure on broken solves (reference surfaces these as ValueError from its
+        # scipy optimizers): a fit that produced non-finite parameters must not be applied.
+        aff_out = self._meta["outputs"].get("affine", {})
+        for key in ("matrix", "shift_x", "shift_y", "shift_z"):
+            if key in aff_out and not np.all(np.isfinite(np.asarray(aff_out[key]))):
+                raise ValueError(
+                    f"Coregistration failed: fitted '{key}' contains non-finite values "
+                    f"(degenerate input data — check valid-pixel overlap and terrain variety)."
+                )
 
         self._fit_called = True
         return self
@@ -945,12 +995,15 @@ class Coreg:
         resampling = {"bilinear": "linear", "cubic_spline": "cubic"}.get(resampling, resampling)
 
         if bias_vars is not None:
-            bias_vars = {k: (v.data if isinstance(v, Raster) else jnp.asarray(v)) for k, v in bias_vars.items()}
+            bias_vars = {k: (v.data if isinstance(v, Raster) else jnp.asarray(unmask(v))) for k, v in bias_vars.items()}
 
         is_raster_obj = isinstance(elev, Raster)
         if is_raster_obj:
             transform = elev.transform
             crs = elev.crs
+        else:
+            transform = _as_affine(transform)
+            elev = unmask(elev)
 
         try:
             applied = self._apply_func(

@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from xdem_tpu.ops.transfer import unmask
+
 # --------------------------------------------------------------------------- losses
 
 
@@ -242,8 +244,8 @@ def robust_norder_polynomial_fit(
     Returns (coefficients, degree). Reference fit.py:347 (scipy path = robust IRLS here;
     sklearn path uses the same estimator names when requested).
     """
-    x = np.asarray(xdata, dtype=np.float64).ravel()
-    y = np.asarray(ydata, dtype=np.float64).ravel()
+    x = np.asarray(unmask(xdata), dtype=np.float64).ravel()
+    y = np.asarray(unmask(ydata), dtype=np.float64).ravel()
     s = np.asarray(sigma, dtype=np.float64).ravel() if sigma is not None else None
     valid = np.isfinite(x) & np.isfinite(y)
     x, y = x[valid], y[valid]
@@ -355,8 +357,8 @@ def robust_nfreq_sumsin_fit(
     `sigma` is accepted for signature parity but unused: the reference's own basin-hopping
     cost ignores it too (fit.py:519-525), and this port keeps that behavior.
     """
-    x = np.asarray(xdata, dtype=np.float64).ravel()
-    y = np.asarray(ydata, dtype=np.float64).ravel()
+    x = np.asarray(unmask(xdata), dtype=np.float64).ravel()
+    y = np.asarray(unmask(ydata), dtype=np.float64).ravel()
     valid = np.isfinite(x) & np.isfinite(y)
     x, y = x[valid], y[valid]
     rng = np.random.default_rng(random_state)

@@ -22,6 +22,17 @@ def _unpack_bits(packed: jnp.ndarray, n: int) -> jnp.ndarray:
     return bits.reshape(-1)[:n].astype(bool)
 
 
+def unmask(a):
+    """Normalize a numpy masked array to a NaN-filled float array (NaN is nodata on device
+    everywhere); any other input passes through. The reference's array idiom is
+    np.ma.MaskedArray (geoutils Raster.data), so user code migrating from it passes masked
+    arrays directly into functions."""
+    if isinstance(a, np.ma.MaskedArray):
+        return a.filled(np.nan) if np.issubdtype(a.dtype, np.floating) \
+            else a.astype(np.float32).filled(np.nan)
+    return a
+
+
 def pad_to_bucket(bucket: int, *arrays_with_fill):
     """Pad same-shape 2-D arrays to the next `bucket` multiple along both axes.
 

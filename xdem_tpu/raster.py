@@ -300,6 +300,8 @@ class Raster:
             if other.shape != self.shape or not other.transform.almost_equals(self.transform):
                 raise ValueError("Rasters must share shape and transform for arithmetic; reproject first.")
             other = other.data
+        elif isinstance(other, np.ma.MaskedArray):
+            other = other.astype(np.float32).filled(np.nan)
         return self.copy(new_array=op(self.data, other))
 
     def __add__(self, other: Any) -> "Raster":

@@ -26,6 +26,7 @@ import numpy as np
 import pandas as pd
 
 from xdem_tpu._misc import deprecate
+from xdem_tpu.ops.transfer import unmask
 from xdem_tpu.raster import Raster
 
 _NMAD_FACTOR = 1.4826
@@ -66,8 +67,8 @@ def nd_binning(
     binning dimensionality, and one column per statistic (count always included).
     Reference spatialstats.py:91.
     """
-    values = np.asarray(values).ravel()
-    list_var = [np.asarray(v).ravel() for v in list_var]
+    values = np.asarray(unmask(values)).ravel()
+    list_var = [np.asarray(unmask(v)).ravel() for v in list_var]
     if len(list_var) != len(list_var_names):
         raise ValueError("Number of variables and variable names must match.")
     n_vars = len(list_var)
@@ -513,7 +514,7 @@ def two_step_standardization(
 ) -> tuple[np.ndarray, Callable[..., np.ndarray]]:
     """Two-step standardization (reference :530): z-score by the unscaled error function, clip
     outliers at `fac_spread_outliers` * spread, then rescale so the final spread is exactly 1."""
-    zscores = np.asarray(dvalues) / unscaled_error_fun(*[np.asarray(v) for v in list_var])
+    zscores = np.asarray(unmask(dvalues)) / unscaled_error_fun(*[np.asarray(unmask(v)) for v in list_var])
     if fac_spread_outliers is not None:
         spread0 = spread_statistic(zscores)
         zscores[np.abs(zscores) > fac_spread_outliers * spread0] = np.nan
@@ -541,6 +542,9 @@ def _coerce_mask(m: Any, ref_raster: Any = None) -> np.ndarray | None:
         return m.create_mask(ref_raster)
     if isinstance(m, Raster):
         return np.asarray(m.data) > 0
+    if isinstance(m, np.ma.MaskedArray):
+        # geoutils Mask.data is a masked bool array; masked slots are excluded
+        return np.asarray(m.filled(False), dtype=bool)
     return np.asarray(m, dtype=bool)
 
 
@@ -559,7 +563,7 @@ def _preprocess_values_with_mask_to_array(
     ref_raster = next((v for v in vals_list if isinstance(v, Raster)), None)
     arrays = []
     for v in vals_list:
-        arrays.append(v.get_nanarray() if isinstance(v, Raster) else np.array(np.asarray(v), dtype=np.float64))
+        arrays.append(v.get_nanarray() if isinstance(v, Raster) else np.array(np.asarray(unmask(v)), dtype=np.float64))
     if gsd is None and ref_raster is not None:
         gsd = ref_raster.res[0]
 
@@ -1518,7 +1522,7 @@ def sample_empirical_variogram(
         arr_dev = values
         arr = None
     else:
-        arr = np.asarray(values, dtype=np.float64)
+        arr = np.asarray(unmask(values), dtype=np.float64)
     if arr_dev is not None:
         # Device grid mode: sampling AND estimation stay on device — nothing but the final
         # per-bin tables crosses the host boundary (the f32 raster stays in HBM: a 400 MB
@@ -1977,7 +1981,7 @@ def infer_spatial_correlation_from_stable(
             values=dvalues, include_mask=stable_mask, exclude_mask=unstable_mask, gsd=gsd
         )
         if errors is not None:
-            err_arr = errors.get_nanarray() if isinstance(errors, Raster) else np.asarray(errors)
+            err_arr = errors.get_nanarray() if isinstance(errors, Raster) else np.asarray(unmask(errors))
             d_stable = d_stable / err_arr
     return _estimate_model_spatial_correlation(
         dvalues=d_stable, list_models=list_models, estimator=estimator, gsd=gsd, coords=coords,
@@ -2135,7 +2139,7 @@ def neff_exact(
     (numerically identical)."""
     _check_validity_params_variogram(params_variogram_model)
     coords = np.asarray(coords, np.float32)
-    errors = np.asarray(errors, np.float32)
+    errors = np.asarray(unmask(errors), np.float32)
     has_matern = any(_get_variogram_model_name(m_) == "matern"
                      for m_ in params_variogram_model["model"])
     if mesh is not None and not has_matern:
@@ -2171,7 +2175,7 @@ def neff_hugonnet_approx(
     subsample = min(subsample, n)
     sel = rng.choice(n, size=subsample, replace=False)
     coords = np.asarray(coords, np.float32)
-    errors = np.asarray(errors, np.float32)
+    errors = np.asarray(unmask(errors), np.float32)
     if mesh is not None:
         from xdem_tpu.parallel.neff import weighted_rho_sum_sharded
 
@@ -2256,7 +2260,7 @@ def spatial_error_propagation(
                 mean_err = np.nanmean(err_arr)
                 area_arg = area
         else:
-            mean_err = float(np.nanmean(np.asarray(errors)))
+            mean_err = float(np.nanmean(np.asarray(unmask(errors))))
             area_arg = area
         neff = number_effective_samples(area_arg, params_variogram_model, **kwargs)
         standardized_errors.append(float(mean_err / np.sqrt(neff)))
@@ -2340,7 +2344,7 @@ def _patches_loop_quadrants(
     (reference :2795-2797 uses the quadrant-grid dimensions there, which also makes its
     square+loop combination reject every patch; a documented upstream bug we don't copy)."""
     rng = np.random.default_rng(random_state)
-    values = np.asarray(values, dtype=np.float64)
+    values = np.asarray(unmask(values), dtype=np.float64)
     side = int(np.round(np.sqrt(area) / gsd))
     side = max(side, 1)
     h, w = values.shape

@@ -18,6 +18,7 @@ from typing import Any, Literal, Sequence
 import jax.numpy as jnp
 import numpy as np
 
+from xdem_tpu.ops.transfer import unmask
 from xdem_tpu.profiler import profile as _profile
 from xdem_tpu.raster import Raster
 from xdem_tpu.terrain.freq import texture_shading as _texture_shading_fn
@@ -162,7 +163,7 @@ def get_terrain_attribute(
             UserWarning,
         )
 
-    arr = dem.data if is_raster else jnp.asarray(dem)
+    arr = dem.data if is_raster else jnp.asarray(unmask(dem))
     if not jnp.issubdtype(arr.dtype, jnp.floating):
         arr = arr.astype(jnp.float32)
     if out_dtype is None:

@@ -43,6 +43,8 @@ def _point_stable_mask(stable_terrain: Any, dem: Raster, x: np.ndarray, y: np.nd
             )
         grid_mask = np.asarray(stable_terrain.data) > 0
     else:
+        if isinstance(stable_terrain, np.ma.MaskedArray):
+            stable_terrain = stable_terrain.filled(False)  # masked slots are not stable
         m = np.asarray(stable_terrain)
         if m.shape == (len(x),):
             return m.astype(bool)

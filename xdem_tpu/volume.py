@@ -16,6 +16,7 @@ import warnings
 import numpy as np
 import pandas as pd
 
+from xdem_tpu.ops.transfer import unmask
 from xdem_tpu.raster import Raster
 
 
@@ -49,6 +50,7 @@ def hypsometric_binning(
     # Device fast path for the default median statistic on large / device-resident inputs:
     # segment-sort binned medians in one dispatch (f32 binning; a boundary pixel within
     # f32 eps of a bin edge may take the neighboring bin vs the host f64 path)
+    ddem, ref_dem = unmask(ddem), unmask(ref_dem)
     if _wants_device(ddem, ref_dem, stat_ok=aggregation_function in (np.median, np.nanmedian)):
         import jax.numpy as jnp
 
@@ -188,7 +190,7 @@ def calculate_hypsometry_area(
     else:
         ddem_series = ddem_bins
 
-    ref = np.asarray(ref_dem, dtype=np.float64)
+    ref = np.asarray(unmask(ref_dem), dtype=np.float64)
     assert not np.any(np.isnan(ref)), "The given reference DEM has NaNs. No NaNs are allowed to calculate area!"
 
     if timeframe in ("nonreference", "mean"):
@@ -221,6 +223,8 @@ def idw_interpolation(array: np.ndarray, max_search_distance: int = 10, extrapol
     (reference :340-343).
     """
     from scipy import ndimage
+
+    array = unmask(array)
 
     arr = np.asarray(array, dtype=np.float64).copy()
     if arr.ndim != 2:
@@ -255,6 +259,7 @@ def hypsometric_interpolation(
     count_threshold: int | None = 1,
 ) -> np.ma.MaskedArray:
     """Fill gaps within `mask` using the hypsometric signal of dh vs elevation (volume.py:353)."""
+    voided_ddem, ref_dem = unmask(voided_ddem), unmask(ref_dem)
     ddem = np.where(np.asarray(mask, bool), np.asarray(voided_ddem, np.float64), np.nan)
     bins = hypsometric_binning(ddem, np.asarray(ref_dem, np.float64))
     interp_bins = interpolate_hypsometric_bins(bins, count_threshold=count_threshold)
@@ -281,6 +286,7 @@ def local_hypsometric_interpolation(
     per-feature inlier masks (reference :414,429-431)."""
     from scipy import ndimage
 
+    voided_ddem, ref_dem = unmask(voided_ddem), unmask(ref_dem)
     mask = np.asarray(mask, bool)
     labels, n = ndimage.label(mask)
     out = np.where(mask, np.asarray(voided_ddem, np.float64), np.nan)
@@ -317,6 +323,7 @@ def get_regional_hypsometric_signal(
     min_coverage: float = 0.05,
 ) -> pd.DataFrame:
     """Normalized regional hypsometric signal: dh/dh_max vs normalized elevation (volume.py:568)."""
+    ddem, ref_dem = unmask(ddem), unmask(ref_dem)
     if glacier_index_map is None:
         glacier_index_map = np.ones(np.shape(ref_dem), dtype=int)
     # Device fast path: per-glacier segment reductions + binned medians in one dispatch
@@ -389,8 +396,8 @@ def norm_regional_hypsometric_interpolation(
     elevation bins are skipped (a signal scaled from one elevation band extrapolates badly,
     reference :764-768). ``idealized_ddem=True`` replaces ALL glacier values with the scaled
     signal — useful for error assessments (reference :689)."""
-    ddem = np.asarray(voided_ddem, np.float64)
-    ref = np.asarray(ref_dem, np.float64)
+    ddem = np.asarray(unmask(voided_ddem), np.float64)
+    ref = np.asarray(unmask(ref_dem), np.float64)
     if glacier_index_map is None:
         glacier_index_map = np.ones(ref.shape, dtype=int)
     glacier_index_map = np.asarray(glacier_index_map)
