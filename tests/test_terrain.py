@@ -157,6 +157,74 @@ class TestOracleComparison:
         assert np.nanmax(np.abs(got - want)) < 1e-2 * np.nanstd(want) + 1e-3
 
 
+class TestTextureShadingProperties:
+    """Analytic properties of the fractional-Laplacian operator (reference
+    tests/test_terrain/test_freq.py:53-165): a pure |f|^alpha filter with zeroed DC must
+    vanish on flat input, ignore vertical offsets, scale linearly, and move spectral power
+    toward high frequencies as alpha grows."""
+
+    def test_flat_surface_is_zero(self):
+        dem = np.full((16, 16), 1000.0, dtype=np.float32)
+        out = np.asarray(terrain.texture_shading(dem, alpha=0.8))
+        assert np.allclose(out, 0.0, atol=1e-3)
+
+    def test_offset_invariance_and_signed(self):
+        rng = np.random.RandomState(0)
+        dem = rng.randn(16, 16).astype(np.float32)
+        out = np.asarray(terrain.texture_shading(dem, alpha=0.8))
+        out_off = np.asarray(terrain.texture_shading(dem + 1234.5, alpha=0.8))
+        # DC is zeroed, so only the (float32) mean handling can differ: compare demeaned.
+        a = out - np.nanmean(out)
+        b = out_off - np.nanmean(out_off)
+        np.testing.assert_allclose(a, b, atol=2e-3, rtol=0)
+        assert np.nanmin(out) < 0 < np.nanmax(out)
+
+    def test_linear_scaling(self):
+        rng = np.random.RandomState(1)
+        dem = rng.randn(16, 16).astype(np.float32)
+        scale = 3000.0
+        out1 = np.asarray(terrain.texture_shading(dem, alpha=0.8))
+        out2 = np.asarray(terrain.texture_shading(scale * dem, alpha=0.8))
+        atol = 1e-3 * scale * np.max(np.abs(out1))
+        np.testing.assert_allclose(out2, scale * out1, atol=atol, rtol=0)
+
+    def test_spectral_shift_with_alpha(self):
+        rng = np.random.RandomState(2)
+        dem = rng.randn(16, 16).astype(np.float32)
+        out_lo = np.asarray(terrain.texture_shading(dem, alpha=0.5))
+        out_hi = np.asarray(terrain.texture_shading(dem, alpha=1.5))
+        spec_lo = np.fft.fftshift(np.fft.fft2(out_lo))
+        spec_hi = np.fft.fftshift(np.fft.fft2(out_hi))
+        p_lo = np.abs(spec_lo) ** 2
+        p_hi = np.abs(spec_hi) ** 2
+        ky = np.fft.fftshift(np.fft.fftfreq(out_lo.shape[0]))[:, None]
+        kx = np.fft.fftshift(np.fft.fftfreq(out_lo.shape[1]))[None, :]
+        radius = np.hypot(kx, ky)
+        cut = np.median(radius[radius > 0])
+        assert p_hi[radius > cut].sum() / p_hi.sum() > p_lo[radius > cut].sum() / p_lo.sum()
+
+    def test_nan_preserved_and_alpha_bounds(self):
+        dem = np.array([[1, 1, 1], [1, 2, 1], [1, 1, 1]], dtype=np.float32)
+        dem_nan = dem.copy()
+        dem_nan[0, 0] = np.nan
+        out = np.asarray(terrain.texture_shading(dem_nan, alpha=0.8))
+        assert np.isnan(out[0, 0]) and np.isfinite(out[1:, 1:]).all()
+        for bad in (-0.1, 2.1):
+            with pytest.raises(ValueError, match="Alpha must be between 0 and 2"):
+                terrain.texture_shading(dem, alpha=bad)
+
+    def test_ramp_rows_constant_columns_monotonic(self):
+        # A north-south ramp has no cross-slope structure: columns identical, row means
+        # ordered with the ramp (reference test_freq.py:59-84).
+        dem = np.tile(np.arange(16, dtype=np.float32)[:, None], (1, 16))
+        out = np.asarray(terrain.texture_shading(dem, alpha=0.8))
+        atol = 1e-3 * (np.max(np.abs(out)) + 1.0)
+        assert np.allclose(np.diff(out, axis=1), 0.0, atol=atol)
+        row_means = out.mean(axis=1)
+        # Central rows (away from the symmetric-pad boundary) increase with elevation.
+        assert np.all(np.diff(row_means[4:12]) >= -atol)
+
+
 class TestNaNSemantics:
     def test_nan_poisoning_3x3(self, smooth_dem):
         dem, res = smooth_dem
