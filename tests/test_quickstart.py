@@ -42,7 +42,7 @@ def test_gallery_scripts_run(tmp_path, monkeypatch):
                    "basic_files_and_masks.py", "basic_vertical_ref.py",
                    "basic_icp_coregistration.py", "advanced_slope_methods.py",
                    "advanced_regional_hypso.py", "advanced_point_uncertainty.py",
-                   "advanced_patches_validation.py"]:
+                   "advanced_patches_validation.py", "basic_3d_manipulation.py"]:
         runpy.run_path(str(gallery / script), run_name="__main__")
     assert (tmp_path / "gallery_outputs" / "terrain_attributes.png").exists()
     assert (tmp_path / "gallery_outputs" / "slope_methods.png").exists()
