@@ -174,3 +174,85 @@ class TestWorkflowsInitNames:
 
         params = inspect.signature(Workflows.__init__).parameters
         assert "user_config" in params and "output" in params
+
+
+class TestModuleForModuleSurface:
+    """Every public symbol the reference defines exists at the same module path here
+    (reference xdem/: top-level defs/classes not starting with '_', per module). This is
+    the module-level companion of the signature tests above: a symbol moving or vanishing
+    breaks migration, so the full map is pinned."""
+
+    REFERENCE_SURFACE = {
+        "xdem_tpu._misc": ["copy_doc", "deprecate", "diff_environment_yml", "get_progress",
+                           "import_optional"],
+        "xdem_tpu.cli": ["main"],
+        # reference coreg/affine.py + base.py + biascorr.py + blockwise.py
+        "xdem_tpu.coreg.affine": ["AffineCoreg", "CPD", "DhMinimize", "ICP", "LZD", "NuthKaab",
+                                  "VerticalShift", "cpd", "dh_minimize", "icp", "lzd",
+                                  "nuth_kaab", "vertical_shift"],
+        "xdem_tpu.coreg.base": ["Coreg", "CoregDict", "CoregPipeline", "InAffineDict",
+                                "InFitOrBinDict", "InIterativeDict", "InRandomDict",
+                                "InSpecificDict", "InputCoregDict", "NotImplementedCoregApply",
+                                "NotImplementedCoregFit", "OutAffineDict", "OutFitOrBinDict",
+                                "OutIterativeDict", "OutRandomDict", "OutSpecificDict",
+                                "OutputCoregDict", "apply_matrix", "invert_matrix",
+                                "matrix_from_translations_rotations",
+                                "translations_rotations_from_matrix"],
+        "xdem_tpu.coreg.biascorr": ["BiasCorr", "Deramp", "DirectionalBias", "TerrainBias"],
+        "xdem_tpu.coreg.blockwise": ["BlockwiseCoreg"],
+        "xdem_tpu.ddem": ["dDEM"],
+        "xdem_tpu.dem": ["DEM"],
+        "xdem_tpu.demcollection": ["DEMCollection"],
+        "xdem_tpu.epc": ["EPC"],
+        "xdem_tpu.examples": ["get_all_data", "get_path", "get_path_test"],
+        "xdem_tpu.fit": ["huber_loss", "polynomial_1d", "polynomial_2d", "rmse",
+                         "robust_nfreq_sumsin_fit", "robust_norder_polynomial_fit",
+                         "soft_loss", "sumsin_1d"],
+        "xdem_tpu.spatialstats": ["EmpiricalVariogramKArgs", "convolution",
+                                  "correlation_from_variogram", "covariance_from_variogram",
+                                  "fit_sum_model_variogram", "get_perbin_nd_binning",
+                                  "get_variogram_model_func",
+                                  "infer_heteroscedasticity_from_stable",
+                                  "infer_spatial_correlation_from_stable", "interp_nd_binning",
+                                  "mean_filter_nan", "nd_binning",
+                                  "neff_circular_approx_numerical",
+                                  "neff_circular_approx_theoretical", "neff_exact",
+                                  "neff_hugonnet_approx", "nmad", "number_effective_samples",
+                                  "patches_method", "plot_1d_binning", "plot_2d_binning",
+                                  "plot_variogram", "sample_empirical_variogram",
+                                  "spatial_error_propagation", "two_step_standardization"],
+        "xdem_tpu.terrain": ["aspect", "curvature", "flowline_curvature", "fractal_roughness",
+                             "get_terrain_attribute", "hillshade", "max_curvature",
+                             "min_curvature", "planform_curvature", "profile_curvature",
+                             "roughness", "rugosity", "slope", "tangential_curvature",
+                             "terrain_ruggedness_index", "texture_shading",
+                             "topographic_position_index"],
+        "xdem_tpu.vcrs": ["VCRSMetaDict"],
+        "xdem_tpu.volume": ["calculate_hypsometry_area", "fit_hypsometric_bins_poly",
+                            "get_regional_hypsometric_signal", "hypsometric_binning",
+                            "hypsometric_interpolation", "idw_interpolation",
+                            "interpolate_hypsometric_bins", "local_hypsometric_interpolation",
+                            "norm_regional_hypsometric_interpolation"],
+        "xdem_tpu.workflows.accuracy": ["Accuracy"],
+        "xdem_tpu.workflows.schemas": ["CustomValidator", "make_coreg_step",
+                                       "validate_configuration"],
+        "xdem_tpu.workflows.topo": ["Topo"],
+        "xdem_tpu.workflows.workflows": ["Workflows"],
+    }
+
+    def test_every_reference_symbol_importable_at_same_path(self):
+        import importlib
+
+        missing = []
+        for module, names in self.REFERENCE_SURFACE.items():
+            mod = importlib.import_module(module)
+            missing += [f"{module}.{n}" for n in names if not hasattr(mod, n)]
+        assert not missing, f"reference symbols missing at their module path: {missing}"
+
+    def test_package_exports_match_reference(self):
+        """Reference xdem/__init__.py:19-23 exports these submodules and classes."""
+        import xdem_tpu
+
+        for name in ["coreg", "dem", "examples", "fit", "spatialstats", "terrain", "volume",
+                     "DEM", "dDEM", "DEMCollection", "EPC"]:
+            assert hasattr(xdem_tpu, name), name
