@@ -8,6 +8,10 @@ when a shift or rotation is known in advance, it can be applied directly —
 """
 import os
 
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
 import numpy as np
 
 from xdem_tpu import coreg, examples
@@ -39,11 +43,13 @@ centroid = (
 )
 rotated = coreg.apply_matrix(dem, matrix=matrix, centroid=centroid)
 diff = dem.get_nanarray() - rotated.get_nanarray()
-print(f"dh after 0.6 deg X-rotation: min {np.nanmin(diff):.1f} m, max {np.nanmax(diff):.1f} m")
+print(
+    "dh after 0.6 deg X-rotation + (%.1f, %.1f, %.1f) m translation:"
+    % (shift_x, shift_y, shift_z)
+    + f" min {np.nanmin(diff):.1f} m, max {np.nanmax(diff):.1f} m"
+)
 diff_r = dem.copy(new_array=diff)
 diff_r.plot(cmap="RdYlBu", cbar_title="Elevation differences (m)")
-import matplotlib.pyplot as plt
-
 plt.savefig("gallery_outputs/manipulation_rotation_dh.png", dpi=100)
 plt.close()
 
