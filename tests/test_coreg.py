@@ -5,6 +5,7 @@ the reference DEM itself must be recovered within 1% of the shift and remove >99
 variance (reference :163-200).
 """
 
+import functools
 import warnings
 
 import jax.numpy as jnp
@@ -1146,6 +1147,185 @@ class TestBlockwiseMesh:
             for other in ("m1", "none"):
                 np.testing.assert_allclose(getattr(fits["m8"], attr), getattr(fits[other], attr),
                                            rtol=2e-3, atol=2e-3, equal_nan=True)
+
+
+class TestDistributedSelection:
+    """Bit-space radix selection for signed f32 (parallel/selection.py): the exact
+    order-statistic engine behind the median-exact mesh= coreg fits."""
+
+    def test_signed_monotone_key_roundtrip_and_order(self):
+        from xdem_tpu.parallel.selection import signed_monotone_u32, u32_to_f32
+
+        rng = np.random.default_rng(0)
+        x = np.concatenate([
+            rng.normal(0, 100, 500).astype(np.float32),
+            np.float32([0.0, -0.0, 1e-38, -1e-38, 3.4e38, -3.4e38]),
+        ])
+        keys = np.asarray(signed_monotone_u32(jnp.asarray(x)))
+        back = np.asarray(u32_to_f32(jnp.asarray(keys)))
+        # Roundtrip is exact (bijection) and key order == value order
+        np.testing.assert_array_equal(back, x)
+        order_v = np.argsort(x, kind="stable")
+        assert np.all(np.diff(keys[order_v].astype(np.uint64)) >= 0)
+
+    def test_per_bin_median_matches_numpy_across_shards(self):
+        import jax
+        from jax import shard_map
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        from xdem_tpu.parallel.selection import signed_median_by_bin
+
+        rng = np.random.default_rng(1)
+        n, n_bins = 4096, 7
+        x = rng.normal(-5, 50, n).astype(np.float32)
+        bins = rng.integers(0, n_bins + 1, n).astype(np.int32)  # n_bins = invalid slot
+        x[bins == 3] = np.abs(x[bins == 3])  # a bin with only positives
+        x[bins == 5] = -np.abs(x[bins == 5])  # a bin with only negatives
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("p",))
+        counts = np.bincount(bins, minlength=n_bins + 1)[:n_bins].astype(np.int32)
+
+        @functools.partial(
+            shard_map, mesh=mesh, in_specs=(P("p"), P("p"), P(None)), out_specs=P(None)
+        )
+        def run(xs, bs, cnt):
+            return signed_median_by_bin(xs, bs, cnt, n_bins, "p")
+
+        got = np.asarray(run(jnp.asarray(x), jnp.asarray(bins), jnp.asarray(counts)))
+        want = np.array([
+            np.median(x[bins == b]) if counts[b] else np.nan for b in range(n_bins)
+        ], np.float32)
+        np.testing.assert_array_equal(got, want)  # exact: medians are order statistics
+
+    def test_masked_median_matches_and_is_shard_invariant(self):
+        import jax
+        from jax import shard_map
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        from xdem_tpu.parallel.selection import masked_median_distributed
+
+        rng = np.random.default_rng(2)
+        x = rng.normal(3, 20, 4000).astype(np.float32)
+        valid = rng.uniform(size=4000) > 0.3
+        outs = []
+        for nd in (1, 2, 8):
+            mesh = Mesh(np.asarray(jax.devices()[:nd]), ("p",))
+
+            @functools.partial(
+                shard_map, mesh=mesh, in_specs=(P("p"), P("p")), out_specs=(P(), P())
+            )
+            def run(xs, vs):
+                return masked_median_distributed(xs, vs, "p")
+
+            med, cnt = run(jnp.asarray(x), jnp.asarray(valid))
+            assert int(cnt) == int(valid.sum())
+            outs.append(float(med))
+        assert outs[0] == outs[1] == outs[2] == np.float32(np.median(x[valid]))
+
+
+class TestMeshCoregFits:
+    """User-facing mesh= on the iterative coreg fits (SURVEY 2.7): point-sharded solvers with
+    EXACT distributed medians — the sharded fit carries the single-device fit's semantics
+    (reference affine.py:358-377 uses medians for the aspect bins and the vertical shift)."""
+
+    def test_nuth_kaab_mesh_matches_single_device(self, ref_tba):
+        import jax
+        from jax.sharding import Mesh
+
+        tba = _shifted(ref_tba, 10.0, -6.0, 1.5)
+        fits = {}
+        for name, nd in (("none", 0), ("m1", 1), ("m8", 8)):
+            mesh = Mesh(np.asarray(jax.devices()[:nd]), ("p",)) if nd else None
+            c = coreg.NuthKaab(subsample=30000)
+            c.fit(ref_tba, tba, random_state=42, mesh=mesh)
+            fits[name] = c.meta["outputs"]["affine"]
+        # Recovers the synthetic shift, and the sharded fit agrees with the single-device one
+        # to the last f32 ulps (the medians are bitwise; only the 72-element cosine-solve
+        # matmul reduction order differs between the jit and shard_map lowerings)
+        assert fits["m8"]["shift_x"] == pytest.approx(-10.0, abs=0.5)
+        assert fits["m8"]["shift_y"] == pytest.approx(6.0, abs=0.5)
+        for k in ("shift_x", "shift_y", "shift_z"):
+            np.testing.assert_allclose(fits["m8"][k], fits["none"][k], rtol=1e-6, atol=1e-4)
+            np.testing.assert_allclose(fits["m1"][k], fits["none"][k], rtol=1e-6, atol=1e-4)
+
+    def test_nuth_kaab_mesh_fit_only_mode(self, ref_tba):
+        """bin_before_fit=False reduces point sums with psum: f32 reassociation gives a
+        documented ~1e-4 relative bound instead of the binned mode's ulp-level match."""
+        import jax
+        from jax.sharding import Mesh
+
+        tba = _shifted(ref_tba, 8.0, -5.0, 1.0)
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("p",))
+        c_m = coreg.NuthKaab(subsample=30000, bin_before_fit=False)
+        c_m.fit(ref_tba, tba, random_state=42, mesh=mesh)
+        c_1 = coreg.NuthKaab(subsample=30000, bin_before_fit=False)
+        c_1.fit(ref_tba, tba, random_state=42)
+        for k in ("shift_x", "shift_y", "shift_z"):
+            a, b = c_m.meta["outputs"]["affine"][k], c_1.meta["outputs"]["affine"][k]
+            np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3)
+
+    def test_vertical_shift_mesh_bitwise(self, ref_tba):
+        import jax
+        from jax.sharding import Mesh
+
+        tba = _shifted(ref_tba, 0.0, 0.0, 2.75)
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("p",))
+        z_m = coreg.VerticalShift().fit(ref_tba, tba, mesh=mesh).meta["outputs"]["affine"]["shift_z"]
+        z_1 = coreg.VerticalShift().fit(ref_tba, tba).meta["outputs"]["affine"]["shift_z"]
+        assert np.float32(z_m).tobytes() == np.float32(z_1).tobytes()  # exact order statistic
+
+    def test_cpd_mesh_matches_single_device(self, ref_tba):
+        import jax
+        from jax.sharding import Mesh
+
+        tba = _shifted(ref_tba, 6.0, -4.0, 1.0)
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("p",))
+        c_m = coreg.CPD()
+        c_m.fit(ref_tba, tba, random_state=42, mesh=mesh)
+        c_1 = coreg.CPD()
+        c_1.fit(ref_tba, tba, random_state=42)
+        # Same seeded subsample; the sharded EM differs only by psum reassociation
+        np.testing.assert_allclose(c_m.to_matrix(), c_1.to_matrix(), rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(
+            c_m.to_translations(), c_1.to_translations(), rtol=1e-3, atol=1e-2
+        )
+
+    def test_mesh_rejected_for_unsupported_method(self, ref_tba):
+        import jax
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("p",))
+        tba = _shifted(ref_tba, 2.0, -2.0, 0.5)
+        with pytest.raises(NotImplementedError, match="mesh="):
+            coreg.ICP().fit(ref_tba, tba, mesh=mesh)
+
+    def test_mesh_rejected_off_the_fused_paths(self, ref_tba):
+        import jax
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("p",))
+        tba = _shifted(ref_tba, 2.0, -2.0, 0.5)
+        with pytest.raises(NotImplementedError, match="raster-raster"):
+            coreg.NuthKaab(subsample=0.5).fit(ref_tba, tba, mesh=mesh)
+        with pytest.raises(NotImplementedError, match="full-raster"):
+            coreg.VerticalShift(subsample=0.5).fit(ref_tba, tba, mesh=mesh, random_state=1)
+
+    def test_pipeline_routes_mesh_to_supporting_steps(self, ref_tba, caplog):
+        """A pipeline fit with mesh= shards the steps that can and runs the others
+        single-device (logged at INFO), rather than failing the whole pipeline."""
+        import jax
+        import logging as _logging
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("p",))
+        tba = _shifted(ref_tba, 10.0, -6.0, 1.5)
+        pipe = coreg.VerticalShift() + coreg.NuthKaab(subsample=30000)
+        pipe.fit(ref_tba, tba, random_state=42, mesh=mesh)
+        assert pipe.to_matrix()[0, 3] == pytest.approx(-10.0, abs=0.5)
+
+        pipe2 = coreg.Deramp(poly_order=1, subsample=20000) + coreg.VerticalShift()
+        with caplog.at_level(_logging.INFO):
+            pipe2.fit(ref_tba, tba, random_state=42, mesh=mesh)
+        assert any("no mesh= fit path" in r.message for r in caplog.records)
 
 
 class TestCoregLayerReviewRegressions:

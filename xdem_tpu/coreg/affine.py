@@ -214,6 +214,15 @@ def _binned_median(y: jnp.ndarray, bin_idx: jnp.ndarray, valid: jnp.ndarray, n_b
     return jnp.where(counts > 0, 0.5 * (lo + hi), jnp.nan)
 
 
+def _masked_median(x: jnp.ndarray) -> jnp.ndarray:
+    """Median over finite entries as 0.5*(lo+hi) of the two middle order statistics — the
+    SAME formula as the distributed radix selection (parallel/selection.py), so mesh= fits
+    match single-device fits bitwise (jnp.nanmedian's interpolation is not guaranteed to
+    share that exact rounding)."""
+    flat = x.ravel()
+    return _binned_median(flat, jnp.zeros(flat.shape, jnp.int32), jnp.isfinite(flat), 1)[0]
+
+
 @partial(jax.jit, static_argnames=("max_iterations", "n_bins", "invert", "bin_before_fit"))
 def _nuth_kaab_solve(
     pts_z: jnp.ndarray,
@@ -250,7 +259,7 @@ def _nuth_kaab_solve(
     def step(carry):
         sx, sy, _vs, _stat, it = carry
         dh = _dh_device(pts_z, rows, cols, raster, sx, sy, invert)
-        vshift = jnp.nanmedian(dh)
+        vshift = _masked_median(dh)
         dh = dh - vshift
         y = dh / slope_tan
         valid = jnp.isfinite(y)
@@ -371,8 +380,15 @@ def nuth_kaab(
     bin_before_fit: bool = True,
     n_bins: int = 72,
     z_name: str = "z",
+    mesh: Any = None,
 ) -> tuple[tuple[float, float, float], int, int]:
-    """Nuth and Kaab (2011) coregistration driver (reference affine.py:539)."""
+    """Nuth and Kaab (2011) coregistration driver (reference affine.py:539).
+
+    With `mesh=` (any jax.sharding.Mesh), the subsampled points are sharded across the mesh
+    devices and every per-iteration statistic is computed with exact distributed medians
+    (parallel/coreg.py) — the fit matches the single-device one bitwise in the default
+    bin_before_fit mode. Requires the fused raster-raster path (two rasters, subsample > 1).
+    """
     logging.info("Running Nuth and Kääb (2011) coregistration")
     from xdem_tpu.georef import CRS
 
@@ -420,13 +436,27 @@ def nuth_kaab(
             seed = int(random_state)
         else:  # None or a np.random.Generator: draw the device seed from it
             seed = int(np.random.default_rng(random_state).integers(2**31))
-        res_dev = np.asarray(
-            _nuth_kaab_rst_rst_device(
-                ref_arr, tba_arr, inlier, np.uint32(seed), count, res_x, res_y, tolerance,
-                max_iterations=int(max_iterations), n_bins=int(n_bins),
-                bin_before_fit=bin_before_fit,
+        if mesh is not None:
+            # SURVEY 2.7: the iterative fit data-parallel over a point-sharded mesh, with
+            # exact distributed medians (bitwise-matching the single-device program)
+            from xdem_tpu.parallel.coreg import nuth_kaab_rst_rst_sharded
+            from xdem_tpu.parallel.mesh import as_mesh_1d
+
+            res_dev = np.asarray(
+                nuth_kaab_rst_rst_sharded(
+                    ref_arr, tba_arr, inlier, np.uint32(seed), count, res_x, res_y,
+                    tolerance, as_mesh_1d(mesh), max_iterations=int(max_iterations),
+                    n_bins=int(n_bins), bin_before_fit=bin_before_fit,
+                )
             )
-        )
+        else:
+            res_dev = np.asarray(
+                _nuth_kaab_rst_rst_device(
+                    ref_arr, tba_arr, inlier, np.uint32(seed), count, res_x, res_y, tolerance,
+                    max_iterations=int(max_iterations), n_bins=int(n_bins),
+                    bin_before_fit=bin_before_fit,
+                )
+            )
         sx, sy, vshift, _stat, it, n_valid, populated = (float(v) for v in res_dev)
         if n_valid == 0:
             raise ValueError("No valid (finite, inlier) pixels in common between the elevation data.")
@@ -445,6 +475,13 @@ def nuth_kaab(
                 "valid pixel available at each iteration."
             )
         return (sx, sy, vshift), int(min(count, n_valid)), int(it)
+
+    if mesh is not None:
+        raise NotImplementedError(
+            "NuthKaab mesh= requires the fused raster-raster path: two raster inputs and an "
+            "absolute subsample count (subsample > 1). Point-cloud inputs and fractional "
+            "subsamples use the host subsample path, which is single-device."
+        )
 
     # Slope/aspect from the raster side (or the reference for raster-raster)
     grid_side = ref_elev if not isinstance(ref_elev, PointCloud) else tba_elev
@@ -565,7 +602,7 @@ def _masked_median_diff(ref: jnp.ndarray, tba: jnp.ndarray, inlier: jnp.ndarray)
     default VerticalShift fit as one elementwise device reduction (no gathers, no value
     readback beyond two scalars)."""
     dh = jnp.where(inlier, ref - tba, jnp.nan)
-    return jnp.nanmedian(dh), jnp.isfinite(dh).sum()
+    return _masked_median(dh), jnp.isfinite(dh).sum()
 
 
 def vertical_shift(
@@ -577,9 +614,14 @@ def vertical_shift(
     random_state: int | None,
     vshift_reduc_func: Callable[[np.ndarray], Any] = np.median,
     z_name: str = "z",
+    mesh: Any = None,
 ) -> tuple[float, int]:
     """Vertical shift coregistration for any point-raster or raster-raster input
     (reference affine.py:721): reduce the subsampled elevation differences.
+
+    With `mesh=`, the raster pair is row-sharded across the mesh and the median is the exact
+    distributed order statistic (bitwise equal to the single-device fit). Requires the
+    full-raster median path (two rasters, subsample=1.0, median reductor).
 
     :return: (vertical shift in georeferenced units, final subsample count).
     """
@@ -602,11 +644,22 @@ def vertical_shift(
             int(_pkg_config["shape_bucketing"]),
             (ref_a, jnp.nan), (tba_a, jnp.nan), (inlier, False),
         )
-        med, n_valid = _masked_median_diff(ref_a, tba_a, inlier)
+        if mesh is not None:
+            from xdem_tpu.parallel.coreg import masked_median_diff_sharded
+            from xdem_tpu.parallel.mesh import as_mesh_1d
+
+            med, n_valid = masked_median_diff_sharded(ref_a, tba_a, inlier, as_mesh_1d(mesh))
+        else:
+            med, n_valid = _masked_median_diff(ref_a, tba_a, inlier)
         res = np.asarray(jnp.stack([med.astype(jnp.float32), n_valid.astype(jnp.float32)]))
         if res[1] == 0:
             raise ValueError("No valid (finite, inlier) pixels in common between the elevation data.")
         return float(res[0]), int(res[1])
+    if mesh is not None:
+        raise NotImplementedError(
+            "VerticalShift mesh= requires the full-raster median path: two raster inputs, "
+            "subsample=1.0, and the default median reductor."
+        )
     sub = _subsample_pair(ref_elev, tba_elev, inlier_mask, transform,
                           subsample, random_state, z_name=z_name)
     dh = np.asarray(_dh_device(jnp.asarray(sub["pts_z"]), jnp.asarray(sub["rows"]),
@@ -618,22 +671,27 @@ def vertical_shift(
 class VerticalShift(AffineCoreg):
     """Vertical translation alignment (reference affine.py:2002). Default reductor: median."""
 
+    _supports_mesh_fit = True  # fit(..., mesh=): exact distributed median (parallel/coreg.py)
+
     def __init__(self, vshift_reduc_func: Callable[[np.ndarray], Any] = np.median,
                  subsample: float | int = 1.0, initial_shift: tuple | None = None):
         super().__init__(subsample=subsample, initial_shift=initial_shift)
         self._meta["inputs"]["affine"]["vshift_reduc_func"] = vshift_reduc_func
 
-    def _fit_rst_rst(self, ref_elev, tba_elev, inlier_mask, transform, crs, z_name="z", **kwargs):
-        self._fit_any(ref_elev, tba_elev, inlier_mask, transform, z_name=z_name)
+    def _fit_rst_rst(self, ref_elev, tba_elev, inlier_mask, transform, crs, z_name="z",
+                     mesh=None, **kwargs):
+        self._fit_any(ref_elev, tba_elev, inlier_mask, transform, z_name=z_name, mesh=mesh)
 
-    def _fit_rst_pts(self, ref_elev, tba_elev, inlier_mask, transform, crs, z_name="z", **kwargs):
-        self._fit_any(ref_elev, tba_elev, inlier_mask, transform, z_name=z_name)
+    def _fit_rst_pts(self, ref_elev, tba_elev, inlier_mask, transform, crs, z_name="z",
+                     mesh=None, **kwargs):
+        self._fit_any(ref_elev, tba_elev, inlier_mask, transform, z_name=z_name, mesh=mesh)
 
-    def _fit_any(self, ref_elev, tba_elev, inlier_mask, transform, z_name="z"):
+    def _fit_any(self, ref_elev, tba_elev, inlier_mask, transform, z_name="z", mesh=None):
         p = self._meta["inputs"]["random"]
         vshift, count = vertical_shift(
             ref_elev, tba_elev, inlier_mask, transform, p["subsample"], p["random_state"],
             vshift_reduc_func=self._meta["inputs"]["affine"]["vshift_reduc_func"], z_name=z_name,
+            mesh=mesh,
         )
         self._meta["outputs"]["affine"] = {"shift_z": vshift}
         self._meta["outputs"]["random"] = {"subsample_final": count}
@@ -646,6 +704,8 @@ class VerticalShift(AffineCoreg):
 
 class NuthKaab(AffineCoreg):
     """Nuth and Kaab (2011) iterative slope/aspect alignment (reference affine.py:2386)."""
+
+    _supports_mesh_fit = True  # fit(..., mesh=): point-sharded median-exact iterations
 
     def __init__(
         self,
@@ -668,13 +728,15 @@ class NuthKaab(AffineCoreg):
         }
         self.vertical_shift = vertical_shift
 
-    def _fit_rst_rst(self, ref_elev, tba_elev, inlier_mask, transform, crs, z_name="z", **kwargs):
-        self._fit_any(ref_elev, tba_elev, inlier_mask, transform, crs, z_name=z_name)
+    def _fit_rst_rst(self, ref_elev, tba_elev, inlier_mask, transform, crs, z_name="z",
+                     mesh=None, **kwargs):
+        self._fit_any(ref_elev, tba_elev, inlier_mask, transform, crs, z_name=z_name, mesh=mesh)
 
-    def _fit_rst_pts(self, ref_elev, tba_elev, inlier_mask, transform, crs, z_name="z", **kwargs):
-        self._fit_any(ref_elev, tba_elev, inlier_mask, transform, crs, z_name=z_name)
+    def _fit_rst_pts(self, ref_elev, tba_elev, inlier_mask, transform, crs, z_name="z",
+                     mesh=None, **kwargs):
+        self._fit_any(ref_elev, tba_elev, inlier_mask, transform, crs, z_name=z_name, mesh=mesh)
 
-    def _fit_any(self, ref_elev, tba_elev, inlier_mask, transform, crs, z_name="z"):
+    def _fit_any(self, ref_elev, tba_elev, inlier_mask, transform, crs, z_name="z", mesh=None):
         p = self._meta["inputs"]["random"]
         fb = self._meta["inputs"]["fitorbin"]
         n_bins = fb["bin_sizes"] if isinstance(fb["bin_sizes"], int) else list(fb["bin_sizes"].values())[0]
@@ -684,6 +746,7 @@ class NuthKaab(AffineCoreg):
             max_iterations=self._meta["inputs"]["iterative"]["max_iterations"],
             subsample=p["subsample"], random_state=p["random_state"],
             bin_before_fit=fb["fit_or_bin"] == "bin_and_fit", n_bins=n_bins, z_name=z_name,
+            mesh=mesh,
         )
         # Sampling offsets convert to apply-translations with a sign flip (reference :2525-2528)
         self._meta["outputs"]["affine"] = {
@@ -1523,11 +1586,17 @@ def cpd(
     tolerance: float = 0.01,
     only_translation: bool = False,
     standardize: bool = True,
+    mesh: Any = None,
 ) -> tuple[np.ndarray, tuple[float, float, float], int]:
     """Coherent Point Drift rigid registration (reference affine.py:1340).
 
     `crs` is accepted for reference-signature parity: the EM runs in the projected
     coordinates the inputs already carry, so the CRS never enters the computation.
+
+    With `mesh=`, the reference cloud is row-sharded across the mesh and the O(N*M)
+    responsibility matrix never materializes on one chip (memory per chip: M x N/n_devices)
+    — the path past CPD's reference-documented subsample limit. f32-reassociation tolerance
+    vs the single-device solve (~1e-4 on the transform parameters).
     """
     logging.info("Running CPD coregistration")
     sub_ref, sub_tba, x, y, _ = _subsample_pair_values(
@@ -1547,10 +1616,24 @@ def cpd(
                   - 2 * float(jnp.mean(Y @ jnp.mean(X, axis=0))))
     # The full EM iteration runs as ONE jitted while_loop (a host loop pays ~50 ms of tunnel
     # latency per step)
-    R_d, t_d, it_d, degenerate = _cpd_solve(
-        X, Y, float(weight_cpd), diff2, float(sigma2_min), float(tolerance),
-        int(max_iterations), bool(only_translation),
-    )
+    if mesh is not None:
+        from xdem_tpu.parallel.cpd import cpd_solve_sharded
+        from xdem_tpu.parallel.mesh import as_mesh_1d
+
+        m1 = as_mesh_1d(mesh)
+        n_dev = int(m1.devices.size)
+        n_pts = X.shape[0]
+        pad = (-n_pts) % n_dev
+        Xp = jnp.concatenate([X, jnp.full((pad, 3), jnp.nan, jnp.float32)]) if pad else X
+        R_d, t_d, it_d, degenerate = cpd_solve_sharded(
+            Xp, Y, float(weight_cpd), diff2, float(sigma2_min), float(tolerance),
+            int(max_iterations), bool(only_translation), m1, n_true=n_pts,
+        )
+    else:
+        R_d, t_d, it_d, degenerate = _cpd_solve(
+            X, Y, float(weight_cpd), diff2, float(sigma2_min), float(tolerance),
+            int(max_iterations), bool(only_translation),
+        )
     if bool(degenerate):
         logging.warning(
             "CPD EM step became degenerate (variance collapsed) at iteration %d; "
@@ -1569,6 +1652,8 @@ def cpd(
 class CPD(AffineCoreg):
     """Coherent Point Drift rigid registration (reference affine.py:2262)."""
 
+    _supports_mesh_fit = True  # fit(..., mesh=): reference cloud sharded across the mesh
+
     def __init__(
         self,
         weight: float = 0,
@@ -1585,13 +1670,15 @@ class CPD(AffineCoreg):
         }
         self._meta["inputs"]["iterative"] = {"max_iterations": max_iterations, "tolerance": tolerance}
 
-    def _fit_rst_rst(self, ref_elev, tba_elev, inlier_mask, transform, crs, z_name="z", **kwargs):
-        self._fit_any(ref_elev, tba_elev, inlier_mask, transform, crs)
+    def _fit_rst_rst(self, ref_elev, tba_elev, inlier_mask, transform, crs, z_name="z",
+                     mesh=None, **kwargs):
+        self._fit_any(ref_elev, tba_elev, inlier_mask, transform, crs, mesh=mesh)
 
-    def _fit_rst_pts(self, ref_elev, tba_elev, inlier_mask, transform, crs, z_name="z", **kwargs):
-        self._fit_any(ref_elev, tba_elev, inlier_mask, transform, crs)
+    def _fit_rst_pts(self, ref_elev, tba_elev, inlier_mask, transform, crs, z_name="z",
+                     mesh=None, **kwargs):
+        self._fit_any(ref_elev, tba_elev, inlier_mask, transform, crs, mesh=mesh)
 
-    def _fit_any(self, ref_elev, tba_elev, inlier_mask, transform, crs):
+    def _fit_any(self, ref_elev, tba_elev, inlier_mask, transform, crs, mesh=None):
         p = self._meta["inputs"]["random"]
         s = self._meta["inputs"]["specific"]
         it = self._meta["inputs"]["iterative"]
@@ -1599,7 +1686,7 @@ class CPD(AffineCoreg):
             ref_elev, tba_elev, inlier_mask, transform, crs,
             subsample=p["subsample"], random_state=p["random_state"],
             weight_cpd=s["weight_cpd"], max_iterations=it["max_iterations"], tolerance=it["tolerance"],
-            only_translation=s["only_translation"], standardize=s["standardize"],
+            only_translation=s["only_translation"], standardize=s["standardize"], mesh=mesh,
         )
         tx, ty, tz, *_ = translations_rotations_from_matrix(matrix)
         self._meta["outputs"]["affine"] = {

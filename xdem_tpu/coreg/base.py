@@ -683,6 +683,7 @@ class Coreg:
     _fit_called = False
     _is_affine: bool | None = None
     _needs_vars = False
+    _supports_mesh_fit = False  # True on methods whose fit() honors mesh= (multi-chip)
 
     # Known meta keys route to their section (reference base.py:1962-1997's key mapping);
     # anything else lands in "specific". Without this, every key except subsample/
@@ -784,6 +785,13 @@ class Coreg:
             # (the reference likewise errors on unsupported weights).
             raise NotImplementedError(
                 f"{type(self).__name__} does not support weighted fitting yet; leave weights=None."
+            )
+        if kwargs.get("mesh") is not None and not self._supports_mesh_fit:
+            # Refuse rather than silently run single-device: a mesh= the method cannot honor
+            # would otherwise look like a working multi-chip fit.
+            raise NotImplementedError(
+                f"{type(self).__name__} does not support mesh= fitting; mesh= is available on "
+                "NuthKaab, VerticalShift and CPD (BlockwiseCoreg takes mesh= at construction)."
             )
         ref, tba, mask, transform, crs, area_or_point = _preprocess_coreg_fit(
             reference_elev, to_be_aligned_elev, inlier_mask, transform, crs, area_or_point
@@ -1173,7 +1181,14 @@ class CoregPipeline(Coreg):
         for i, step in enumerate(self.pipeline):
             logging.info("Running pipeline step: %d / %d", i + 1, len(self.pipeline))
             step_bias = self._parse_bias_vars(i, bias_vars)
-            step.fit(reference_elev, tba, inlier_mask=inlier_mask, bias_vars=step_bias, **kwargs)
+            step_kwargs = kwargs
+            if kwargs.get("mesh") is not None and not step._supports_mesh_fit:
+                # mesh= applies to the steps that can shard their fit; the others run
+                # single-device rather than failing the whole pipeline
+                logging.info("Pipeline step %d (%s) has no mesh= fit path; running single-device.",
+                             i + 1, type(step).__name__)
+                step_kwargs = {k: v for k, v in kwargs.items() if k != "mesh"}
+            step.fit(reference_elev, tba, inlier_mask=inlier_mask, bias_vars=step_bias, **step_kwargs)
             tba = step.apply(tba, bias_vars=step_bias, **apply_kw)
             if isinstance(tba, tuple):  # array input returns (array, transform)
                 apply_kw["transform"] = tba[1]
