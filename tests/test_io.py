@@ -731,6 +731,135 @@ class TestCitationWkt:
         assert back.crs.epsg == 2154 and back.crs == CRS(2154)
 
 
+class TestParameterGeoKeys:
+    """User-defined projection GeoKeys (ProjCoordTransGeoKey 3075 + parameter doubles) —
+    the GDAL encoding for custom CRSs when no citation WKT is trusted/present. The reference
+    ingests these via rasterio/pyproj (/root/reference/xdem/dem.py:150-173); the codec writes
+    them alongside the citation and resolves them on read when the citation is absent."""
+
+    _LCC = "+proj=lcc +lat_1=33 +lat_2=45 +lat_0=39 +lon_0=-96 +x_0=100000 +y_0=50000 +datum=NAD27"
+
+    def _params_only_file(self, tmp_path, keys, name="params.tif"):
+        """Write a GeoTIFF carrying ONLY parameter GeoKeys (no citation WKT) — the shape of
+        a GDAL export of a custom CRS whose citation a reader ignores."""
+        import ctypes
+
+        from xdem_tpu import io as xio
+        from xdem_tpu.georef import Affine
+
+        p = str(tmp_path / name)
+        data = np.arange(20, dtype=np.float32).reshape(4, 5)
+        tr = (ctypes.c_double * 6)(*[float(v) for v in tuple(Affine.from_origin(2e5, 1e6, 30, 30))])
+        rc = xio._lib().gt_write(
+            p.encode(), data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), 4, 5, tr,
+            0, -9999.0, 1, b"", 3, b"", 0, xio._serialize_geokeys(keys),
+        )
+        assert rc == 0, xio._err()
+        return p
+
+    def test_written_files_carry_parameter_geokeys(self, tmp_path):
+        from xdem_tpu import io as xio
+        from xdem_tpu.georef import CRS, Affine
+        from xdem_tpu.raster import Raster
+
+        p = str(tmp_path / "lcc.tif")
+        Raster(np.ones((3, 4), np.float32), Affine.from_origin(2e5, 1e6, 30, 30),
+               CRS(self._LCC)).save(p)
+        keys = xio._parse_geokeys(xio._lib().gt_geokeys(p.encode()).decode())
+        assert keys[3075] == 8  # CT_LambertConfConic_2SP
+        assert keys[3072] == 32767 and keys[2048] == 32767
+        assert keys[3078] == (33.0,) and keys[3079] == (45.0,)
+        assert keys[3084] == (-96.0,) and keys[3085] == (39.0,)
+        assert keys[3086] == (100000.0,) and keys[3087] == (50000.0,)
+        assert keys[2056] == 7008  # Clarke 1866
+        assert keys[2062][:3] == (-8.0, 160.0, 176.0)  # NAD27 Helmert
+
+    def test_geokeys_only_file_resolves_and_reprojects_like_its_twin(self, tmp_path):
+        from xdem_tpu import io as xio
+        from xdem_tpu.georef import CRS
+        from xdem_tpu.raster import Raster
+
+        crs = CRS(self._LCC)
+        keys = __import__("xdem_tpu.projections", fromlist=["x"]).geokeys_from_projdef(
+            crs.projdef)
+        keys[3072] = 32767
+        p = self._params_only_file(tmp_path, keys)
+        back = xio.read_raster(p)
+        assert back.crs == crs  # definition-based equality: GeoKeys == proj-string twin
+        # Reprojection through the GeoKey-resolved CRS matches the proj-string twin exactly
+        twin = Raster(back.data, back.transform, crs)
+        a = np.asarray(back.reproject(crs=4326, res=0.001).data)
+        b = np.asarray(twin.reproject(crs=4326, res=0.001).data)
+        np.testing.assert_array_equal(a, b)
+
+    def test_geokeys_roundtrip_all_supported_methods(self, tmp_path):
+        """Every projdef family with a GeoTIFF CT code survives geokeys write->read exactly."""
+        from xdem_tpu.projections import (
+            geokeys_from_projdef, normalize_def, parse_projstring, projdef_from_geokeys,
+        )
+
+        strings = [
+            "+proj=tmerc +lat_0=0 +lon_0=27 +k=0.9996 +x_0=500000 +y_0=0 +ellps=GRS80",
+            "+proj=merc +lon_0=110 +lat_ts=5 +x_0=1000 +y_0=2000 +ellps=WGS84",
+            "+proj=lcc +lat_1=49 +lat_2=77 +lat_0=49 +lon_0=-95 +x_0=0 +y_0=0 +ellps=GRS80",
+            "+proj=lcc +lat_1=46.8 +lat_0=46.8 +lon_0=2.337229 +k_0=0.99987742 "
+            "+x_0=600000 +y_0=2200000 +ellps=clrk80ign",
+            "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96 +ellps=GRS80",
+            "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 +ellps=GRS80",
+            "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +x_0=0 +y_0=0 +ellps=WGS84",
+            "+proj=sterea +lat_0=52.1561606 +lon_0=5.3876389 +k=0.9999079 "
+            "+x_0=155000 +y_0=463000 +ellps=bessel",
+            "+proj=eqc +lat_ts=30 +lon_0=15 +ellps=WGS84",
+            "+proj=cea +lat_ts=30 +lon_0=0 +ellps=WGS84",
+            "+proj=somerc +lat_0=46.9524056 +lon_0=7.4395833 +k_0=1 "
+            "+x_0=2600000 +y_0=1200000 +ellps=bessel",
+        ]
+        for s in strings:
+            p1 = normalize_def(parse_projstring(s))
+            keys = geokeys_from_projdef(p1)
+            assert keys, s
+            p2 = projdef_from_geokeys(keys)
+            assert p1["proj"] == p2["proj"], s
+            for k in ("a", "f", "lat_0", "lon_0", "lat_1", "lat_2", "lat_ts", "k_0",
+                      "x_0", "y_0", "to_meter"):
+                if k in p1:
+                    assert abs(p1[k] - p2.get(k, np.nan)) < 1e-9, (s, k, p1.get(k), p2.get(k))
+
+    def test_unsupported_ct_code_warns_not_silent(self, tmp_path):
+        from xdem_tpu import io as xio
+
+        # CT 26 = NewZealandMapGrid: no kernel — must WARN and fall back, never silently 4326
+        p = self._params_only_file(tmp_path, {1024: 1, 2048: 4326, 3072: 32767, 3075: 26})
+        with pytest.warns(UserWarning, match="could not be resolved"):
+            back = xio.read_raster(p)
+        assert back.crs.epsg == 4326
+
+    def test_us_survey_feet_units(self, tmp_path):
+        from xdem_tpu import io as xio
+        from xdem_tpu.georef import CRS
+
+        # A state-plane-style LCC in US survey feet (unit geokey 9003)
+        keys = {
+            1024: 1, 2048: 4326, 3072: 32767, 3075: 8, 3076: 9003,
+            3078: (34.0,), 3079: (36.1666,), 3084: (-86.0,), 3085: (33.75,),
+            3086: (1968500.0,), 3087: (0.0,),
+        }
+        p = self._params_only_file(tmp_path, keys)
+        back = xio.read_raster(p)
+        assert back.crs.projdef["to_meter"] == pytest.approx(1200.0 / 3937.0)
+        assert back.crs.is_projected
+
+    def test_geographic_model_geokeys(self, tmp_path):
+        from xdem_tpu import io as xio
+        from xdem_tpu.georef import CRS
+
+        # Geographic CRS on a legacy datum expressed purely as GeoKeys
+        keys = {1024: 2, 2048: 32767, 2056: 7022, 2062: (-87.0, -98.0, -121.0)}
+        p = self._params_only_file(tmp_path, keys)
+        back = xio.read_raster(p)
+        assert back.crs == CRS("+proj=longlat +ellps=intl +towgs84=-87,-98,-121")
+
+
 class TestSubstrateReviewRegressions:
     """Round-3 substrate review: masked arrays, pixel interpretation, vector CRS, escaping."""
 

@@ -71,6 +71,7 @@ def _lib() -> ctypes.CDLL:
             ctypes.c_int32,
             ctypes.c_char_p,
             ctypes.c_int32,
+            ctypes.c_char_p,
         ]
         lib.gt_write.restype = ctypes.c_int
         lib.gt_last_error.restype = ctypes.c_char_p
@@ -78,12 +79,46 @@ def _lib() -> ctypes.CDLL:
         lib.gt_metadata.restype = ctypes.c_char_p
         lib.gt_citation.argtypes = [ctypes.c_char_p]
         lib.gt_citation.restype = ctypes.c_char_p
+        lib.gt_geokeys.argtypes = [ctypes.c_char_p]
+        lib.gt_geokeys.restype = ctypes.c_char_p
         _LIB = lib
     return _LIB
 
 
 def _err() -> str:
     return _lib().gt_last_error().decode()
+
+
+def _parse_geokeys(serialized: str) -> dict:
+    """Parse gt_geokeys output ('s<key>=<int>;' / 'd<key>=<v,..>;') into {key: int|tuple}."""
+    keys: dict = {}
+    for item in serialized.split(";"):
+        if not item or "=" not in item:
+            continue
+        head, val = item.split("=", 1)
+        try:
+            kid = int(head[1:])
+            if head[0] == "s":
+                keys[kid] = int(val)
+            elif head[0] == "d":
+                keys[kid] = tuple(float(v) for v in val.split(","))
+        except ValueError:
+            continue
+    return keys
+
+
+def _serialize_geokeys(keys: dict) -> bytes:
+    """Inverse of _parse_geokeys, ascending key order (a GeoTIFF requirement)."""
+    parts = []
+    for kid in sorted(keys):
+        v = keys[kid]
+        if isinstance(v, (tuple, list)):
+            parts.append(f"d{kid}=" + ",".join(repr(float(x)) for x in v))
+        elif isinstance(v, float):
+            parts.append(f"d{kid}={v!r}")
+        else:
+            parts.append(f"s{kid}={int(v)}")
+    return (";".join(parts) + ";").encode() if parts else b""
 
 
 def read_raster(path: str, raster_cls=None):
@@ -116,16 +151,42 @@ def read_raster(path: str, raster_cls=None):
     if info.epsg:
         crs = int(info.epsg)
     else:
-        # No (or user-defined) EPSG geokey: try the citation WKT (GTCitation/PCSCitation)
+        # No (or user-defined) EPSG geokey. Resolution order matches GDAL's ingestion of
+        # custom CRSs (reference reads these via rasterio/pyproj, /root/reference/xdem/
+        # dem.py:150-173): (1) citation WKT (GTCitation/PCSCitation), (2) parameter GeoKeys
+        # (ProjCoordTransGeoKey 3075 + ProjNatOrigin*/ProjFalse*/... doubles). A file whose
+        # GeoKeys we cannot resolve warns — never a silent EPSG:4326 fallback.
         cit = lib.gt_citation(path.encode()).decode(errors="replace")
-        crs = 4326
+        crs = None
+        cit_err = geo_err = None
         if cit:
             from xdem_tpu.georef import CRS as _CRS
 
             try:
                 crs = _CRS(cit)
-            except (ValueError, NotImplementedError, KeyError):
-                pass
+            except (ValueError, NotImplementedError, KeyError) as err:
+                cit_err = err
+        if crs is None:
+            geokeys = _parse_geokeys(lib.gt_geokeys(path.encode()).decode(errors="replace"))
+            if geokeys.get(3075) or geokeys.get(1024) == 2 or geokeys.get(2048):
+                from xdem_tpu.georef import CRS as _CRS
+                from xdem_tpu.projections import projdef_from_geokeys
+
+                try:
+                    crs = _CRS(projdef_from_geokeys(geokeys))
+                except (ValueError, NotImplementedError, KeyError) as err:
+                    geo_err = err
+        if crs is None:
+            import warnings as _warnings
+
+            if cit_err is not None or geo_err is not None:
+                _warnings.warn(
+                    f"GeoTIFF '{path}' carries a user-defined CRS that could not be resolved "
+                    f"(citation: {cit_err}; geokeys: {geo_err}); assuming EPSG:4326. Pass an "
+                    f"explicit crs= or re-export the file with an EPSG code.",
+                    UserWarning,
+                )
+            crs = 4326
     md = lib.gt_metadata(path.encode()).decode(errors="replace")
     tags = {}
     if md:
@@ -158,11 +219,26 @@ def write_raster(path: str, raster, nodata: float | None = None, predictor: int 
     transform = (ctypes.c_double * 6)(*[float(v) for v in tuple(raster.transform)])
     epsg = 0
     citation = b""
+    geokeys_extra = b""
     if raster.crs is not None:
         epsg = int(raster.crs.epsg or 0)
         if epsg == 0 or epsg > 65535:  # geokey values are SHORTs: carry the CRS as WKT
             epsg = 0
             citation = raster.crs.to_wkt().encode()
+            # ... and as parameter GeoKeys (ProjCoordTrans + doubles), the GDAL-interop
+            # encoding for non-EPSG CRSs — readers that ignore citations still resolve it
+            projdef = getattr(raster.crs, "projdef", None)
+            if projdef is not None:
+                from xdem_tpu.projections import geokeys_from_projdef
+
+                try:
+                    keys = geokeys_from_projdef(projdef)
+                except (ValueError, NotImplementedError, KeyError):
+                    keys = {}
+                if keys:
+                    if projdef.get("proj") != "longlat":
+                        keys[3072] = 32767  # ProjectedCSTypeGeoKey: user-defined
+                    geokeys_extra = _serialize_geokeys(keys)
     tags = dict(getattr(raster, "tags", None) or {})
     if getattr(raster, "area_or_point", "Area") == "Point":
         tags["AREA_OR_POINT"] = "Point"  # GDAL metadata convention; geokey 1025 also set
@@ -190,6 +266,7 @@ def write_raster(path: str, raster, nodata: float | None = None, predictor: int 
         int(predictor),
         citation,
         1 if getattr(raster, "area_or_point", "Area") == "Point" else 0,
+        geokeys_extra,
     )
     if rc != 0:
         raise OSError(f"Cannot write GeoTIFF '{path}': {_err()}")

@@ -11,6 +11,7 @@
 //
 // Exposed as a small C ABI consumed from Python via ctypes (no pybind11 in this image).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -474,23 +475,25 @@ int gt_info(const char* path, GtInfo* info) {
         info->transform[5] = gy + py * sy;
     }
 
-    // EPSG from GeoKeyDirectory: ProjectedCSTypeGeoKey (3072) or GeographicTypeGeoKey (2048)
+    // EPSG from GeoKeyDirectory: ProjectedCSTypeGeoKey (3072) or GeographicTypeGeoKey (2048).
+    // When ANY 3072 key exists the file is projected: a user-defined (32767) PCS must yield
+    // epsg=0 even if a 2048 key names the geographic DATUM — the datum code is not the CRS
+    // (it used to leak through as the raster CRS, silently mis-georeferencing custom files).
     info->epsg = 0;
     info->raster_type = 0;
     const Ifd_entry* gk = find_tag(e, 34735);
     if (gk && gk->count >= 4) {
         uint32_t nkeys = entry_uint(t, *gk, 3);
+        int32_t geog_code = 0, proj_code = -1;  // -1: no 3072 key present
         for (uint32_t k = 1; k <= nkeys && 4 * (k + 1) <= gk->count; k++) {
             uint32_t key = entry_uint(t, *gk, 4 * k);
             uint32_t loc = entry_uint(t, *gk, 4 * k + 1);
             uint32_t val = entry_uint(t, *gk, 4 * k + 3);
             if (key == 1025 && loc == 0) info->raster_type = (int32_t)val;
-            if ((key == 3072 || key == 2048) && loc == 0) {
-                if (val != 32767)  // 32767 = user-defined: CRS lives in the citation key
-                    info->epsg = (int32_t)val;
-                if (key == 3072) break;  // projected wins
-            }
+            if (key == 2048 && loc == 0) geog_code = (val != 32767) ? (int32_t)val : 0;
+            if (key == 3072 && loc == 0) proj_code = (val != 32767) ? (int32_t)val : 0;
         }
+        info->epsg = (proj_code >= 0) ? proj_code : geog_code;
     }
 
     // GDAL nodata (ASCII tag 42113)
@@ -645,10 +648,14 @@ int gt_read(const char* path, float* out) {
 // Write a single-band float32 GeoTIFF with DEFLATE strips; returns 0 on success.
 // predictor 3 (TIFF floating-point predictor) typically shrinks DEM rasters 2-3x vs
 // plain DEFLATE by making the byte planes of neighboring samples nearly equal.
+// geokeys_extra: optional "s<key>=<int>;d<key>=<v[,v...]>;" entries (ascending key ids)
+// describing a user-defined CRS as parameter GeoKeys (ProjCoordTransGeoKey 3075 + double
+// params in GeoDoubleParams). When non-empty it must INCLUDE the CS key (2048 or 3072) —
+// the writer then emits no CS key of its own.
 int gt_write(const char* path, const float* data, uint32_t height, uint32_t width,
              const double* transform, int32_t epsg, double nodata, int32_t has_nodata,
              const char* metadata, int32_t predictor, const char* citation,
-             int32_t pixel_is_point) {
+             int32_t pixel_is_point, const char* geokeys_extra) {
     if (predictor != 1 && predictor != 3) {
         g_last_error = "writer supports predictor 1 (none) or 3 (floating-point)";
         return 1;
@@ -707,24 +714,72 @@ int gt_write(const char* path, const float* data, uint32_t height, uint32_t widt
     bool geographic = epsg
         ? (epsg == 4326 || epsg == 4269 || epsg == 4258 || epsg == 4267)
         : (cit.rfind("GEOGCS", 0) == 0 || cit.rfind("GEOGCRS", 0) == 0);
+    // Parse the extra parameter GeoKeys ("s<key>=<int>;" shorts, "d<key>=<v,..>;" doubles
+    // appended to GeoDoubleParams). Python supplies them sorted ascending, CS key included.
+    struct ExtraKey { uint16_t key, loc, count, value; };
+    std::vector<ExtraKey> extras;
+    std::vector<double> double_params;
+    if (geokeys_extra && geokeys_extra[0]) {
+        const char* s = geokeys_extra;
+        while (*s) {
+            char kind = *s++;
+            char* end = nullptr;
+            long key = strtol(s, &end, 10);
+            if (!end || *end != '=' || (kind != 's' && kind != 'd')) {
+                g_last_error = "malformed geokeys_extra";
+                return 1;
+            }
+            s = end + 1;
+            if (kind == 's') {
+                long v = strtol(s, &end, 10);
+                extras.push_back({(uint16_t)key, 0, 1, (uint16_t)v});
+                s = end;
+            } else {
+                uint16_t off = (uint16_t)double_params.size(), cnt = 0;
+                for (;;) {
+                    double_params.push_back(strtod(s, &end));
+                    cnt++;
+                    s = end;
+                    if (*s == ',') s++;
+                    else break;
+                }
+                extras.push_back({(uint16_t)key, 34736, cnt, off});
+            }
+            if (*s == ';') s++;
+        }
+    }
     std::string ascii_params;
-    // GeoKey IDs must be ascending (GeoTIFF requirement): 1024, 1025, [1026], 2048/3072
-    std::vector<uint16_t> geokeys = {
-        1, 1, 0, 3,
-        1024, 0, 1, (uint16_t)(geographic ? 2 : 1),
-        1025, 0, 1, (uint16_t)(pixel_is_point ? 2 : 1),
+    // Assemble all entries, then sort by key id (GeoTIFF requires ascending ids). Extras
+    // override the writer's own defaults for any key they carry (e.g. 1024 model type).
+    std::vector<ExtraKey> entries;
+    auto extras_contain = [&](uint16_t key) {
+        for (const ExtraKey& ek : extras)
+            if (ek.key == key) return true;
+        return false;
     };
+    if (!extras_contain(1024))
+        entries.push_back({1024, 0, 1, (uint16_t)(geographic ? 2 : 1)});
+    if (!extras_contain(1025))
+        entries.push_back({1025, 0, 1, (uint16_t)(pixel_is_point ? 2 : 1)});
     if (!cit.empty()) {
         if (cit.size() > 65000) cit.resize(65000);  // geokey count is a SHORT
         ascii_params = cit + "|";
-        geokeys[3] = 4;
-        uint16_t entry[4] = {1026, 34737, (uint16_t)ascii_params.size(), 0};
-        geokeys.insert(geokeys.end(), entry, entry + 4);
+        entries.push_back({1026, 34737, (uint16_t)ascii_params.size(), 0});
         ascii_params.push_back('\0');
     }
-    uint16_t cs_entry[4] = {(uint16_t)(geographic ? 2048 : 3072), 0, 1,
-                            (uint16_t)(epsg ? epsg : 32767)};
-    geokeys.insert(geokeys.end(), cs_entry, cs_entry + 4);
+    if (!extras.empty()) {
+        entries.insert(entries.end(), extras.begin(), extras.end());
+    } else {
+        entries.push_back({(uint16_t)(geographic ? 2048 : 3072), 0, 1,
+                           (uint16_t)(epsg ? epsg : 32767)});
+    }
+    std::sort(entries.begin(), entries.end(),
+              [](const ExtraKey& a, const ExtraKey& b) { return a.key < b.key; });
+    std::vector<uint16_t> geokeys = {1, 1, 0, (uint16_t)entries.size()};
+    for (const ExtraKey& ek : entries) {
+        uint16_t entry[4] = {ek.key, ek.loc, ek.count, ek.value};
+        geokeys.insert(geokeys.end(), entry, entry + 4);
+    }
 
     std::vector<double> pixscale = {transform[0], -transform[4], 0.0};
     std::vector<double> tiepoint = {0, 0, 0, transform[2], transform[5], 0};
@@ -783,10 +838,14 @@ int gt_write(const char* path, const float* data, uint32_t height, uint32_t widt
     tags.push_back({33922, 12, 6, 0});
     add_payload(doubles_bytes(tiepoint));
     size_t gk_tag = SIZE_MAX;
-    if (epsg || !cit.empty()) {
+    if (epsg || !cit.empty() || !extras.empty()) {
         gk_tag = tags.size();
         tags.push_back({34735, 3, (uint32_t)geokeys.size(), 0});
         add_payload(shorts_bytes(geokeys));
+        if (!double_params.empty()) {
+            tags.push_back({34736, 12, (uint32_t)double_params.size(), 0});  // GeoDoubleParams
+            add_payload(doubles_bytes(double_params));
+        }
         if (!ascii_params.empty()) {
             tags.push_back({34737, 2, (uint32_t)ascii_params.size(), 0});
             add_payload(std::vector<uint8_t>(ascii_params.begin(), ascii_params.end()));
@@ -913,6 +972,45 @@ const char* gt_metadata(const char* path) {
         while (!g_metadata.empty() && g_metadata.back() == '\0') g_metadata.pop_back();
     }
     return g_metadata.c_str();
+}
+
+// Full GeoKey directory as text: "s<key>=<int>;" for SHORT keys (loc 0) and
+// "d<key>=<v[,v...]>;" for DOUBLE keys (loc 34736, values from GeoDoubleParams). ASCII keys
+// are omitted (gt_citation serves those). Empty string when no GeoKeyDirectory exists.
+static std::string g_geokeys;
+const char* gt_geokeys(const char* path) {
+    g_geokeys.clear();
+    Tiff t;
+    if (!read_file(path, t.buf)) return g_geokeys.c_str();
+    uint64_t ifd0 = open_tiff(t);
+    if (!ifd0) return g_geokeys.c_str();
+    std::vector<Ifd_entry> e;
+    if (!parse_ifd(t, ifd0, e)) return g_geokeys.c_str();
+    const Ifd_entry* gk = find_tag(e, 34735);
+    if (!gk || gk->count < 4) return g_geokeys.c_str();
+    const Ifd_entry* dp = find_tag(e, 34736);
+    uint32_t n_doubles = dp ? dp->count : 0;
+    uint32_t nkeys = entry_uint(t, *gk, 3);
+    char buf[512];
+    for (uint32_t k = 1; k <= nkeys && 4 * (k + 1) <= gk->count; k++) {
+        uint32_t key = entry_uint(t, *gk, 4 * k);
+        uint32_t loc = entry_uint(t, *gk, 4 * k + 1);
+        uint32_t cnt = entry_uint(t, *gk, 4 * k + 2);
+        uint32_t val = entry_uint(t, *gk, 4 * k + 3);
+        if (loc == 0) {
+            snprintf(buf, sizeof(buf), "s%u=%u;", key, val);
+            g_geokeys += buf;
+        } else if (loc == 34736 && dp && val + cnt <= n_doubles) {
+            snprintf(buf, sizeof(buf), "d%u=", key);
+            g_geokeys += buf;
+            for (uint32_t i = 0; i < cnt; i++) {
+                snprintf(buf, sizeof(buf), "%.17g%s", entry_double(t, *dp, val + i),
+                         i + 1 < cnt ? "," : ";");
+                g_geokeys += buf;
+            }
+        }
+    }
+    return g_geokeys.c_str();
 }
 
 // CRS citation text (WKT) from the GeoTIFF citation keys (GTCitation 1026, PCSCitation

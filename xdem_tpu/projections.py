@@ -2013,3 +2013,268 @@ _EPSG_DEFS[3376] = dict(  # GDM2000 / East Malaysia BRSO
     proj="omerc", lat_0=4.0, lon_0=115.0, alpha=53.31580995, gamma=53.13010236111111,
     k_0=0.99984, x_0=0.0, y_0=0.0, ellps="GRS80", name="GDM2000 / East Malaysia BRSO",
 )
+
+
+# --------------------------------------------------------------------------------------
+# GeoTIFF GeoKeys <-> projdef (user-defined projected CRSs in GeoTIFF files)
+# --------------------------------------------------------------------------------------
+# GDAL writes custom (non-EPSG) CRSs into GeoTIFFs as parameter GeoKeys: ProjCoordTransGeoKey
+# (3075, the coordinate-transformation method code from GeoTIFF spec 6.3.3.3) plus
+# ProjNatOrigin*/ProjFalse*/ProjCenter*/ProjScale* double keys (3078-3096), with the
+# geographic base carried as GeographicTypeGeoKey (2048) or raw ellipsoid parameters
+# (2056-2059) and GeogTOWGS84GeoKey (2062). The reference ingests these through
+# rasterio/pyproj (/root/reference/xdem/dem.py:150-173); here they map directly onto the
+# projdef kernels above.
+
+# GeoTIFF CT codes -> projdef method. CT_Stereographic (14) is read as the oblique
+# (double) stereographic like GDAL does; CT_ObliqueMercator_Rosenmund (5) is the Swiss
+# oblique cylindrical.
+_CT_TO_PROJ = {
+    1: "tmerc", 3: "omerc", 5: "somerc", 7: "merc", 8: "lcc", 9: "lcc1sp",
+    10: "laea", 11: "aea", 14: "sterea", 15: "stere", 16: "sterea", 17: "eqc", 28: "cea",
+}
+_PROJ_TO_CT = {
+    "tmerc": 1, "omerc": 3, "somerc": 5, "merc": 7, "lcc": 8, "lcc1sp": 9,
+    "laea": 10, "aea": 11, "stere": 15, "sterea": 16, "eqc": 17, "cea": 28,
+}
+
+# GeogEllipsoidGeoKey (2056) EPSG ellipsoid codes <-> projdef ellipsoid names
+_ELLIPSOID_CODES = {
+    7030: "WGS84", 7019: "GRS80", 7022: "intl", 7008: "clrk66", 7011: "clrk80ign",
+    7001: "airy", 7002: "mod_airy", 7004: "bessel", 7024: "krass", 7043: "WGS72",
+    7036: "GRS67", 7003: "aust_SA", 7058: "hughes",
+}
+_ELLIPSOID_NAMES_TO_CODE = {v: k for k, v in _ELLIPSOID_CODES.items()}
+
+# ProjLinearUnitsGeoKey (3076) EPSG unit codes
+_LINEAR_UNITS = {9001: 1.0, 9002: 0.3048, 9003: 1200.0 / 3937.0}
+
+
+def _gk(keys: dict, *ids: int, default=None):
+    """First present key among ids, as a float (double keys arrive as 1-tuples)."""
+    for i in ids:
+        if i in keys:
+            v = keys[i]
+            return float(v[0]) if isinstance(v, (tuple, list)) else float(v)
+    return default
+
+
+def projdef_from_geokeys(keys: dict) -> dict:
+    """Build a normalized projdef from a GeoTIFF GeoKey directory (dict: key id -> int for
+    SHORT keys, tuple of floats for DOUBLE keys). Raises ValueError/NotImplementedError when
+    the keys do not describe a supported CRS — callers must not fall back silently."""
+    # --- Geographic base: datum / ellipsoid
+    base: dict = {}
+    geog = keys.get(2048)
+    geog = int(geog[0]) if isinstance(geog, (tuple, list)) else (int(geog) if geog else None)
+    if geog and geog != 32767:
+        bd = epsg_def(geog)
+        if bd is None or bd.get("proj", "longlat") != "longlat":
+            raise NotImplementedError(
+                f"GeographicTypeGeoKey {geog} is not in the EPSG table "
+                f"(georeference with ellipsoid GeoKeys 2056-2059 or a citation WKT instead)."
+            )
+        for k in ("ellps", "datum", "towgs84", "a", "f", "rf"):
+            if k in bd:
+                base[k] = bd[k]
+    else:
+        ell = keys.get(2056)
+        ell = int(ell[0]) if isinstance(ell, (tuple, list)) else (int(ell) if ell else None)
+        if ell and ell in _ELLIPSOID_CODES:
+            base["ellps"] = _ELLIPSOID_CODES[ell]
+        elif 2057 in keys:
+            base["a"] = _gk(keys, 2057)
+            rf = _gk(keys, 2059)
+            if rf:
+                base["rf"] = rf
+            elif 2058 in keys:
+                base["b"] = _gk(keys, 2058)
+        # No geographic info at all: WGS84 (normalize_def's default)
+    if 2062 in keys:  # GeogTOWGS84GeoKey: 3 or 7 Helmert parameters
+        tw = keys[2062]
+        base["towgs84"] = tuple(float(v) for v in (tw if isinstance(tw, (tuple, list)) else (tw,)))
+
+    model = keys.get(1024)
+    model = int(model[0]) if isinstance(model, (tuple, list)) else (int(model) if model else 0)
+    if model == 2:  # geographic 2D
+        return normalize_def(dict(proj="longlat", **base))
+
+    # --- Projected: a direct PCS code wins, else the method + parameter keys
+    pcs = keys.get(3072)
+    pcs = int(pcs[0]) if isinstance(pcs, (tuple, list)) else (int(pcs) if pcs else None)
+    if pcs and pcs != 32767:
+        d = epsg_def(pcs)
+        if d is None:
+            raise NotImplementedError(f"ProjectedCSTypeGeoKey EPSG:{pcs} is not in the table.")
+        return normalize_def(d)
+    ct = keys.get(3075)
+    ct = int(ct[0]) if isinstance(ct, (tuple, list)) else (int(ct) if ct else None)
+    if ct is None:
+        raise ValueError("GeoKeys carry no ProjCoordTransGeoKey (3075) and no EPSG code.")
+    proj = _CT_TO_PROJ.get(ct)
+    if proj is None:
+        raise NotImplementedError(
+            f"GeoTIFF coordinate transformation code {ct} is not supported "
+            f"(supported methods: {', '.join(sorted(set(_CT_TO_PROJ.values())))})."
+        )
+
+    p: dict = {"proj": proj, **base}
+    # Origin/false-offset keys: natural-origin, false-origin, and center variants are all
+    # accepted on read (GDAL emits different families per method)
+    lat_0 = _gk(keys, 3081, 3085, 3089)
+    lon_0 = _gk(keys, 3080, 3084, 3088)
+    x_0 = _gk(keys, 3082, 3086, 3090, default=0.0)
+    y_0 = _gk(keys, 3083, 3087, 3091, default=0.0)
+    k_0 = _gk(keys, 3092, 3093)
+    p["x_0"], p["y_0"] = x_0, y_0
+    if proj in ("tmerc", "lcc1sp", "sterea", "somerc"):
+        p["lat_0"], p["lon_0"] = lat_0 or 0.0, lon_0 or 0.0
+        p["k_0"] = k_0 if k_0 is not None else 1.0
+    elif proj == "merc":
+        p["lon_0"] = lon_0 or 0.0
+        lat_ts = _gk(keys, 3078)
+        if lat_ts is not None:
+            p["lat_ts"] = lat_ts
+        elif k_0 is not None:
+            p["k_0"] = k_0
+    elif proj == "lcc":
+        p["lat_1"] = _gk(keys, 3078)
+        p["lat_2"] = _gk(keys, 3079, default=p["lat_1"])
+        p["lat_0"], p["lon_0"] = lat_0 or 0.0, lon_0 or 0.0
+        if p["lat_1"] is None:  # 1SP written with the 2SP CT code
+            p["proj"] = "lcc1sp"
+            p.pop("lat_1"), p.pop("lat_2")
+            p["k_0"] = k_0 if k_0 is not None else 1.0
+        elif k_0 is not None:  # 2SP defs can still carry a scale (e.g. Lambert zone grids)
+            p["k_0"] = k_0
+    elif proj == "aea":
+        p["lat_1"] = _gk(keys, 3078)
+        p["lat_2"] = _gk(keys, 3079, default=p["lat_1"])
+        p["lat_0"], p["lon_0"] = lat_0 or 0.0, lon_0 or 0.0
+    elif proj == "laea":
+        p["lat_0"] = _gk(keys, 3089, 3081, default=0.0)
+        p["lon_0"] = _gk(keys, 3088, 3080, default=0.0)
+    elif proj == "stere":
+        p["lat_0"] = _gk(keys, 3081, 3089, default=90.0)
+        p["lon_0"] = _gk(keys, 3095, 3080, 3088, default=0.0)
+        lat_ts = _gk(keys, 3078)
+        if lat_ts is not None:
+            p["lat_ts"] = lat_ts
+        elif k_0 is not None:
+            p["k_0"] = k_0
+    elif proj == "eqc":
+        p["lat_ts"] = _gk(keys, 3078, default=0.0)
+        p["lat_0"], p["lon_0"] = lat_0 or 0.0, lon_0 or 0.0
+    elif proj == "cea":
+        p["lat_ts"] = _gk(keys, 3078, default=0.0)
+        p["lon_0"] = lon_0 or 0.0
+    elif proj == "omerc":
+        p["lat_0"] = _gk(keys, 3089, 3081, default=0.0)
+        p["lon_0"] = _gk(keys, 3088, 3080, default=0.0)
+        alpha = _gk(keys, 3094)
+        if alpha is None:
+            raise ValueError("Oblique Mercator GeoKeys need ProjAzimuthAngleGeoKey (3094).")
+        p["alpha"] = alpha
+        p["gamma"] = _gk(keys, 3096, default=alpha)  # ProjRectifiedGridAngleGeoKey
+        p["k_0"] = _gk(keys, 3093, 3092, default=1.0)
+
+    # Linear units: EPSG code or explicit unit size
+    unit = keys.get(3076)
+    unit = int(unit[0]) if isinstance(unit, (tuple, list)) else (int(unit) if unit else 9001)
+    if unit == 32767:
+        p["to_meter"] = _gk(keys, 3077, default=1.0)  # ProjLinearUnitSizeGeoKey
+    elif unit in _LINEAR_UNITS:
+        p["to_meter"] = _LINEAR_UNITS[unit]
+    else:
+        raise NotImplementedError(f"ProjLinearUnitsGeoKey {unit} is not supported.")
+    return normalize_def(p)
+
+
+def geokeys_from_projdef(d: dict) -> dict:
+    """The writing inverse: GeoKeys (key id -> int SHORT or float/tuple DOUBLE) describing a
+    projdef, so GDAL can read files with non-EPSG CRSs without trusting the citation WKT.
+    Returns {} when the method has no GeoTIFF CT code (krovak, webmerc) — the citation WKT
+    then carries the CRS alone."""
+    p = normalize_def(d)
+    out: dict = {}
+    # Geographic base: exact WGS84 with no shift -> 4326; else user-defined + raw parameters
+    a, f = p["a"], p["f"]
+    wgs84 = ELLIPSOIDS["WGS84"]
+    if (a, f) == wgs84 and not p.get("towgs84"):
+        out[2048] = 4326
+    else:
+        out[2048] = 32767
+        for name, (ea, ef) in ELLIPSOIDS.items():
+            if abs(ea - a) < 1e-6 and abs(ef - f) < 1e-12 and name in _ELLIPSOID_NAMES_TO_CODE:
+                out[2056] = _ELLIPSOID_NAMES_TO_CODE[name]
+                break
+        out[2057] = float(a)  # GeogSemiMajorAxisGeoKey (always written: self-contained)
+        if f:
+            out[2059] = 1.0 / f  # GeogInvFlatteningGeoKey
+        if p.get("towgs84"):
+            out[2062] = tuple(float(v) for v in p["towgs84"])
+    if p["proj"] == "longlat":
+        return out
+    ct = _PROJ_TO_CT.get(p["proj"])
+    if ct is None:
+        return {}
+    out[3074] = 32767  # ProjectionGeoKey: user-defined
+    out[3075] = ct
+    to_meter = p.get("to_meter", 1.0)
+    if to_meter == 1.0:
+        out[3076] = 9001
+    else:
+        out[3076] = 32767
+        out[3077] = float(to_meter)
+    proj = p["proj"]
+    if proj in ("tmerc", "lcc1sp", "sterea"):
+        out[3080], out[3081] = p["lon_0"], p["lat_0"]
+        out[3092] = p.get("k_0", 1.0)
+        out[3082], out[3083] = p["x_0"], p["y_0"]
+    elif proj == "merc":
+        out[3080], out[3081] = p["lon_0"], p.get("lat_0", 0.0)
+        if "lat_ts" in p:
+            out[3078] = p["lat_ts"]
+        else:
+            out[3092] = p.get("k_0", 1.0)
+        out[3082], out[3083] = p["x_0"], p["y_0"]
+    elif proj == "lcc":
+        out[3078], out[3079] = p["lat_1"], p.get("lat_2", p["lat_1"])
+        out[3084], out[3085] = p["lon_0"], p["lat_0"]
+        out[3086], out[3087] = p["x_0"], p["y_0"]
+        if p.get("k_0", 1.0) != 1.0:  # 2SP defs carrying a scale (Lambert zone grids)
+            out[3092] = p["k_0"]
+    elif proj == "aea":
+        out[3078], out[3079] = p["lat_1"], p.get("lat_2", p["lat_1"])
+        out[3080], out[3081] = p["lon_0"], p["lat_0"]
+        out[3082], out[3083] = p["x_0"], p["y_0"]
+    elif proj == "laea":
+        out[3088], out[3089] = p["lon_0"], p["lat_0"]
+        out[3082], out[3083] = p["x_0"], p["y_0"]
+    elif proj == "stere":
+        out[3081] = p["lat_0"]
+        out[3095] = p["lon_0"]  # ProjStraightVertPoleLongGeoKey
+        if "lat_ts" in p:
+            out[3078] = p["lat_ts"]
+        else:
+            out[3092] = p.get("k_0", 1.0)
+        out[3082], out[3083] = p["x_0"], p["y_0"]
+    elif proj == "eqc":
+        out[3078] = p.get("lat_ts", 0.0)
+        out[3080], out[3081] = p["lon_0"], p.get("lat_0", 0.0)
+        out[3082], out[3083] = p["x_0"], p["y_0"]
+    elif proj == "cea":
+        out[3078] = p.get("lat_ts", 0.0)
+        out[3080] = p["lon_0"]
+        out[3082], out[3083] = p["x_0"], p["y_0"]
+    elif proj == "omerc":
+        out[3088], out[3089] = p["lon_0"], p["lat_0"]
+        out[3094] = p["alpha"]
+        out[3096] = p.get("gamma", p["alpha"])
+        out[3093] = p.get("k_0", 1.0)
+        out[3082], out[3083] = p["x_0"], p["y_0"]
+    elif proj == "somerc":
+        out[3088], out[3089] = p["lon_0"], p["lat_0"]
+        out[3093] = p.get("k_0", 1.0)
+        out[3082], out[3083] = p["x_0"], p["y_0"]
+    return out
