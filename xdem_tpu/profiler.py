@@ -152,3 +152,54 @@ def profile(name: str, memprof: bool = False) -> Callable[[F], F]:
         return wrapper  # type: ignore[return-value]
 
     return decorator
+
+
+def count_device_dispatches(fn, *args, **kwargs):
+    """Run ``fn(*args, **kwargs)`` under a jax.profiler trace and count device dispatches.
+
+    Returns ``(result, counts)`` where counts has:
+      - ``executions``: compiled-program launches (each costs the full ~50 ms round trip
+        through a tunneled TPU — for small-shape pipelines this count IS the latency model);
+      - ``h2d_transfers``: host->device copies dispatched.
+
+    Works on any backend by counting the PJRT client-side trace events
+    (``ExecuteReplicated.__call__`` / ``PjRtCpuExecutable::Execute`` /
+    ``BatchedCopyToDeviceWithSharding: dispatch``). Counting is a measurement probe — the
+    trace adds overhead, so time separately.
+    """
+    import glob as _glob
+    import gzip as _gzip
+    import json as _json
+    import re as _re
+    import tempfile as _tempfile
+
+    import jax
+
+    d = _tempfile.mkdtemp(prefix="xdem_dispatch_probe_")
+    with jax.profiler.trace(d):
+        result = fn(*args, **kwargs)
+        leaves = [x for x in jax.tree.leaves(result) if hasattr(x, "block_until_ready")]
+        if leaves:
+            jax.block_until_ready(leaves)
+    counts = {"executions": 0, "h2d_transfers": 0}
+    # Executions: CPU client scopes execute per launch; the TPU client instead emits one
+    # module-run event per launch named "<module>(<compile fingerprint>)".
+    fp = _re.compile(r"\(\d{10,}\)$")
+    cpu_exec = 0
+    for path in _glob.glob(d + "/**/*.trace.json.gz", recursive=True):
+        try:
+            data = _json.loads(_gzip.open(path).read())
+        except (OSError, ValueError):
+            continue
+        for e in data.get("traceEvents", []):
+            if e.get("ph") != "X":
+                continue
+            name = e.get("name", "")
+            if name == "PjRtCpuExecutable::Execute":
+                cpu_exec += 1
+            elif fp.search(name):
+                counts["executions"] += 1
+            elif name == "BatchedCopyToDeviceWithSharding: dispatch":
+                counts["h2d_transfers"] += 1
+    counts["executions"] = max(counts["executions"], cpu_exec)
+    return result, counts

@@ -177,9 +177,9 @@ def _geoid_undulation(name: str, lon: np.ndarray, lat: np.ndarray) -> np.ndarray
             _warned_builtin.update(_BUILTIN_GEOIDS)
             logging.warning(
                 "Using the built-in station-augmented %s geoid (degree-6 harmonics + damped "
-                "degree-12 station fit): ~1-3 m at the ~35 fitted stations covering the main "
-                "DEM regions, ~5-10 m typical elsewhere on land, up to ~15-20 m in remote "
-                "ocean areas. Register a precise undulation grid with "
+                "degree-16 fit to ~130 published station undulations): ~2.5 m median / ~9 m "
+                "p90 held-out error on typical land, ~1-3 m at the fitted stations, worst "
+                "(~15-25 m) in remote ocean areas. Register a precise undulation grid with "
                 "xdem_tpu.vcrs.register_geoid_grid() for survey-grade (cm-dm) work.",
                 key,
             )
