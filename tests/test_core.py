@@ -1548,6 +1548,85 @@ def math_copysign_80(v):
     return 80.0 if v >= 0 else -80.0
 
 
+class TestStatePlaneAndGaussKruger:
+    """Round-4 EPSG breadth (VERDICT item 8): US State Plane zones + Pulkovo GK families.
+
+    Control-point discipline: the ftUS LCC-2SP math is pinned by the EPSG GN7-2 worked
+    example evaluated THROUGH the table code (EPSG:32040), the TM math by the GN7-2 OSGB
+    example (test_tmerc_osgb_worked_example); each zone's transcription is additionally
+    pinned by its EPSG-defined false-origin invariant forward(lat_0, lon_0) == (x_0, y_0).
+    """
+
+    NEW_ZONES = (26929, 26930, 26941, 26942, 26943, 26944, 26945, 26946, 26948, 26949,
+                 26950, 26953, 26954, 26955, 26958, 26959, 26960, 26971, 26972, 32100,
+                 32104, 32115, 32116, 32117, 32118, 32128, 32129, 32137, 32138, 32139,
+                 32140, 32141, 32146, 32147, 32148, 32149, 2229, 2263, 2276, 32040)
+
+    def test_gn72_texas_worked_example_through_the_code(self):
+        # EPSG GN7-2 LCC (2SP) example via the table entry: NAD27 / Texas South Central,
+        # 28d30'N 96dW -> E 2,963,503.91 / N 254,759.80 US survey feet
+        from xdem_tpu import projections as P
+
+        p = P.normalize_def(P.epsg_def(32040))
+        x, y = P.projdef_forward_raw(p, np.array([-96.0]), np.array([28.5]))
+        ft = p["to_meter"]
+        assert float(x[0]) / ft == pytest.approx(2963503.91, abs=0.05)
+        assert float(y[0]) / ft == pytest.approx(254759.80, abs=0.05)
+
+    @pytest.mark.parametrize("code", NEW_ZONES)
+    def test_false_origin_invariant(self, code):
+        # The EPSG definition fixes forward(lat_0, lon_0) == (FE, FN) exactly — catches any
+        # transcribed origin/false-offset error in the zone constants
+        from xdem_tpu import projections as P
+
+        p = P.normalize_def(P.epsg_def(code))
+        x, y = P.projdef_forward_raw(p, np.array([p["lon_0"]]), np.array([p["lat_0"]]))
+        assert float(x[0]) == pytest.approx(p["x_0"], abs=1e-5)
+        assert float(y[0]) == pytest.approx(p["y_0"], abs=1e-5)
+
+    def test_ftus_twin_scales_exactly(self):
+        # NAD83 CA zone 5 ftUS (2229) == meter zone (26945) with axes in US survey feet
+        from xdem_tpu.georef import transform_points
+
+        lon, lat = -117.5, 34.2
+        xm, ym = transform_points(4326, 26945, np.array([lon]), np.array([lat]))
+        xf, yf = transform_points(4326, 2229, np.array([lon]), np.array([lat]))
+        assert float(xf[0]) * (1200.0 / 3937.0) == pytest.approx(float(xm[0]), abs=1e-6)
+        assert float(yf[0]) * (1200.0 / 3937.0) == pytest.approx(float(ym[0]), abs=1e-6)
+
+    def test_gauss_kruger_zone_families(self):
+        from xdem_tpu import projections as P
+        from xdem_tpu.georef import CRS
+
+        # Zone-numbered and CM variants are the same projection, offset by the zone prefix
+        p7 = P.normalize_def(P.epsg_def(28407))
+        c7 = P.normalize_def(P.epsg_def(28467))
+        assert p7["lon_0"] == c7["lon_0"] == 39.0
+        assert p7["x_0"] == 7_500_000.0 and c7["x_0"] == 500_000.0
+        x, y = P.projdef_forward_raw(p7, np.array([39.0]), np.array([55.0]))
+        assert float(x[0]) == pytest.approx(7_500_000.0, abs=1e-6)
+        # Equals its proj-string twin (definition-based CRS equality), Krassowsky + datum
+        assert CRS(28407) == CRS(
+            "+proj=tmerc +lat_0=0 +lon_0=39 +k=1 +x_0=7500000 +y_0=0 +ellps=krass "
+            "+towgs84=28,-130,-95"
+        )
+        # Central-meridian formula across the range
+        for z in (4, 13, 32):
+            assert P.normalize_def(P.epsg_def(28400 + z))["lon_0"] == 6.0 * z - 3.0
+
+    def test_state_plane_dem_reprojects(self):
+        # A DEM on a state-plane CRS reprojects to geographic and lands in the right state
+        from xdem_tpu.georef import Affine
+        from xdem_tpu.raster import Raster
+
+        r = Raster(np.ones((8, 8), np.float32),
+                   Affine.from_origin(1_968_500.0, 600_000.0, 100.0, 100.0), 26945)
+        out = r.reproject(crs=4326, res=0.01)
+        # CA zone 5 false origin region maps near (-118, 33.5)
+        assert -121.0 < out.transform.c < -115.0
+        assert 32.0 < out.transform.f < 36.5
+
+
 class TestExamplesOutputDir:
     def test_get_path_output_dir_and_overwrite(self, tmp_path):
         p = examples.get_path_test("longyearbyen_ref_dem", output_dir=str(tmp_path))

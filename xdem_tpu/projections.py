@@ -1036,6 +1036,18 @@ def epsg_def(epsg: int) -> dict | None:
         return _utm_def(epsg - 32200, True, "WGS72", "WGS72", f"WGS 72 / UTM zone {epsg - 32200}N")
     if 32301 <= epsg <= 32360:  # WGS72 south
         return _utm_def(epsg - 32300, False, "WGS72", "WGS72", f"WGS 72 / UTM zone {epsg - 32300}S")
+    # --- Pulkovo 1942 / Gauss-Kruger 6-degree zone families (Krassowsky 1940; the TM math
+    # is the GN7-2-pinned tmerc kernel with k_0=1; datum: EPSG tfm 1254, 3-param) ---
+    if 28404 <= epsg <= 28432:  # zone-numbered false easting (zone*1e6 + 500000)
+        z = epsg - 28400
+        return dict(proj="tmerc", lat_0=0.0, lon_0=6.0 * z - 3.0, k_0=1.0,
+                    x_0=z * 1_000_000.0 + 500_000.0, y_0=0.0, ellps="krass",
+                    datum="Pulkovo42", name=f"Pulkovo 1942 / Gauss-Kruger zone {z}")
+    if 28464 <= epsg <= 28492:  # CM variants (plain 500 km false easting)
+        z = epsg - 28460
+        return dict(proj="tmerc", lat_0=0.0, lon_0=6.0 * z - 3.0, k_0=1.0,
+                    x_0=500_000.0, y_0=0.0, ellps="krass", datum="Pulkovo42",
+                    name=f"Pulkovo 1942 / Gauss-Kruger CM {int(6 * z - 3)}E")
     return None
 
 
@@ -2278,3 +2290,147 @@ def geokeys_from_projdef(d: dict) -> dict:
         out[3093] = p.get("k_0", 1.0)
         out[3082], out[3083] = p["x_0"], p["y_0"]
     return out
+
+
+# --------------------------------------------------------------------------------------
+# Round-4 EPSG breadth: US State Plane zones (NAD83 meters + common ftUS twins, NAD27
+# GN7-2 zone) and Pulkovo 1942 Gauss-Kruger zone families
+# --------------------------------------------------------------------------------------
+# Control-point discipline: the LCC-2SP/ftUS math is pinned by the EPSG GN7-2 worked
+# example through EPSG:32040 (NAD27 Texas South Central: 28d30'N 96dW -> E 2963503.91 /
+# N 254759.80 US ft, tests/test_core.py), and the TM math by the GN7-2 OSGB example
+# (EPSG:27700). Every zone definition below is additionally pinned by its EPSG-defined
+# false-origin invariant (forward(lat_0, lon_0) == (x_0, y_0) exactly) in the tests.
+
+_FT_US = 1200.0 / 3937.0
+
+DATUMS.setdefault("Pulkovo42", (28.0, -130.0, -95.0))  # EPSG tfm 1254 (Russia, 3-param)
+
+_EPSG_DEFS.update({
+    # --- NAD27 (GN7-2 zone; coordinates in US survey feet, parameters stored in meters)
+    32040: dict(proj="lcc", lat_1=28.0 + 23.0 / 60, lat_2=30.0 + 17.0 / 60,
+                lat_0=27.0 + 50.0 / 60, lon_0=-99.0, x_0=2000000.0 * _FT_US, y_0=0.0,
+                to_meter=_FT_US, ellps="clrk66", datum="NAD27",
+                name="NAD27 / Texas South Central"),
+    # --- NAD83 / State Plane, meters ---
+    # Alabama (TM)
+    26929: dict(proj="tmerc", lat_0=30.5, lon_0=-85.0 - 50.0 / 60, k_0=0.99996,
+                x_0=200000.0, y_0=0.0, ellps="GRS80", name="NAD83 / Alabama East"),
+    26930: dict(proj="tmerc", lat_0=30.0, lon_0=-87.5, k_0=0.999933333,
+                x_0=600000.0, y_0=0.0, ellps="GRS80", name="NAD83 / Alabama West"),
+    # Arizona (TM, zone FE 213360 m = 700000 international feet)
+    26948: dict(proj="tmerc", lat_0=31.0, lon_0=-110.0 - 10.0 / 60, k_0=0.9999,
+                x_0=213360.0, y_0=0.0, ellps="GRS80", name="NAD83 / Arizona East"),
+    26949: dict(proj="tmerc", lat_0=31.0, lon_0=-111.0 - 55.0 / 60, k_0=0.9999,
+                x_0=213360.0, y_0=0.0, ellps="GRS80", name="NAD83 / Arizona Central"),
+    26950: dict(proj="tmerc", lat_0=31.0, lon_0=-113.75, k_0=0.999933333,
+                x_0=213360.0, y_0=0.0, ellps="GRS80", name="NAD83 / Arizona West"),
+    # California (LCC 2SP)
+    26941: dict(proj="lcc", lat_1=40.0, lat_2=41.0 + 40.0 / 60, lat_0=39.0 + 20.0 / 60,
+                lon_0=-122.0, x_0=2000000.0, y_0=500000.0, ellps="GRS80",
+                name="NAD83 / California zone 1"),
+    26942: dict(proj="lcc", lat_1=38.0 + 20.0 / 60, lat_2=39.0 + 50.0 / 60,
+                lat_0=37.0 + 40.0 / 60, lon_0=-122.0, x_0=2000000.0, y_0=500000.0,
+                ellps="GRS80", name="NAD83 / California zone 2"),
+    26943: dict(proj="lcc", lat_1=37.0 + 4.0 / 60, lat_2=38.0 + 26.0 / 60,
+                lat_0=36.5, lon_0=-120.5, x_0=2000000.0, y_0=500000.0,
+                ellps="GRS80", name="NAD83 / California zone 3"),
+    26944: dict(proj="lcc", lat_1=36.0, lat_2=37.25, lat_0=35.0 + 20.0 / 60,
+                lon_0=-119.0, x_0=2000000.0, y_0=500000.0, ellps="GRS80",
+                name="NAD83 / California zone 4"),
+    26945: dict(proj="lcc", lat_1=34.0 + 2.0 / 60, lat_2=35.0 + 28.0 / 60,
+                lat_0=33.5, lon_0=-118.0, x_0=2000000.0, y_0=500000.0,
+                ellps="GRS80", name="NAD83 / California zone 5"),
+    26946: dict(proj="lcc", lat_1=32.0 + 47.0 / 60, lat_2=33.0 + 53.0 / 60,
+                lat_0=32.0 + 10.0 / 60, lon_0=-116.25, x_0=2000000.0, y_0=500000.0,
+                ellps="GRS80", name="NAD83 / California zone 6"),
+    # Colorado (LCC 2SP; FE/FN are exact metric equivalents of 3,000,000 / 1,000,000 ftUS)
+    26953: dict(proj="lcc", lat_1=39.0 + 43.0 / 60, lat_2=40.0 + 47.0 / 60,
+                lat_0=39.0 + 20.0 / 60, lon_0=-105.5, x_0=914401.8289, y_0=304800.6096,
+                ellps="GRS80", name="NAD83 / Colorado North"),
+    26954: dict(proj="lcc", lat_1=38.0 + 27.0 / 60, lat_2=39.75, lat_0=37.0 + 50.0 / 60,
+                lon_0=-105.5, x_0=914401.8289, y_0=304800.6096, ellps="GRS80",
+                name="NAD83 / Colorado Central"),
+    26955: dict(proj="lcc", lat_1=37.0 + 14.0 / 60, lat_2=38.0 + 26.0 / 60,
+                lat_0=36.0 + 40.0 / 60, lon_0=-105.5, x_0=914401.8289, y_0=304800.6096,
+                ellps="GRS80", name="NAD83 / Colorado South"),
+    # Florida (TM east/west, LCC north)
+    26958: dict(proj="tmerc", lat_0=24.0 + 20.0 / 60, lon_0=-81.0, k_0=0.999941177,
+                x_0=200000.0, y_0=0.0, ellps="GRS80", name="NAD83 / Florida East"),
+    26959: dict(proj="tmerc", lat_0=24.0 + 20.0 / 60, lon_0=-82.0, k_0=0.999941177,
+                x_0=200000.0, y_0=0.0, ellps="GRS80", name="NAD83 / Florida West"),
+    26960: dict(proj="lcc", lat_1=29.0 + 35.0 / 60, lat_2=30.75, lat_0=29.0,
+                lon_0=-84.5, x_0=600000.0, y_0=0.0, ellps="GRS80",
+                name="NAD83 / Florida North"),
+    # Illinois (TM)
+    26971: dict(proj="tmerc", lat_0=36.0 + 40.0 / 60, lon_0=-88.0 - 20.0 / 60,
+                k_0=0.999975, x_0=300000.0, y_0=0.0, ellps="GRS80",
+                name="NAD83 / Illinois East"),
+    26972: dict(proj="tmerc", lat_0=36.0 + 40.0 / 60, lon_0=-90.0 - 10.0 / 60,
+                k_0=0.999941177, x_0=700000.0, y_0=0.0, ellps="GRS80",
+                name="NAD83 / Illinois West"),
+    # Montana / Nebraska (single-zone LCC states)
+    32100: dict(proj="lcc", lat_1=45.0, lat_2=49.0, lat_0=44.25, lon_0=-109.5,
+                x_0=600000.0, y_0=0.0, ellps="GRS80", name="NAD83 / Montana"),
+    32104: dict(proj="lcc", lat_1=40.0, lat_2=43.0, lat_0=39.0 + 50.0 / 60,
+                lon_0=-100.0, x_0=500000.0, y_0=0.0, ellps="GRS80", name="NAD83 / Nebraska"),
+    # New York (TM east/central/west + LCC Long Island)
+    32115: dict(proj="tmerc", lat_0=38.0 + 50.0 / 60, lon_0=-74.5, k_0=0.9999,
+                x_0=150000.0, y_0=0.0, ellps="GRS80", name="NAD83 / New York East"),
+    32116: dict(proj="tmerc", lat_0=40.0, lon_0=-76.0 - 35.0 / 60, k_0=0.9999,
+                x_0=250000.0, y_0=0.0, ellps="GRS80", name="NAD83 / New York Central"),
+    32117: dict(proj="tmerc", lat_0=40.0, lon_0=-78.0 - 35.0 / 60, k_0=0.9999,
+                x_0=350000.0, y_0=0.0, ellps="GRS80", name="NAD83 / New York West"),
+    32118: dict(proj="lcc", lat_1=40.0 + 40.0 / 60, lat_2=41.0 + 2.0 / 60,
+                lat_0=40.0 + 10.0 / 60, lon_0=-74.0, x_0=300000.0, y_0=0.0,
+                ellps="GRS80", name="NAD83 / New York Long Island"),
+    # Pennsylvania (LCC 2SP)
+    32128: dict(proj="lcc", lat_1=40.0 + 53.0 / 60, lat_2=41.0 + 57.0 / 60,
+                lat_0=40.0 + 10.0 / 60, lon_0=-77.75, x_0=600000.0, y_0=0.0,
+                ellps="GRS80", name="NAD83 / Pennsylvania North"),
+    32129: dict(proj="lcc", lat_1=39.0 + 56.0 / 60, lat_2=40.0 + 58.0 / 60,
+                lat_0=39.0 + 20.0 / 60, lon_0=-77.75, x_0=600000.0, y_0=0.0,
+                ellps="GRS80", name="NAD83 / Pennsylvania South"),
+    # Texas (LCC 2SP, five zones)
+    32137: dict(proj="lcc", lat_1=34.0 + 39.0 / 60, lat_2=36.0 + 11.0 / 60,
+                lat_0=34.0, lon_0=-101.5, x_0=200000.0, y_0=1000000.0,
+                ellps="GRS80", name="NAD83 / Texas North"),
+    32138: dict(proj="lcc", lat_1=32.0 + 8.0 / 60, lat_2=33.0 + 58.0 / 60,
+                lat_0=31.0 + 40.0 / 60, lon_0=-98.5, x_0=600000.0, y_0=2000000.0,
+                ellps="GRS80", name="NAD83 / Texas North Central"),
+    32139: dict(proj="lcc", lat_1=30.0 + 7.0 / 60, lat_2=31.0 + 53.0 / 60,
+                lat_0=29.0 + 40.0 / 60, lon_0=-100.0 - 20.0 / 60, x_0=700000.0,
+                y_0=3000000.0, ellps="GRS80", name="NAD83 / Texas Central"),
+    32140: dict(proj="lcc", lat_1=28.0 + 23.0 / 60, lat_2=30.0 + 17.0 / 60,
+                lat_0=27.0 + 50.0 / 60, lon_0=-99.0, x_0=600000.0, y_0=4000000.0,
+                ellps="GRS80", name="NAD83 / Texas South Central"),
+    32141: dict(proj="lcc", lat_1=26.0 + 10.0 / 60, lat_2=27.0 + 50.0 / 60,
+                lat_0=25.0 + 40.0 / 60, lon_0=-98.5, x_0=300000.0, y_0=5000000.0,
+                ellps="GRS80", name="NAD83 / Texas South"),
+    # Virginia (LCC 2SP)
+    32146: dict(proj="lcc", lat_1=38.0 + 2.0 / 60, lat_2=39.0 + 12.0 / 60,
+                lat_0=37.0 + 40.0 / 60, lon_0=-78.5, x_0=3500000.0, y_0=2000000.0,
+                ellps="GRS80", name="NAD83 / Virginia North"),
+    32147: dict(proj="lcc", lat_1=36.0 + 46.0 / 60, lat_2=37.0 + 58.0 / 60,
+                lat_0=36.0 + 20.0 / 60, lon_0=-78.5, x_0=3500000.0, y_0=1000000.0,
+                ellps="GRS80", name="NAD83 / Virginia South"),
+    # Washington (LCC 2SP)
+    32148: dict(proj="lcc", lat_1=47.5, lat_2=48.0 + 44.0 / 60, lat_0=47.0,
+                lon_0=-120.0 - 50.0 / 60, x_0=500000.0, y_0=0.0, ellps="GRS80",
+                name="NAD83 / Washington North"),
+    32149: dict(proj="lcc", lat_1=45.0 + 50.0 / 60, lat_2=47.0 + 20.0 / 60,
+                lat_0=45.0 + 20.0 / 60, lon_0=-120.5, x_0=500000.0, y_0=0.0,
+                ellps="GRS80", name="NAD83 / Washington South"),
+    # --- NAD83 / State Plane, US survey feet twins (parameters stay metric; to_meter
+    # scales the coordinate axes — FE/FN are the zones' exact round-meter equivalents)
+    2229: dict(proj="lcc", lat_1=34.0 + 2.0 / 60, lat_2=35.0 + 28.0 / 60, lat_0=33.5,
+               lon_0=-118.0, x_0=2000000.0, y_0=500000.0, to_meter=_FT_US,
+               ellps="GRS80", name="NAD83 / California zone 5 (ftUS)"),
+    2263: dict(proj="lcc", lat_1=40.0 + 40.0 / 60, lat_2=41.0 + 2.0 / 60,
+               lat_0=40.0 + 10.0 / 60, lon_0=-74.0, x_0=300000.0, y_0=0.0,
+               to_meter=_FT_US, ellps="GRS80", name="NAD83 / New York Long Island (ftUS)"),
+    2276: dict(proj="lcc", lat_1=32.0 + 8.0 / 60, lat_2=33.0 + 58.0 / 60,
+               lat_0=31.0 + 40.0 / 60, lon_0=-98.5, x_0=600000.0, y_0=2000000.0,
+               to_meter=_FT_US, ellps="GRS80",
+               name="NAD83 / Texas North Central (ftUS)"),
+})
