@@ -487,11 +487,41 @@ def _hetero_bin_tables_device(gathered: jnp.ndarray, n_bins: int):
     return packed
 
 
+@partial(jax.jit, static_argnames=("count", "has_inc", "has_exc"))
+def _hetero_prepare_device(d_j, vars_j: tuple, inc, exc, seed, count: int,
+                           has_inc: bool, has_exc: bool) -> jnp.ndarray:
+    """The heteroscedasticity prepare as ONE device program: joint-validity chain, seeded
+    top_k subsample over the valid mask, and the NaN-poisoned gathers. Returns the gathered
+    (1 + nvars, count) sample. Op-for-op the former eager chain (same seed -> same sample)."""
+    valid = jnp.isfinite(d_j)
+    for vj in vars_j:
+        valid = valid & jnp.isfinite(vj)
+    if has_inc:
+        valid = valid & inc
+    if has_exc:
+        valid = valid & ~exc
+    key = jax.random.PRNGKey(seed)
+    scores = jnp.where(valid.ravel(), jax.random.uniform(key, (d_j.size,)), -jnp.inf)
+    _, idx = jax.lax.top_k(scores, count)
+    picked_ok = valid.ravel()[idx]
+    return jnp.stack(
+        [jnp.where(picked_ok, a.ravel()[idx], jnp.nan) for a in (d_j,) + tuple(vars_j)]
+    )
+
+
 @jax.jit
-def _two_step_scale_device(gathered: jnp.ndarray, mids_ext: tuple, grid_ext: jnp.ndarray,
-                           fac_spread_outliers) -> jnp.ndarray:
-    """two_step_standardization's scale on device: z-score the gathered dh by the interpolated
-    unscaled error, clip outliers at fac * NMAD, return the re-normalizing NMAD."""
+def _scale_and_sigma_device(gathered: jnp.ndarray, mids_ext: tuple, grid_ext: jnp.ndarray,
+                            fac_spread_outliers, vars_full: tuple):
+    """Fused two-step standardization scale + full-extent sigma evaluation: one dispatch,
+    one scalar readback (the sigma raster stays device-resident)."""
+    scale = _two_step_scale_core(gathered, mids_ext, grid_ext, fac_spread_outliers)
+    sig = scale * _interp_grid_device(mids_ext, grid_ext, list(vars_full))
+    return scale, sig
+
+
+def _two_step_scale_core(gathered: jnp.ndarray, mids_ext: tuple, grid_ext: jnp.ndarray,
+                         fac_spread_outliers) -> jnp.ndarray:
+    """jnp-only body of _two_step_scale_device (traceable inside larger programs)."""
     d = gathered[0]
     err = _interp_grid_device(mids_ext, grid_ext, [gathered[1 + i] for i in range(gathered.shape[0] - 1)])
     z = d / err
@@ -503,6 +533,14 @@ def _two_step_scale_device(gathered: jnp.ndarray, mids_ext: tuple, grid_ext: jnp
     spread0 = _nmad(z)
     z = jnp.where(jnp.abs(z) > fac_spread_outliers * spread0, jnp.nan, z)
     return _nmad(z)
+
+
+@jax.jit
+def _two_step_scale_device(gathered: jnp.ndarray, mids_ext: tuple, grid_ext: jnp.ndarray,
+                           fac_spread_outliers) -> jnp.ndarray:
+    """two_step_standardization's scale on device: z-score the gathered dh by the interpolated
+    unscaled error, clip outliers at fac * NMAD, return the re-normalizing NMAD."""
+    return _two_step_scale_core(gathered, mids_ext, grid_ext, fac_spread_outliers)
 
 
 def two_step_standardization(
@@ -653,25 +691,21 @@ def infer_heteroscedasticity_from_stable(
 
         d_j = jnp.asarray(dvalues.data, jnp.float32)
         vars_j = [jnp.asarray(v.data if isinstance(v, Raster) else v, jnp.float32) for v in list_var]
-        valid = jnp.isfinite(d_j)
-        for vj in vars_j:
-            valid = valid & jnp.isfinite(vj)
         inc = _mask_np(stable_mask)
         exc = _mask_np(unstable_mask)
-        if inc is not None:
-            valid = valid & jnp.asarray(inc)
-        if exc is not None:
-            valid = valid & ~jnp.asarray(exc)
 
         count = int(min(subsample, d_j.size))
         seed = (int(random_state) if isinstance(random_state, (int, np.integer))
                 else int(np.random.default_rng(random_state).integers(2**31)))
-        key = jax.random.PRNGKey(np.uint32(seed))
-        scores = jnp.where(valid.ravel(), jax.random.uniform(key, (d_j.size,)), -jnp.inf)
-        _, idx = jax.lax.top_k(scores, count)
-        picked_ok = valid.ravel()[idx]
-        gathered = jnp.stack(
-            [jnp.where(picked_ok, a.ravel()[idx], jnp.nan) for a in [d_j] + vars_j]
+        # ONE jitted program for the whole prepare (validity chain, seeded top_k subsample,
+        # gathers): the eager op-by-op version issued ~20 separate device dispatches, each a
+        # ~15-50 ms round trip through a tunneled chip.
+        dummy = jnp.zeros((1, 1), bool)
+        gathered = _hetero_prepare_device(
+            d_j, tuple(vars_j),
+            jnp.asarray(inc) if inc is not None else dummy,
+            jnp.asarray(exc) if exc is not None else dummy,
+            np.uint32(seed), count, inc is not None, exc is not None,
         )
 
         # Fully-device statistics for the default config (int bins, NMAD spread): the binned
@@ -738,10 +772,20 @@ def infer_heteroscedasticity_from_stable(
 
             unscaled = interp_nd_binning(df, list_var_names=list(list_var_names),
                                          statistic=spread_name, min_count=min_count)
-            scale = float(_two_step_scale_device(
-                gathered, tuple(unscaled.mids_ext), jnp.asarray(unscaled.grid_ext),
-                jnp.float32(fac_spread_outliers),
-            ))
+            sig_fused = None
+            if mesh is None:
+                # Fuse the standardization scale AND the full-extent sigma evaluation into
+                # one dispatch (one scalar readback; the sigma raster stays on device)
+                scale_dev, sig_fused = _scale_and_sigma_device(
+                    gathered, tuple(unscaled.mids_ext), jnp.asarray(unscaled.grid_ext),
+                    jnp.float32(fac_spread_outliers), tuple(vars_j),
+                )
+                scale = float(scale_dev)
+            else:
+                scale = float(_two_step_scale_device(
+                    gathered, tuple(unscaled.mids_ext), jnp.asarray(unscaled.grid_ext),
+                    jnp.float32(fac_spread_outliers),
+                ))
 
             def error_fun(*args: np.ndarray) -> np.ndarray:
                 return scale * unscaled(*args)
@@ -758,6 +802,10 @@ def infer_heteroscedasticity_from_stable(
                 min_count=min_count, fac_spread_outliers=fac_spread_outliers,
             )
             unscaled = error_fun.unscaled
+            sig_fused = None
+        if sig_fused is not None:
+            return (Raster(sig_fused.astype(jnp.float32), dvalues.transform, dvalues.crs),
+                    df, error_fun)
         pad_rows = 0
         if mesh is not None:
             # Shard the full-extent evaluation row-wise: the interp kernel is elementwise in
