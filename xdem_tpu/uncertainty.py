@@ -146,6 +146,9 @@ def estimate_uncertainty(
         attrs = terrain.get_terrain_attribute(dem, list(list_vars), mesh=mesh)
         if not isinstance(attrs, list):
             attrs = [attrs]
+        # Upload the stable mask ONCE (bit-packed) and let both stages reuse the
+        # device-resident copy — through a tunneled chip each raw bool upload costs ~0.2 s
+        stable_terrain = spatialstats._device_mask_of(stable_terrain, dh)
         # Bin the spread on at most 5e6 stable samples (identical statistics, tractable at
         # 1e8-pixel rasters); the error raster is still evaluated over the full extent.
         sig_dh, _df, _err_fun = spatialstats.infer_heteroscedasticity_from_stable(
