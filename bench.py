@@ -164,7 +164,13 @@ def main() -> None:
     rows = [headline]
     if not os.environ.get("BENCH_QUICK"):
         try:
-            rows += bench_table(bw)
+            vpu = _vpu_rate()
+            log(f"measured elementwise VPU rate: {vpu:.0f} Gop/s")
+        except Exception as exc:
+            vpu = 0.0
+            log(f"VPU probe failed: {type(exc).__name__}: {exc}")
+        try:
+            rows += bench_table(bw, vpu)
         except Exception as exc:  # table failures must not break the headline contract
             log(f"bench table failed: {type(exc).__name__}: {exc}")
         try:
@@ -208,6 +214,78 @@ def _roofline_bw() -> float:
     return 2 * n * n * 4 * k / best / 1e9
 
 
+def _vpu_rate() -> float:
+    """Measured elementwise f32 VPU throughput (Gop/s) of the default device: an in-graph
+    dependent chain of mul/add/sub/max on a VMEM-resident tile (no HBM traffic per op).
+    Like _roofline_bw, this measures THIS chip (a tunneled/shared v5e lands well under the
+    datasheet), so pct_compute_roofline is against reality."""
+    import jax
+    import jax.numpy as jnp
+
+    n = 512
+    k = 200
+    chain = 8  # dependent 4-op groups per loop iteration
+    x = jnp.full((n, n), 0.5, jnp.float32)
+
+    @jax.jit
+    def loop(a):
+        def body(i, x):
+            for _ in range(chain):
+                x = jnp.maximum(x * 0.9999 + 1e-7, x - 1e-7)  # mul, add, sub, max
+            return x
+        return jax.lax.fori_loop(0, k, body, a)[3, 5]
+
+    float(loop(x))  # compile
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(loop(x))
+        best = min(best, time.perf_counter() - t0)
+    return 4 * chain * k * n * n / best / 1e9
+
+
+def _fractal_ops_per_px(w: int) -> int:
+    """Vector-op lower bound per pixel of the Pallas fractal box-count kernel, mirroring
+    its single-sweep structure (pallas_kernels._make_fractal_kernel): window reads count 1
+    (a lane/sublane-rotated VMEM load), clip-adds 4 (sub + 2 clamps + add), maxima 1."""
+    hw = w // 2
+    qs = [q for q in range(1, hw + 1) if hw % q == 0]
+    W = w - 1
+
+    def best_src(q):
+        return max((p for p in qs if 1 < p < q and q % p == 0), default=None)
+
+    direct = [q for q in qs if q > 1 and best_src(q) is None]
+    cells = W * W
+    ops = cells  # one read per cell
+    if 1 in qs:
+        ops += 4 * cells  # ns1 clip-adds
+    for q in direct:
+        ops += cells - (W // q) ** 2  # box maxima (first touch is an assignment)
+    for q in qs:
+        if q == 1 or q in direct:
+            continue
+        f = q // best_src(q)
+        ops += (W // q) ** 2 * (f * f - 1)  # derived-scale maxima
+    for q in qs:
+        if q != 1:
+            ops += 4 * (W // q) ** 2  # ns clip-adds from boxes
+    ops += len(qs) * 8 + 6  # per-scale log/accumulate + final regression
+    return ops
+
+
+def _annot_compute(row: dict, model_ops: float, secs: float, vpu_gops: float) -> dict:
+    """Attach compute-roofline accounting (the analog of _annot for VPU-bound kernels):
+    modeled vector ops, achieved Gop/s, and % of the measured elementwise VPU rate. Rows
+    carrying both bounds are at speed-of-light when EITHER one saturates."""
+    row["model_ops"] = int(model_ops)
+    row["achieved_GOPs"] = round(model_ops / secs / 1e9, 1)
+    row["pct_compute_roofline"] = (
+        round(100.0 * model_ops / secs / 1e9 / vpu_gops, 1) if vpu_gops else None
+    )
+    return row
+
+
 def _timed(fn, *args, n=3, **kwargs):
     """Best wall time of n calls (first call separately = compile)."""
     t0 = time.perf_counter()
@@ -234,7 +312,7 @@ def _annot(row: dict, model_bytes: float, secs: float, bw: float) -> dict:
     return row
 
 
-def bench_table(bw: float = 0.0) -> list[dict]:
+def bench_table(bw: float = 0.0, vpu: float = 0.0) -> list[dict]:
     """North-star configs beyond the headline (BASELINE.md table)."""
     import jax
     import jax.numpy as jnp
@@ -260,9 +338,28 @@ def bench_table(bw: float = 0.0) -> list[dict]:
 
     first, best = _timed(lambda d: float(full_suite(d)), dem)
     log(f"full terrain suite {n}^2: first {first:.1f}s, steady {best*1000:.0f} ms")
-    rows.append(_annot({"metric": f"terrain_full_suite_{n}x{n}_Mcells_per_s",
-                 "value": round(n * n / best / 1e6, 1), "unit": "Mcells/s", "vs_baseline": None},
-                 (1 + 14) * n * n * 4, best, bw))
+    # Compute-side bound: the fractal box-count dominates the suite's VPU work; surface-fit
+    # (9 Florinsky attrs ~ 9 stencils x ~13 nonzero taps x 2 + curvature algebra) and the
+    # 3x3 windowed reducers add the rest. Documented lower-bound op model, like model_bytes.
+    suite_ops_px = _fractal_ops_per_px(13) + (9 * 13 * 2 + 200) + (4 * 9 * 3)
+    rows.append(_annot_compute(_annot(
+        {"metric": f"terrain_full_suite_{n}x{n}_Mcells_per_s",
+         "value": round(n * n / best / 1e6, 1), "unit": "Mcells/s", "vs_baseline": None},
+        (1 + 14) * n * n * 4, best, bw), suite_ops_px * n * n, best, vpu))
+
+    # Config 2b: the fractal box-count kernel alone — the suite's compute-bound member
+    # (VERDICT r3 weak #2: prove the roofline claim). Bytes-only roofline makes it look
+    # idle; the pct_compute_roofline column is the honest bound.
+    @jax.jit
+    def fractal_only(d):
+        return fractal_roughness(d, window_size=13)[70, 70]
+
+    first, best = _timed(lambda d: float(fractal_only(d)), dem)
+    log(f"fractal roughness {n}^2 (w=13): first {first:.1f}s, steady {best*1000:.1f} ms")
+    rows.append(_annot_compute(_annot(
+        {"metric": f"fractal_roughness_{n}x{n}_seconds",
+         "value": round(best, 4), "unit": "s", "vs_baseline": None},
+        2 * n * n * 4, best, bw), _fractal_ops_per_px(13) * n * n, best, vpu))
 
     # Config 3: NuthKaab fit on the bundled pair (fused device path)
     from xdem_tpu import coreg, examples
@@ -337,10 +434,18 @@ def bench_table(bw: float = 0.0) -> list[dict]:
     uncert(43)
     steady = time.perf_counter() - t0
     log(f"uncertainty pipeline 985x1332: first {first:.1f}s, steady {steady:.1f}s")
+    # Dispatch-count probe (VERDICT r3 weak #3): through a ~50 ms-latency tunnel the
+    # executable-launch count IS the latency model for small-shape pipelines.
+    from xdem_tpu.profiler import count_device_dispatches
+
+    _, disp = count_device_dispatches(uncert, 44)
+    log(f"uncertainty pipeline dispatches: {disp}")
     # Model: terrain 2 attrs (1 read + 2 writes) + sigma evaluation (2 reads + 1 write)
-    rows.append(_annot({"metric": "uncertainty_pipeline_985x1332_seconds",
-                 "value": round(steady, 2), "unit": "s", "vs_baseline": None},
-                 6 * n_px * 4, steady, bw))
+    row_u = _annot({"metric": "uncertainty_pipeline_985x1332_seconds",
+                    "value": round(steady, 2), "unit": "s", "vs_baseline": None},
+                   6 * n_px * 4, steady, bw)
+    row_u["dispatches"] = disp["executions"]
+    rows.append(row_u)
 
     # Config 6: device hypsometric binning of a 4096^2 device-resident dDEM (VERDICT r2
     # task 6; the reference's host loop scans the raster once per bin)
@@ -461,6 +566,69 @@ def bench_parity() -> list[dict]:
     rows.append(r)
     rel_rho = float(np.max(np.abs(rho_dev - rho_cpu)))
     rows.append(row("uncertainty_rho", rel_rho, 5e-3))
+
+    # --- ICP: registration params (translations m / rotations deg) on a synthetic pair.
+    # Small config keeps the CPU leg cheap; the iterative KD-tree path is host-side on both
+    # backends, so differences come only from the device interpolation evals.
+    from xdem_tpu.coreg.base import translations_rotations_from_matrix
+    from xdem_tpu.georef import Affine
+    from xdem_tpu.raster import Raster
+
+    n_icp = 512
+    rst = Raster(synthetic_dem(n_icp, seed=9), Affine(20.0, 0.0, 5e5, 0.0, -20.0, 8.8e6), 32633)
+    epc = rst.to_pointcloud(subsample=100_000, random_state=1).translate(12.0, -6.0, 2.0)
+
+    def icp_params():
+        c = coreg.ICP(subsample=20000)
+        c.fit(rst, epc, random_state=42)
+        return np.asarray(translations_rotations_from_matrix(c.to_matrix()), np.float64)
+
+    p_dev = icp_params()
+    with jax.default_device(cpu):
+        p_cpu = icp_params()
+    # Relative to the recovered shift magnitude (~(12, -6, 2) m), the reference's own 1%
+    # synthetic-recovery criterion
+    rel = float(np.max(np.abs(p_dev - p_cpu)) / max(np.max(np.abs(p_cpu[:3])), 1.0))
+    rows.append(row("icp_params", rel, 0.01))
+
+    # --- Blockwise: per-tile NuthKaab shifts (the vmapped one-dispatch fit) ---
+    def bw_shifts():
+        b = coreg.BlockwiseNuthKaab(block_size_fit=256, subsample_per_tile=4000, random_state=7)
+        b.fit(ref, tba)
+        return np.stack([b.shifts_x, b.shifts_y, b.shifts_z])
+
+    s_dev2 = bw_shifts()
+    with jax.default_device(cpu):
+        s_cpu2 = bw_shifts()
+    both2 = np.isfinite(s_dev2) & np.isfinite(s_cpu2)
+    rel = (float(np.max(np.abs(s_dev2[both2] - s_cpu2[both2])) / max(np.nanmax(np.abs(s_cpu2)), 1.0))
+           if both2.any() else np.inf)
+    if not (np.isnan(s_dev2) == np.isnan(s_cpu2)).all():
+        rel = np.inf  # sparse-tile gating must agree
+    rows.append(row("blockwise_tile_shifts", rel, 0.01))
+
+    # --- Hypsometric binning: device segment-sort bin table ---
+    from xdem_tpu import volume
+
+    nh_p = 1024
+    ref_h = synthetic_dem(nh_p, seed=5)
+    dh_h = synthetic_dem(nh_p, seed=6) * 0.01 - 5.0
+
+    def hypso_vals():
+        df = volume.hypsometric_binning(jnp.asarray(dh_h), jnp.asarray(ref_h), bins=50.0)
+        return df["value"].to_numpy(np.float64), df["count"].to_numpy(np.float64)
+
+    v_dev, c_dev = hypso_vals()
+    with jax.default_device(cpu):
+        v_cpu, c_cpu = hypso_vals()
+    # Identical segment-sort program on both backends; medians are exact order statistics
+    # of the same f32 set, so only bin-edge f32 rounding is tolerated
+    bothv = np.isfinite(v_cpu) & np.isfinite(v_dev)
+    rel = (float(np.max(np.abs(v_dev[bothv] - v_cpu[bothv])) / (np.mean(np.abs(v_cpu[bothv])) or 1.0))
+           if bothv.any() else np.inf)
+    if not ((np.isnan(v_dev) == np.isnan(v_cpu)).all() and np.array_equal(c_dev, c_cpu)):
+        rel = np.inf
+    rows.append(row("hypsometric_bins", rel, 1e-4))
     return rows
 
 
