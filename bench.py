@@ -246,30 +246,33 @@ def _vpu_rate() -> float:
 
 def _fractal_ops_per_px(w: int) -> int:
     """Vector-op lower bound per pixel of the Pallas fractal box-count kernel, mirroring
-    its single-sweep structure (pallas_kernels._make_fractal_kernel): window reads count 1
-    (a lane/sublane-rotated VMEM load), clip-adds 4 (sub + 2 clamps + add), maxima 1."""
+    its per-scale sweep structure (pallas_kernels._make_fractal_kernel): window reads count
+    1 (a lane/sublane-rotated VMEM load), clip-adds 4 (sub + 2 clamps + add), maxima 1.
+
+    Read-sharing variants that sweep the window once for all scales were tried and are
+    STRUCTURALLY slower on Mosaic (interleaved updates of many live tile-sized accumulators
+    fall off a register-pressure cliff: 33 ms -> 1.9-2.6 s at 4096^2 w=13), so the model
+    mirrors the shipped per-scale kernel: each non-derived scale re-reads the (w-1)^2
+    region; derived scales (q = f*src) build from cached src boxes."""
     hw = w // 2
     qs = [q for q in range(1, hw + 1) if hw % q == 0]
     W = w - 1
-
-    def best_src(q):
-        return max((p for p in qs if 1 < p < q and q % p == 0), default=None)
-
-    direct = [q for q in qs if q > 1 and best_src(q) is None]
     cells = W * W
-    ops = cells  # one read per cell
-    if 1 in qs:
-        ops += 4 * cells  # ns1 clip-adds
-    for q in direct:
-        ops += cells - (W // q) ** 2  # box maxima (first touch is an assignment)
+    ops = 0
+    cached = set()
     for q in qs:
-        if q == 1 or q in direct:
-            continue
-        f = q // best_src(q)
-        ops += (W // q) ** 2 * (f * f - 1)  # derived-scale maxima
-    for q in qs:
-        if q != 1:
-            ops += 4 * (W // q) ** 2  # ns clip-adds from boxes
+        nq = W // q
+        srcs = [p for p in cached if p > 1 and q % p == 0]
+        if srcs:
+            f = q // max(srcs)
+            ops += nq * nq * (f * f - 1)  # maxima of cached src boxes
+        else:
+            ops += cells  # one read per cell of the scale's sweep
+            ops += cells - nq * nq  # in-register box maxima
+        ops += 4 * nq * nq  # clip-adds into ns
+        # the kernel caches scales later ones divide (q=3 feeds q=6)
+        if q > 1 and any(q2 % q == 0 for q2 in qs if q2 > q):
+            cached.add(q)
     ops += len(qs) * 8 + 6  # per-scale log/accumulate + final regression
     return ops
 

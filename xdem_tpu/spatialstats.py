@@ -1080,6 +1080,23 @@ def _binned_pair_core(
     valid = jnp.isfinite(d) & jnp.isfinite(h) & (h >= edges[0]) & (h <= edges[-1])
     idx = jnp.clip(jnp.searchsorted(edges, h, side="right") - 1, 0, n_bins - 1)
     parked = jnp.where(valid, idx, n_bins)
+
+    if estimator == "dowd":
+        # Median of |d| per bin: one two-key sort (the payload comes out sorted — an
+        # argsort + random gather of 5e7 elements costs ~2x more on TPU). Counts come from
+        # the sorted keys too: jnp.bincount is a scatter-add, measured 0.52 s at 5.5e7
+        # pairs on v5e vs 0.28 s for the ENTIRE sort — searchsorted over the sorted bin
+        # ids gives the same counts for ~free.
+        ps, ds = jax.lax.sort((parked, d), num_keys=2)
+        bounds = jnp.searchsorted(ps, jnp.arange(n_bins + 1, dtype=parked.dtype), side="left")
+        counts = bounds[1:] - bounds[:-1]
+        starts = bounds[:n_bins]
+        lo = ds[jnp.clip(starts + (counts - 1) // 2, 0, d.size - 1)]
+        hi = ds[jnp.clip(starts + counts // 2, 0, d.size - 1)]
+        med = jnp.where(counts > 0, 0.5 * (lo + hi), jnp.nan)
+        gamma = 2.198 * med**2 / 2
+        return gamma, counts
+
     counts = jnp.bincount(parked, length=n_bins + 1)[:n_bins]
 
     if estimator == "matheron":
@@ -1092,15 +1109,6 @@ def _binned_pair_core(
         gamma = jnp.where(
             counts > 0, (mean_sqrt**4) / (0.457 + 0.494 / n + 0.045 / n**2) / 2, jnp.nan
         )
-    elif estimator == "dowd":
-        # Median of |d| per bin: one two-key sort (the payload comes out sorted — an
-        # argsort + random gather of 5e7 elements costs ~2x more on TPU)
-        _, ds = jax.lax.sort((parked, d), num_keys=2)
-        starts = jnp.cumsum(counts) - counts
-        lo = ds[jnp.clip(starts + (counts - 1) // 2, 0, d.size - 1)]
-        hi = ds[jnp.clip(starts + counts // 2, 0, d.size - 1)]
-        med = jnp.where(counts > 0, 0.5 * (lo + hi), jnp.nan)
-        gamma = 2.198 * med**2 / 2
     else:
         raise ValueError(
             f"Estimator '{estimator}' not supported; use 'matheron', 'dowd', 'cressie' or 'genton'."

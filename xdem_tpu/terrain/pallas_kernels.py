@@ -298,61 +298,43 @@ def _make_fractal_kernel(w: int, tr: int, tc: int):
         # matching the XLA path's edge/nodata erosion. Offsets must be static (Mosaic only
         # allows aligned dynamic slice starts), so the block sweep is fully unrolled —
         # which bounds the tile size: Mosaic's scoped-VMEM stack holds the unrolled
-        # temporaries, fitting at tile=128 but not 256.
-        #
-        # SINGLE SWEEP over the (w-1)^2 window: every scale's box grid spans the same
-        # region (q * nq == w - 1 because q | (w-1)/2), so each cell is read from VMEM
-        # exactly ONCE and feeds every directly-counted scale's box maxima in-register.
-        # The per-scale sweep this replaces re-read each cell once per scale — and the
-        # window-offset reads (lane/sublane rotations) are the kernel's dominant cost
-        # (measured 55.7 -> ~33 ms at 4096^2 w=13 before this; the read count drops 3x:
-        # 432 -> 144). Max is associative and the ns/clip summation orders are kept, so
-        # the result is bit-identical. Larger scales still build from the largest cached
-        # smaller scale (q=6 boxes = 2x2 maxima of the q=3 boxes).
+        # temporaries (~200 tile-sized values), fitting at tile=128 but not 256.
+        sum_y = jnp.zeros((tr, tc), dtype=jnp.float32)
+        sum_xy = jnp.zeros((tr, tc), dtype=jnp.float32)
+        # Box maxima reuse: a q-box is the max of (q/p)^2 p-boxes for any divisor p of q
+        # already computed (max is associative, so this is bit-exact). For w=13
+        # (qs=[1,2,3,6]) the q=6 boxes drop from 35 window reads each to 3 in-register
+        # maxima of the q=3 boxes — the window-offset reads are the kernel's dominant cost.
         def _best_src(q2: int) -> int | None:
             return max((p for p in qs if 1 < p < q2 and q2 % p == 0), default=None)
 
-        W = w - 1
-        direct = [q for q in qs if q > 1 and _best_src(q) is None]
-        ns1 = jnp.zeros((tr, tc), dtype=jnp.float32) if 1 in qs else None
-        boxes: dict[int, dict[tuple[int, int], Any]] = {q: {} for q in direct}
-        for u in range(W):
-            for v in range(W):
-                s = sl(u, v)
-                if ns1 is not None:
-                    ns1 = ns1 + jnp.clip(s - center, 0.0, float(w))
-                for q in direct:
-                    key = (u // q, v // q)
-                    prev = boxes[q].get(key)
-                    boxes[q][key] = s if prev is None else jnp.maximum(prev, s)
-        for q in qs:
-            if q == 1 or q in direct:
-                continue
-            src = _best_src(q)
-            f = q // src
-            nq = W // q
-            derived: dict[tuple[int, int], Any] = {}
+        box_cache: dict[int, dict[tuple[int, int], Any]] = {}
+        for q, lq in zip(qs, log_q):
+            nq = (w - 1) // q
+            src = max((p for p in box_cache if p > 1 and q % p == 0), default=None)
+            boxes: dict[tuple[int, int], Any] = {}
+            ns = jnp.zeros((tr, tc), dtype=jnp.float32)
             for bj in range(nq):
                 for bk in range(nq):
-                    m = None
-                    for uu in range(f):
-                        for vv in range(f):
-                            sub = boxes[src][(bj * f + uu, bk * f + vv)]
-                            m = sub if m is None else jnp.maximum(m, sub)
-                    derived[(bj, bk)] = m
-            boxes[q] = derived
-
-        sum_y = jnp.zeros((tr, tc), dtype=jnp.float32)
-        sum_xy = jnp.zeros((tr, tc), dtype=jnp.float32)
-        for q, lq in zip(qs, log_q):
-            if q == 1:
-                ns = ns1
-            else:
-                nq = W // q
-                ns = jnp.zeros((tr, tc), dtype=jnp.float32)
-                for bj in range(nq):
-                    for bk in range(nq):
-                        ns = ns + jnp.clip(boxes[q][(bj, bk)] - center, 0.0, float(w))
+                    if src is not None:
+                        f = q // src
+                        m = None
+                        for u in range(f):
+                            for v in range(f):
+                                sub = box_cache[src][(bj * f + u, bk * f + v)]
+                                m = sub if m is None else jnp.maximum(m, sub)
+                    else:
+                        m = sl(bj * q, bk * q)
+                        for u in range(q):
+                            for v in range(q):
+                                if u == 0 and v == 0:
+                                    continue
+                                m = jnp.maximum(m, sl(bj * q + u, bk * q + v))
+                    boxes[(bj, bk)] = m
+                    ns = ns + jnp.clip(m - center, 0.0, float(w))
+            # Keep only boxes that a later scale will actually consume (VMEM stack pressure)
+            if q > 1 and any(_best_src(q2) == q for q2 in qs if q2 > q):
+                box_cache[q] = boxes
             y = jnp.log(ns / q)
             sum_y = sum_y + y
             sum_xy = sum_xy + lq * y
