@@ -452,7 +452,7 @@ def bench_table(bw: float = 0.0, vpu: float = 0.0) -> list[dict]:
 
     # Config 5b: the same pipeline at 10k^2 (1e8 px — BASELINE config 5). Steady-state is
     # the figure of merit; the first call pays several remote shape compiles.
-    from xdem_tpu.raster import Raster
+    from xdem_tpu.dem import DEM
     from xdem_tpu.georef import Affine as _Aff
 
     n10 = 10_000
@@ -471,8 +471,9 @@ def bench_table(bw: float = 0.0, vpu: float = 0.0) -> list[dict]:
         return ((z - z.min()) / (z.max() - z.min()) * 1000.0).astype(jnp.float32)
 
     z10 = synth_device(n10, 11)
-    dem10 = Raster(z10, _Aff(20.0, 0.0, 4e5, 0.0, -20.0, 9e6), 32633)
-    other10 = Raster(z10 + synth_device(n10, 12) * 0.004, dem10.transform, dem10.crs)
+    dem10 = DEM.from_array(z10, transform=_Aff(20.0, 0.0, 4e5, 0.0, -20.0, 9e6), crs=32633)
+    other10 = DEM.from_array(z10 + synth_device(n10, 12) * 0.004,
+                             transform=dem10.transform, crs=dem10.crs)
 
     def uncert10(seed):
         sig, rho = dem10.estimate_uncertainty(other10, random_state=seed, subsample=10000)

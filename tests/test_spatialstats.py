@@ -170,6 +170,50 @@ class TestEmpiricalVariogram:
             np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
             np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-5, equal_nan=True)
 
+    def test_dowd_sort_counts_match_bincount(self):
+        """Dowd's per-bin counts come from the sorted bin keys (jnp.bincount is a 0.5 s
+        scatter at 5e7 pairs on TPU); they must equal matheron's bincount counts exactly,
+        including empty bins and the all-invalid case."""
+        import jax.numpy as jnp
+
+        from xdem_tpu.spatialstats import _binned_pair_estimator
+
+        rng = np.random.default_rng(7)
+        diffs = jnp.asarray(rng.normal(0, 2, (6, 11, 13)), jnp.float32)
+        # Distances concentrated so that some bins are empty
+        dists = jnp.asarray(rng.uniform(5.0, 40.0, (6, 11, 13)), jnp.float32)
+        edges = np.array([0.0, 10.0, 50.0, 60.0, 70.0, 500.0])  # bins 2-4 mostly empty
+        g_d, c_d = _binned_pair_estimator(diffs, dists, edges, "dowd")
+        g_m, c_m = _binned_pair_estimator(diffs, dists, edges, "matheron")
+        np.testing.assert_array_equal(np.asarray(c_d), np.asarray(c_m))
+        assert (np.asarray(c_d) > 0).any() and (np.asarray(c_d) == 0).any()
+        assert np.isnan(np.asarray(g_d)[np.asarray(c_d) == 0]).all()
+        # all pairs invalid -> zero counts, NaN gammas
+        g0, c0 = _binned_pair_estimator(jnp.full((2, 3, 4), jnp.nan), dists[:2, :3, :4],
+                                        edges, "dowd")
+        assert (np.asarray(c0) == 0).all() and np.isnan(np.asarray(g0)).all()
+
+    def test_device_mask_of_passthrough_and_packing(self):
+        """_device_mask_of: device bools pass through; host masks coerce + upload packed;
+        None stays None (the uncertainty pipeline uploads the stable mask once)."""
+        import jax
+        import jax.numpy as jnp
+
+        from xdem_tpu.spatialstats import _device_mask_of
+
+        assert _device_mask_of(None) is None
+        m_np = np.zeros((37, 53), bool)
+        m_np[5:20, 7:40] = True
+        out = _device_mask_of(m_np)
+        assert isinstance(out, jax.Array) and out.dtype == bool
+        np.testing.assert_array_equal(np.asarray(out), m_np)
+        dev = jnp.asarray(m_np)
+        assert _device_mask_of(dev) is dev or np.array_equal(np.asarray(_device_mask_of(dev)), m_np)
+        # masked bool arrays: masked slots are excluded (False)
+        mm = np.ma.MaskedArray(np.ones((4, 4), bool), mask=np.eye(4, dtype=bool))
+        np.testing.assert_array_equal(np.asarray(_device_mask_of(mm)),
+                                      np.ones((4, 4), bool) & ~np.eye(4, dtype=bool))
+
     @pytest.mark.parametrize("estimator", ["matheron", "cressie", "dowd"])
     def test_chunked_pairs_variogram_matches_flat(self, estimator):
         """Same memory-bounded reduction for the non-grid (point-cloud) path."""
