@@ -1427,12 +1427,18 @@ class TestReviewRegressions:
             q = str(tmp_path / f"{name}.tif")
             make(q)
             data = open(q, "rb").read()
-            # Locate the GeoKeyDirectory payload: header (1,1,0,N) then 4-SHORT entries
-            idx = data.find(struct.pack("<4H", 1, 1, 0, 4))
+            # Locate the GeoKeyDirectory payload: header (1, 1, 0, N) then 4-SHORT entries.
+            # N grew past the citation-only 4 when user-defined projections started
+            # emitting parameter GeoKeys (3075 + ProjNatOrigin*/ProjFalse*), so find the
+            # 3-SHORT header prefix and read N from the directory itself.
+            idx = data.find(struct.pack("<3H", 1, 1, 0))
             assert idx > 0
-            n = 4
+            n = struct.unpack_from("<H", data, idx + 6)[0]
+            assert n >= 4
             keys = [struct.unpack_from("<H", data, idx + 8 * (1 + k))[0] for k in range(n)]
             assert keys == sorted(keys), keys
+            # A parameter-GeoKey CRS must carry ProjCoordTransGeoKey (3075)
+            assert 3075 in keys, keys
 
     def test_regional_signal_negative_ids_densified(self):
         import jax.numpy as jnp
