@@ -382,8 +382,15 @@ def bench_table(bw: float = 0.0, vpu: float = 0.0) -> list[dict]:
     # Model: read pair + write slope/aspect aux (4 rasters) + 10 iterations of 5e5-point
     # bilinear gathers (4 taps, 2 arrays) + the bit-packed mask upload
     nk_bytes = 6 * n_px * 4 + 10 * 5e5 * 4 * 2 * 4 + n_px / 8
-    rows.append(_annot({"metric": "nuth_kaab_fit_985x1332_seconds",
-                 "value": round(best, 3), "unit": "s", "vs_baseline": None}, nk_bytes, best, bw))
+    row_nk = _annot({"metric": "nuth_kaab_fit_985x1332_seconds",
+                     "value": round(best, 3), "unit": "s", "vs_baseline": None},
+                    nk_bytes, best, bw)
+    from xdem_tpu.profiler import count_device_dispatches as _cdd
+
+    _, disp_nk = _cdd(nk_fit, 45)
+    log(f"NuthKaab fit dispatches: {disp_nk}")
+    row_nk["dispatches"] = disp_nk["executions"]
+    rows.append(row_nk)
 
     # Config 4: ICP rigid alignment, DEM vs 1e6-point EPC
     from xdem_tpu.raster import Raster
