@@ -179,6 +179,10 @@ def main() -> None:
             log(f"bench parity failed: {type(exc).__name__}: {exc}")
             rows.append({"metric": "parity_suite", "value": 0.0, "unit": "ok",
                          "vs_baseline": None, "parity": f"ERROR: {type(exc).__name__}"})
+        try:
+            rows += bench_10k(bw)
+        except Exception as exc:
+            log(f"bench 10k leg failed: {type(exc).__name__}: {exc}")
     for row in rows[1:]:
         log(json.dumps(row))
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_table.json"), "w") as f:
@@ -222,26 +226,35 @@ def _vpu_rate() -> float:
     import jax
     import jax.numpy as jnp
 
-    n = 512
-    k = 200
-    chain = 8  # dependent 4-op groups per loop iteration
+    n = 1024
+    chain = 128  # dependent 4-op groups per loop iteration
+    k_lo, k_hi = 8, 128
     x = jnp.full((n, n), 0.5, jnp.float32)
 
     @jax.jit
-    def loop(a):
+    def loop(a, k):
         def body(i, x):
             for _ in range(chain):
                 x = jnp.maximum(x * 0.9999 + 1e-7, x - 1e-7)  # mul, add, sub, max
             return x
         return jax.lax.fori_loop(0, k, body, a)[3, 5]
 
-    float(loop(x))  # compile
-    best = np.inf
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(loop(x))
-        best = min(best, time.perf_counter() - t0)
-    return 4 * chain * k * n * n / best / 1e9
+    # Difference method: rate = d(ops)/d(time) between two loop depths of the SAME compiled
+    # program, cancelling dispatch latency and loop-setup overhead (a single-depth probe on
+    # the tunneled chip measured 64-137 "Gop/s" that was mostly ~30 ms fixed cost).
+    def best_time(k):
+        float(loop(x, k))
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(loop(x, k))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt = best_time(k_hi) - best_time(k_lo)
+    if dt <= 0:
+        return 0.0
+    return 4 * chain * (k_hi - k_lo) * n * n / dt / 1e9
 
 
 def _fractal_ops_per_px(w: int) -> int:
@@ -475,6 +488,22 @@ def bench_table(bw: float = 0.0, vpu: float = 0.0) -> list[dict]:
                  "value": round(best, 3), "unit": "s", "vs_baseline": None},
                  8 * nh * nh * 4, best, bw))
 
+    return rows
+
+
+
+
+
+
+
+def bench_10k(bw: float = 0.0) -> list[dict]:
+    """BASELINE config 5 at 10k^2 (1e8 px). Runs LAST of everything: on a degraded shared
+    chip this leg can fail with an opaque UNIMPLEMENTED backend fault that also poisons
+    subsequent device work in the process, so nothing may run after it."""
+    import jax
+    import jax.numpy as jnp
+
+    rows: list[dict] = []
     # Config 5b runs LAST and failure-isolated: the 1e8-px leg stresses the shared
     # tunneled chip (transient UNIMPLEMENTED backend faults observed) and must never
     # cost the other rows.
@@ -523,9 +552,6 @@ def bench_table(bw: float = 0.0, vpu: float = 0.0) -> list[dict]:
         rows.append({"metric": "uncertainty_pipeline_10000x10000_seconds", "value": None,
                      "unit": "s", "vs_baseline": None, "error": type(exc).__name__})
     return rows
-
-
-
 
 
 def bench_parity() -> list[dict]:
