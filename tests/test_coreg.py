@@ -511,6 +511,23 @@ class TestBlockwise:
         assert np.nanmedian(bw.shifts_x) == pytest.approx(-sx, abs=1.0)
         assert np.nanmedian(bw.shifts_y) == pytest.approx(-sy, abs=1.0)
 
+    def test_diverged_tile_gate(self):
+        """Shifts beyond a tile's own extent are divergent ill-posed solves: NaN-gated
+        (backend-dependent km-scale 'shifts' were observed on flat single-aspect tiles)."""
+        from xdem_tpu.coreg.blockwise import _gate_diverged_tiles
+
+        sx = np.array([9.2, -12678.0, 3.0, 6000.0])
+        sy = np.array([-4.6, 5099.0, -2.0, 1.0])
+        sz = np.array([2.3, 1.0, 2.4, 2.5])
+        diverged = _gate_diverged_tiles(sx, sy, sz, block_size=256, res_x=20.0, res_y=-20.0)
+        np.testing.assert_array_equal(diverged, [False, True, False, True])
+        assert np.isnan(sx[1]) and np.isnan(sy[1]) and np.isnan(sz[1])
+        assert np.isnan(sz[3])
+        assert sx[0] == 9.2 and sz[2] == 2.4  # well-posed tiles untouched
+        # NaN inputs (sparse-gated tiles) pass through without tripping the comparison
+        sx2 = np.array([np.nan]); sy2 = np.array([np.nan]); sz2 = np.array([np.nan])
+        assert not _gate_diverged_tiles(sx2, sy2, sz2, 256, 20.0, -20.0)[0]
+
     def test_uninstantiated_raises(self):
         with pytest.raises(ValueError, match="instantiated"):
             coreg.BlockwiseCoreg(coreg.NuthKaab)

@@ -53,6 +53,26 @@ class MultiprocConfig:
         self.driver = driver
 
 
+def _gate_diverged_tiles(shifts_x: np.ndarray, shifts_y: np.ndarray, shifts_z: np.ndarray,
+                         block_size: int, res_x: float, res_y: float) -> np.ndarray:
+    """NaN-out tiles whose fitted shift exceeds the tile's own extent.
+
+    A tile cannot evidence a translation larger than itself — such fits are divergent
+    solves on ill-posed tiles (flat / single-aspect crops), and their values differ
+    arbitrarily between backends (observed km-scale 'shifts' on a 10 m-shift pair that
+    disagreed TPU-vs-CPU by 30%+). The reference NaN-fills per-tile FAILURES
+    (blockwise.py:139-154) and relies on RANSAC to reject the rest; gating divergence the
+    same way keeps meta['outputs'] honest and backend-independent. Mutates in place and
+    returns the diverged mask."""
+    lim_x = block_size * abs(res_x)
+    lim_y = block_size * abs(res_y)
+    with np.errstate(invalid="ignore"):
+        diverged = (np.abs(shifts_x) > lim_x) | (np.abs(shifts_y) > lim_y)
+    for s in (shifts_x, shifts_y, shifts_z):
+        s[diverged] = np.nan
+    return diverged
+
+
 class BlockwiseCoreg:
     """Tile-parallel coregistration: fit an affine step per tile, aggregate with RANSAC planes.
 
@@ -119,6 +139,7 @@ class BlockwiseCoreg:
         self.meta: dict[str, Any] = {"inputs": {}, "outputs": {}}
         self.shape_tiling_grid = (0, 0)
 
+
     def fit(
         self,
         reference_elev: Raster,
@@ -172,6 +193,13 @@ class BlockwiseCoreg:
         self.shifts_x = np.asarray(sxs)
         self.shifts_y = np.asarray(sys_)
         self.shifts_z = np.asarray(szs)
+        diverged = _gate_diverged_tiles(self.shifts_x, self.shifts_y, self.shifts_z,
+                                        bs, ref.transform.xres, ref.transform.yres)
+        for t, bad in enumerate(diverged):
+            if bad:
+                ti, tj = t // n_cols, t % n_cols
+                self.meta["outputs"][f"{ti}_{tj}"] = {
+                    "shift_x": np.nan, "shift_y": np.nan, "shift_z": np.nan}
         return self
 
     @staticmethod
@@ -468,6 +496,8 @@ class BlockwiseNuthKaab(BlockwiseCoreg):
         self.shifts_x[empty] = np.nan
         self.shifts_y[empty] = np.nan
         self.shifts_z[empty] = np.nan
+        _gate_diverged_tiles(self.shifts_x, self.shifts_y, self.shifts_z,
+                             bs, res_x, res_y)
         self.meta["inputs"] = self.procstep.meta["inputs"]
         for t in range(n_tiles):
             self.meta["outputs"][f"{t // n_cols}_{t % n_cols}"] = {
