@@ -517,15 +517,18 @@ def bench_10k(bw: float = 0.0) -> list[dict]:
 
         def synth_device(n, seed):
             # Device-side twin of synthetic_dem: an 800 MB pair uploaded through the ~6.5 MB/s
-            # tunnel would cost ~2 min; generating in HBM costs one irfft2.
-            m = 1 << int(np.ceil(np.log2(n)))
+            # tunnel would cost ~2 min. The spectrum is synthesized at 4096^2 and bilinearly
+            # upsampled — a full-size irfft2 at 16384^2 peaks at ~3 GB of HBM intermediates,
+            # which the shared chip sometimes cannot serve (opaque UNIMPLEMENTED faults).
+            m = 4096
             fy = jnp.fft.fftfreq(m)[:, None]
             fx = jnp.fft.rfftfreq(m)[None, :]
             f = jnp.hypot(fx, fy).at[0, 0].set(1.0)
             amp = (f ** -2.7).at[0, 0].set(0.0)
             ph = jax.random.uniform(jax.random.PRNGKey(seed), amp.shape, minval=0.0,
                                     maxval=2.0 * np.pi)
-            z = jnp.fft.irfft2(amp * jnp.exp(1j * ph), s=(m, m))[:n, :n]
+            z = jnp.fft.irfft2(amp * jnp.exp(1j * ph), s=(m, m)).astype(jnp.float32)
+            z = jax.image.resize(z, (n, n), method="linear")
             return ((z - z.min()) / (z.max() - z.min()) * 1000.0).astype(jnp.float32)
 
         z10 = synth_device(n10, 11)
