@@ -594,7 +594,7 @@ def bench_parity() -> list[dict]:
         c = fractal_roughness(jnp.asarray(dem_np), window_size=13, engine=engine)
         return [np.asarray(x) for x in (a, b, c)]
 
-    dev_vals = terrain_stack()  # default engines: Pallas fractal on TPU
+    dev_vals = terrain_stack()  # auto engine (XLA unless config["prefer_pallas"])
     with jax.default_device(cpu):
         cpu_vals = terrain_stack(engine="xla")  # the Pallas kernel has no CPU lowering
     rel = 0.0

@@ -38,6 +38,13 @@ shape_bucketing : int
     NuthKaab on a remote TPU). 0 disables. Terrain results match the unpadded run to small
     f32 fusion-order differences (~1e-4 relative); VerticalShift is exactly unchanged;
     NuthKaab loses only the former outer border's one-sided gradients from the valid set.
+prefer_pallas : bool
+    When True, auto engine dispatch (fractal_roughness engine=None on a TPU backend)
+    selects the single-HBM-pass Pallas kernels. Default False: on the tunneled deployment
+    chip the remote compile helper was observed to regress Pallas custom-call execution
+    ~60x mid-round-4 (33 ms -> ~2.1 s at 4096^2 w=13) while XLA programs were unaffected,
+    so XLA is the safe default; flip this on hardware where the Pallas path measures
+    faster (it was 2x XLA before the regression). Explicit engine="pallas" always wins.
 """
 
 from __future__ import annotations
@@ -50,6 +57,7 @@ _DEFAULTS: dict[str, Any] = {
     "warn_area_or_point": True,
     "shift_area_or_point": True,
     "shape_bucketing": 0,
+    "prefer_pallas": False,
 }
 
 _VALID_RESAMPLING = ("nearest", "linear", "bilinear", "cubic")

@@ -146,14 +146,17 @@ def _rugosity(demp: jnp.ndarray, h: int, width: int, res: jnp.ndarray) -> jnp.nd
 def fractal_roughness(dem: jnp.ndarray, window_size: int = 13, engine: str | None = None) -> jnp.ndarray:
     """Fractal roughness with trace-time engine dispatch.
 
-    engine=None (auto): TPU backends get the single-HBM-pass Pallas kernel (2x the XLA path
-    there), other platforms the portable XLA path. engine="xla"/"pallas" forces a path —
-    useful to bisect a miscompare or sidestep the Pallas tile-size VMEM constraints. Both
-    engines are equivalence-tested.
+    engine=None (auto): the portable XLA path, unless `config["prefer_pallas"]` is set and
+    the backend is a TPU, in which case the single-HBM-pass Pallas kernel is used (2x the
+    XLA path on full-bandwidth hardware; see config.py for why XLA is the default).
+    engine="xla"/"pallas" forces a path — useful to bisect a miscompare or sidestep the
+    Pallas tile-size VMEM constraints. Both engines are equivalence-tested.
     """
     if engine is None:
-        engine = ("pallas" if jax.default_backend() == "tpu" and 5 <= window_size
-                  and window_size // 2 <= 8 else "xla")
+        from xdem_tpu.config import config
+
+        engine = ("pallas" if config["prefer_pallas"] and jax.default_backend() == "tpu"
+                  and 5 <= window_size and window_size // 2 <= 8 else "xla")
     if engine == "pallas":
         from xdem_tpu.terrain.pallas_kernels import fractal_roughness_pallas
 
