@@ -170,7 +170,13 @@ def main() -> None:
             vpu = 0.0
             log(f"VPU probe failed: {type(exc).__name__}: {exc}")
         try:
-            rows += bench_table(bw, vpu)
+            taps = _window_tap_rate()
+            log(f"measured attainable window-tap rate: {taps:.1f} Gtaps/s")
+        except Exception as exc:
+            taps = 0.0
+            log(f"window-tap probe failed: {type(exc).__name__}: {exc}")
+        try:
+            rows += bench_table(bw, vpu, taps)
         except Exception as exc:  # table failures must not break the headline contract
             log(f"bench table failed: {type(exc).__name__}: {exc}")
         try:
@@ -257,6 +263,81 @@ def _vpu_rate() -> float:
     return 4 * chain * (k_hi - k_lo) * n * n / dt / 1e9
 
 
+def _window_tap_rate() -> float:
+    """Measured attainable *window-tap* rate (Gtaps/s): shifted-slice + clip + add, the
+    primitive the fractal box-count kernel executes ~200x per pixel. The elementwise VPU
+    rate (_vpu_rate) is NOT attainable for this op class — each tap is a lane/sublane-
+    misaligned vector read that costs several hardware ops — so a windowed kernel judged
+    against the elementwise rate looks idle even at speed of light. This probe times the
+    minimal XLA program doing K taps per pixel (difference method between two tap counts of
+    the same structure, cancelling dispatch latency, HBM streaming of the base raster, and
+    loop overhead), giving the bound a real kernel of this class can hit."""
+    import jax
+    import jax.numpy as jnp
+
+    n = 2048
+    w = 13
+    rng = np.random.default_rng(0)
+    xp = jnp.asarray(rng.normal(size=(n + w - 1, n + w - 1)).astype(np.float32))
+    offs = [(j, k) for j in range(w - 1) for k in range(w - 1)]
+    reps = 4
+
+    def make(ktaps: int):
+        taps = offs[:ktaps]
+
+        @jax.jit
+        def run(xp):
+            c = jax.lax.dynamic_slice(xp, (w // 2, w // 2), (n, n))
+
+            def body(i, acc):
+                # acc feeds the center so the tap block is loop-carried (not hoistable)
+                ci = c + acc * 1e-38
+                s = acc * 0.999
+                for (j, k) in taps:
+                    blk = jax.lax.dynamic_slice(xp, (j, k), (n, n))
+                    s = s + jnp.clip(blk - ci, 0.0, float(w))
+                return s
+
+            return jax.lax.fori_loop(0, reps, body, jnp.zeros((n, n), jnp.float32))[3, 5]
+
+        return run
+
+    def best_time(run):
+        float(run(xp))  # compile
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run(xp))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    k_lo, k_hi = 36, 144
+    dt = best_time(make(k_hi)) - best_time(make(k_lo))
+    if dt <= 0:
+        return 0.0
+    return (k_hi - k_lo) * reps * n * n / dt / 1e9
+
+
+def _fractal_taps_per_px(w: int) -> int:
+    """Window taps (shifted read + clip + add) per pixel the fractal box-count requires:
+    one per block per scale, sum of ((w-1)//q)^2 over divisors q of w//2 (block-max
+    construction excluded — a documented lower bound, like model_bytes)."""
+    hw = w // 2
+    return sum(((w - 1) // q) ** 2 for q in range(1, hw + 1) if hw % q == 0)
+
+
+def _annot_taps(row: dict, model_taps: float, secs: float, tap_gtaps: float) -> dict:
+    """Attach the attainable window-op bound: modeled taps, achieved Gtaps/s, and % of the
+    measured tap rate (_window_tap_rate). Together with pct_compute_roofline (elementwise
+    VPU bound) and pct_roofline (HBM bound): speed-of-light when ANY bound saturates."""
+    row["model_taps"] = int(model_taps)
+    row["achieved_Gtaps"] = round(model_taps / secs / 1e9, 1)
+    row["pct_window_roofline"] = (
+        round(100.0 * model_taps / secs / 1e9 / tap_gtaps, 1) if tap_gtaps else None
+    )
+    return row
+
+
 def _fractal_ops_per_px(w: int) -> int:
     """Vector-op lower bound per pixel of the Pallas fractal box-count kernel, mirroring
     its per-scale sweep structure (pallas_kernels._make_fractal_kernel): window reads count
@@ -328,7 +409,7 @@ def _annot(row: dict, model_bytes: float, secs: float, bw: float) -> dict:
     return row
 
 
-def bench_table(bw: float = 0.0, vpu: float = 0.0) -> list[dict]:
+def bench_table(bw: float = 0.0, vpu: float = 0.0, taps: float = 0.0) -> list[dict]:
     """North-star configs beyond the headline (BASELINE.md table)."""
     import jax
     import jax.numpy as jnp
@@ -372,10 +453,11 @@ def bench_table(bw: float = 0.0, vpu: float = 0.0) -> list[dict]:
 
     first, best = _timed(lambda d: float(fractal_only(d)), dem)
     log(f"fractal roughness {n}^2 (w=13): first {first:.1f}s, steady {best*1000:.1f} ms")
-    rows.append(_annot_compute(_annot(
+    rows.append(_annot_taps(_annot_compute(_annot(
         {"metric": f"fractal_roughness_{n}x{n}_seconds",
          "value": round(best, 4), "unit": "s", "vs_baseline": None},
-        2 * n * n * 4, best, bw), _fractal_ops_per_px(13) * n * n, best, vpu))
+        2 * n * n * 4, best, bw), _fractal_ops_per_px(13) * n * n, best, vpu),
+        _fractal_taps_per_px(13) * n * n, best, taps))
 
     # Config 3: NuthKaab fit on the bundled pair (fused device path)
     from xdem_tpu import coreg, examples

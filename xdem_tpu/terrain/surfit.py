@@ -127,7 +127,9 @@ def _apply_stencils(dem: jnp.ndarray, kernels: tuple[np.ndarray, ...]) -> list[j
     """
     k = kernels[0].shape[0]
     pad = k // 2
-    demp = jnp.pad(dem, pad, constant_values=0.0)
+    # Materialized (not fused) pad: XLA otherwise inlines the pad into every shifted read
+    # as per-element selects — see the fusion notes on _fractal_roughness_xla.
+    demp = jax.lax.optimization_barrier(jnp.pad(dem, pad, constant_values=0.0))
     h, w = dem.shape
     outs = [jnp.zeros_like(dem) for _ in kernels]
     # One pass over window offsets; each slice is shared across all kernels.

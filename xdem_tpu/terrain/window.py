@@ -50,10 +50,14 @@ def windowed_indexes(
     h, width = dem.shape
     w = window_size
     pad = w // 2
-    demp = jnp.pad(dem, pad, constant_values=jnp.nan)
+    # Materialize the NaN-padded raster (and slice the center from it, not from the
+    # separate input buffer): left fusible, XLA inlines the pad into every shifted read as
+    # per-element selects and splits the tap chain into HBM round-trips — see the fusion
+    # notes on _fractal_roughness_xla.
+    demp = jax.lax.optimization_barrier(jnp.pad(dem, pad, constant_values=jnp.nan))
     res = jnp.asarray(resolution, dtype=dem.dtype)
 
-    center = dem
+    center = jax.lax.dynamic_slice(demp, (pad, pad), (h, width))
     need_sum = "topographic_position_index" in attrs
     need_tri = "terrain_ruggedness_index" in attrs
     need_rough = "roughness" in attrs
@@ -171,8 +175,18 @@ def _fractal_roughness_xla(dem: jnp.ndarray, window_size: int = 13) -> jnp.ndarr
     For each divisor q of w//2, the per-window voxel count is
       Ns(q) = sum over ((w-1)//q)^2 blocks of clip(max_block(z) - z_center, 0, w) / q,
     and the fractal dimension is minus the log-log regression slope of Ns against q.
-    Because clip(. - c, 0, w) is monotonic, block maxima are precomputed once per q with
-    separable max reduce_windows — O(sum n_q^2) shifted adds instead of per-pixel windows.
+    Because clip(. - c, 0, w) is monotonic, block maxima are precomputed once per q
+    (doubled up from the largest cached divisor) — O(sum n_q^2) shifted adds instead of
+    per-pixel windows.
+
+    TPU fusion notes (a 2.8x win at 4096^2, measured against per-tap speed-of-light):
+    the padded raster and every block-max plane sit behind `optimization_barrier`, so the
+    ~200 shifted clip-add taps each read one flat materialized buffer. Left fusible, XLA
+    inlines the NaN pad into every tap (per-element selects) and splits the tap chain into
+    several HBM round-trips: 76 ms of compute for work whose measured attainable rate
+    (bench._window_tap_rate) is ~4 ms. The center is sliced from the same padded buffer —
+    a separate center operand measured ~3x slower tap fusions. Regression sums accumulate
+    inline (no (n_scales, h, w) stack to materialize).
     """
     w = window_size
     if w < 3:
@@ -182,8 +196,8 @@ def _fractal_roughness_xla(dem: jnp.ndarray, window_size: int = 13) -> jnp.ndarr
     dem = jnp.asarray(dem)
     h, width = dem.shape
     hw = w // 2
-    pad = hw
-    demp = jnp.pad(dem, pad, constant_values=jnp.nan)
+    demp = jax.lax.optimization_barrier(jnp.pad(dem, hw, constant_values=jnp.nan))
+    c = jax.lax.dynamic_slice(demp, (hw, hw), (h, width))
 
     qs = [q for q in range(1, hw + 1) if hw % q == 0]
     log_q = jnp.log(jnp.asarray(qs, dtype=dem.dtype))
@@ -191,23 +205,41 @@ def _fractal_roughness_xla(dem: jnp.ndarray, window_size: int = 13) -> jnp.ndarr
     mx = jnp.mean(log_q)
     ss_xx = jnp.sum(log_q * log_q) - n * mx * mx
 
-    log_ns = []
-    for q in qs:
-        # Block max with origin at the top-left of each q x q block.
-        if q == 1:
-            mq = demp
-        else:
-            mq = jax.lax.reduce_window(demp, -jnp.inf, jax.lax.max, (q, 1), (1, 1), "valid")
-            mq = jax.lax.reduce_window(mq, -jnp.inf, jax.lax.max, (1, q), (1, 1), "valid")
+    # Sliding block maxima M_q[i, j] = max(demp[i:i+q, j:j+q]), built separably from the
+    # largest already-built divisor of q (q=6 reuses q=3). jnp.maximum propagates NaN, so
+    # poisoning matches the former reduce_window(-inf, lax.max) formulation bitwise.
+    maxima = {1: demp}
+
+    def build_m(q: int) -> jnp.ndarray:
+        src = max(p for p in maxima if q % p == 0)
+        m = maxima[src]
+        f = q // src
+        hm, wm = m.shape
+        oh, ow = hm - (f - 1) * src, wm - (f - 1) * src
+        rows = m[:oh, :]
+        for t in range(1, f):
+            rows = jnp.maximum(rows, m[t * src: t * src + oh, :])
+        out = rows[:, :ow]
+        for t in range(1, f):
+            out = jnp.maximum(out, rows[:, t * src: t * src + ow])
+        return jax.lax.optimization_barrier(out)
+
+    sy = jnp.zeros_like(dem)
+    sxy = jnp.zeros_like(dem)
+    for i, q in enumerate(qs):
+        if q > 1:
+            maxima[q] = build_m(q)
+        mq = maxima[q]
         nq = (w - 1) // q
         ns = jnp.zeros_like(dem)
         for j in range(nq):
             for k in range(nq):
                 blk = jax.lax.dynamic_slice(mq, (j * q, k * q), (h, width))
-                ns = ns + jnp.clip(blk - dem, 0.0, float(w))
-        log_ns.append(jnp.log(ns / q))
+                ns = ns + jnp.clip(blk - c, 0.0, float(w))
+        yq = jnp.log(ns / q)
+        sy = sy + yq
+        sxy = sxy + log_q[i] * yq
 
-    y = jnp.stack(log_ns, axis=0)
-    my = jnp.mean(y, axis=0)
-    ss_xy = jnp.einsum("q,qhw->hw", log_q, y) - n * my * mx
+    my = sy / n
+    ss_xy = sxy - n * my * mx
     return (-(ss_xy / ss_xx)).astype(dem.dtype)
