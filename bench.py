@@ -433,31 +433,66 @@ def bench_table(bw: float = 0.0, vpu: float = 0.0, taps: float = 0.0) -> list[di
         c = fractal_roughness(d, window_size=13)
         return a[0, 50, 50] + b[0, 60, 60] + c[70, 70]
 
+    # Dispatch floor: a trivial single-dispatch program on the same input, timed the same
+    # way. Through the tunnel this is ~30 ms — the suite and fractal rows below are SINGLE
+    # dispatches whose compute is now comparable to it, so their roofline columns are
+    # computed from compute_seconds = wall - floor (each row records both).
+    @jax.jit
+    def _trivial(d):
+        return d[3, 5] * 2.0
+
+    _, floor = _timed(lambda d: float(_trivial(d)), dem)
+    log(f"dispatch floor (trivial single-dispatch program): {floor*1000:.1f} ms")
+
+    def _net(best: float) -> float:
+        return max(best - floor, 1e-4)
+
     first, best = _timed(lambda d: float(full_suite(d)), dem)
-    log(f"full terrain suite {n}^2: first {first:.1f}s, steady {best*1000:.0f} ms")
+    log(f"full terrain suite {n}^2: first {first:.1f}s, steady {best*1000:.0f} ms "
+        f"({best - floor:.4f}s net of dispatch)")
     # Compute-side bound: the fractal box-count dominates the suite's VPU work; surface-fit
     # (9 Florinsky attrs ~ 9 stencils x ~13 nonzero taps x 2 + curvature algebra) and the
     # 3x3 windowed reducers add the rest. Documented lower-bound op model, like model_bytes.
     suite_ops_px = _fractal_ops_per_px(13) + (9 * 13 * 2 + 200) + (4 * 9 * 3)
-    rows.append(_annot_compute(_annot(
+    row_suite = _annot_compute(_annot(
         {"metric": f"terrain_full_suite_{n}x{n}_Mcells_per_s",
-         "value": round(n * n / best / 1e6, 1), "unit": "Mcells/s", "vs_baseline": None},
-        (1 + 14) * n * n * 4, best, bw), suite_ops_px * n * n, best, vpu))
+         "value": round(n * n / best / 1e6, 1), "unit": "Mcells/s", "vs_baseline": None,
+         "dispatch_floor_s": round(floor, 4), "compute_seconds": round(_net(best), 4),
+         "compute_Mcells_per_s": round(n * n / _net(best) / 1e6, 1)},
+        (1 + 14) * n * n * 4, _net(best), bw), suite_ops_px * n * n, _net(best), vpu)
+    rows.append(_annot_taps(row_suite, (_fractal_taps_per_px(13) + 25 + 9) * n * n,
+                            _net(best), taps))
 
     # Config 2b: the fractal box-count kernel alone — the suite's compute-bound member
     # (VERDICT r3 weak #2: prove the roofline claim). Bytes-only roofline makes it look
-    # idle; the pct_compute_roofline column is the honest bound.
+    # idle; the tap-rate bound (pct_window_roofline) is the honest one for window kernels.
     @jax.jit
     def fractal_only(d):
         return fractal_roughness(d, window_size=13)[70, 70]
 
     first, best = _timed(lambda d: float(fractal_only(d)), dem)
-    log(f"fractal roughness {n}^2 (w=13): first {first:.1f}s, steady {best*1000:.1f} ms")
-    rows.append(_annot_taps(_annot_compute(_annot(
+    log(f"fractal roughness {n}^2 (w=13): first {first:.1f}s, steady {best*1000:.1f} ms "
+        f"({best - floor:.4f}s net of dispatch)")
+    row_f = _annot_taps(_annot_compute(_annot(
         {"metric": f"fractal_roughness_{n}x{n}_seconds",
-         "value": round(best, 4), "unit": "s", "vs_baseline": None},
-        2 * n * n * 4, best, bw), _fractal_ops_per_px(13) * n * n, best, vpu),
-        _fractal_taps_per_px(13) * n * n, best, taps))
+         "value": round(best, 4), "unit": "s", "vs_baseline": None,
+         "dispatch_floor_s": round(floor, 4), "compute_seconds": round(_net(best), 4)},
+        2 * n * n * 4, _net(best), bw), _fractal_ops_per_px(13) * n * n, _net(best), vpu),
+        _fractal_taps_per_px(13) * n * n, _net(best), taps)
+    # The kernel's time is genuinely split between taps and the HBM traffic of its
+    # materialized planes (the padded raster + per-scale block maxima behind
+    # optimization_barrier — the fusion-cliff fix documented on _fractal_roughness_xla).
+    # model_bytes above is the 2-pass minimum; model_bytes_algo charges the algorithm's
+    # actual mandatory traffic, so pct_roofline_algo + pct_window_roofline together bound
+    # the row (speed-of-light when either approaches 100).
+    w13, hw = 13, 6
+    planes = [(n + 2 * hw) ** 2] + [(n + 2 * hw - q + 1) ** 2
+                                    for q in range(2, hw + 1) if hw % q == 0]
+    algo_bytes = (2 * sum(planes) + 2 * n * n) * 4  # write+read each plane, read in, write out
+    row_f["model_bytes_algo"] = int(algo_bytes)
+    row_f["pct_roofline_algo"] = (
+        round(100.0 * algo_bytes / _net(best) / 1e9 / bw, 1) if bw else None)
+    rows.append(row_f)
 
     # Config 3: NuthKaab fit on the bundled pair (fused device path)
     from xdem_tpu import coreg, examples
