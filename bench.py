@@ -538,12 +538,14 @@ def bench_table(bw: float = 0.0, vpu: float = 0.0, taps: float = 0.0) -> list[di
         return c
 
     first, best = _timed(icp_fit, n=2)
-    log(f"ICP vs 1e6-pt EPC: first {first:.1f}s, steady {best:.2f}s")
+    _, disp_icp = _cdd(icp_fit)
+    log(f"ICP vs 1e6-pt EPC: first {first:.1f}s, steady {best:.2f}s, dispatches {disp_icp}")
     # Model: read DEM + write 3 normal/gradient rasters once + 20 iterations of 5e4-pt
     # NN/interp gathers (brute pairs excluded: the kdtree path gathers, not matmuls)
     icp_bytes = 4 * n_icp * n_icp * 4 + 20 * 5e4 * 8 * 4
     rows.append(_annot({"metric": "icp_dem_vs_1e6pt_epc_seconds",
-                 "value": round(best, 3), "unit": "s", "vs_baseline": None}, icp_bytes, best, bw))
+                 "value": round(best, 3), "unit": "s", "vs_baseline": None,
+                 "dispatches": disp_icp["executions"]}, icp_bytes, best, bw))
 
     # Config 4b: BlockwiseNuthKaab — the whole tiled fit as one device program
     from xdem_tpu.coreg import BlockwiseNuthKaab
@@ -553,9 +555,12 @@ def bench_table(bw: float = 0.0, vpu: float = 0.0, taps: float = 0.0) -> list[di
                                  random_state=seed).fit(ref, tba)
 
     first, best = _timed(bw_fit, 42, n=2)
-    log(f"BlockwiseNuthKaab fit (15 tiles): first {first:.1f}s, steady {best:.3f}s")
+    _, disp_bw = _cdd(bw_fit, 45)
+    log(f"BlockwiseNuthKaab fit (15 tiles): first {first:.1f}s, steady {best:.3f}s, "
+        f"dispatches {disp_bw}")
     rows.append(_annot({"metric": "blockwise_nuth_kaab_fit_985x1332_seconds",
-                 "value": round(best, 3), "unit": "s", "vs_baseline": None},
+                 "value": round(best, 3), "unit": "s", "vs_baseline": None,
+                 "dispatches": disp_bw["executions"]},
                  6 * n_px * 4 + 15 * 4000 * 4 * 2 * 4, best, bw))
 
     # Config 5: uncertainty pipeline (heteroscedasticity + variogram) on the bundled pair
@@ -632,11 +637,17 @@ def bench_10k(bw: float = 0.0) -> list[dict]:
 
         n10 = 10_000
 
+        from functools import partial
+
+        @partial(jax.jit, static_argnums=0)
         def synth_device(n, seed):
             # Device-side twin of synthetic_dem: an 800 MB pair uploaded through the ~6.5 MB/s
             # tunnel would cost ~2 min. The spectrum is synthesized at 4096^2 and bilinearly
             # upsampled — a full-size irfft2 at 16384^2 peaks at ~3 GB of HBM intermediates,
             # which the shared chip sometimes cannot serve (opaque UNIMPLEMENTED faults).
+            # MUST be jitted as one program: the remote compile helper rejects the EAGER
+            # complex/FFT dispatch chain with an opaque UNIMPLEMENTED that only surfaces at
+            # the next blocking readback (isolated 2026-08-19; the jitted twin is fine).
             m = 4096
             fy = jnp.fft.fftfreq(m)[:, None]
             fx = jnp.fft.rfftfreq(m)[None, :]
@@ -648,10 +659,16 @@ def bench_10k(bw: float = 0.0) -> list[dict]:
             z = jax.image.resize(z, (n, n), method="linear")
             return ((z - z.min()) / (z.max() - z.min()) * 1000.0).astype(jnp.float32)
 
-        z10 = synth_device(n10, 11)
+        @partial(jax.jit, static_argnums=0)
+        def synth_pair(n, seed_a, seed_b):
+            # One program for the pair: eager arithmetic on the 1e8-px outputs trips the
+            # same UNIMPLEMENTED eager-dispatch fault as above.
+            za = synth_device(n, seed_a)
+            return za, za + synth_device(n, seed_b) * 0.004
+
+        z10, z10b = synth_pair(n10, 11, 12)
         dem10 = DEM.from_array(z10, transform=_Aff(20.0, 0.0, 4e5, 0.0, -20.0, 9e6), crs=32633)
-        other10 = DEM.from_array(z10 + synth_device(n10, 12) * 0.004,
-                                 transform=dem10.transform, crs=dem10.crs)
+        other10 = DEM.from_array(z10b, transform=dem10.transform, crs=dem10.crs)
 
         def uncert10(seed):
             sig, rho = dem10.estimate_uncertainty(other10, random_state=seed, subsample=10000)

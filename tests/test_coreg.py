@@ -1290,6 +1290,26 @@ class TestMeshCoregFits:
         z_1 = coreg.VerticalShift().fit(ref_tba, tba).meta["outputs"]["affine"]["shift_z"]
         assert np.float32(z_m).tobytes() == np.float32(z_1).tobytes()  # exact order statistic
 
+    def test_fit_and_apply_routes_mesh_to_fit(self, ref_tba):
+        """mesh= passed flat to fit_and_apply must reach the FIT (the failure mode was the
+        kwarg silently swallowed by apply's **kwargs while the fit ran single-device).
+        Detection: a fractional-subsample NuthKaab fit REJECTS mesh= — the raise only fires
+        if the kwarg actually arrived at the fit."""
+        import jax
+        from jax.sharding import Mesh
+
+        tba = _shifted(ref_tba, 2.0, -2.0, 0.5)
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("p",))
+        with pytest.raises(NotImplementedError, match="raster-raster"):
+            coreg.NuthKaab(subsample=0.5).fit_and_apply(ref_tba, tba, mesh=mesh)
+        # And the happy path: a supported fit through fit_and_apply matches the plain fit.
+        c = coreg.VerticalShift()
+        c.fit_and_apply(ref_tba, _shifted(ref_tba, 0.0, 0.0, 2.75), mesh=mesh)
+        z_m = c.meta["outputs"]["affine"]["shift_z"]
+        z_1 = (coreg.VerticalShift().fit(ref_tba, _shifted(ref_tba, 0.0, 0.0, 2.75))
+               .meta["outputs"]["affine"]["shift_z"])
+        assert np.float32(z_m).tobytes() == np.float32(z_1).tobytes()
+
     def test_cpd_mesh_matches_single_device(self, ref_tba):
         import jax
         from jax.sharding import Mesh

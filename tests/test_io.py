@@ -825,11 +825,41 @@ class TestParameterGeoKeys:
                 if k in p1:
                     assert abs(p1[k] - p2.get(k, np.nan)) < 1e-9, (s, k, p1.get(k), p2.get(k))
 
+    def test_polar_stereographic_gdal_geokey_convention(self):
+        """GDAL writes the STANDARD PARALLEL into ProjNatOriginLatGeoKey 3081 for
+        CT_PolarStereographic (variant B, lat_0=+-90 implied by its sign); +-90 in 3081 is
+        variant A with the scale in 3092. Our legacy explicit 3078 is still honored."""
+        from xdem_tpu.projections import projdef_from_geokeys
+
+        base = {1024: 1, 2048: 4326, 3072: 32767, 3075: 15}
+        # GDAL variant B, north (e.g. NSIDC-style lat_ts=70, lon_0=-45)
+        p = projdef_from_geokeys({**base, 3081: (70.0,), 3095: (-45.0,)})
+        assert p["lat_0"] == 90.0 and p["lat_ts"] == 70.0 and p["lon_0"] == -45.0
+        # GDAL variant B, south (EPSG:3031-style lat_ts=-71)
+        p = projdef_from_geokeys({**base, 3081: (-71.0,), 3095: (0.0,)})
+        assert p["lat_0"] == -90.0 and p["lat_ts"] == -71.0
+        # Variant A: the pole in 3081, scale in 3092
+        p = projdef_from_geokeys({**base, 3081: (90.0,), 3095: (0.0,), 3092: (0.994,)})
+        assert p["lat_0"] == 90.0 and p.get("k_0") == 0.994 and "lat_ts" not in p
+        # Legacy explicit ProjStdParallel1 still wins as lat_ts
+        p = projdef_from_geokeys({**base, 3081: (90.0,), 3078: (70.0,), 3095: (-45.0,)})
+        assert p["lat_0"] == 90.0 and p["lat_ts"] == 70.0
+
     def test_unsupported_ct_code_warns_not_silent(self, tmp_path):
         from xdem_tpu import io as xio
 
         # CT 26 = NewZealandMapGrid: no kernel — must WARN and fall back, never silently 4326
         p = self._params_only_file(tmp_path, {1024: 1, 2048: 4326, 3072: 32767, 3075: 26})
+        with pytest.warns(UserWarning, match="could not be resolved"):
+            back = xio.read_raster(p)
+        assert back.crs.epsg == 4326
+
+    def test_bare_user_defined_crs_warns_not_silent(self, tmp_path):
+        from xdem_tpu import io as xio
+
+        # ProjectedCSType 32767 with NO citation and NO parameter keys: nothing to resolve,
+        # but assuming 4326 silently would be wrong — it must warn.
+        p = self._params_only_file(tmp_path, {1024: 1, 3072: 32767})
         with pytest.warns(UserWarning, match="could not be resolved"):
             back = xio.read_raster(p)
         assert back.crs.epsg == 4326

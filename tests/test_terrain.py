@@ -292,6 +292,20 @@ class TestDispatcher:
             arr = np.asarray(out.data)
             assert np.isfinite(arr).sum() > 0.5 * arr.size
 
+    def test_engine_aliases_and_validation(self, smooth_dem):
+        # The reference's engine="scipy"/"numba" (terrain.py host-library selectors) map to
+        # the portable XLA path; unknown values raise instead of silently picking a path.
+        dem, res = smooth_dem
+        base = np.asarray(terrain.get_terrain_attribute(dem, "slope", resolution=res))
+        for alias in ("scipy", "numba"):
+            got = np.asarray(terrain.get_terrain_attribute(dem, "slope", resolution=res, engine=alias))
+            both = np.isfinite(base) & np.isfinite(got)
+            assert np.array_equal(got[both], base[both])
+        with pytest.raises(ValueError, match="Unknown engine"):
+            terrain.get_terrain_attribute(dem, "slope", resolution=res, engine="palas")
+        with pytest.raises(ValueError, match="Unknown engine"):
+            terrain.fractal_roughness(np.asarray(dem), engine="cuda")
+
     def test_degrees_radians(self, smooth_dem):
         dem, res = smooth_dem
         deg = np.asarray(terrain.get_terrain_attribute(dem, "slope", resolution=res, degrees=True))

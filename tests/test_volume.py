@@ -116,6 +116,18 @@ class TestDDEM:
         d = dDEM(r, start_time=datetime.datetime(1990, 8, 1), end_time=datetime.datetime(2009, 8, 1))
         assert d.time.days == pytest.approx(6940, abs=5)
 
+    def test_from_array(self):
+        import datetime
+
+        arr = np.arange(100, dtype=np.float32).reshape(10, 10)
+        d = dDEM.from_array(arr, Affine.from_origin(0, 100, 10, 10), 32633,
+                            start_time=datetime.datetime(1990, 8, 1),
+                            end_time=datetime.datetime(2009, 8, 1), error=0.5)
+        assert isinstance(d, dDEM)
+        assert d.error == 0.5
+        assert d.time.days == pytest.approx(6940, abs=5)
+        np.testing.assert_array_equal(d.get_nanarray(), arr)
+
     def test_interpolate_idw(self, rng):
         arr = rng.normal(5, 1, (40, 40)).astype(np.float32)
         arr[10:14, 10:14] = np.nan

@@ -1071,7 +1071,8 @@ class Coreg:
         take precedence over the flat routing."""
         fkw = {
             k: kwargs.pop(k)
-            for k in ("weights", "subsample", "transform", "crs", "area_or_point", "z_name", "random_state")
+            for k in ("weights", "subsample", "transform", "crs", "area_or_point", "z_name",
+                      "random_state", "mesh")
             if k in kwargs
         }
         akw = dict(kwargs)

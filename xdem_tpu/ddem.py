@@ -65,8 +65,12 @@ class dDEM(Raster):
             return None
         return self.end_time - self.start_time
 
-    def from_array(cls, *args: Any, **kwargs: Any):  # pragma: no cover - parity shim
-        raise NotImplementedError("Construct a dDEM from a Raster: dDEM(raster, start_time, end_time)")
+    @classmethod
+    def from_array(cls, data: Any, transform: Any, crs: Any, start_time: Any = None,
+                   end_time: Any = None, nodata: Any = None, error: Any = None) -> "dDEM":
+        """Create a dDEM from an array + georeferencing (reference ddem.py:154)."""
+        return cls(Raster.from_array(data=data, transform=transform, crs=crs, nodata=nodata),
+                   start_time=start_time, end_time=end_time, error=error)
 
     def interpolate(
         self,

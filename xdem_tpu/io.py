@@ -179,7 +179,11 @@ def read_raster(path: str, raster_cls=None):
         if crs is None:
             import warnings as _warnings
 
-            if cit_err is not None or geo_err is not None:
+            # 32767 in GeographicType (2048) / ProjectedCSType (3072) marks a user-defined
+            # CRS: even with nothing to parse (no citation, no parameter keys), assuming
+            # 4326 would be silently wrong — only a bare, CRS-key-free file skips the warn.
+            user_defined = 32767 in (geokeys.get(2048), geokeys.get(3072))
+            if cit_err is not None or geo_err is not None or user_defined:
                 _warnings.warn(
                     f"GeoTIFF '{path}' carries a user-defined CRS that could not be resolved "
                     f"(citation: {cit_err}; geokeys: {geo_err}); assuming EPSG:4326. Pass an "

@@ -175,31 +175,36 @@ def count_device_dispatches(fn, *args, **kwargs):
 
     import jax
 
+    import shutil as _shutil
+
     d = _tempfile.mkdtemp(prefix="xdem_dispatch_probe_")
-    with jax.profiler.trace(d):
-        result = fn(*args, **kwargs)
-        leaves = [x for x in jax.tree.leaves(result) if hasattr(x, "block_until_ready")]
-        if leaves:
-            jax.block_until_ready(leaves)
-    counts = {"executions": 0, "h2d_transfers": 0}
-    # Executions: CPU client scopes execute per launch; the TPU client instead emits one
-    # module-run event per launch named "<module>(<compile fingerprint>)".
-    fp = _re.compile(r"\(\d{10,}\)$")
-    cpu_exec = 0
-    for path in _glob.glob(d + "/**/*.trace.json.gz", recursive=True):
-        try:
-            data = _json.loads(_gzip.open(path).read())
-        except (OSError, ValueError):
-            continue
-        for e in data.get("traceEvents", []):
-            if e.get("ph") != "X":
+    try:
+        with jax.profiler.trace(d):
+            result = fn(*args, **kwargs)
+            leaves = [x for x in jax.tree.leaves(result) if hasattr(x, "block_until_ready")]
+            if leaves:
+                jax.block_until_ready(leaves)
+        counts = {"executions": 0, "h2d_transfers": 0}
+        # Executions: CPU client scopes execute per launch; the TPU client instead emits one
+        # module-run event per launch named "<module>(<compile fingerprint>)".
+        fp = _re.compile(r"\(\d{10,}\)$")
+        cpu_exec = 0
+        for path in _glob.glob(d + "/**/*.trace.json.gz", recursive=True):
+            try:
+                data = _json.loads(_gzip.open(path).read())
+            except (OSError, ValueError):
                 continue
-            name = e.get("name", "")
-            if name == "PjRtCpuExecutable::Execute":
-                cpu_exec += 1
-            elif fp.search(name):
-                counts["executions"] += 1
-            elif name == "BatchedCopyToDeviceWithSharding: dispatch":
-                counts["h2d_transfers"] += 1
-    counts["executions"] = max(counts["executions"], cpu_exec)
-    return result, counts
+            for e in data.get("traceEvents", []):
+                if e.get("ph") != "X":
+                    continue
+                name = e.get("name", "")
+                if name == "PjRtCpuExecutable::Execute":
+                    cpu_exec += 1
+                elif fp.search(name):
+                    counts["executions"] += 1
+                elif name == "BatchedCopyToDeviceWithSharding: dispatch":
+                    counts["h2d_transfers"] += 1
+        counts["executions"] = max(counts["executions"], cpu_exec)
+        return result, counts
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)  # multi-MB trace dumps otherwise accumulate

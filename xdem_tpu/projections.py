@@ -2167,13 +2167,23 @@ def projdef_from_geokeys(keys: dict) -> dict:
         p["lat_0"] = _gk(keys, 3089, 3081, default=0.0)
         p["lon_0"] = _gk(keys, 3088, 3080, default=0.0)
     elif proj == "stere":
-        p["lat_0"] = _gk(keys, 3081, 3089, default=90.0)
+        # GDAL's CT_PolarStereographic convention (variant B): the STANDARD PARALLEL is
+        # written into ProjNatOriginLatGeoKey 3081 with lat_0=+-90 implied by its sign; a
+        # +-90 in 3081 is variant A (scale in 3092). An explicit ProjStdParallel1 3078
+        # (our own writer's legacy emission) still wins as lat_ts.
+        nat_lat = _gk(keys, 3081, 3089, default=90.0)
         p["lon_0"] = _gk(keys, 3095, 3080, 3088, default=0.0)
         lat_ts = _gk(keys, 3078)
         if lat_ts is not None:
+            p["lat_0"] = nat_lat
             p["lat_ts"] = lat_ts
-        elif k_0 is not None:
-            p["k_0"] = k_0
+        elif abs(nat_lat) != 90.0:
+            p["lat_0"] = 90.0 if nat_lat >= 0.0 else -90.0
+            p["lat_ts"] = nat_lat
+        else:
+            p["lat_0"] = nat_lat
+            if k_0 is not None:
+                p["k_0"] = k_0
     elif proj == "eqc":
         p["lat_ts"] = _gk(keys, 3078, default=0.0)
         p["lat_0"], p["lon_0"] = lat_0 or 0.0, lon_0 or 0.0
@@ -2264,11 +2274,16 @@ def geokeys_from_projdef(d: dict) -> dict:
         out[3088], out[3089] = p["lon_0"], p["lat_0"]
         out[3082], out[3083] = p["x_0"], p["y_0"]
     elif proj == "stere":
-        out[3081] = p["lat_0"]
         out[3095] = p["lon_0"]  # ProjStraightVertPoleLongGeoKey
-        if "lat_ts" in p:
-            out[3078] = p["lat_ts"]
+        lat_ts = p.get("lat_ts")
+        if lat_ts is not None and lat_ts != 0.0 and (lat_ts > 0.0) == (p["lat_0"] > 0.0):
+            # GDAL variant B: the standard parallel goes into 3081, pole sign implied.
+            out[3081] = lat_ts
+        elif lat_ts is not None:
+            out[3081] = p["lat_0"]
+            out[3078] = lat_ts  # ambiguous sign/zero: explicit ProjStdParallel1
         else:
+            out[3081] = p["lat_0"]
             out[3092] = p.get("k_0", 1.0)
         out[3082], out[3083] = p["x_0"], p["y_0"]
     elif proj == "eqc":

@@ -73,6 +73,11 @@ def get_terrain_attribute(
     is accepted for reference-signature parity: a TilingConfig routes to `tiled=`; the
     reference's process-pool MultiprocConfig has no meaning on this backend and raises.
     """
+    from xdem_tpu.terrain.window import normalize_engine
+
+    # None survives normalization: it means auto-dispatch (config["prefer_pallas"] decides
+    # on TPU backends); the signature default "xla" is an explicit request (b6eb1bd).
+    engine = normalize_engine(engine)
     if mp_config is not None:
         if not hasattr(mp_config, "tile_rows"):
             raise ValueError(
@@ -247,9 +252,16 @@ def get_terrain_attribute(
             results["rugosity"] = _win_dispatch(("rugosity",), 3)[0]
 
     if frac_attrs:
-        # An explicit engine="xla" must survive into the sharded/auto-dispatch paths
-        # (it is the escape hatch for Pallas VMEM limits and miscompare bisection).
-        frac_engine = "xla" if engine == "xla" else None
+        # An explicit engine= request survives into the sharded/auto-dispatch paths:
+        # "xla" is the escape hatch for Pallas VMEM limits and miscompare bisection, and an
+        # explicit "pallas" must win (docs/configuration.md) — including under mesh=.
+        # None stays None (auto: config["prefer_pallas"] decides on TPU backends).
+        frac_engine = engine
+        if engine == "pallas" and not (5 <= window_size_fractal and window_size_fractal // 2 <= 8):
+            logging.debug(
+                "The Pallas fractal kernel supports 5 <= window_size <= 17; window_size=%d "
+                "falls back to the XLA engine.", window_size_fractal)
+            frac_engine = "xla"
         if mesh is not None:
             from xdem_tpu.parallel.halo import sharded_stencil
 
@@ -258,16 +270,11 @@ def get_terrain_attribute(
                     padded, window_size=window_size_fractal, engine=frac_engine)[None],
                 arr, halo=window_size_fractal // 2, mesh=mesh, out_leading=1,
             )[0]
-        elif engine == "pallas" and window_size_fractal >= 5 and window_size_fractal // 2 <= 8:
+        elif frac_engine == "pallas":
             from xdem_tpu.terrain.pallas_kernels import fractal_roughness_pallas
 
             results["fractal_roughness"] = fractal_roughness_pallas(arr, window_size=window_size_fractal)
         else:
-            if engine == "pallas" and window_size_fractal // 2 > 8:
-                logging.debug(
-                    "The Pallas fractal kernel supports window radius <= 8; window_size=%d "
-                    "falls back to the XLA engine.", window_size_fractal)
-            # engine="xla" is an explicit request: disable the TPU auto-dispatch
             results["fractal_roughness"] = _fractal_roughness_fn(
                 arr, window_size=window_size_fractal, engine=frac_engine
             )

@@ -147,6 +147,28 @@ def _rugosity(demp: jnp.ndarray, h: int, width: int, res: jnp.ndarray) -> jnp.nd
     return area / (L * L)
 
 
+#: Reference engine names (terrain.py engine="scipy"/"numba") map to the portable XLA path —
+#: they select host libraries there, which have no meaning on this backend.
+_ENGINE_ALIASES = {"scipy": "xla", "numba": "xla"}
+
+
+def normalize_engine(engine: str | None) -> str | None:
+    """Validate an ``engine=`` value, mapping the reference's names onto ours.
+
+    Returns None (auto-dispatch), "xla", or "pallas"; raises ValueError for anything else so
+    a typo cannot silently select a path.
+    """
+    if engine is None:
+        return None
+    e = _ENGINE_ALIASES.get(engine, engine)
+    if e not in ("xla", "pallas"):
+        raise ValueError(
+            f"Unknown engine {engine!r}: choose 'xla' or 'pallas' (the reference's "
+            "'scipy'/'numba' are accepted as aliases of 'xla')."
+        )
+    return e
+
+
 def fractal_roughness(dem: jnp.ndarray, window_size: int = 13, engine: str | None = None) -> jnp.ndarray:
     """Fractal roughness with trace-time engine dispatch.
 
@@ -156,6 +178,7 @@ def fractal_roughness(dem: jnp.ndarray, window_size: int = 13, engine: str | Non
     engine="xla"/"pallas" forces a path — useful to bisect a miscompare or sidestep the
     Pallas tile-size VMEM constraints. Both engines are equivalence-tested.
     """
+    engine = normalize_engine(engine)
     if engine is None:
         from xdem_tpu.config import config
 
