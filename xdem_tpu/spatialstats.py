@@ -336,6 +336,9 @@ def interp_nd_binning(
     return interpolator
 
 
+_INTERP_SELECT_MAX_TABLE = 256  # select-sum unroll bound (compile time grows with the table)
+
+
 @jax.jit
 def _interp_grid_device(mids_ext, grid_ext, vars_dev) -> jnp.ndarray:
     """Multilinear interpolation of a small binned grid at device-resident coordinates.
@@ -344,10 +347,18 @@ def _interp_grid_device(mids_ext, grid_ext, vars_dev) -> jnp.ndarray:
     out-of-hull extrapolation flat, so clamping reproduces it); NaN coordinates give NaN.
     Jitted (pytree args): eager execution issued ~30 separate dispatches, ~1.5 s of fixed
     latency per full-raster evaluation through a tunneled chip.
+
+    The corner lookups use an unrolled select-sum over the flattened table when it is small
+    (the default 2-var/10-bin pipeline grid is 12x12): a TPU gather from a tiny table with
+    1e8 indices lowers to a scalar loop and measured 3.5 s at 10k^2, where the 144-way
+    select-sum stays on the VPU at 0.10 s (34x). Larger tables keep the gather, which
+    bounds the unroll (and its compile time).
     """
     import itertools
 
     grid_j = jnp.asarray(grid_ext, jnp.float32)
+    grid_flat = grid_j.ravel()
+    use_select = grid_flat.shape[0] <= _INTERP_SELECT_MAX_TABLE
     idxs = []
     fracs = []
     nan_any = None
@@ -361,15 +372,23 @@ def _interp_grid_device(mids_ext, grid_ext, vars_dev) -> jnp.ndarray:
         f = (xc - mj[i]) / (mj[i + 1] - mj[i])
         idxs.append(i)
         fracs.append(f)
+    dims = grid_j.shape
     out = jnp.zeros_like(fracs[0])
     for corner in itertools.product((0, 1), repeat=len(mids_ext)):
         wgt = None
-        idx = []
+        flat = None
         for d, c in enumerate(corner):
             w_d = fracs[d] if c else (1.0 - fracs[d])
             wgt = w_d if wgt is None else wgt * w_d
-            idx.append(idxs[d] + c)
-        out = out + wgt * grid_j[tuple(idx)]
+            i_d = (idxs[d] + c).astype(jnp.int32)
+            flat = i_d if flat is None else flat * dims[d] + i_d
+        if use_select:
+            val = jnp.zeros_like(wgt)
+            for k in range(grid_flat.shape[0]):
+                val = jnp.where(flat == k, grid_flat[k], val)
+        else:
+            val = jnp.take(grid_flat, flat)
+        out = out + wgt * val
     return jnp.where(nan_any, jnp.nan, out)
 
 
