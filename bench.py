@@ -396,6 +396,21 @@ def _timed(fn, *args, n=3, **kwargs):
     return first, best
 
 
+def _safe_dispatches(fn, *args) -> int | None:
+    """Dispatch-count probe that cannot take the bench table down with it: if
+    jax.profiler.trace fails on the tunneled backend, the row just loses its
+    `dispatches` annotation (None) instead of the caller's catch discarding every
+    previously built row."""
+    try:
+        from xdem_tpu.profiler import count_device_dispatches
+
+        _, disp = count_device_dispatches(fn, *args)
+        return disp["executions"]
+    except Exception as e:  # profiler faults must not lose the whole table
+        log(f"dispatch probe failed ({type(e).__name__}: {e}); recording dispatches=None")
+        return None
+
+
 def _annot(row: dict, model_bytes: float, secs: float, bw: float) -> dict:
     """Attach roofline accounting: minimum-traffic model, achieved GB/s, % of measured BW.
 
@@ -515,11 +530,9 @@ def bench_table(bw: float = 0.0, vpu: float = 0.0, taps: float = 0.0) -> list[di
     row_nk = _annot({"metric": "nuth_kaab_fit_985x1332_seconds",
                      "value": round(best, 3), "unit": "s", "vs_baseline": None},
                     nk_bytes, best, bw)
-    from xdem_tpu.profiler import count_device_dispatches as _cdd
-
-    _, disp_nk = _cdd(nk_fit, 45)
+    disp_nk = _safe_dispatches(nk_fit, 45)
     log(f"NuthKaab fit dispatches: {disp_nk}")
-    row_nk["dispatches"] = disp_nk["executions"]
+    row_nk["dispatches"] = disp_nk
     rows.append(row_nk)
 
     # Config 4: ICP rigid alignment, DEM vs 1e6-point EPC
@@ -538,14 +551,14 @@ def bench_table(bw: float = 0.0, vpu: float = 0.0, taps: float = 0.0) -> list[di
         return c
 
     first, best = _timed(icp_fit, n=2)
-    _, disp_icp = _cdd(icp_fit)
+    disp_icp = _safe_dispatches(icp_fit)
     log(f"ICP vs 1e6-pt EPC: first {first:.1f}s, steady {best:.2f}s, dispatches {disp_icp}")
     # Model: read DEM + write 3 normal/gradient rasters once + 20 iterations of 5e4-pt
     # NN/interp gathers (brute pairs excluded: the kdtree path gathers, not matmuls)
     icp_bytes = 4 * n_icp * n_icp * 4 + 20 * 5e4 * 8 * 4
     rows.append(_annot({"metric": "icp_dem_vs_1e6pt_epc_seconds",
                  "value": round(best, 3), "unit": "s", "vs_baseline": None,
-                 "dispatches": disp_icp["executions"]}, icp_bytes, best, bw))
+                 "dispatches": disp_icp}, icp_bytes, best, bw))
 
     # Config 4b: BlockwiseNuthKaab — the whole tiled fit as one device program
     from xdem_tpu.coreg import BlockwiseNuthKaab
@@ -555,12 +568,12 @@ def bench_table(bw: float = 0.0, vpu: float = 0.0, taps: float = 0.0) -> list[di
                                  random_state=seed).fit(ref, tba)
 
     first, best = _timed(bw_fit, 42, n=2)
-    _, disp_bw = _cdd(bw_fit, 45)
+    disp_bw = _safe_dispatches(bw_fit, 45)
     log(f"BlockwiseNuthKaab fit (15 tiles): first {first:.1f}s, steady {best:.3f}s, "
         f"dispatches {disp_bw}")
     rows.append(_annot({"metric": "blockwise_nuth_kaab_fit_985x1332_seconds",
                  "value": round(best, 3), "unit": "s", "vs_baseline": None,
-                 "dispatches": disp_bw["executions"]},
+                 "dispatches": disp_bw},
                  6 * n_px * 4 + 15 * 4000 * 4 * 2 * 4, best, bw))
 
     # Config 5: uncertainty pipeline (heteroscedasticity + variogram) on the bundled pair
@@ -581,15 +594,13 @@ def bench_table(bw: float = 0.0, vpu: float = 0.0, taps: float = 0.0) -> list[di
     log(f"uncertainty pipeline 985x1332: first {first:.1f}s, steady {steady:.1f}s")
     # Dispatch-count probe (VERDICT r3 weak #3): through a ~50 ms-latency tunnel the
     # executable-launch count IS the latency model for small-shape pipelines.
-    from xdem_tpu.profiler import count_device_dispatches
-
-    _, disp = count_device_dispatches(uncert, 44)
+    disp = _safe_dispatches(uncert, 44)
     log(f"uncertainty pipeline dispatches: {disp}")
     # Model: terrain 2 attrs (1 read + 2 writes) + sigma evaluation (2 reads + 1 write)
     row_u = _annot({"metric": "uncertainty_pipeline_985x1332_seconds",
                     "value": round(steady, 2), "unit": "s", "vs_baseline": None},
                    6 * n_px * 4, steady, bw)
-    row_u["dispatches"] = disp["executions"]
+    row_u["dispatches"] = disp
     rows.append(row_u)
 
     # Config 6: device hypsometric binning of a 4096^2 device-resident dDEM (VERDICT r2

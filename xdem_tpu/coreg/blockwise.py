@@ -54,7 +54,9 @@ class MultiprocConfig:
 
 
 def _gate_diverged_tiles(shifts_x: np.ndarray, shifts_y: np.ndarray, shifts_z: np.ndarray,
-                         block_size: int, res_x: float, res_y: float) -> np.ndarray:
+                         block_size: int, res_x: float, res_y: float,
+                         shape: tuple[int, int] | None = None,
+                         tiling: tuple[int, int] | None = None) -> np.ndarray:
     """NaN-out tiles whose fitted shift exceeds the tile's own extent.
 
     A tile cannot evidence a translation larger than itself — such fits are divergent
@@ -63,13 +65,35 @@ def _gate_diverged_tiles(shifts_x: np.ndarray, shifts_y: np.ndarray, shifts_z: n
     disagreed TPU-vs-CPU by 30%+). The reference NaN-fills per-tile FAILURES
     (blockwise.py:139-154) and relies on RANSAC to reject the rest; gating divergence the
     same way keeps meta['outputs'] honest and backend-independent. Mutates in place and
-    returns the diverged mask."""
-    lim_x = block_size * abs(res_x)
-    lim_y = block_size * abs(res_y)
+    returns the diverged mask.
+
+    When ``shape`` (raster H, W) and ``tiling`` (n_rows, n_cols) are given, edge tiles are
+    gated against their ACTUAL (clipped) extent instead of the full block size. A warning
+    names the gated count, because an out-of-range TRUE displacement (shift larger than one
+    tile) trips the same gate as a divergent solve and the user must be able to tell."""
+    if shape is not None and tiling is not None:
+        n_rows, n_cols = tiling
+        h, w = shape
+        ti, tj = np.divmod(np.arange(n_rows * n_cols), n_cols)
+        tile_h = np.minimum((ti + 1) * block_size, h) - ti * block_size
+        tile_w = np.minimum((tj + 1) * block_size, w) - tj * block_size
+    else:
+        tile_h = tile_w = block_size  # type: ignore[assignment]
+    lim_x = tile_w * abs(res_x)
+    lim_y = tile_h * abs(res_y)
     with np.errstate(invalid="ignore"):
         diverged = (np.abs(shifts_x) > lim_x) | (np.abs(shifts_y) > lim_y)
     for s in (shifts_x, shifts_y, shifts_z):
         s[diverged] = np.nan
+    if diverged.any():
+        logging.warning(
+            "NaN-gated %d/%d blockwise tile(s) whose fitted shift exceeds the tile's own "
+            "extent (~%.0f x %.0f m) — divergent solves on ill-posed tiles. If the TRUE "
+            "displacement between the elevations is larger than one tile, enlarge "
+            "block_size_fit or pre-align with a global coregistration first.",
+            int(diverged.sum()), diverged.size,
+            float(block_size * abs(res_x)), float(block_size * abs(res_y)),
+        )
     return diverged
 
 
@@ -194,12 +218,14 @@ class BlockwiseCoreg:
         self.shifts_y = np.asarray(sys_)
         self.shifts_z = np.asarray(szs)
         diverged = _gate_diverged_tiles(self.shifts_x, self.shifts_y, self.shifts_z,
-                                        bs, ref.transform.xres, ref.transform.yres)
+                                        bs, ref.transform.xres, ref.transform.yres,
+                                        shape=(h, w), tiling=(n_rows, n_cols))
         for t, bad in enumerate(diverged):
             if bad:
                 ti, tj = t // n_cols, t % n_cols
                 self.meta["outputs"][f"{ti}_{tj}"] = {
                     "shift_x": np.nan, "shift_y": np.nan, "shift_z": np.nan}
+        self.meta["outputs"]["n_diverged"] = int(diverged.sum())
         return self
 
     @staticmethod
@@ -496,9 +522,12 @@ class BlockwiseNuthKaab(BlockwiseCoreg):
         self.shifts_x[empty] = np.nan
         self.shifts_y[empty] = np.nan
         self.shifts_z[empty] = np.nan
-        _gate_diverged_tiles(self.shifts_x, self.shifts_y, self.shifts_z,
-                             bs, res_x, res_y)
+        # Tiles are uniform full blocks on this path (edges are dropped above), so the
+        # full block_size limit is every tile's actual extent.
+        diverged = _gate_diverged_tiles(self.shifts_x, self.shifts_y, self.shifts_z,
+                                        bs, res_x, res_y)
         self.meta["inputs"] = self.procstep.meta["inputs"]
+        self.meta["outputs"]["n_diverged"] = int(diverged.sum())
         for t in range(n_tiles):
             self.meta["outputs"][f"{t // n_cols}_{t % n_cols}"] = {
                 "shift_x": self.shifts_x[t], "shift_y": self.shifts_y[t], "shift_z": self.shifts_z[t],

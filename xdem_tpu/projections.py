@@ -2038,9 +2038,12 @@ _EPSG_DEFS[3376] = dict(  # GDM2000 / East Malaysia BRSO
 # rasterio/pyproj (/root/reference/xdem/dem.py:150-173); here they map directly onto the
 # projdef kernels above.
 
-# GeoTIFF CT codes -> projdef method. CT_Stereographic (14) is read as the oblique
-# (double) stereographic like GDAL does; CT_ObliqueMercator_Rosenmund (5) is the Swiss
-# oblique cylindrical.
+# GeoTIFF CT codes -> projdef method. CT_Stereographic (14) is what GDAL resolves to
+# +proj=stere (Snyder oblique stereographic); our 'stere' kernel is polar-only, so
+# projdef_from_geokeys special-cases 14: a polar origin reads as 'stere' (GDAL parity),
+# an oblique origin falls back to the double stereographic 'sterea' (EPSG 9809) with a
+# UserWarning — the two projections deviate at meter scale far from the origin.
+# CT_ObliqueMercator_Rosenmund (5) is the Swiss oblique cylindrical.
 _CT_TO_PROJ = {
     1: "tmerc", 3: "omerc", 5: "somerc", 7: "merc", 8: "lcc", 9: "lcc1sp",
     10: "laea", 11: "aea", 14: "sterea", 15: "stere", 16: "sterea", 17: "eqc", 28: "cea",
@@ -2129,6 +2132,22 @@ def projdef_from_geokeys(keys: dict) -> dict:
             f"GeoTIFF coordinate transformation code {ct} is not supported "
             f"(supported methods: {', '.join(sorted(set(_CT_TO_PROJ.values())))})."
         )
+    if ct == 14:
+        # GDAL resolves CT_Stereographic (14) to +proj=stere. Polar origins hit the exact
+        # polar 'stere' kernel (GDAL parity); oblique origins approximate with the double
+        # stereographic 'sterea' and say so (meter-scale deviation far from the origin).
+        nat_lat_14 = _gk(keys, 3081, 3085, 3089, default=90.0)
+        if abs(abs(nat_lat_14) - 90.0) < 1e-9:
+            proj = "stere"
+        else:
+            import warnings
+
+            warnings.warn(
+                "GeoTIFF CT_Stereographic (14) with an oblique origin is read as the double "
+                "(oblique) stereographic 'sterea' (EPSG method 9809); GDAL's +proj=stere "
+                "(Snyder) differs from it at meter scale far from the projection origin.",
+                UserWarning,
+            )
 
     p: dict = {"proj": proj, **base}
     # Origin/false-offset keys: natural-origin, false-origin, and center variants are all

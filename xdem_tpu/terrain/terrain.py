@@ -236,9 +236,13 @@ def get_terrain_attribute(
             return windowed_indexes_pallas(arr, resolution, attrs_t,
                                            window_size=wsize, tri_method=tri_method)
         if engine == "pallas":
-            logging.debug(
-                "Pallas windowed kernels support window radius <= 8 (window_size <= 17); "
-                "window_size=%d falls back to the XLA engine.", wsize)
+            # Explicit engine= always wins (docs/configuration.md): when it CANNOT be
+            # honored, refuse rather than silently run XLA under a "pallas" request.
+            raise ValueError(
+                f"Pallas windowed kernels support window radius <= 8 (window_size <= 17); "
+                f"window_size={wsize} cannot run with engine='pallas'. Use a smaller window "
+                f"or engine='xla'."
+            )
         return windowed_indexes(arr, resolution, attrs_t, window_size=wsize,
                                 tri_method=tri_method)
 
@@ -258,10 +262,12 @@ def get_terrain_attribute(
         # None stays None (auto: config["prefer_pallas"] decides on TPU backends).
         frac_engine = engine
         if engine == "pallas" and not (5 <= window_size_fractal and window_size_fractal // 2 <= 8):
-            logging.debug(
-                "The Pallas fractal kernel supports 5 <= window_size <= 17; window_size=%d "
-                "falls back to the XLA engine.", window_size_fractal)
-            frac_engine = "xla"
+            # Explicit engine= always wins: refuse rather than silently downgrade to XLA.
+            raise ValueError(
+                f"The Pallas fractal kernel supports 5 <= window_size <= 17; "
+                f"window_size={window_size_fractal} cannot run with engine='pallas'. Use a "
+                f"supported window or engine='xla'."
+            )
         if mesh is not None:
             from xdem_tpu.parallel.halo import sharded_stencil
 
