@@ -1293,15 +1293,15 @@ class TestMeshCoregFits:
     def test_fit_and_apply_routes_mesh_to_fit(self, ref_tba):
         """mesh= passed flat to fit_and_apply must reach the FIT (the failure mode was the
         kwarg silently swallowed by apply's **kwargs while the fit ran single-device).
-        Detection: a fractional-subsample NuthKaab fit REJECTS mesh= — the raise only fires
-        if the kwarg actually arrived at the fit."""
+        Detection: a BiasCorr step REJECTS mesh= — the raise only fires if the kwarg
+        actually arrived at the fit."""
         import jax
         from jax.sharding import Mesh
 
         tba = _shifted(ref_tba, 2.0, -2.0, 0.5)
         mesh = Mesh(np.asarray(jax.devices()[:8]), ("p",))
-        with pytest.raises(NotImplementedError, match="raster-raster"):
-            coreg.NuthKaab(subsample=0.5).fit_and_apply(ref_tba, tba, mesh=mesh)
+        with pytest.raises(NotImplementedError, match="mesh="):
+            coreg.Deramp(poly_order=1, subsample=20000).fit_and_apply(ref_tba, tba, mesh=mesh)
         # And the happy path: a supported fit through fit_and_apply matches the plain fit.
         c = coreg.VerticalShift()
         c.fit_and_apply(ref_tba, _shifted(ref_tba, 0.0, 0.0, 2.75), mesh=mesh)
@@ -1327,24 +1327,143 @@ class TestMeshCoregFits:
         )
 
     def test_mesh_rejected_for_unsupported_method(self, ref_tba):
+        """Every AFFINE method shards; the BiasCorr family's host bin-and-fit does not, and
+        a direct mesh= there must refuse instead of silently running single-device."""
         import jax
         from jax.sharding import Mesh
 
         mesh = Mesh(np.asarray(jax.devices()[:8]), ("p",))
         tba = _shifted(ref_tba, 2.0, -2.0, 0.5)
         with pytest.raises(NotImplementedError, match="mesh="):
-            coreg.ICP().fit(ref_tba, tba, mesh=mesh)
+            coreg.Deramp(poly_order=1).fit(ref_tba, tba, mesh=mesh, random_state=1)
+        # ... and the supports-mesh flag is set on every AffineCoreg subclass (VERDICT r4 #3)
+        for cls in (coreg.NuthKaab, coreg.VerticalShift, coreg.DhMinimize, coreg.ICP,
+                    coreg.CPD, coreg.LZD):
+            assert cls._supports_mesh_fit, cls.__name__
 
-    def test_mesh_rejected_off_the_fused_paths(self, ref_tba):
+    def test_nuth_kaab_mesh_fractional_subsample(self, ref_tba):
+        """Fractional subsamples draw the SAME host subsample with or without mesh=; the
+        point-sharded solver's medians are exact, so the fits agree to the last ulps of the
+        replicated 72x3 cosine-solve contraction (lowering-order only)."""
         import jax
         from jax.sharding import Mesh
 
         mesh = Mesh(np.asarray(jax.devices()[:8]), ("p",))
         tba = _shifted(ref_tba, 2.0, -2.0, 0.5)
-        with pytest.raises(NotImplementedError, match="raster-raster"):
-            coreg.NuthKaab(subsample=0.5).fit(ref_tba, tba, mesh=mesh)
-        with pytest.raises(NotImplementedError, match="full-raster"):
-            coreg.VerticalShift(subsample=0.5).fit(ref_tba, tba, mesh=mesh, random_state=1)
+        c_m = coreg.NuthKaab(subsample=0.5)
+        c_m.fit(ref_tba, tba, mesh=mesh, random_state=7)
+        c_1 = coreg.NuthKaab(subsample=0.5)
+        c_1.fit(ref_tba, tba, random_state=7)
+        for k in ("shift_x", "shift_y", "shift_z"):
+            np.testing.assert_allclose(c_m.meta["outputs"]["affine"][k],
+                                       c_1.meta["outputs"]["affine"][k],
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_nuth_kaab_mesh_point_input(self, ref_tba):
+        """Point-cloud NuthKaab with mesh=: same host subsample, sharded solver."""
+        import jax
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("p",))
+        tba = _shifted(ref_tba, 4.0, -4.0, 1.0)
+        epc = ref_tba.to_pointcloud(subsample=40000, random_state=3)
+        c_m = coreg.NuthKaab(subsample=30000)
+        c_m.fit(epc, tba, mesh=mesh, random_state=7)
+        c_1 = coreg.NuthKaab(subsample=30000)
+        c_1.fit(epc, tba, random_state=7)
+        assert c_m.meta["outputs"]["affine"]["shift_x"] == pytest.approx(-4.0, abs=0.5)
+        for k in ("shift_x", "shift_y", "shift_z"):
+            np.testing.assert_allclose(c_m.meta["outputs"]["affine"][k],
+                                       c_1.meta["outputs"]["affine"][k],
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_vertical_shift_mesh_subsampled_and_callable_reductor(self, ref_tba):
+        """VerticalShift mesh= off the full-raster path: fractional subsamples reduce with
+        the exact distributed median; arbitrary callables (np.mean) reduce on the host over
+        dh values the sharded gathers computed — identical to single-device in both cases."""
+        import jax
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("p",))
+        tba = _shifted(ref_tba, 0.0, 0.0, 2.75)
+        z_m = (coreg.VerticalShift(subsample=0.4).fit(ref_tba, tba, mesh=mesh, random_state=7)
+               .meta["outputs"]["affine"]["shift_z"])
+        z_1 = (coreg.VerticalShift(subsample=0.4).fit(ref_tba, tba, random_state=7)
+               .meta["outputs"]["affine"]["shift_z"])
+        assert z_m == pytest.approx(z_1, abs=1e-6)
+        zm_m = (coreg.VerticalShift(vshift_reduc_func=np.mean, subsample=0.4)
+                .fit(ref_tba, tba, mesh=mesh, random_state=7)
+                .meta["outputs"]["affine"]["shift_z"])
+        zm_1 = (coreg.VerticalShift(vshift_reduc_func=np.mean, subsample=0.4)
+                .fit(ref_tba, tba, random_state=7)
+                .meta["outputs"]["affine"]["shift_z"])
+        assert np.float32(zm_m).tobytes() == np.float32(zm_1).tobytes()  # identical dh values
+
+    def test_dh_minimize_mesh_bitwise(self, ref_tba):
+        """DhMinimize mesh=: the whole Nelder-Mead replicates over distributed medians —
+        the trajectory and fit match the single-device program bitwise."""
+        import jax
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("p",))
+        tba = _shifted(ref_tba, 6.0, -4.0, 1.0)
+        c_m = coreg.DhMinimize(subsample=20000)
+        c_m.fit(ref_tba, tba, mesh=mesh, random_state=7)
+        c_1 = coreg.DhMinimize(subsample=20000)
+        c_1.fit(ref_tba, tba, random_state=7)
+        assert c_m.meta["outputs"]["affine"]["shift_x"] == pytest.approx(-6.0, abs=0.5)
+        for k in ("shift_x", "shift_y", "shift_z"):
+            a = np.float32(c_m.meta["outputs"]["affine"][k])
+            b = np.float32(c_1.meta["outputs"]["affine"][k])
+            assert a.tobytes() == b.tobytes(), k
+
+    def test_icp_mesh_bitwise_vs_brute(self, ref_tba):
+        """ICP mesh= shards the reference cloud on the brute path; the pmin merge keeps the
+        single-device argmin tie-break, so the registration matches nn_method='brute' on one
+        device bitwise. Callable minimizers cannot shard and must refuse."""
+        import jax
+        from jax.sharding import Mesh
+        from scipy.optimize import least_squares
+
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("p",))
+        tba = _shifted(ref_tba, 5.0, -3.0, 1.0)
+        c_m = coreg.ICP(subsample=5000)
+        c_m.fit(ref_tba, tba, mesh=mesh, random_state=7)
+        c_1 = coreg.ICP(subsample=5000, nn_method="brute")
+        c_1.fit(ref_tba, tba, random_state=7)
+        np.testing.assert_array_equal(c_m.to_matrix(), c_1.to_matrix())
+        with pytest.raises(ValueError, match="custom fit_minimizer"):
+            coreg.ICP(subsample=5000, fit_minimizer=least_squares).fit(
+                ref_tba, tba, mesh=mesh, random_state=7)
+
+    def test_lzd_mesh_matches_single_device(self, ref_tba):
+        """LZD mesh=: psum'd 6x6 normal equations per iteration — documented ~1e-4 relative
+        f32-reassociation tolerance vs the single-device fit."""
+        import jax
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("p",))
+        tba = _shifted(ref_tba, 6.0, -4.0, 1.0)
+        c_m = coreg.LZD(subsample=30000)
+        c_m.fit(ref_tba, tba, mesh=mesh, random_state=7)
+        c_1 = coreg.LZD(subsample=30000)
+        c_1.fit(ref_tba, tba, random_state=7)
+        assert c_m.to_matrix()[0, 3] == pytest.approx(-6.0, abs=0.5)
+        np.testing.assert_allclose(c_m.to_matrix(), c_1.to_matrix(), rtol=1e-3, atol=1e-3)
+
+    def test_icp_nn_method_auto_resolves_kdtree_on_cpu(self, ref_tba, caplog):
+        """nn_method='auto' (the default) resolves to the host KD-tree on the CPU backend
+        (reference parity) and logs the decision; explicit 'kdtree' matches it exactly."""
+        import logging as _logging
+
+        tba = _shifted(ref_tba, 5.0, -3.0, 1.0)
+        c_a = coreg.ICP(subsample=5000)
+        with caplog.at_level(_logging.INFO):
+            c_a.fit(ref_tba, tba, random_state=7)
+        assert any("resolved to 'kdtree'" in r.message for r in caplog.records)
+        c_k = coreg.ICP(subsample=5000, nn_method="kdtree")
+        c_k.fit(ref_tba, tba, random_state=7)
+        np.testing.assert_array_equal(c_a.to_matrix(), c_k.to_matrix())
 
     def test_pipeline_routes_mesh_to_supporting_steps(self, ref_tba, caplog):
         """A pipeline fit with mesh= shards the steps that can and runs the others

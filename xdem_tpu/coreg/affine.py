@@ -387,7 +387,9 @@ def nuth_kaab(
     With `mesh=` (any jax.sharding.Mesh), the subsampled points are sharded across the mesh
     devices and every per-iteration statistic is computed with exact distributed medians
     (parallel/coreg.py) — the fit matches the single-device one bitwise in the default
-    bin_before_fit mode. Requires the fused raster-raster path (two rasters, subsample > 1).
+    bin_before_fit mode. Raster-raster pairs with an absolute subsample count run the fused
+    on-device subsample + solver program; point-cloud inputs and fractional subsamples draw
+    the SAME host subsample as the single-device path and shard only the solver.
     """
     logging.info("Running Nuth and Kääb (2011) coregistration")
     from xdem_tpu.georef import CRS
@@ -476,13 +478,6 @@ def nuth_kaab(
             )
         return (sx, sy, vshift), int(min(count, n_valid)), int(it)
 
-    if mesh is not None:
-        raise NotImplementedError(
-            "NuthKaab mesh= requires the fused raster-raster path: two raster inputs and an "
-            "absolute subsample count (subsample > 1). Point-cloud inputs and fractional "
-            "subsamples use the host subsample path, which is single-device."
-        )
-
     # Slope/aspect from the raster side (or the reference for raster-raster)
     grid_side = ref_elev if not isinstance(ref_elev, PointCloud) else tba_elev
     slope_tan, aspect = _grad_slope_aspect(np.asarray(grid_side))
@@ -505,21 +500,41 @@ def nuth_kaab(
             populated, n_bins,
         )
 
-    sx, sy, vshift, _stat, it = _nuth_kaab_solve(
-        jnp.asarray(sub["pts_z"]),
-        jnp.asarray(sub["rows"]),
-        jnp.asarray(sub["cols"]),
-        sub["raster"],
-        jnp.asarray(sub["aux"]["slope_tan"]),
-        jnp.asarray(sub["aux"]["aspect"]),
-        res_x,
-        res_y,
-        tolerance,
-        max_iterations=int(max_iterations),
-        n_bins=int(n_bins),
-        invert=bool(sub["invert"]),
-        bin_before_fit=bin_before_fit,
-    )
+    if mesh is not None:
+        # Point-cloud inputs and fractional subsamples with mesh=: the SAME host subsample
+        # feeds a point-sharded solver with exact distributed medians — identical sample,
+        # bitwise-equal fit in the default bin_before_fit mode (parallel/coreg.py).
+        from xdem_tpu.parallel.coreg import nuth_kaab_points_sharded
+        from xdem_tpu.parallel.mesh import as_mesh_1d
+
+        res_dev = np.asarray(nuth_kaab_points_sharded(
+            jnp.asarray(sub["pts_z"]),
+            jnp.asarray(sub["rows"]),
+            jnp.asarray(sub["cols"]),
+            sub["raster"],
+            jnp.asarray(sub["aux"]["slope_tan"]),
+            jnp.asarray(sub["aux"]["aspect"]),
+            res_x, res_y, tolerance, as_mesh_1d(mesh),
+            max_iterations=int(max_iterations), n_bins=int(n_bins),
+            bin_before_fit=bin_before_fit, invert=bool(sub["invert"]),
+        ))
+        sx, sy, vshift, _stat, it = (float(v) for v in res_dev)
+    else:
+        sx, sy, vshift, _stat, it = _nuth_kaab_solve(
+            jnp.asarray(sub["pts_z"]),
+            jnp.asarray(sub["rows"]),
+            jnp.asarray(sub["cols"]),
+            sub["raster"],
+            jnp.asarray(sub["aux"]["slope_tan"]),
+            jnp.asarray(sub["aux"]["aspect"]),
+            res_x,
+            res_y,
+            tolerance,
+            max_iterations=int(max_iterations),
+            n_bins=int(n_bins),
+            invert=bool(sub["invert"]),
+            bin_before_fit=bin_before_fit,
+        )
     if not (np.isfinite(float(sx)) and np.isfinite(float(sy)) and np.isfinite(float(vshift))):
         raise ValueError(
             "No valid points remain in the subsample: either the shift to correct moved the grids "
@@ -619,9 +634,11 @@ def vertical_shift(
     """Vertical shift coregistration for any point-raster or raster-raster input
     (reference affine.py:721): reduce the subsampled elevation differences.
 
-    With `mesh=`, the raster pair is row-sharded across the mesh and the median is the exact
-    distributed order statistic (bitwise equal to the single-device fit). Requires the
-    full-raster median path (two rasters, subsample=1.0, median reductor).
+    With `mesh=`, the default full-raster median path row-shards the raster pair and the
+    median is the exact distributed order statistic (bitwise equal to the single-device
+    fit). Subsampled and point-cloud fits draw the SAME host subsample as the single-device
+    path and shard the gathers; median reductors reduce on device (exact distributed
+    median), arbitrary callables reduce on host over identical dh values.
 
     :return: (vertical shift in georeferenced units, final subsample count).
     """
@@ -655,15 +672,28 @@ def vertical_shift(
         if res[1] == 0:
             raise ValueError("No valid (finite, inlier) pixels in common between the elevation data.")
         return float(res[0]), int(res[1])
-    if mesh is not None:
-        raise NotImplementedError(
-            "VerticalShift mesh= requires the full-raster median path: two raster inputs, "
-            "subsample=1.0, and the default median reductor."
-        )
     sub = _subsample_pair(ref_elev, tba_elev, inlier_mask, transform,
                           subsample, random_state, z_name=z_name)
-    dh = np.asarray(_dh_device(jnp.asarray(sub["pts_z"]), jnp.asarray(sub["rows"]),
-                               jnp.asarray(sub["cols"]), sub["raster"], 0.0, 0.0, sub["invert"]))
+    if mesh is not None:
+        # Point inputs / subsampled fits with mesh=: the SAME host subsample, gathers
+        # sharded. Median reductors stay fully on device (exact distributed order statistic,
+        # two scalars cross the tunnel); arbitrary callables reduce on the host over the
+        # identical sharded-computed dh values.
+        from xdem_tpu.parallel.coreg import dh_median_points_sharded, dh_points_sharded
+        from xdem_tpu.parallel.mesh import as_mesh_1d
+
+        m1 = as_mesh_1d(mesh)
+        args = (jnp.asarray(sub["pts_z"]), jnp.asarray(sub["rows"]),
+                jnp.asarray(sub["cols"]), sub["raster"])
+        if vshift_reduc_func in (np.median, np.nanmedian):
+            med, n_fin = dh_median_points_sharded(*args, m1, invert=bool(sub["invert"]))
+            if int(n_fin) == 0:
+                raise ValueError("No valid (finite, inlier) pixels in common between the elevation data.")
+            return float(med), sub["count"]
+        dh = np.asarray(dh_points_sharded(*args, m1, invert=bool(sub["invert"])))
+    else:
+        dh = np.asarray(_dh_device(jnp.asarray(sub["pts_z"]), jnp.asarray(sub["rows"]),
+                                   jnp.asarray(sub["cols"]), sub["raster"], 0.0, 0.0, sub["invert"]))
     dh = dh[np.isfinite(dh)]
     return float(vshift_reduc_func(dh)), sub["count"]
 
@@ -768,24 +798,24 @@ class NuthKaab(AffineCoreg):
 
 @jax.jit
 def _nmad_dev(x: jnp.ndarray) -> jnp.ndarray:
-    med = jnp.nanmedian(x)
-    return 1.4826 * jnp.nanmedian(jnp.abs(x - med))
+    # Two-order-statistic medians (_masked_median), not jnp.nanmedian: the SAME formula as
+    # the distributed radix selection, so a mesh= fit reproduces the single-device NM
+    # trajectory bitwise (parallel/coreg.py dh_minimize_nm_sharded).
+    med = _masked_median(x)
+    return 1.4826 * _masked_median(jnp.abs(x - med))
 
 
-@partial(jax.jit, static_argnames=("invert",))
-def _dh_minimize_nm_device(pts_z, rows, cols, raster, res_x, res_y, invert: bool):
-    """Whole Nelder-Mead minimization of NMAD(dh(sx, sy)) as ONE jitted lax.while_loop.
+def _nelder_mead_2d(f):
+    """Generic 2-D Nelder-Mead as one lax.while_loop over a traced objective `f(v)`.
 
     Mirrors scipy's defaults (reflect/expand/contract/shrink with alpha=1, gamma=2, rho=0.5,
     sigma=0.5; xatol=fatol=1e-4; maxiter=400) starting from (1, 1) with the standard 5%
-    initial simplex. The host loop cost 50 ms of tunnel latency per objective call (~3.5 s);
-    this runs in a single dispatch.
+    initial simplex. Shared by the single-device DhMinimize program and the mesh-sharded one
+    (where `f` reduces with distributed medians): the NM machinery itself is pure replicated
+    scalar algebra, so identical objectives give bit-identical trajectories.
+
+    Returns (x_best (2,), f_best, iterations).
     """
-    res = jnp.asarray([res_x, res_y], jnp.float32)
-
-    def f(v):
-        return _nmad_dev(_dh_device(pts_z, rows, cols, raster, v[0] / res[0], v[1] / res[1], invert))
-
     x0 = jnp.asarray([1.0, 1.0], jnp.float32)
     simplex = jnp.stack([x0, x0 + jnp.asarray([0.05, 0.0], jnp.float32),
                          x0 + jnp.asarray([0.0, 0.05], jnp.float32)])
@@ -850,10 +880,25 @@ def _dh_minimize_nm_device(pts_z, rows, cols, raster, res_x, res_y, invert: bool
 
     s, fv, it = jax.lax.while_loop(cond, body, (simplex, fvals, jnp.asarray(0)))
     s, fv = _sorted(s, fv)
+    return s[0], fv[0], it
+
+
+@partial(jax.jit, static_argnames=("invert",))
+def _dh_minimize_nm_device(pts_z, rows, cols, raster, res_x, res_y, invert: bool):
+    """Whole Nelder-Mead minimization of NMAD(dh(sx, sy)) as ONE jitted lax.while_loop
+    (the host loop cost 50 ms of tunnel latency per objective call, ~3.5 s total)."""
+    res = jnp.asarray([res_x, res_y], jnp.float32)
+
+    def f(v):
+        return _nmad_dev(_dh_device(pts_z, rows, cols, raster, v[0] / res[0], v[1] / res[1], invert))
+
+    x_best, f_best, it = _nelder_mead_2d(f)
     # Median dh at the optimum — part of the same dispatch (a separate jitted call costs a
     # retrace + an extra tunnel round trip)
-    vshift = jnp.nanmedian(_dh_device(pts_z, rows, cols, raster, s[0][0] / res[0], s[0][1] / res[1], invert))
-    return s[0], fv[0], it, vshift
+    vshift = _masked_median(
+        _dh_device(pts_z, rows, cols, raster, x_best[0] / res[0], x_best[1] / res[1], invert)
+    )
+    return x_best, f_best, it, vshift
 
 
 def dh_minimize(
@@ -866,10 +911,17 @@ def dh_minimize(
     fit_minimizer: Any = None,
     fit_loss_func: Callable | None = None,
     z_name: str = "z",
+    mesh: Any = None,
 ) -> tuple[tuple[float, float, float], int]:
     """Elevation-difference minimization coregistration for any point-raster or raster-raster
     input (reference affine.py:677): minimize a dispersion loss (default NMAD) of dh over a
     2-D shift. The default path runs the whole Nelder-Mead as one jitted while_loop.
+
+    With `mesh=`, the subsampled points (same host subsample) shard across the mesh and the
+    NMAD objective reduces with exact distributed medians — the default fit matches the
+    single-device one bitwise (parallel/coreg.py dh_minimize_nm_sharded). Custom
+    fit_minimizer/fit_loss_func paths evaluate dh through the sharded gathers and keep the
+    minimizer on the host.
 
     :return: ((east, north, vertical) offsets in georeferenced units, final subsample count).
     """
@@ -884,9 +936,21 @@ def dh_minimize(
     raster = sub["raster"]
     invert = sub["invert"]
     res_x, res_y = transform.xres, transform.yres
+    mesh_1d = None
+    if mesh is not None:
+        from xdem_tpu.parallel.mesh import as_mesh_1d
+
+        mesh_1d = as_mesh_1d(mesh)
 
     @partial(jax.jit)
     def dh_fn(sx_px, sy_px):
+        # Host-minimizer paths: interp gathers sharded when a mesh is given (values are
+        # per-point independent, so sharding never changes them)
+        if mesh_1d is not None:
+            from xdem_tpu.parallel.coreg import dh_shifted_points_sharded
+
+            return dh_shifted_points_sharded(pts_z, rows, cols, raster, sx_px, sy_px,
+                                             mesh_1d, invert=bool(invert))
         return _dh_device(pts_z, rows, cols, raster, sx_px, sy_px, invert)
 
     if fit_loss_func is None:
@@ -903,9 +967,16 @@ def dh_minimize(
     if fit_minimizer is None and fit_loss_func is None:
         # Default path: the whole Nelder-Mead runs as one jitted while_loop, vshift included
         # (a host NM costs ~50 ms of tunnel latency per objective evaluation)
+        if mesh_1d is not None:
+            from xdem_tpu.parallel.coreg import dh_minimize_nm_sharded
+
+            res_parts = dh_minimize_nm_sharded(pts_z, rows, cols, raster, res_x, res_y,
+                                               mesh_1d, invert=bool(invert))
+        else:
+            res_parts = _dh_minimize_nm_device(pts_z, rows, cols, raster, res_x, res_y,
+                                               bool(invert))
         res_dev = np.asarray(jnp.concatenate(
-            [v.reshape(-1).astype(jnp.float32) for v in
-             _dh_minimize_nm_device(pts_z, rows, cols, raster, res_x, res_y, bool(invert))]
+            [jnp.asarray(v).reshape(-1).astype(jnp.float32) for v in res_parts]
         ))
         offset_east = -float(res_dev[0])
         offset_north = -float(res_dev[1])
@@ -924,26 +995,31 @@ def dh_minimize(
 class DhMinimize(AffineCoreg):
     """Direct 2-D minimization of a dispersion loss of dh (reference affine.py:2667).
 
-    Host Nelder-Mead drives a jitted NMAD(dh(sx, sy)) evaluation at the subsampled points.
+    The default fit runs the whole Nelder-Mead of NMAD(dh(sx, sy)) as one jitted while_loop.
     """
+
+    _supports_mesh_fit = True  # fit(..., mesh=): point-sharded NM with distributed medians
 
     def __init__(self, fit_minimizer: Any = None, fit_loss_func: Callable | None = None,
                  subsample: int | float = 5e5, initial_shift: tuple | None = None):
         super().__init__(subsample=subsample, initial_shift=initial_shift)
         self._meta["inputs"]["fitorbin"] = {"fit_minimizer": fit_minimizer, "fit_loss_func": fit_loss_func}
 
-    def _fit_rst_rst(self, ref_elev, tba_elev, inlier_mask, transform, crs, z_name="z", **kwargs):
-        self._fit_any(ref_elev, tba_elev, inlier_mask, transform, z_name=z_name)
+    def _fit_rst_rst(self, ref_elev, tba_elev, inlier_mask, transform, crs, z_name="z",
+                     mesh=None, **kwargs):
+        self._fit_any(ref_elev, tba_elev, inlier_mask, transform, z_name=z_name, mesh=mesh)
 
-    def _fit_rst_pts(self, ref_elev, tba_elev, inlier_mask, transform, crs, z_name="z", **kwargs):
-        self._fit_any(ref_elev, tba_elev, inlier_mask, transform, z_name=z_name)
+    def _fit_rst_pts(self, ref_elev, tba_elev, inlier_mask, transform, crs, z_name="z",
+                     mesh=None, **kwargs):
+        self._fit_any(ref_elev, tba_elev, inlier_mask, transform, z_name=z_name, mesh=mesh)
 
-    def _fit_any(self, ref_elev, tba_elev, inlier_mask, transform, z_name="z"):
+    def _fit_any(self, ref_elev, tba_elev, inlier_mask, transform, z_name="z", mesh=None):
         p = self._meta["inputs"]["random"]
         fb = self._meta["inputs"]["fitorbin"]
         (offset_east, offset_north, vshift), count = dh_minimize(
             ref_elev, tba_elev, inlier_mask, transform, p["subsample"], p["random_state"],
             fit_minimizer=fb["fit_minimizer"], fit_loss_func=fb["fit_loss_func"], z_name=z_name,
+            mesh=mesh,
         )
         self._meta["outputs"]["affine"] = {"shift_x": offset_east, "shift_y": offset_north, "shift_z": vshift}
         self._meta["outputs"]["random"] = {"subsample_final": count}
@@ -1129,43 +1205,30 @@ def _brute_nearest(ref_pts: jnp.ndarray, query_pts: jnp.ndarray, chunk: int = 10
     return idxs.reshape(-1)[:m], dists.reshape(-1)[:m]
 
 
-@partial(jax.jit, static_argnames=("max_iterations", "method", "picky", "only_translation", "chunk"))
-def _icp_solve_device(
+def _icp_while_loop(
     ref: jnp.ndarray,
     tba: jnp.ndarray,
     norms: jnp.ndarray,
+    nn,
     tolerance,
     max_iterations: int,
-    method: str = "point-to-plane",
-    picky: bool = True,
-    only_translation: bool = False,
-    chunk: int = 2048,
+    method: str,
+    picky: bool,
+    only_translation: bool,
+    n_segments: int,
 ):
-    """The FULL ICP iteration as one jitted lax.while_loop: blocked MXU distance argmin,
-    Picky duplicate removal as segment-min, and the Low (2004) point-to-plane solve (or the
-    Besl-McKay SVD for point-to-point) via masked normal equations — a single dispatch for
-    the whole registration instead of per-iteration host<->device round trips.
+    """The ICP iteration body shared by the single-device program and the mesh-sharded one:
+    `nn(q) -> (nearest reference index, squared distance)` abstracts the neighbor search
+    (full blocked argmin vs per-shard argmin merged across devices). `ref`/`norms` must be
+    the FULL cloud (the post-search gathers `ref[ind]`/`norms[ind]` index globally);
+    `n_segments` bounds the Picky segment-min (>= any index `nn` can return).
 
     Matches the host loop's semantics (reference affine.py:977-1081): transform the original
     cloud by the running matrix each iteration, compose the step estimate, stop once the
     tolerance statistic drops below `tolerance` after the second iteration.
     """
-    n = ref.shape[0]
+    n = n_segments
     m = tba.shape[0]
-    ref_sq = jnp.sum(ref * ref, axis=1)  # (N,)
-
-    def nn(q):
-        pad = (-m) % chunk
-        qp = jnp.pad(q, ((0, pad), (0, 0)))
-        qc = qp.reshape(-1, chunk, 3)
-
-        def one_chunk(c):
-            d2 = jnp.sum(c * c, axis=1)[:, None] + ref_sq[None, :] - 2.0 * c @ ref.T
-            idx = jnp.argmin(d2, axis=1)
-            return idx, jnp.take_along_axis(d2, idx[:, None], axis=1)[:, 0]
-
-        idxs, d2s = jax.lax.map(one_chunk, qc)
-        return idxs.reshape(-1)[:m], d2s.reshape(-1)[:m]
 
     def body(carry):
         matrix, it, _stat = carry
@@ -1230,6 +1293,44 @@ def _icp_solve_device(
     matrix0 = jnp.eye(4, dtype=ref.dtype)
     matrix, it, stat = jax.lax.while_loop(cond, body, (matrix0, jnp.asarray(0), jnp.asarray(jnp.inf, ref.dtype)))
     return matrix, it, stat
+
+
+@partial(jax.jit, static_argnames=("max_iterations", "method", "picky", "only_translation", "chunk"))
+def _icp_solve_device(
+    ref: jnp.ndarray,
+    tba: jnp.ndarray,
+    norms: jnp.ndarray,
+    tolerance,
+    max_iterations: int,
+    method: str = "point-to-plane",
+    picky: bool = True,
+    only_translation: bool = False,
+    chunk: int = 2048,
+):
+    """The FULL ICP iteration as one jitted lax.while_loop: blocked MXU distance argmin,
+    Picky duplicate removal as segment-min, and the Low (2004) point-to-plane solve (or the
+    Besl-McKay SVD for point-to-point) via masked normal equations — a single dispatch for
+    the whole registration instead of per-iteration host<->device round trips.
+    """
+    n = ref.shape[0]
+    m = tba.shape[0]
+    ref_sq = jnp.sum(ref * ref, axis=1)  # (N,)
+
+    def nn(q):
+        pad = (-m) % chunk
+        qp = jnp.pad(q, ((0, pad), (0, 0)))
+        qc = qp.reshape(-1, chunk, 3)
+
+        def one_chunk(c):
+            d2 = jnp.sum(c * c, axis=1)[:, None] + ref_sq[None, :] - 2.0 * c @ ref.T
+            idx = jnp.argmin(d2, axis=1)
+            return idx, jnp.take_along_axis(d2, idx[:, None], axis=1)[:, 0]
+
+        idxs, d2s = jax.lax.map(one_chunk, qc)
+        return idxs.reshape(-1)[:m], d2s.reshape(-1)[:m]
+
+    return _icp_while_loop(ref, tba, norms, nn, tolerance, max_iterations, method, picky,
+                           only_translation, n_segments=n)
 
 
 @jax.jit
@@ -1323,7 +1424,8 @@ def icp(
     standardize: bool = True,
     fit_minimizer: Any = "lsq_approx",
     fit_loss_func: Any = "linear",
-    nn_method: str = "kdtree",
+    nn_method: str = "auto",
+    mesh: Any = None,
 ) -> tuple[np.ndarray, tuple[float, float, float], int]:
     """Iterative closest point registration (reference affine.py:1084).
 
@@ -1334,14 +1436,25 @@ def icp(
     rigid fit through it instead (reference affine.py:920-975). Neighbor search: "kdtree" =
     host KD-tree built once (reference parity), "brute" = blocked MXU distance argmin fully
     on device (see _brute_nearest); the brute device loop supports the built-in solvers only.
+    The default "auto" picks brute on an accelerator backend when the minimizer is built-in
+    and the pair-count fits the blocked-cdist budget (the kdtree path's per-iteration host
+    NN round-trips cost ~10 dispatches of tunnel latency), and kdtree otherwise — in
+    particular always on the CPU backend, where scipy's KD-tree wins and the reference
+    parity tests pin the exact host semantics.
     `crs` is accepted for reference-signature parity: the registration runs in the projected
     coordinates the inputs already carry, so the CRS never enters the computation.
+
+    With `mesh=`, the registration runs the brute device path with the REFERENCE cloud
+    sharded across the mesh (the O(N*M) distance argmin splits; per-shard winners merge with
+    the single-device tie-break) — bitwise equal to nn_method="brute" on one device. Only
+    built-in minimizers shard (a callable runs on the host and cannot be traced).
     """
-    if callable(fit_minimizer) and nn_method == "brute":
+    if callable(fit_minimizer) and (nn_method == "brute" or mesh is not None):
         raise ValueError(
             "A custom fit_minimizer runs on the host: it cannot be traced into the "
-            'nn_method="brute" device while_loop. Use nn_method="kdtree" with a callable '
-            'minimizer, or fit_minimizer="lsq_approx" with the brute path.'
+            'nn_method="brute" device while_loop (which mesh= shards). Use '
+            'nn_method="kdtree" without mesh= for a callable minimizer, or '
+            'fit_minimizer="lsq_approx".'
         )
     logging.info("Running ICP coregistration")
     from scipy.spatial import KDTree
@@ -1363,7 +1476,19 @@ def icp(
     ref_epc, tba_epc, centroid, std_fac = _standardize_epc(ref_epc, tba_epc, scale_std=standardize)
     tolerance = tolerance / std_fac
 
-    if nn_method == "brute":
+    if nn_method == "auto":
+        n_pts = ref_epc.shape[1]
+        # Brute pays off where per-iteration host NN round-trips dominate (accelerator
+        # behind ~50 ms dispatch latency) and the O(N*M) blocked cdist stays within budget:
+        # N*M <= 1e10 pairwise terms (~0.1-0.5 s/iteration at VPU rates) and the 2048-row
+        # query chunk against all N reference points <= ~1 GB of HBM.
+        on_accel = jax.default_backend() != "cpu"
+        fits = (float(n_pts) * float(tba_epc.shape[1]) <= 1e10) and (2048 * n_pts * 4 <= 1.5e9)
+        nn_method = "brute" if (on_accel and not callable(fit_minimizer) and fits) else "kdtree"
+        logging.info("ICP nn_method='auto' resolved to '%s' (backend=%s, %d points)",
+                     nn_method, jax.default_backend(), n_pts)
+
+    if nn_method == "brute" or mesh is not None:
         # The whole registration runs as ONE jitted while_loop on device (per-iteration host
         # KD-tree queries + pandas dedup cost ~60 ms each through the tunnel)
         norms_dev = (
@@ -1371,16 +1496,32 @@ def icp(
             if norms is not None
             else jnp.zeros((ref_epc.shape[1], 3), jnp.float32)
         )
-        matrix_dev, n_it, _stat = _icp_solve_device(
-            jnp.asarray(ref_epc.T, jnp.float32),
-            jnp.asarray(tba_epc.T, jnp.float32),
-            norms_dev,
-            jnp.float32(tolerance),
-            max_iterations=int(max_iterations),
-            method=method,
-            picky=picky,
-            only_translation=only_translation,
-        )
+        if mesh is not None:
+            from xdem_tpu.parallel.coreg import icp_solve_sharded
+            from xdem_tpu.parallel.mesh import as_mesh_1d
+
+            matrix_dev, n_it, _stat = icp_solve_sharded(
+                jnp.asarray(ref_epc.T, jnp.float32),
+                jnp.asarray(tba_epc.T, jnp.float32),
+                norms_dev,
+                jnp.float32(tolerance),
+                as_mesh_1d(mesh),
+                max_iterations=int(max_iterations),
+                method=method,
+                picky=picky,
+                only_translation=only_translation,
+            )
+        else:
+            matrix_dev, n_it, _stat = _icp_solve_device(
+                jnp.asarray(ref_epc.T, jnp.float32),
+                jnp.asarray(tba_epc.T, jnp.float32),
+                norms_dev,
+                jnp.float32(tolerance),
+                max_iterations=int(max_iterations),
+                method=method,
+                picky=picky,
+                only_translation=only_translation,
+            )
         # f32 rotation composition drifts off orthogonality by ~1e-6; re-orthogonalize (SVD)
         matrix = _make_matrix_valid(np.asarray(matrix_dev, dtype=np.float64))
         logging.info("ICP converged in %d device iterations", int(n_it))
@@ -1441,6 +1582,8 @@ class ICP(AffineCoreg):
     Defaults: point-to-plane with Picky duplicate removal and the Low (2004) linearized solve.
     """
 
+    _supports_mesh_fit = True  # fit(..., mesh=): reference cloud sharded over the brute path
+
     def __init__(
         self,
         method: Literal["point-to-point", "point-to-plane"] = "point-to-plane",
@@ -1453,7 +1596,7 @@ class ICP(AffineCoreg):
         standardize: bool = True,
         subsample: float | int = 5e5,
         initial_shift: tuple | None = None,
-        nn_method: Literal["kdtree", "brute"] = "kdtree",
+        nn_method: Literal["auto", "kdtree", "brute"] = "auto",
     ):
         super().__init__(subsample=subsample, initial_shift=initial_shift)
         self._meta["inputs"]["specific"] = {
@@ -1463,13 +1606,15 @@ class ICP(AffineCoreg):
         self._meta["inputs"]["fitorbin"] = {"fit_minimizer": fit_minimizer, "fit_loss_func": fit_loss_func}
         self._meta["inputs"]["iterative"] = {"max_iterations": max_iterations, "tolerance": tolerance}
 
-    def _fit_rst_rst(self, ref_elev, tba_elev, inlier_mask, transform, crs, z_name="z", **kwargs):
-        self._fit_any(ref_elev, tba_elev, inlier_mask, transform, crs)
+    def _fit_rst_rst(self, ref_elev, tba_elev, inlier_mask, transform, crs, z_name="z",
+                     mesh=None, **kwargs):
+        self._fit_any(ref_elev, tba_elev, inlier_mask, transform, crs, mesh=mesh)
 
-    def _fit_rst_pts(self, ref_elev, tba_elev, inlier_mask, transform, crs, z_name="z", **kwargs):
-        self._fit_any(ref_elev, tba_elev, inlier_mask, transform, crs)
+    def _fit_rst_pts(self, ref_elev, tba_elev, inlier_mask, transform, crs, z_name="z",
+                     mesh=None, **kwargs):
+        self._fit_any(ref_elev, tba_elev, inlier_mask, transform, crs, mesh=mesh)
 
-    def _fit_any(self, ref_elev, tba_elev, inlier_mask, transform, crs):
+    def _fit_any(self, ref_elev, tba_elev, inlier_mask, transform, crs, mesh=None):
         p = self._meta["inputs"]["random"]
         s = self._meta["inputs"]["specific"]
         it = self._meta["inputs"]["iterative"]
@@ -1480,7 +1625,7 @@ class ICP(AffineCoreg):
             method=s["icp_method"], picky=s["icp_picky"], only_translation=s["only_translation"],
             standardize=s["standardize"], fit_minimizer=self._meta["inputs"]["fitorbin"]["fit_minimizer"],
             fit_loss_func=self._meta["inputs"]["fitorbin"]["fit_loss_func"],
-            nn_method=s.get("nn_method", "kdtree"),
+            nn_method=s.get("nn_method", "auto"), mesh=mesh,
         )
         tx, ty, tz, *_ = translations_rotations_from_matrix(matrix)
         self._meta["outputs"]["affine"] = {
@@ -1711,8 +1856,7 @@ def _lzd_eval(raster: jnp.ndarray, gradx: jnp.ndarray, grady: jnp.ndarray,
     )
 
 
-@partial(jax.jit, static_argnames=("max_iterations", "only_translation"))
-def _lzd_solve_device(
+def _lzd_while_loop(
     raster: jnp.ndarray,
     gradx: jnp.ndarray,
     grady: jnp.ndarray,
@@ -1724,8 +1868,10 @@ def _lzd_solve_device(
     tolerance,
     max_iterations: int,
     only_translation: bool = False,
+    axis: str | None = None,
+    n_total: int | None = None,
 ):
-    """The FULL LZD iteration as one jitted lax.while_loop: transform the points by the
+    """The FULL LZD iteration as one lax.while_loop: transform the points by the
     running matrix (rotation around the centroid), gather-interpolate the DEM and its
     gradients at the transformed coords, and solve the linearized 6-parameter model by
     column-equilibrated masked normal equations (the raw columns mix ~1e4 m coordinates
@@ -1735,8 +1881,19 @@ def _lzd_solve_device(
     ~0.5 m to f32 rounding, far above the method's precision. `inv_transform` is the
     6-vector (a, b, c, d, e, f) of the inverted georeferencing transform with the centroid
     folded into the constants: col = a*xc + b*yc + c, row = d*xc + e*yc + f.
+
+    With `axis` (inside a shard_map over point shards), the 6x6 normal equations, the
+    equilibration scale sums, and the valid count are psum'd across shards — f32
+    reassociation differs from the single-device reduction order (documented ~1e-4 relative
+    tolerance on the fitted parameters). `n_total` is the GLOBAL point count (including any
+    shard padding; padded points carry NaN z so their weight is 0).
     """
-    pts = jnp.stack([xc0, yc0, zc0])  # (3, N), centered on the centroid
+    pts = jnp.stack([xc0, yc0, zc0])  # (3, N_local), centered on the centroid
+    if n_total is None:
+        n_total = xc0.shape[0]
+
+    def _psum(v):
+        return jax.lax.psum(v, axis) if axis is not None else v
 
     def body(carry):
         matrix, it, _stat, _nvalid = carry
@@ -1760,11 +1917,11 @@ def _lzd_solve_device(
                 [-gx, -gy, ones, yc + gy * zc, -xc - gx * zc, gx * yc - gy * xc], axis=1
             )
         # Column equilibration keeps the f32 normal equations well-conditioned
-        scale = jnp.sqrt(jnp.maximum((A * A * w[:, None]).mean(axis=0), 1e-12))
+        scale = jnp.sqrt(jnp.maximum(_psum((A * A * w[:, None]).sum(axis=0)) / n_total, 1e-12))
         As = A / scale[None, :]
         Aw = As * w[:, None]
         sol = jnp.linalg.solve(
-            Aw.T @ As + 1e-7 * jnp.eye(As.shape[1], dtype=As.dtype), Aw.T @ dh
+            _psum(Aw.T @ As) + 1e-7 * jnp.eye(As.shape[1], dtype=As.dtype), _psum(Aw.T @ dh)
         ) / scale
         t = sol[:3]
         if only_translation:
@@ -1782,7 +1939,7 @@ def _lzd_solve_device(
         step = jnp.eye(4, dtype=raster.dtype).at[:3, :3].set(R).at[:3, 3].set(t)
         new_matrix = step @ matrix
         stat = jnp.abs(jnp.sum(step[:3, 3]))
-        return new_matrix, it + 1, stat, w.sum()
+        return new_matrix, it + 1, stat, _psum(w.sum())
 
     def cond(carry):
         _matrix, it, stat, nvalid = carry
@@ -1793,6 +1950,25 @@ def _lzd_solve_device(
         cond, body,
         (matrix0, jnp.asarray(0), jnp.asarray(jnp.inf, raster.dtype), jnp.asarray(1.0, raster.dtype)),
     )
+
+
+@partial(jax.jit, static_argnames=("max_iterations", "only_translation"))
+def _lzd_solve_device(
+    raster: jnp.ndarray,
+    gradx: jnp.ndarray,
+    grady: jnp.ndarray,
+    xc0: jnp.ndarray,
+    yc0: jnp.ndarray,
+    zc0: jnp.ndarray,
+    cz,
+    inv_transform: jnp.ndarray,
+    tolerance,
+    max_iterations: int,
+    only_translation: bool = False,
+):
+    """Single-device jitted LZD program (one dispatch); see _lzd_while_loop."""
+    return _lzd_while_loop(raster, gradx, grady, xc0, yc0, zc0, cz, inv_transform,
+                           tolerance, max_iterations, only_translation=only_translation)
 
 
 def lzd(
@@ -1806,12 +1982,17 @@ def lzd(
     max_iterations: int = 200,
     tolerance: float = 0.01,
     only_translation: bool = False,
+    mesh: Any = None,
 ) -> tuple[np.ndarray, tuple[float, float, float], int]:
     """Least Z-difference coregistration, Rosenholm & Torlegard 1988 (reference affine.py:1680).
 
     The linearized model lambda = t3 - x*a2 + y*a1 - gradx*(t1 - y*a3 + z*a2)
     - grady*(t2 + x*a3 - z*a1) is LINEAR in the 6 parameters, so each iteration is a direct
     least-squares solve on device-gathered dh/gradients (no scipy optimizer needed).
+
+    With `mesh=`, the subsampled points (same host subsample) shard across the mesh and each
+    iteration's 6x6 normal equations are psum'd partial sums — a documented ~1e-4 relative
+    f32-reassociation tolerance on the fitted parameters vs the single-device program.
     """
     logging.info("Running LZD coregistration")
     from xdem_tpu.georef import CRS
@@ -1849,7 +2030,7 @@ def lzd(
     # works entirely in small centered coordinates: col = a*xc + b*yc + cc, row = d*xc + ...
     cc = inv.a * cx + inv.b * cy + inv.c - 0.5
     cf = inv.d * cx + inv.e * cy + inv.f - 0.5
-    matrix_dev, n_it, stat_dev, nvalid = _lzd_solve_device(
+    lzd_args = (
         raster_j, gradx_j, grady_j,
         jnp.asarray(np.asarray(x - cx, np.float32)),
         jnp.asarray(np.asarray(y - cy, np.float32)),
@@ -1857,9 +2038,22 @@ def lzd(
         jnp.float32(cz),
         jnp.asarray(np.asarray([inv.a, inv.b, cc, inv.d, inv.e, cf], np.float32)),
         jnp.float32(tolerance),
-        max_iterations=int(max_iterations),
-        only_translation=only_translation,
     )
+    if mesh is not None:
+        from xdem_tpu.parallel.coreg import lzd_solve_sharded
+        from xdem_tpu.parallel.mesh import as_mesh_1d
+
+        matrix_dev, n_it, stat_dev, nvalid = lzd_solve_sharded(
+            *lzd_args, as_mesh_1d(mesh),
+            max_iterations=int(max_iterations),
+            only_translation=only_translation,
+        )
+    else:
+        matrix_dev, n_it, stat_dev, nvalid = _lzd_solve_device(
+            *lzd_args,
+            max_iterations=int(max_iterations),
+            only_translation=only_translation,
+        )
     if float(nvalid) == 0.0:
         raise ValueError(
             "The subsample contains no more valid values. This can happen if the affine transformation "
@@ -1877,6 +2071,8 @@ def lzd(
 class LZD(AffineCoreg):
     """Least Z-difference coregistration (reference affine.py:2544)."""
 
+    _supports_mesh_fit = True  # fit(..., mesh=): psum'd 6x6 normal equations per iteration
+
     def __init__(
         self,
         only_translation: bool = False,
@@ -1891,13 +2087,15 @@ class LZD(AffineCoreg):
         self._meta["inputs"]["specific"] = {"only_translation": only_translation}
         self._meta["inputs"]["iterative"] = {"max_iterations": max_iterations, "tolerance": tolerance}
 
-    def _fit_rst_rst(self, ref_elev, tba_elev, inlier_mask, transform, crs, z_name="z", **kwargs):
-        self._fit_any(ref_elev, tba_elev, inlier_mask, transform, crs)
+    def _fit_rst_rst(self, ref_elev, tba_elev, inlier_mask, transform, crs, z_name="z",
+                     mesh=None, **kwargs):
+        self._fit_any(ref_elev, tba_elev, inlier_mask, transform, crs, mesh=mesh)
 
-    def _fit_rst_pts(self, ref_elev, tba_elev, inlier_mask, transform, crs, z_name="z", **kwargs):
-        self._fit_any(ref_elev, tba_elev, inlier_mask, transform, crs)
+    def _fit_rst_pts(self, ref_elev, tba_elev, inlier_mask, transform, crs, z_name="z",
+                     mesh=None, **kwargs):
+        self._fit_any(ref_elev, tba_elev, inlier_mask, transform, crs, mesh=mesh)
 
-    def _fit_any(self, ref_elev, tba_elev, inlier_mask, transform, crs):
+    def _fit_any(self, ref_elev, tba_elev, inlier_mask, transform, crs, mesh=None):
         p = self._meta["inputs"]["random"]
         s = self._meta["inputs"]["specific"]
         it = self._meta["inputs"]["iterative"]
@@ -1905,7 +2103,7 @@ class LZD(AffineCoreg):
             ref_elev, tba_elev, inlier_mask, transform, crs,
             subsample=p["subsample"], random_state=p["random_state"],
             max_iterations=it["max_iterations"], tolerance=it["tolerance"],
-            only_translation=s["only_translation"],
+            only_translation=s["only_translation"], mesh=mesh,
         )
         tx, ty, tz, *_ = translations_rotations_from_matrix(matrix)
         self._meta["outputs"]["affine"] = {

@@ -788,10 +788,13 @@ class Coreg:
             )
         if kwargs.get("mesh") is not None and not self._supports_mesh_fit:
             # Refuse rather than silently run single-device: a mesh= the method cannot honor
-            # would otherwise look like a working multi-chip fit.
+            # would otherwise look like a working multi-chip fit. Every AffineCoreg method
+            # shards; BiasCorr fits are host bin-and-fit programs (their APPLY evaluates on
+            # device) — inside a CoregPipeline such steps fall back with a logged notice.
             raise NotImplementedError(
                 f"{type(self).__name__} does not support mesh= fitting; mesh= is available on "
-                "NuthKaab, VerticalShift and CPD (BlockwiseCoreg takes mesh= at construction)."
+                "every affine method (NuthKaab, VerticalShift, DhMinimize, ICP, CPD, LZD; "
+                "BlockwiseCoreg takes mesh= at construction)."
             )
         ref, tba, mask, transform, crs, area_or_point = _preprocess_coreg_fit(
             reference_elev, to_be_aligned_elev, inlier_mask, transform, crs, area_or_point
