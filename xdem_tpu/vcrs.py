@@ -176,11 +176,11 @@ def _geoid_undulation(name: str, lon: np.ndarray, lat: np.ndarray) -> np.ndarray
         if key not in _warned_builtin:
             _warned_builtin.update(_BUILTIN_GEOIDS)
             logging.warning(
-                "Using the built-in station-augmented %s geoid (degree-6 harmonics + damped "
-                "degree-16 fit to ~130 published station undulations): ~2.5 m median / ~9 m "
-                "p90 held-out error on typical land, ~1-3 m at the fitted stations, worst "
-                "(~15-25 m) in remote ocean areas. Register a precise undulation grid with "
-                "xdem_tpu.vcrs.register_geoid_grid() for survey-grade (cm-dm) work.",
+                "Using the built-in station-augmented %s geoid (degree-26 damped harmonics "
+                "+ great-circle RBF over ~300 published station undulations): ~1.6 m median "
+                "/ ~5.3 m p90 held-out error on land, <=1 m median at the fitted stations, "
+                "worst ~12 m at the sparsest ocean anchors. Register a precise undulation "
+                "grid with xdem_tpu.vcrs.register_geoid_grid() for survey-grade (cm-dm) work.",
                 key,
             )
     if key not in _GEOID_GRIDS:
