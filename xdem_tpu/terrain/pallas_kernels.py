@@ -171,10 +171,13 @@ def surface_attributes_pallas(
     """Fused Pallas surface-fit attributes; identical semantics to surfit.surface_attributes.
 
     Tiles are (tile, tile_cols or tile); wider lanes cut the aligned over-fetch ratio.
-    ``tile=None`` auto-selects: curvature algebra carries enough VMEM temporaries that
-    Mosaic's scoped-VMEM stack overflows past 128x128 tiles (measured on v5e: ANY curvature
-    attribute at 256x256 or 128x256 fails to compile; the full 9-attribute stack at 128x128
-    compiles and beats the XLA pass 21.5 vs 28.8 ms at 4096^2)."""
+    ``tile=None`` auto-selects 128x128 for every attribute set: since the remote compile
+    helper became the chipless TpuAotCompiler with a 16 MB scoped-VMEM cap (round 4), the
+    previous non-curvature 256x512 tiling fails to compile AT ALL (HTTP 500 helper crash) —
+    re-measured round 5: S/A/H at 128x128 and 128x256 compile and run (41-42 ms at 1024^2,
+    dispatch-floor-bound), 128x512 and any 256-row tile fail; the 9-attribute curvature
+    stack at 128x128 runs in 27 ms. Explicit tile=/tile_cols= still force larger tiles for
+    full-VMEM hardware."""
     fit = surface_fit.lower()
     geometric = curv_method.lower() == "geometric"
     if fit == "horn" and any(a in _CURVATURE_ATTRS for a in attrs):
@@ -192,17 +195,11 @@ def surface_attributes_pallas(
     dem_c = jnp.where(valid_in, dem - center, jnp.nan)
 
     # Pad: aligned over-fetch margins of NaN plus rounding the extent up to tile multiples.
-    # Wider lanes amortize the 128-lane aligned over-fetch (256x512 beats the XLA fused pass
-    # at 3 attributes), but the curvature algebra's VMEM temporaries blow Mosaic's
-    # scoped-VMEM stack past 128x128 — auto-select accordingly.
-    has_curv = any(a in _CURVATURE_ATTRS for a in attrs)
-    tr = int(tile) if tile is not None else (128 if has_curv else 256)
-    if tile_cols is not None:
-        tc = int(tile_cols)
-    elif has_curv and tile is None:
-        tc = tr
-    else:
-        tc = 512 if len(attrs) <= 5 and tr >= 256 else tr
+    # The 16 MB scoped-VMEM compile helper (round 4 regression) bounds the auto tile at
+    # 128x128 for EVERY attribute set — larger tiles crash the helper outright (see
+    # docstring). Explicit tile=/tile_cols= override for full-VMEM hardware.
+    tr = int(tile) if tile is not None else 128
+    tc = int(tile_cols) if tile_cols is not None else (tr if tile is not None else 128)
     gh = -(-h // tr)
     gw = -(-w // tc)
     ph = gh * tr - h

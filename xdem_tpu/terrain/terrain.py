@@ -30,6 +30,29 @@ FREQUENCY_ATTRS = ("texture_shading",)
 
 ALL_ATTRS = tuple(SURFACE_FIT_ATTRS) + WINDOWED_ATTRS + FRACTAL_ATTRS + FREQUENCY_ATTRS
 
+
+def _terrain_epilog(sources, spec, out_hw, dtype_name):
+    """All per-attribute post ops as ONE jitted launch: plane slice from each kernel stack,
+    degree conversion, hillshade clip, bucket-padding crop and the output dtype cast.
+    `spec` is a tuple of (source_index, plane_or_-1, rad2deg?, clip?) per attribute."""
+    from functools import partial
+
+    import jax
+
+    @partial(jax.jit, static_argnames=("spec_", "out_hw_", "dtype_"))
+    def run(sources_, spec_, out_hw_, dtype_):
+        out = []
+        for k, idx, deg, clip in spec_:
+            v = sources_[k] if idx < 0 else sources_[k][idx]
+            if deg:
+                v = jnp.rad2deg(v)
+            if clip:
+                v = jnp.clip(v, 0, 255)
+            out.append(v[: out_hw_[0], : out_hw_[1]].astype(jnp.dtype(dtype_)))
+        return tuple(out)
+
+    return run(sources, spec_=spec, out_hw_=out_hw, dtype_=dtype_name)
+
 _CURVATURES = (
     "curvature",
     "profile_curvature",
@@ -209,13 +232,11 @@ def get_terrain_attribute(
             stack = surface_attributes_pallas(arr, resolution, **kwargs)
         else:
             stack = surface_attributes(arr, resolution, **kwargs)
+        # Deferred: the per-attribute post ops (plane slice, degree conversion, hillshade
+        # clip, bucket crop, dtype cast) all fuse into ONE jitted epilog below — issued
+        # eagerly they cost ~5 extra device launches (~30-50 ms each through a tunnel).
         for i, a in enumerate(sf_attrs):
-            val = stack[i]
-            if degrees and a in ("slope", "aspect"):
-                val = jnp.rad2deg(val)
-            if a == "hillshade":
-                val = jnp.clip(val, 0, 255)
-            results[a] = val
+            results[a] = (stack, i)
 
     # Rugosity is defined on a 3x3 window ONLY (Jenness 2004); the reference computes it on
     # a fixed 3x3 regardless of window_size= (its scipy wrapper hardcodes size=3,
@@ -249,11 +270,11 @@ def get_terrain_attribute(
     if win_attrs:
         shared_attrs = [a for a in win_attrs if not (a == "rugosity" and window_size != 3)]
         if shared_attrs:
-            stack = _win_dispatch(tuple(shared_attrs), window_size)
+            stack_w = _win_dispatch(tuple(shared_attrs), window_size)
             for i, a in enumerate(shared_attrs):
-                results[a] = stack[i]
+                results[a] = (stack_w, i)
         if "rugosity" in win_attrs and window_size != 3:
-            results["rugosity"] = _win_dispatch(("rugosity",), 3)[0]
+            results["rugosity"] = (_win_dispatch(("rugosity",), 3), 0)
 
     if frac_attrs:
         # An explicit engine= request survives into the sharded/auto-dispatch paths:
@@ -271,27 +292,42 @@ def get_terrain_attribute(
         if mesh is not None:
             from xdem_tpu.parallel.halo import sharded_stencil
 
-            results["fractal_roughness"] = sharded_stencil(
+            results["fractal_roughness"] = (sharded_stencil(
                 lambda padded: _fractal_roughness_fn(
                     padded, window_size=window_size_fractal, engine=frac_engine)[None],
                 arr, halo=window_size_fractal // 2, mesh=mesh, out_leading=1,
-            )[0]
+            ), 0)
         elif frac_engine == "pallas":
             from xdem_tpu.terrain.pallas_kernels import fractal_roughness_pallas
 
-            results["fractal_roughness"] = fractal_roughness_pallas(arr, window_size=window_size_fractal)
+            results["fractal_roughness"] = (
+                fractal_roughness_pallas(arr, window_size=window_size_fractal), None)
         else:
-            results["fractal_roughness"] = _fractal_roughness_fn(
+            results["fractal_roughness"] = (_fractal_roughness_fn(
                 arr, window_size=window_size_fractal, engine=frac_engine
-            )
+            ), None)
 
     for a in freq_attrs:
-        results[a] = _texture_shading_fn(arr_unpadded, alpha=texture_alpha)
+        results[a] = (_texture_shading_fn(arr_unpadded, alpha=texture_alpha), None)
 
-    if arr.shape != orig_hw:  # crop bucket padding back off (freq attrs are already unpadded)
-        results = {a: (v if v.shape == orig_hw else v[: orig_hw[0], : orig_hw[1]])
-                   for a, v in results.items()}
-    ordered = [results[a].astype(out_dtype) for a in attrs]
+    # ONE fused epilog launch: plane slices, degree conversion, hillshade clip, bucket
+    # crop and the dtype cast for every attribute (freq planes are already unpadded; the
+    # crop inside is a no-op slice for them).
+    sources: list = []
+    spec = []
+    for a in attrs:
+        src, idx = results[a]
+        for k, sdone in enumerate(sources):
+            if sdone is src:
+                break
+        else:
+            sources.append(src)
+            k = len(sources) - 1
+        spec.append((k, -1 if idx is None else int(idx),
+                     bool(degrees and a in ("slope", "aspect") and a in sf_attrs),
+                     a == "hillshade"))
+    ordered = list(_terrain_epilog(tuple(sources), tuple(spec), tuple(orig_hw),
+                                   jnp.dtype(out_dtype).name))
 
     if is_raster:
         ordered = [
