@@ -15,11 +15,13 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@partial(jax.jit, static_argnames=("n",))
-def _unpack_bits(packed: jnp.ndarray, n: int) -> jnp.ndarray:
-    # np.packbits packs MSB-first ('big' bitorder)
+@partial(jax.jit, static_argnames=("n", "shape"))
+def _unpack_bits(packed: jnp.ndarray, n: int, shape: tuple[int, ...] | None = None) -> jnp.ndarray:
+    # np.packbits packs MSB-first ('big' bitorder). The final reshape happens IN the same
+    # program (an eager .reshape on the result costs a second device launch per upload).
     bits = (packed[:, None] >> (7 - jnp.arange(8, dtype=jnp.uint8))) & jnp.uint8(1)
-    return bits.reshape(-1)[:n].astype(bool)
+    flat = bits.reshape(-1)[:n].astype(bool)
+    return flat if shape is None else flat.reshape(shape)
 
 
 def unmask(a):
@@ -63,5 +65,5 @@ def device_mask(mask, shape: tuple[int, int] | None = None) -> jnp.ndarray:
     if isinstance(mask, np.ndarray):
         m = np.ascontiguousarray(mask, dtype=bool)
         packed = np.packbits(m.ravel())
-        return _unpack_bits(jnp.asarray(packed), m.size).reshape(m.shape)
+        return _unpack_bits(jnp.asarray(packed), m.size, tuple(m.shape))
     return jnp.asarray(mask, bool)

@@ -587,6 +587,29 @@ def two_step_standardization(
     return zscores, error_fun
 
 
+_DUMMY_MASK: jnp.ndarray | None = None
+
+
+def _dummy_mask() -> jnp.ndarray:
+    """A cached (1, 1) bool placeholder for absent-mask jit arguments: creating it inline
+    costs one broadcast_in_dim device launch per call (a full tunnel round trip)."""
+    global _DUMMY_MASK
+    if _DUMMY_MASK is None:
+        _DUMMY_MASK = jnp.zeros((1, 1), bool)
+    return _DUMMY_MASK
+
+
+@partial(jax.jit, static_argnames=("has_inc", "has_exc"))
+def _standardize_masked_device(d, e, inc, exc, has_inc: bool, has_exc: bool):
+    """dh / sigma with include/exclude masks applied, as one fused launch."""
+    z = d.astype(jnp.float32) / e.astype(jnp.float32)
+    if has_inc:
+        z = jnp.where(inc, z, jnp.nan)
+    if has_exc:
+        z = jnp.where(exc, jnp.nan, z)
+    return z
+
+
 def _device_mask_of(m: Any, ref_raster: Any = None) -> jnp.ndarray | None:
     """Mask as a device bool array: device-resident inputs pass through, host masks are
     coerced then uploaded bit-packed (ops.transfer.device_mask — a raw 985x1332 bool costs
@@ -731,7 +754,7 @@ def infer_heteroscedasticity_from_stable(
         # ONE jitted program for the whole prepare (validity chain, seeded top_k subsample,
         # gathers): the eager op-by-op version issued ~20 separate device dispatches, each a
         # ~15-50 ms round trip through a tunneled chip.
-        dummy = jnp.zeros((1, 1), bool)
+        dummy = _dummy_mask()
         gathered = _hetero_prepare_device(
             d_j, tuple(vars_j),
             inc if inc is not None else dummy,
@@ -808,14 +831,18 @@ def infer_heteroscedasticity_from_stable(
                 # Fuse the standardization scale AND the full-extent sigma evaluation into
                 # one dispatch (one scalar readback; the sigma raster stays on device)
                 scale_dev, sig_fused = _scale_and_sigma_device(
-                    gathered, tuple(unscaled.mids_ext), jnp.asarray(unscaled.grid_ext),
-                    jnp.float32(fac_spread_outliers), tuple(vars_j),
+                    gathered,
+                    tuple(np.asarray(m, np.float32) for m in unscaled.mids_ext),
+                    np.asarray(unscaled.grid_ext, np.float32),
+                    np.float32(fac_spread_outliers), tuple(vars_j),
                 )
                 scale = float(scale_dev)
             else:
                 scale = float(_two_step_scale_device(
-                    gathered, tuple(unscaled.mids_ext), jnp.asarray(unscaled.grid_ext),
-                    jnp.float32(fac_spread_outliers),
+                    gathered,
+                    tuple(np.asarray(m, np.float32) for m in unscaled.mids_ext),
+                    np.asarray(unscaled.grid_ext, np.float32),
+                    np.float32(fac_spread_outliers),
                 ))
 
             def error_fun(*args: np.ndarray) -> np.ndarray:
@@ -1552,6 +1579,37 @@ def _draw_equidistant_rings_device(key, valid, runs: int, samples: int, nb_rings
     return ija, ijb
 
 
+@partial(jax.jit, static_argnames=("runs", "samples", "nb_rings", "nx", "ny", "m"))
+def _draw_rings_from_arr(seed, arr, runs: int, samples: int, nb_rings: int,
+                         nx: int, ny: int, radius0_px, m: int):
+    """One launch for the device annuli draw: the PRNGKey creation, the validity mask and
+    the ring sampling fuse into a single program (issued eagerly, the key/isfinite ops cost
+    2 extra ~30-50 ms tunnel dispatches per variogram)."""
+    return _draw_equidistant_rings_device(jax.random.PRNGKey(seed), jnp.isfinite(arr),
+                                          runs, samples, nb_rings, nx, ny, radius0_px, m)
+
+
+@partial(jax.jit, static_argnames=("estimator", "n_bins"))
+def _grid_variogram_packed(arr, ija, ijb, gsd, edges, estimator: str, n_bins: int):
+    """_grid_variogram_device + the int32-counts bitcast pack as ONE launch (one readback,
+    no precision loss: a bin can exceed 2^24 pairs, where an f32 count would round)."""
+    gamma, counts = _grid_variogram_device(arr, ija, ijb, gsd, edges, estimator, n_bins)
+    return jnp.concatenate(
+        [gamma, jax.lax.bitcast_convert_type(counts.astype(jnp.int32), jnp.float32)]
+    )
+
+
+@partial(jax.jit, static_argnames=("estimator", "n_bins", "chunk"))
+def _grid_variogram_packed_chunked(arr, ija, ijb, gsd, edges, estimator: str, n_bins: int,
+                                   chunk: int):
+    """Chunked-scan variant of _grid_variogram_packed (same packed contract)."""
+    gamma, counts = _grid_variogram_device_chunked(arr, ija, ijb, gsd, edges, estimator,
+                                                   n_bins, chunk)
+    return jnp.concatenate(
+        [gamma, jax.lax.bitcast_convert_type(counts.astype(jnp.int32), jnp.float32)]
+    )
+
+
 def sample_empirical_variogram(
     values: Any,
     gsd: float | None = None,
@@ -1702,10 +1760,9 @@ def sample_empirical_variogram(
                 nx_g, ny_g = arr_dev.shape
                 n_rings1 = nb_rings + 1
                 m = 8 * samples_
-                key = jax.random.PRNGKey(np.uint32(rng.integers(2**31)))
-                ija, ijb = _draw_equidistant_rings_device(
-                    key, jnp.isfinite(arr_dev), runs_, samples_, nb_rings,
-                    nx_g, ny_g, jnp.float32(radius0 / gsd), m,
+                ija, ijb = _draw_rings_from_arr(
+                    np.uint32(rng.integers(2**31)), arr_dev, runs_, samples_, nb_rings,
+                    nx_g, ny_g, np.float32(radius0 / gsd), m,
                 )
             elif grid_valid is not None:
                 # Grid fast path: sample disks/annuli analytically by pixel offsets —
@@ -1777,30 +1834,25 @@ def sample_empirical_variogram(
                         pad_r = (-ija.shape[0]) % chunk
                         ija_p = np.pad(ija, ((0, pad_r), (0, 0), (0, 0)), constant_values=-1)
                         ijb_p = np.pad(ijb, ((0, pad_r), (0, 0), (0, 0)), constant_values=-1)
-                        gamma_d, counts_d = _grid_variogram_device_chunked(
+                        packed_d = _grid_variogram_packed_chunked(
                             arr_dev, jnp.asarray(ija_p.astype(np.int32)),
-                            jnp.asarray(ijb_p.astype(np.int32)), jnp.float32(gsd),
-                            jnp.asarray(bin_edges, jnp.float32), estimator,
+                            jnp.asarray(ijb_p.astype(np.int32)), np.float32(gsd),
+                            bin_edges.astype(np.float32), estimator,
                             len(bin_edges) - 1, chunk,
                         )
                     else:
-                        # Gather + pairwise + binned estimator as ONE device dispatch
-                        gamma_d, counts_d = _grid_variogram_device(
-                            arr_dev,
-                            jnp.asarray(ija, jnp.int32),
-                            jnp.asarray(ijb, jnp.int32),
-                            jnp.float32(gsd),
-                            jnp.asarray(bin_edges, jnp.float32),
-                            estimator,
-                            len(bin_edges) - 1,
+                        # Gather + pairwise + binned estimator + counts pack as ONE dispatch
+                        # (np.float32 scalars / pre-cast numpy edges enter the program as
+                        # plain transfers — jnp conversions here each cost a device launch)
+                        def _as_i32(a):
+                            return a if isinstance(a, jax.Array) else jnp.asarray(
+                                np.asarray(a, np.int32))
+
+                        packed_d = _grid_variogram_packed(
+                            arr_dev, _as_i32(ija), _as_i32(ijb), np.float32(gsd),
+                            bin_edges.astype(np.float32), estimator, len(bin_edges) - 1,
                         )
-                    # One readback, no precision loss: int32 counts bitcast into the packed
-                    # f32 vector and bitcast back on host (a bin can exceed 2^24 pairs, where
-                    # a float32 count would round to multiples of up to 128)
-                    counts_bits = jax.lax.bitcast_convert_type(
-                        counts_d.astype(jnp.int32), jnp.float32)
-                    packed = np.asarray(jnp.concatenate([gamma_d, counts_bits]),
-                                        dtype=np.float32)
+                    packed = np.asarray(packed_d, dtype=np.float32)
                     nb = len(bin_edges) - 1
                     return (packed[:nb].astype(np.float64),
                             packed[nb:].view(np.int32).astype(np.int64))
@@ -2049,17 +2101,17 @@ def infer_spatial_correlation_from_stable(
     see :func:`sample_empirical_variogram`)."""
     if isinstance(dvalues, Raster) and isinstance(errors, Raster):
         # Standardize on device and cross the host boundary once: dh / sigma with the stable
-        # mask applied is one elementwise kernel, vs pulling both full rasters separately.
-        # Masks upload bit-packed (and device-resident masks pass straight through).
-        z = jnp.asarray(dvalues.data, jnp.float32) / jnp.asarray(errors.data, jnp.float32)
+        # mask applied is ONE fused kernel launch, vs an eager divide + where chain (each op
+        # a ~30-50 ms tunnel round trip). Masks upload bit-packed (device-resident pass
+        # straight through).
         inc = _device_mask_of(stable_mask, dvalues)
         exc = _device_mask_of(unstable_mask, dvalues)
-        if inc is not None:
-            z = jnp.where(inc, z, jnp.nan)
-        if exc is not None:
-            z = jnp.where(exc, jnp.nan, z)
-        # Stay on device: the variogram sampler's grid mode gathers straight from HBM
-        d_stable = z
+        dummy = _dummy_mask()
+        d_stable = _standardize_masked_device(
+            jnp.asarray(dvalues.data), jnp.asarray(errors.data),
+            inc if inc is not None else dummy, exc if exc is not None else dummy,
+            inc is not None, exc is not None,
+        )
         if gsd is None:
             gsd = dvalues.res[0]
     else:

@@ -34,7 +34,12 @@ ALL_ATTRS = tuple(SURFACE_FIT_ATTRS) + WINDOWED_ATTRS + FRACTAL_ATTRS + FREQUENC
 def _terrain_epilog(sources, spec, out_hw, dtype_name):
     """All per-attribute post ops as ONE jitted launch: plane slice from each kernel stack,
     degree conversion, hillshade clip, bucket-padding crop and the output dtype cast.
-    `spec` is a tuple of (source_index, plane_or_-1, rad2deg?, clip?) per attribute."""
+    `spec` is a tuple of (source_index, plane_or_-1, rad2deg?, clip?) per attribute.
+    Module-level jit: a per-call jit closure would retrace on EVERY dispatch."""
+    return _terrain_epilog_run(sources, spec_=spec, out_hw_=out_hw, dtype_=dtype_name)
+
+
+def _terrain_epilog_jit():
     from functools import partial
 
     import jax
@@ -51,7 +56,10 @@ def _terrain_epilog(sources, spec, out_hw, dtype_name):
             out.append(v[: out_hw_[0], : out_hw_[1]].astype(jnp.dtype(dtype_)))
         return tuple(out)
 
-    return run(sources, spec_=spec, out_hw_=out_hw, dtype_=dtype_name)
+    return run
+
+
+_terrain_epilog_run = _terrain_epilog_jit()
 
 _CURVATURES = (
     "curvature",
