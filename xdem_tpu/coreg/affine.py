@@ -103,7 +103,7 @@ def _subsample_pair(
         host = {k: np.asarray(v) for k, v in items if not isinstance(v, jnp.ndarray)}
         tba_j = jnp.asarray(tba_elev, jnp.float32)
         valid = np.array(
-            _finite_all(jnp.stack([tba_j] + [v.astype(jnp.float32) for v in dev.values()]))
+            _finite_all(tuple([tba_j] + list(dev.values())))
         )  # np.array: the device readback is read-only, and the mask is &='d below
         for v in host.values():
             valid &= np.isfinite(v)
@@ -118,8 +118,7 @@ def _subsample_pair(
         vals: dict[str, np.ndarray] = {}
         if dev:
             gathered = np.asarray(
-                _gather_flat(jnp.stack([v.astype(jnp.float32) for v in dev.values()]),
-                             jnp.asarray(choice))
+                _gather_flat(tuple(dev.values()), jnp.asarray(choice))
             )
             for i, k in enumerate(dev):
                 vals[k] = gathered[i]
@@ -1039,26 +1038,40 @@ class DhMinimize(AffineCoreg):
 
 
 @jax.jit
-def _interp_stack_valid(stack: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray):
-    """Bilinear-interpolate a (K, H, W) stack at shared point coords in one dispatch.
+def _interp_stack_valid(arrays, rows: jnp.ndarray, cols: jnp.ndarray):
+    """Bilinear-interpolate a tuple of (H, W) grids at shared point coords in one dispatch
+    (the stacking and f32 casts happen IN-PROGRAM: an eager jnp.stack costs one
+    broadcast_in_dim launch per grid plus a concatenate — ~5 tunnel round trips).
 
     Returns (vals (K, N), joint finite-validity (N,) over all K grids)."""
     from xdem_tpu.ops.interp import interp_rowcol as _ir
 
+    stack = jnp.stack([jnp.asarray(a, jnp.float32) for a in arrays])
     vals = jax.vmap(lambda a: _ir(a, rows, cols, method="linear"))(stack)
     return vals, jnp.all(jnp.isfinite(vals), axis=0)
 
 
 @jax.jit
-def _finite_all(stack: jnp.ndarray) -> jnp.ndarray:
-    """Joint finite mask over a (K, H, W) stack."""
+def _finite_all(arrays) -> jnp.ndarray:
+    """Joint finite mask over a tuple of same-shape grids, stacked IN-PROGRAM (one
+    launch; an eager jnp.stack costs a broadcast per grid + a concatenate)."""
+    stack = jnp.stack([jnp.asarray(a, jnp.float32) for a in arrays])
     return jnp.all(jnp.isfinite(stack), axis=0)
 
 
 @jax.jit
-def _gather_flat(stack: jnp.ndarray, flat_idx: jnp.ndarray) -> jnp.ndarray:
-    """Gather flat pixel indices from every grid of a (K, H, W) stack in one dispatch."""
+def _gather_flat(arrays, flat_idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather flat pixel indices from every grid of a tuple, stacked IN-PROGRAM."""
+    stack = jnp.stack([jnp.asarray(a, jnp.float32) for a in arrays])
     return stack.reshape(stack.shape[0], -1)[:, flat_idx]
+
+
+@jax.jit
+def _gather_cols(vals: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """vals[:, idx] as one launch: eager advanced indexing on a device array issues the
+    whole index-normalization chain (less/add/select_n/broadcast/gather) as ~5 separate
+    dispatches — each a full tunnel round trip."""
+    return vals[:, idx]
 
 
 def _subsample_pair_values(
@@ -1090,10 +1103,8 @@ def _subsample_pair_values(
         host = {k: np.asarray(v) for k, v in items if not isinstance(v, jnp.ndarray)}
         shape = items[0][1].shape
         valid = np.ones(shape, bool)
-        stack_dev = None
         if dev:
-            stack_dev = jnp.stack([v.astype(jnp.float32) for v in dev.values()])
-            valid &= np.asarray(_finite_all(stack_dev))
+            valid &= np.asarray(_finite_all(tuple(dev.values())))
         for v in host.values():
             valid &= np.isfinite(v)
         if inlier_mask is not None:
@@ -1106,7 +1117,8 @@ def _subsample_pair_values(
         rr, cc = np.unravel_index(choice, shape)
         out: dict[str, np.ndarray] = {}
         if dev:
-            gathered = np.asarray(_gather_flat(stack_dev, jnp.asarray(choice)), dtype=np.float64)
+            gathered = np.asarray(_gather_flat(tuple(dev.values()), jnp.asarray(choice)),
+                                  dtype=np.float64)
             for i, k in enumerate(dev):
                 out[k] = gathered[i]
         for k, v in host.items():
@@ -1126,9 +1138,9 @@ def _subsample_pair_values(
     rows_j = jnp.asarray(np.asarray(rows_f, np.float32))
     cols_j = jnp.asarray(np.asarray(cols_f, np.float32))
     aux_keys = list(aux_vars.keys()) if aux_vars is not None else []
-    # Aux grids share the raster's shape; stack so one vmapped interp covers everything
-    stack = jnp.stack([rst] + [jnp.asarray(aux_vars[k], jnp.float32) for k in aux_keys])
-    vals_dev, valid_dev = _interp_stack_valid(stack, rows_j, cols_j)
+    # Aux grids share the raster's shape; the stack forms INSIDE the jitted interp program
+    vals_dev, valid_dev = _interp_stack_valid(
+        tuple([rst] + [aux_vars[k] for k in aux_keys]), rows_j, cols_j)
 
     valid = np.asarray(valid_dev) & np.isfinite(pts.z)
     h, w = rst.shape
@@ -1141,7 +1153,8 @@ def _subsample_pair_values(
         raise ValueError("No valid points overlapping the raster.")
     count = _count_from_subsample(subsample, idx.size)
     choice = rng.choice(idx, count, replace=False) if count < idx.size else idx
-    sub_vals = np.asarray(vals_dev[:, jnp.asarray(choice)], dtype=np.float64)
+    sub_vals = np.asarray(_gather_cols(vals_dev, jnp.asarray(np.asarray(choice, np.int32))),
+                          dtype=np.float64)
     sub_pts_z = pts.z[choice]
     sub_rst_z = sub_vals[0]
     x, y = pts.x[choice], pts.y[choice]
@@ -1492,19 +1505,19 @@ def icp(
         # The whole registration runs as ONE jitted while_loop on device (per-iteration host
         # KD-tree queries + pandas dedup cost ~60 ms each through the tunnel)
         norms_dev = (
-            jnp.asarray(norms.T, jnp.float32)
+            jnp.asarray(norms.T.astype(np.float32))
             if norms is not None
-            else jnp.zeros((ref_epc.shape[1], 3), jnp.float32)
+            else jnp.asarray(np.zeros((ref_epc.shape[1], 3), np.float32))
         )
         if mesh is not None:
             from xdem_tpu.parallel.coreg import icp_solve_sharded
             from xdem_tpu.parallel.mesh import as_mesh_1d
 
             matrix_dev, n_it, _stat = icp_solve_sharded(
-                jnp.asarray(ref_epc.T, jnp.float32),
-                jnp.asarray(tba_epc.T, jnp.float32),
+                jnp.asarray(ref_epc.T.astype(np.float32)),
+                jnp.asarray(tba_epc.T.astype(np.float32)),
                 norms_dev,
-                jnp.float32(tolerance),
+                np.float32(tolerance),
                 as_mesh_1d(mesh),
                 max_iterations=int(max_iterations),
                 method=method,
@@ -1513,10 +1526,10 @@ def icp(
             )
         else:
             matrix_dev, n_it, _stat = _icp_solve_device(
-                jnp.asarray(ref_epc.T, jnp.float32),
-                jnp.asarray(tba_epc.T, jnp.float32),
+                jnp.asarray(ref_epc.T.astype(np.float32)),
+                jnp.asarray(tba_epc.T.astype(np.float32)),
                 norms_dev,
-                jnp.float32(tolerance),
+                np.float32(tolerance),
                 max_iterations=int(max_iterations),
                 method=method,
                 picky=picky,
