@@ -377,9 +377,9 @@ class TestGeoidStationTruth:
     def test_cross_validated_envelope(self):
         """5-fold cross-validation over the precise (sigma <= 5) LAND stations: refit the
         full two-stage field with each fold held out, predict the fold, and pin the
-        documented error envelope (~1.6 m median / ~5.3 m p90 on land, round 5; asserted
-        with margin). This is the honest generalization metric — the fitted-station
-        residuals alone (~0.9 m median) would overstate it."""
+        documented error envelope (~1.5 m median / ~4.7 m p90 on land, round 5 wave 2;
+        asserted with margin). This is the honest generalization metric — the
+        fitted-station residuals alone (~0.9 m median) would overstate it."""
         import xdem_tpu.geoid as geoid
 
         st = list(geoid._STATIONS)
@@ -396,8 +396,8 @@ class TestGeoidStationTruth:
             pred = geoid._predict(fit, lons, lats)
             errs.extend(np.abs(pred - np.array([st[i][2] for i in fold])))
         errs = np.asarray(errs)
-        assert np.median(errs) <= 2.2
-        assert np.percentile(errs, 90) <= 6.5
+        assert np.median(errs) <= 1.9
+        assert np.percentile(errs, 90) <= 5.5
 
     def test_ocean_worst_case_envelope(self):
         """Pin the OCEAN behavior so a refit cannot silently trade ocean for land

@@ -176,10 +176,10 @@ def _geoid_undulation(name: str, lon: np.ndarray, lat: np.ndarray) -> np.ndarray
         if key not in _warned_builtin:
             _warned_builtin.update(_BUILTIN_GEOIDS)
             logging.warning(
-                "Using the built-in station-augmented %s geoid (degree-26 damped harmonics "
-                "+ great-circle RBF over ~300 published station undulations): ~1.6 m median "
-                "/ ~5.3 m p90 held-out error on land, <=1 m median at the fitted stations, "
-                "worst ~12 m at the sparsest ocean anchors. Register a precise undulation "
+                "Using the built-in station-augmented %s geoid (degree-28 damped harmonics "
+                "+ great-circle RBF over ~350 published station undulations): ~1.5 m median "
+                "/ ~4.7 m p90 held-out error on land, <=1 m median at the fitted stations, "
+                "worst ~11 m at the sparsest ocean anchors. Register a precise undulation "
                 "grid with xdem_tpu.vcrs.register_geoid_grid() for survey-grade (cm-dm) work.",
                 key,
             )
