@@ -923,8 +923,10 @@ def bench_parity() -> list[dict]:
     rows.append(row("uncertainty_rho", rel_rho, 5e-3))
 
     # --- ICP: registration params (translations m / rotations deg) on a synthetic pair.
-    # Small config keeps the CPU leg cheap; the iterative KD-tree path is host-side on both
-    # backends, so differences come only from the device interpolation evals.
+    # Small config keeps the CPU leg cheap. nn_method="auto" resolves to the brute device
+    # while_loop on the TPU leg and the host KD-tree on the CPU leg, so this row guards BOTH
+    # the cross-method agreement and the device solver's matmul precision (an unpinned bf16
+    # dot mis-registered by ~8 m here — ops.precision.pin_f32_matmuls).
     from xdem_tpu.coreg.base import translations_rotations_from_matrix
     from xdem_tpu.georef import Affine
     from xdem_tpu.raster import Raster

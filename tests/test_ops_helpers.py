@@ -72,3 +72,88 @@ class TestMesh2D:
         m3 = as_mesh_2d(make_mesh(8, shape=(4, 2)))
         assert sorted(m3.shape.values()) == [2, 4]
         assert jax.devices()[0].platform == "cpu"
+
+
+class TestMatmulPrecisionPins:
+    """TPU dot_general defaults to bf16 multiplicands; every coordinate-sensitive device
+    solver must trace its matmuls at Precision.HIGHEST (ops.precision.pin_f32_matmuls).
+    Numerically invisible on the CPU backend, so this asserts on the traced jaxpr — the
+    un-pinned ICP brute path mis-registered by ~8 m on hardware (parity_icp_params 0.68)."""
+
+    @staticmethod
+    def _dot_precisions(jaxpr, acc=None):
+        acc = [] if acc is None else acc
+        for eqn in jaxpr.eqns:
+            if eqn.primitive.name == "dot_general":
+                acc.append(eqn.params.get("precision"))
+            for v in eqn.params.values():
+                for w in v if isinstance(v, (list, tuple)) else (v,):
+                    if hasattr(w, "jaxpr"):
+                        TestMatmulPrecisionPins._dot_precisions(w.jaxpr, acc)
+        return acc
+
+    def _assert_all_highest(self, make_fn, *args, **kwargs):
+        import jax as _jax
+        from jax.lax import Precision
+
+        jx = _jax.make_jaxpr(lambda *a: make_fn(*a, **kwargs))(*args)
+        precs = self._dot_precisions(jx.jaxpr)
+        assert precs, "expected at least one dot_general in the traced program"
+        assert all(p == (Precision.HIGHEST, Precision.HIGHEST) for p in precs), precs
+
+    def test_icp_brute_and_solver(self):
+        import jax.numpy as jnp
+        from xdem_tpu.coreg.affine import _brute_nearest, _icp_solve_device
+
+        ref = jnp.zeros((64, 3))
+        q = jnp.zeros((32, 3))
+        self._assert_all_highest(lambda r, qq: _brute_nearest(r, qq, chunk=16), ref, q)
+        norms = jnp.zeros((64, 3))
+        self._assert_all_highest(
+            lambda r, t, n: _icp_solve_device(r, t, n, 0.01, 3), ref, ref, norms
+        )
+
+    def test_cpd_and_lzd_solvers(self):
+        import jax.numpy as jnp
+        from xdem_tpu.coreg.affine import _cpd_solve
+
+        X = jnp.zeros((32, 3))
+        self._assert_all_highest(
+            lambda x, y: _cpd_solve(x, y, 0.1, 1.0, 1e-6, 1e-4, 3, False), X, X
+        )
+
+    def test_nuth_kaab_solver(self):
+        import jax.numpy as jnp
+        from xdem_tpu.coreg.affine import _nuth_kaab_solve
+
+        n = 64
+        z = jnp.zeros(n)
+        rc = jnp.zeros(n)
+        raster = jnp.zeros((16, 16))
+        self._assert_all_highest(
+            lambda *a: _nuth_kaab_solve(*a, res_x=20.0, res_y=20.0, tolerance=0.01,
+                                        max_iterations=2),
+            z, rc, rc, raster, jnp.ones(n), jnp.zeros(n),
+        )
+
+    def test_pairwise_sq_dists(self):
+        import jax.numpy as jnp
+        from xdem_tpu.spatialstats import _pairwise_sq_dists
+
+        c = jnp.zeros((32, 2))
+        self._assert_all_highest(_pairwise_sq_dists, c, c)
+
+    def test_neff_centers_coordinates(self):
+        """UTM-magnitude coords must give the same n_eff as the same cloud near the origin
+        (the expansion is only conditioned after mean-centering)."""
+        import numpy as np
+        import pandas as pd
+        from xdem_tpu import spatialstats as ss
+
+        params = pd.DataFrame({"model": ["spherical"], "range": [100.0], "psill": [1.0]})
+        rng = np.random.default_rng(0)
+        coords = rng.uniform(0, 500, size=(300, 2))
+        errors = np.ones(300)
+        near = ss.neff_exact(coords, errors, params)
+        far = ss.neff_exact(coords + np.array([5.0e5, 8.8e6]), errors, params)
+        assert far == pytest.approx(near, rel=1e-4)

@@ -38,6 +38,7 @@ from xdem_tpu.coreg.base import (
 )
 from xdem_tpu.georef import Affine
 from xdem_tpu.ops.interp import interp_rowcol
+from xdem_tpu.ops.precision import pin_f32_matmuls
 from xdem_tpu.ops.transfer import device_mask
 from xdem_tpu.pointcloud import PointCloud
 from xdem_tpu.raster import Raster
@@ -223,6 +224,7 @@ def _masked_median(x: jnp.ndarray) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("max_iterations", "n_bins", "invert", "bin_before_fit"))
+@pin_f32_matmuls
 def _nuth_kaab_solve(
     pts_z: jnp.ndarray,
     rows: jnp.ndarray,
@@ -314,6 +316,7 @@ def _topk_subsample(key, valid_flat, count: int):
 
 
 @partial(jax.jit, static_argnames=("count", "max_iterations", "n_bins", "bin_before_fit"))
+@pin_f32_matmuls
 def _nuth_kaab_rst_rst_device(
     ref: jnp.ndarray,
     tba: jnp.ndarray,
@@ -1195,6 +1198,7 @@ def _apply_matrix_pts_mat(mat: np.ndarray, matrix: np.ndarray, invert: bool = Fa
 
 
 @partial(jax.jit, static_argnames=("chunk",))
+@pin_f32_matmuls
 def _brute_nearest(ref_pts: jnp.ndarray, query_pts: jnp.ndarray, chunk: int = 1024):
     """Nearest reference index for each query point via blocked MXU-shaped distance argmin.
 
@@ -1309,6 +1313,7 @@ def _icp_while_loop(
 
 
 @partial(jax.jit, static_argnames=("max_iterations", "method", "picky", "only_translation", "chunk"))
+@pin_f32_matmuls
 def _icp_solve_device(
     ref: jnp.ndarray,
     tba: jnp.ndarray,
@@ -1653,6 +1658,7 @@ class ICP(AffineCoreg):
 
 
 @partial(jax.jit, static_argnames=("only_translation",))
+@pin_f32_matmuls
 def _cpd_em_step(X: jnp.ndarray, Y: jnp.ndarray, TY: jnp.ndarray, weight_cpd: float,
                  sigma2: jnp.ndarray, sigma2_min: float, only_translation: bool = False):
     """One CPD expectation-maximization step on device (Myronenko & Song 2010, Fig. 2).
@@ -1702,6 +1708,7 @@ def _cpd_em_step(X: jnp.ndarray, Y: jnp.ndarray, TY: jnp.ndarray, weight_cpd: fl
 
 
 @partial(jax.jit, static_argnames=("only_translation", "max_iterations"))
+@pin_f32_matmuls
 def _cpd_solve(X, Y, weight_cpd, sigma2_init, sigma2_min, tolerance, max_iterations: int,
                only_translation: bool):
     """The full CPD EM iteration as one lax.while_loop (reference re-fits the whole transform
@@ -1966,6 +1973,7 @@ def _lzd_while_loop(
 
 
 @partial(jax.jit, static_argnames=("max_iterations", "only_translation"))
+@pin_f32_matmuls
 def _lzd_solve_device(
     raster: jnp.ndarray,
     gradx: jnp.ndarray,

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from xdem_tpu.ops.precision import pin_f32_matmuls
 from xdem_tpu.ops.transfer import unmask
 
 # --------------------------------------------------------------------------- losses
@@ -138,6 +139,7 @@ def _lm_loop(residual_fn, p0, max_iter, tol, lam0):
 
 
 @partial(jax.jit, static_argnames=("residual_fn", "max_iter"))
+@pin_f32_matmuls
 def levenberg_marquardt(
     residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
     p0: jnp.ndarray,
@@ -158,6 +160,7 @@ def levenberg_marquardt(
 
 
 @partial(jax.jit, static_argnames=("func", "n_params", "max_iter"))
+@pin_f32_matmuls
 def _lm_data(func, x, y0, w, p0, n_params: int, max_iter: int = 50):
     """LM with the model function static but data TRACED: same (func, n_params, shapes)
     hits the in-process jit cache, so repeated fits never re-trace or re-compile."""

@@ -25,6 +25,7 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from xdem_tpu.ops.interp import interp_rowcol
+from xdem_tpu.ops.precision import pin_f32_matmuls
 from xdem_tpu.parallel.selection import masked_median_distributed, signed_median_by_bin
 
 
@@ -102,6 +103,7 @@ def _pad_pts_1d(n_dev: int, *arrays_fills):
     jax.jit,
     static_argnames=("count", "max_iterations", "n_bins", "bin_before_fit", "mesh"),
 )
+@pin_f32_matmuls
 def nuth_kaab_rst_rst_sharded(
     ref: jnp.ndarray,
     tba: jnp.ndarray,
@@ -216,6 +218,7 @@ def masked_median_diff_sharded(
 
 @partial(jax.jit, static_argnames=("mesh", "max_iterations", "n_bins", "bin_before_fit",
                                    "invert"))
+@pin_f32_matmuls
 def nuth_kaab_points_sharded(
     pts_z: jnp.ndarray,
     rows: jnp.ndarray,
@@ -398,6 +401,7 @@ def dh_minimize_nm_sharded(
 
 @partial(jax.jit, static_argnames=("mesh", "max_iterations", "method", "picky",
                                    "only_translation", "chunk"))
+@pin_f32_matmuls
 def icp_solve_sharded(
     ref: jnp.ndarray,
     tba: jnp.ndarray,
@@ -473,6 +477,7 @@ def icp_solve_sharded(
 
 
 @partial(jax.jit, static_argnames=("mesh", "max_iterations", "only_translation"))
+@pin_f32_matmuls
 def lzd_solve_sharded(
     raster: jnp.ndarray,
     gradx: jnp.ndarray,

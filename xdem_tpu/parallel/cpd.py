@@ -23,6 +23,8 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
+from xdem_tpu.ops.precision import pin_f32_matmuls
+
 
 def _cpd_em_local(Xs, Yf, TYf, weight_cpd: float, s2, s2min, axis_name: str,
                   only_translation: bool, n_eff: float):
@@ -80,6 +82,7 @@ def _cpd_em_local(Xs, Yf, TYf, weight_cpd: float, s2, s2min, axis_name: str,
     return R, t, new_sigma2, q
 
 
+@pin_f32_matmuls
 def cpd_em_step_sharded(
     X: jnp.ndarray,
     Y: jnp.ndarray,
@@ -118,6 +121,7 @@ def cpd_em_step_sharded(
 
 
 @partial(jax.jit, static_argnames=("max_iterations", "only_translation", "mesh", "n_true"))
+@pin_f32_matmuls
 def cpd_solve_sharded(
     X: jnp.ndarray,
     Y: jnp.ndarray,

@@ -26,6 +26,7 @@ import numpy as np
 import pandas as pd
 
 from xdem_tpu._misc import deprecate
+from xdem_tpu.ops.precision import pin_f32_matmuls
 from xdem_tpu.ops.transfer import unmask
 from xdem_tpu.raster import Raster
 
@@ -2183,8 +2184,14 @@ def neff_circular_approx_numerical(area: float, params_variogram_model: pd.DataF
 
 
 @partial(jax.jit, static_argnames=())
+@pin_f32_matmuls
 def _pairwise_sq_dists(c1: jnp.ndarray, c2: jnp.ndarray) -> jnp.ndarray:
-    """(N, M) squared euclidean distances via the matmul expansion (MXU-shaped)."""
+    """(N, M) squared euclidean distances via the matmul expansion (MXU-shaped).
+
+    Full-f32 matmul precision (TPU defaults to bf16 multiplicands, which at km-scale
+    centered coordinates puts ~1e5-m^2 errors on short-lag squared distances). Callers must
+    mean-center coordinates first: the expansion is catastrophically ill-conditioned at raw
+    UTM magnitudes (|c|~8e6 squares to ~6e13, where even f32 rounding is ~4e6 m^2)."""
     n1 = jnp.sum(c1 * c1, axis=1)[:, None]
     n2 = jnp.sum(c2 * c2, axis=1)[None, :]
     return jnp.maximum(n1 + n2 - 2.0 * c1 @ c2.T, 0.0)
@@ -2276,7 +2283,11 @@ def neff_exact(
     parity with the reference's loop/vectorized switch; both map to the same device kernel
     (numerically identical)."""
     _check_validity_params_variogram(params_variogram_model)
-    coords = np.asarray(coords, np.float32)
+    # Distances are translation-invariant: mean-center in f64 BEFORE the f32 cast so the
+    # matmul distance expansion stays conditioned at UTM-scale coordinates (see
+    # _pairwise_sq_dists).
+    coords = np.asarray(coords, np.float64)
+    coords = np.asarray(coords - coords.mean(axis=0), np.float32)
     errors = np.asarray(unmask(errors), np.float32)
     has_matern = any(_get_variogram_model_name(m_) == "matern"
                      for m_ in params_variogram_model["model"])
@@ -2312,7 +2323,9 @@ def neff_hugonnet_approx(
     n = len(coords)
     subsample = min(subsample, n)
     sel = rng.choice(n, size=subsample, replace=False)
-    coords = np.asarray(coords, np.float32)
+    # f64 mean-centering before the f32 cast — see neff_exact / _pairwise_sq_dists.
+    coords = np.asarray(coords, np.float64)
+    coords = np.asarray(coords - coords.mean(axis=0), np.float32)
     errors = np.asarray(unmask(errors), np.float32)
     if mesh is not None:
         from xdem_tpu.parallel.neff import weighted_rho_sum_sharded
