@@ -88,7 +88,9 @@ class TestMatmulPrecisionPins:
                 acc.append(eqn.params.get("precision"))
             for v in eqn.params.values():
                 for w in v if isinstance(v, (list, tuple)) else (v,):
-                    if hasattr(w, "jaxpr"):
+                    if hasattr(w, "eqns"):  # raw Jaxpr (shard_map carries one directly)
+                        TestMatmulPrecisionPins._dot_precisions(w, acc)
+                    elif hasattr(w, "jaxpr"):  # ClosedJaxpr (jit/while/cond/scan)
                         TestMatmulPrecisionPins._dot_precisions(w.jaxpr, acc)
         return acc
 
@@ -142,6 +144,81 @@ class TestMatmulPrecisionPins:
 
         c = jnp.zeros((32, 2))
         self._assert_all_highest(_pairwise_sq_dists, c, c)
+
+    def test_lzd_solver(self):
+        import jax.numpy as jnp
+        from xdem_tpu.coreg.affine import _lzd_solve_device
+
+        raster = jnp.zeros((16, 16))
+        pts = jnp.zeros(32)
+        inv_t = jnp.zeros(6)
+        self._assert_all_highest(
+            lambda r, x, y, z: _lzd_solve_device(
+                r, r, r, x, y, z, jnp.float32(100.0), inv_t, 0.01, 2
+            ),
+            raster, pts, pts, pts,
+        )
+
+    def test_levenberg_marquardt_fits(self):
+        import jax.numpy as jnp
+        from xdem_tpu.fit import _lm_data, levenberg_marquardt
+
+        x = jnp.linspace(0, 1, 32)
+        y = jnp.zeros(32)
+        w = jnp.ones(32)
+        p0 = jnp.zeros(2)
+
+        def model(xx, a, b):
+            return a * xx + b
+
+        self._assert_all_highest(
+            lambda xx, yy, ww, pp: _lm_data(model, xx, yy, ww, pp, 2, 3), x, y, w, p0
+        )
+
+        def resid(p):
+            return p[0] * x + p[1] - y
+
+        self._assert_all_highest(lambda pp: levenberg_marquardt(resid, pp, 3), p0)
+
+    def test_sharded_twins(self):
+        """The mesh= solvers must pin precision too: their outputs are compared (sometimes
+        bitwise) against the single-device programs, and the hot matmuls run per-shard
+        inside shard_map (whose jaxpr rides as a raw param — see _dot_precisions)."""
+        import jax.numpy as jnp
+        from xdem_tpu.parallel.coreg import (icp_solve_sharded, lzd_solve_sharded,
+                                             nuth_kaab_rst_rst_sharded)
+        from xdem_tpu.parallel.cpd import cpd_solve_sharded
+        from xdem_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(8)
+        ref = jnp.zeros((64, 3))
+        tba = jnp.zeros((32, 3))
+        self._assert_all_highest(
+            lambda r, t, n: icp_solve_sharded(r, t, n, 0.01, mesh, 3, chunk=16),
+            ref, tba, jnp.zeros((64, 3)),
+        )
+        raster = jnp.zeros((16, 16))
+        pts = jnp.zeros(32)
+        inv_t = jnp.zeros(6)
+        self._assert_all_highest(
+            lambda r, x, y, z: lzd_solve_sharded(
+                r, r, r, x, y, z, jnp.float32(100.0), inv_t, 0.01, mesh, 2
+            ),
+            raster, pts, pts, pts,
+        )
+        X = jnp.zeros((32, 3))
+        self._assert_all_highest(
+            lambda a, b: cpd_solve_sharded(a, b, 0.1, jnp.float32(1.0), 1e-6, 1e-4,
+                                           3, False, mesh),
+            X, X,
+        )
+        rr = jnp.zeros((32, 32))
+        self._assert_all_highest(
+            lambda a, b, i: nuth_kaab_rst_rst_sharded(
+                a, b, i, jnp.uint32(0), 64, 20.0, 20.0, 0.01, mesh, max_iterations=2
+            ),
+            rr, rr, jnp.ones((32, 32), bool),
+        )
 
     def test_neff_centers_coordinates(self):
         """UTM-magnitude coords must give the same n_eff as the same cloud near the origin
