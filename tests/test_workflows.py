@@ -399,3 +399,93 @@ class TestCliArgListAlias:
         with _pytest.raises(SystemExit):
             cli.main(arg_list=["--help"])
         assert "topo" in capsys.readouterr().out
+
+
+class TestWorkflowsReferenceSurface:
+    """The reference's public Workflows/Topo helper methods exist with the same contracts
+    (reference workflows.py:122-484, topo.py:98-243)."""
+
+    @pytest.fixture()
+    def topo(self, dem_files, tmp_path):
+        from xdem_tpu.workflows import Topo
+
+        ref_path, _, _ = dem_files
+        return Topo({
+            "inputs": {"path_to_elev": ref_path},
+            "terrain_attributes": ["slope", "hillshade"],
+            "outputs": {"path": str(tmp_path / "wout"), "level": 1},
+        })
+
+    def test_outputs_folder_alias_and_create_output_dir(self, topo, tmp_path):
+        assert topo.outputs_folder == topo.output_dir
+        new = tmp_path / "moved"
+        topo.create_output_dir(sub_dir=new)
+        assert topo.outputs_folder == new
+        for sub in ("plots", "rasters", "tables"):
+            assert (new / sub).is_dir()
+
+    def test_load_config_revalidates(self, topo):
+        cfg = topo.load_config()
+        assert cfg["terrain_attributes"] == ["slope", "hillshade"]
+        assert cfg["outputs"]["path"] == topo.config["outputs"]["path"]
+
+    def test_floats_process_rounds_nested(self, topo):
+        out = topo.floats_process({"a": 1.23456, "b": [2.345, {"c": (3.456, None)}], "d": "x"})
+        assert out == {"a": 1.23, "b": [2.35, {"c": (3.46, None)}], "d": "x"}
+
+    def test_remove_none_keeps_statistics(self, topo):
+        out = topo.remove_none({"a": None, "b": {"c": None, "d": 1}, "statistics": None,
+                                "e": [1, None, 2]})
+        assert out == {"b": {"d": 1}, "statistics": None, "e": [1, 2]}
+
+    def test_format_values_stats(self, topo):
+        assert topo.format_values_stats("valid_count", 42.7) == "42"
+        assert topo.format_values_stats("valid percentage", 93.456) == "93.46%"
+        assert topo.format_values_stats("mean", 1.23456) == "1.235"
+        assert "e" in topo.format_values_stats("sum", 2.5e6)
+        assert "e" in topo.format_values_stats("tiny", 2.5e-6)
+
+    def test_save_stat_as_csv(self, topo):
+        import csv
+
+        topo.save_stat_as_csv({"mean": np.float32(1.5), "count": 3}, "unit")
+        path = topo.outputs_folder / "tables" / "unit_stats.csv"
+        rows = list(csv.DictReader(path.open()))
+        assert rows[0]["mean"] == "1.5" and rows[0]["count"] == "3"
+
+    def test_generate_plots(self, topo, dem_files):
+        from xdem_tpu.dem import DEM
+
+        dem = DEM(dem_files[0])
+        topo.generate_plot(dem, "left", "pair", dem_right=dem, title_dem_right="right")
+        assert (topo.outputs_folder / "plots" / "pair.png").stat().st_size > 1000
+        topo.generate_plot_with_profiles(dem, "with profiles", "prof")
+        assert (topo.outputs_folder / "plots" / "prof.png").stat().st_size > 1000
+
+    def test_static_load_dem(self, dem_files):
+        from xdem_tpu.workflows.workflows import Workflows
+
+        ref_path, _, mask_path = dem_files
+        dem, inlier, mpath = Workflows.load_dem({"path_to_elev": ref_path,
+                                                 "path_to_mask": mask_path})
+        assert dem.shape == (300, 300)
+        # inlier_mask is True on STABLE terrain: the mask file marks glaciers
+        assert inlier.dtype == bool and 0 < inlier.sum() < inlier.size
+        assert mpath == mask_path
+        assert Workflows.load_dem(None) == (None, None, None)
+
+    def test_generate_terrain_attributes(self, topo):
+        rasters = topo.generate_terrain_attributes(export_tif=True)
+        assert len(rasters) == 2
+        assert (topo.outputs_folder / "plots" / "terrain_attributes_map.png").exists()
+        assert (topo.outputs_folder / "rasters" / "slope.tif").exists()
+        assert (topo.outputs_folder / "rasters" / "hillshade.tif").exists()
+
+    def test_generate_pdf_gated_on_config(self, topo):
+        # generate_pdf() is a no-op when outputs.generate_pdf is false
+        topo.generate_pdf()
+        assert not (topo.outputs_folder / "report.pdf").exists()
+        topo.config["outputs"]["generate_pdf"] = True
+        topo.add_report_section(topo.stats_to_html({"a": 1.0}, "t"))
+        topo.generate_pdf()
+        assert (topo.outputs_folder / "report.pdf").read_bytes()[:5] == b"%PDF-"

@@ -17,14 +17,90 @@ class Topo(Workflows):
 
     schema = TOPO_SCHEMA
 
+    # Per-attribute display defaults for the combined map (reference topo.py:108-128 keeps
+    # an equivalent table: greys for shading, fixed ranges for bounded attributes).
+    _ATTR_STYLE: dict[str, tuple[str, float | None, float | None]] = {
+        "hillshade": ("Greys_r", 0, 255),
+        "texture_shading": ("Greys_r", -20, 20),
+        "slope": ("Reds", 0, 90),
+        "aspect": ("twilight", 0, 360),
+        "profile_curvature": ("RdGy_r", -2, 2),
+        "tangential_curvature": ("RdGy_r", -2, 2),
+        "planform_curvature": ("RdGy_r", -2, 2),
+        "flowline_curvature": ("RdGy_r", -2, 2),
+        "max_curvature": ("RdGy_r", -2, 2),
+        "min_curvature": ("RdGy_r", -2, 2),
+        "terrain_ruggedness_index": ("Purples", None, None),
+        "rugosity": ("YlOrRd", None, None),
+        "topographic_position_index": ("Spectral", None, None),
+        "roughness": ("Oranges", None, None),
+        "fractal_roughness": ("Reds", None, None),
+    }
+
+    def _attr_items(self) -> list[tuple[str, dict]]:
+        attrs_cfg = self.config.get("terrain_attributes") or []
+        if isinstance(attrs_cfg, dict):
+            return list(attrs_cfg.items())
+        return [(a, {}) for a in attrs_cfg]
+
+    def generate_terrain_attributes(self, export_tif: bool = False) -> list:
+        """Compute the configured attributes on the (first) configured DEM, write the
+        combined PNG map, and optionally export GeoTIFFs (reference topo.py:159-243).
+        Returns the attribute rasters in configuration order."""
+        inputs = self.config["inputs"]
+        dem_cfg = inputs[0] if isinstance(inputs, list) else inputs
+        dem = self._load_dem(dem_cfg)
+        attr_items = self._attr_items()
+        self.list_attributes = [a for a, _ in attr_items]
+        rasters = [dem.get_terrain_attribute(name, **(extra or {}))
+                   for name, extra in attr_items]
+        if export_tif:
+            for name, r in zip(self.list_attributes, rasters):
+                r.save(str(self.output_dir / "rasters" / f"{name}.tif"))
+        self.generate_terrain_attributes_png(rasters)
+        return rasters
+
+    def generate_terrain_attributes_png(self, attributes: list) -> None:
+        """One figure with every attribute panel, saved as
+        ``plots/terrain_attributes_map.png`` (reference topo.py:98-157)."""
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except ImportError:
+            logging.warning("matplotlib unavailable; skipping terrain attributes map")
+            return
+        import math
+
+        import numpy as np
+
+        n = len(attributes)
+        if n == 0:
+            return
+        names = getattr(self, "list_attributes", None) or [f"attribute {i+1}" for i in range(n)]
+        ncols = 3 if n > 6 else min(2, n)
+        nrows = math.ceil(n / ncols)
+        fig, axes = plt.subplots(nrows, ncols, squeeze=False)
+        flat = axes.flatten()
+        for i, (name, r) in enumerate(zip(names, attributes)):
+            ax = flat[i]
+            cmap, vmin, vmax = self._ATTR_STYLE.get(name, ("viridis", None, None))
+            im = ax.imshow(np.asarray(r.get_nanarray()), cmap=cmap, vmin=vmin, vmax=vmax)
+            fig.colorbar(im, ax=ax, shrink=0.7)
+            ax.set_title(name, fontsize=6)
+            ax.set_xticks([])
+            ax.set_yticks([])
+        for ax in flat[n:]:
+            fig.delaxes(ax)
+        fig.tight_layout()
+        fig.savefig(self.output_dir / "plots" / "terrain_attributes_map.png", dpi=300)
+        plt.close(fig)
+
     def run(self) -> None:
         inputs = self.config["inputs"]
         dem_cfgs = inputs if isinstance(inputs, list) else [inputs]
-        attrs_cfg = self.config.get("terrain_attributes") or []
-        if isinstance(attrs_cfg, dict):
-            attr_items = list(attrs_cfg.items())
-        else:
-            attr_items = [(a, {}) for a in attrs_cfg]
+        attr_items = self._attr_items()
         stats_names = self.config["statistics"]
 
         for i, dem_cfg in enumerate(dem_cfgs):

@@ -52,6 +52,7 @@ class Workflows(ABC):
         # `user_config`/`output` are the reference's parameter names (workflows.py:82);
         # output_dir is kept as an accepted alias.
         config = user_config
+        self.user_config = user_config
         if output_dir is None:
             output_dir = output
         if isinstance(config, str):
@@ -60,13 +61,196 @@ class Workflows(ABC):
         out_cfg = self.config.get("outputs", {})
         self.output_dir = Path(output_dir or out_cfg.get("path", "outputs"))
         self.level = out_cfg.get("level", 1)
-        self.generate_pdf = out_cfg.get("generate_pdf", False)
+        self.pdf_enabled = out_cfg.get("generate_pdf", False)
         self._make_output_tree()
         self._report_sections: list[str] = []
 
     def _make_output_tree(self) -> None:
         for sub in ("plots", "rasters", "tables"):
             os.makedirs(self.output_dir / sub, exist_ok=True)
+
+    # Reference-compatible surface (reference workflows.py:122,153,183,243,337,357,401,439,
+    # 453,470): same names and contracts as the reference's Workflows base class, layered
+    # over this class's report-section machinery.
+
+    @property
+    def outputs_folder(self) -> Path:
+        """The output directory, under the reference's attribute name (workflows.py:107)."""
+        return self.output_dir
+
+    @outputs_folder.setter
+    def outputs_folder(self, value: str | Path) -> None:
+        self.output_dir = Path(value)
+
+    def create_output_dir(self, sub_dir: Path | None = None) -> None:
+        """Create the plots/rasters/tables output tree (reference workflows.py:122-135);
+        ``sub_dir`` replaces the configured output folder."""
+        if sub_dir is not None:
+            self.output_dir = Path(sub_dir)
+        logging.info("Outputs will be saved at %s", self.output_dir)
+        self._make_output_tree()
+
+    def load_config(self) -> dict[str, Any]:
+        """Re-load + validate the user configuration this workflow was built from
+        (reference workflows.py:153-181). Returns the validated dict."""
+        from xdem_tpu.workflows.schemas import validate_configuration
+
+        config = self.user_config
+        if isinstance(config, str):
+            config = load_yaml_config(config)
+        return validate_configuration(config, self.schema)
+
+    def generate_plot(self, dem: Raster, title: str, filename: str,
+                      dem_right: Raster | None = None, title_dem_right: str | None = None,
+                      **kwargs: Any) -> None:
+        """Side-by-side raster plot saved to ``plots/{filename}.png``
+        (reference workflows.py:183-241: left panel always, right panel optional)."""
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except ImportError:
+            logging.warning("matplotlib unavailable; skipping plot %s", filename)
+            return
+        cmap = plt.get_cmap(kwargs.pop("cmap", "terrain")).copy()
+        cmap.set_bad(color="k")
+        vmin = kwargs.pop("vmin", None)
+        vmax = kwargs.pop("vmax", None)
+        fig, (ax1, ax2) = plt.subplots(1, 2, figsize=[6.4, 2.4])
+        for ax, r, t in ((ax1, dem, title), (ax2, dem_right, title_dem_right)):
+            if r is None:
+                ax.set_axis_off()
+                continue
+            b = r.bounds
+            im = ax.imshow(r.get_nanarray(), cmap=cmap, vmin=vmin, vmax=vmax,
+                           extent=(b.left, b.right, b.bottom, b.top))
+            fig.colorbar(im, ax=ax, shrink=0.8)
+            ax.set_title(t, fontsize=6)
+            ax.tick_params(labelsize=6)
+        fig.savefig(self.output_dir / "plots" / f"{filename}.png", dpi=300,
+                    bbox_inches="tight")
+        plt.close(fig)
+
+    def generate_plot_with_profiles(self, dem: Raster, title: str, filename: str,
+                                    **kwargs: Any) -> None:
+        """Raster plot with center row/column elevation profiles
+        (reference workflows.py:243-335), saved to ``plots/{filename}.png``."""
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            from matplotlib.gridspec import GridSpec
+        except ImportError:
+            logging.warning("matplotlib unavailable; skipping plot %s", filename)
+            return
+        arr = dem.get_nanarray()
+        b = dem.bounds
+        cmap = plt.get_cmap(kwargs.pop("cmap", "terrain")).copy()
+        cmap.set_bad(color="k")
+        fig = plt.figure(figsize=(6.4, 6.4))
+        gs = GridSpec(2, 2, width_ratios=[3, 1], height_ratios=[3, 1], figure=fig)
+        ax = fig.add_subplot(gs[0, 0])
+        im = ax.imshow(arr, cmap=cmap, extent=(b.left, b.right, b.bottom, b.top), **kwargs)
+        ax.set_title(title, fontsize=8)
+        r_mid, c_mid = arr.shape[0] // 2, arr.shape[1] // 2
+        ax_r = fig.add_subplot(gs[0, 1])
+        ax_r.plot(arr[:, c_mid], np.linspace(b.top, b.bottom, arr.shape[0]), lw=0.8)
+        ax_r.set_title("N-S profile", fontsize=6)
+        ax_b = fig.add_subplot(gs[1, 0])
+        ax_b.plot(np.linspace(b.left, b.right, arr.shape[1]), arr[r_mid, :], lw=0.8)
+        ax_b.set_title("W-E profile", fontsize=6)
+        for a in (ax, ax_r, ax_b):
+            a.tick_params(labelsize=6)
+        fig.colorbar(im, ax=ax_r, shrink=0.6)
+        fig.savefig(self.output_dir / "plots" / f"{filename}.png", dpi=300,
+                    bbox_inches="tight")
+        plt.close(fig)
+
+    def floats_process(self, dict_with_floats: Any) -> Any:
+        """Round every float in a (possibly nested) dict/list/tuple to two decimals
+        (reference workflows.py:337-355)."""
+        if isinstance(dict_with_floats, dict):
+            return {k: self.floats_process(v) for k, v in dict_with_floats.items()}
+        if isinstance(dict_with_floats, list):
+            return [self.floats_process(v) for v in dict_with_floats]
+        if isinstance(dict_with_floats, tuple):
+            return tuple(self.floats_process(v) for v in dict_with_floats)
+        if isinstance(dict_with_floats, (float, np.floating)):
+            return round(float(dict_with_floats), 2)
+        return dict_with_floats
+
+    @staticmethod
+    def load_dem(config_dem: dict[str, Any] | None):
+        """Build a DEM (+ inlier mask) from an inputs config dict
+        (reference workflows.py:357-399). Returns ``(dem, inlier_mask, mask_path)``;
+        ``inlier_mask`` is True on STABLE terrain (the complement of the mask file).
+        Example-data aliases (``examples.available``) resolve to generated files."""
+        if config_dem is None:
+            logging.warning("No DEM provided")
+            return None, None, None
+        from xdem_tpu import examples
+
+        cfg = dict(config_dem)
+        path = cfg["path_to_elev"]
+        if isinstance(path, str) and path in examples.available:
+            cfg["path_to_elev"] = examples.get_path(path)
+        # Reuse the instance loader's nodata/downsample/vcrs handling without an instance.
+        dem = Workflows._load_dem(None, cfg)  # type: ignore[arg-type]
+        inlier_mask = None
+        mask_path = cfg.get("path_to_mask")
+        if mask_path is not None:
+            unstable = Workflows._load_mask(None, cfg, dem)  # type: ignore[arg-type]
+            inlier_mask = ~unstable
+        return dem, inlier_mask, mask_path
+
+    def remove_none(self, dico: Any) -> Any:
+        """Recursively drop None values from dicts/lists, keeping the 'statistics' key
+        verbatim (reference workflows.py:401-429)."""
+        if isinstance(dico, dict):
+            cleaned = {}
+            for k, v in dico.items():
+                if k == "statistics":
+                    cleaned[k] = v
+                    continue
+                vv = self.remove_none(v) if v is not None else None
+                if vv is not None:
+                    cleaned[k] = vv
+            return cleaned
+        if isinstance(dico, list):
+            return [self.remove_none(v) for v in dico if v is not None]
+        return dico
+
+    def generate_pdf(self) -> None:
+        """Render the report as PDF when ``outputs.generate_pdf`` is enabled
+        (reference workflows.py:439-451; here via the native matplotlib renderer)."""
+        if self.config.get("outputs", {}).get("generate_pdf", False):
+            self.create_pdf("Report")
+
+    def save_stat_as_csv(self, data: dict[str, float], file_name: str) -> None:
+        """Write one statistics dict as ``tables/{file_name}_stats.csv``
+        (reference workflows.py:453-468: one header row + one value row)."""
+        import csv
+
+        cleaned = {k: float(v) if isinstance(v, (np.floating, np.integer)) else v
+                   for k, v in data.items()}
+        path = self.output_dir / "tables" / f"{file_name}_stats.csv"
+        with path.open("w", newline="", encoding="utf-8") as f:
+            writer = csv.DictWriter(f, fieldnames=list(cleaned.keys()))
+            writer.writeheader()
+            writer.writerow(cleaned)
+
+    def format_values_stats(self, key: str, val: float | int) -> str:
+        """Human formatting for one statistic (reference workflows.py:470-484): counts as
+        ints, percentages with '%', very large/small magnitudes in scientific notation."""
+        if "count" in key.lower():
+            return str(int(val))
+        if "percentage" in key.lower():
+            return f"{val:.2f}%"
+        if abs(val) > 10e4 or abs(val) < 10e-4:
+            return np.format_float_scientific(val, precision=3)
+        return f"{val:.3f}"
 
     # ------------------------------------------------------------------ helpers
 
@@ -150,7 +334,7 @@ td,th{{border:1px solid #999;padding:4px 8px}} img{{max-width:45em}}</style></he
 </body></html>"""
         path = self.output_dir / "report.html"
         path.write_text(html)
-        if self.generate_pdf:
+        if self.pdf_enabled:
             self.create_pdf(title)
         return path
 
