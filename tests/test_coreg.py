@@ -1451,6 +1451,34 @@ class TestMeshCoregFits:
         assert c_m.to_matrix()[0, 3] == pytest.approx(-6.0, abs=0.5)
         np.testing.assert_allclose(c_m.to_matrix(), c_1.to_matrix(), rtol=1e-3, atol=1e-3)
 
+    def test_lzd_mesh_non_divisible_subsample(self, ref_tba):
+        """LZD mesh= with a point count NOT a multiple of the device count: the shard
+        padding carries NaN z, which must stay out of the psum'd normal equations (the
+        rotation columns compute yc + gy*zc — regression: 0*NaN poisoned the whole fit)."""
+        import jax
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("p",))
+        tba = _shifted(ref_tba, 6.0, -4.0, 1.0)
+        c_m = coreg.LZD(subsample=10001)  # 10001 % 8 != 0 -> 7 NaN-z padded points
+        c_m.fit(ref_tba, tba, mesh=mesh, random_state=7)
+        assert np.isfinite(c_m.to_matrix()).all()
+        c_1 = coreg.LZD(subsample=10001)
+        c_1.fit(ref_tba, tba, random_state=7)
+        np.testing.assert_allclose(c_m.to_matrix(), c_1.to_matrix(), rtol=1e-3, atol=1e-3)
+
+    def test_icp_explicit_kdtree_with_mesh_refuses(self, ref_tba):
+        """An explicit nn_method='kdtree' cannot shard: mesh= must refuse rather than
+        silently reroute onto the brute device path (explicit engine requests win)."""
+        import jax
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("p",))
+        tba = _shifted(ref_tba, 5.0, -3.0, 1.0)
+        with pytest.raises(ValueError, match="kdtree"):
+            coreg.ICP(subsample=5000, nn_method="kdtree").fit(
+                ref_tba, tba, mesh=mesh, random_state=7)
+
     def test_icp_nn_method_auto_resolves_kdtree_on_cpu(self, ref_tba, caplog):
         """nn_method='auto' (the default) resolves to the host KD-tree on the CPU backend
         (reference parity) and logs the decision; explicit 'kdtree' matches it exactly."""

@@ -461,6 +461,10 @@ class TestWorkflowsReferenceSurface:
         assert (topo.outputs_folder / "plots" / "pair.png").stat().st_size > 1000
         topo.generate_plot_with_profiles(dem, "with profiles", "prof")
         assert (topo.outputs_folder / "plots" / "prof.png").stat().st_size > 1000
+        # extra kwargs forward to imshow (reference workflows.py:183-241 passes them
+        # through to dem.plot) instead of being silently dropped
+        topo.generate_plot(dem, "interp", "pair_nearest", interpolation="nearest")
+        assert (topo.outputs_folder / "plots" / "pair_nearest.png").stat().st_size > 1000
 
     def test_static_load_dem(self, dem_files):
         from xdem_tpu.workflows.workflows import Workflows
@@ -473,6 +477,18 @@ class TestWorkflowsReferenceSurface:
         assert inlier.dtype == bool and 0 < inlier.sum() < inlier.size
         assert mpath == mask_path
         assert Workflows.load_dem(None) == (None, None, None)
+
+    def test_static_load_dem_resolves_mask_alias(self):
+        """Example-data aliases resolve for BOTH path_to_elev and path_to_mask, like the
+        reference (workflows.py:357-399)."""
+        from xdem_tpu.workflows.workflows import Workflows
+
+        dem, inlier, mpath = Workflows.load_dem(
+            {"path_to_elev": "longyearbyen_tba_dem",
+             "path_to_mask": "longyearbyen_glacier_outlines"})
+        assert dem is not None and inlier is not None
+        assert inlier.dtype == bool and 0 < inlier.sum() < inlier.size
+        assert str(mpath).endswith(".geojson")
 
     def test_generate_terrain_attributes(self, topo):
         rasters = topo.generate_terrain_attributes(export_tif=True)

@@ -1474,6 +1474,14 @@ def icp(
             'nn_method="kdtree" without mesh= for a callable minimizer, or '
             'fit_minimizer="lsq_approx".'
         )
+    if nn_method == "kdtree" and mesh is not None:
+        # Explicit engine requests always win: refuse rather than silently reroute the
+        # host KD-tree semantics onto the sharded brute path.
+        raise ValueError(
+            'nn_method="kdtree" runs per-iteration host KD-tree queries and cannot be '
+            'sharded over a mesh. Drop mesh= to keep the kdtree path, or use '
+            'nn_method="brute"/"auto" with mesh=.'
+        )
     logging.info("Running ICP coregistration")
     from scipy.spatial import KDTree
 
@@ -1929,6 +1937,13 @@ def _lzd_while_loop(
         dh = jnp.where(w > 0, dh, 0.0)
         gx = jnp.where(w > 0, gx, 0.0)
         gy = jnp.where(w > 0, gy, 0.0)
+        # Neutralize coordinates on zero-weight points: shard padding carries NaN z,
+        # which the matrix multiply above spreads into xc/yc as well (0*NaN = NaN), and
+        # the rotation columns below would carry it (yc + gy*zc with gy zeroed is still
+        # NaN + 0*NaN) into the psum'd equilibration scale and normal equations.
+        xc = jnp.where(w > 0, xc, 0.0)
+        yc = jnp.where(w > 0, yc, 0.0)
+        zc = jnp.where(w > 0, zc, 0.0)
         ones = jnp.ones_like(gx)
         if only_translation:
             A = jnp.stack([-gx, -gy, ones], axis=1)

@@ -124,7 +124,7 @@ class Workflows(ABC):
                 continue
             b = r.bounds
             im = ax.imshow(r.get_nanarray(), cmap=cmap, vmin=vmin, vmax=vmax,
-                           extent=(b.left, b.right, b.bottom, b.top))
+                           extent=(b.left, b.right, b.bottom, b.top), **kwargs)
             fig.colorbar(im, ax=ax, shrink=0.8)
             ax.set_title(t, fontsize=6)
             ax.tick_params(labelsize=6)
@@ -193,9 +193,10 @@ class Workflows(ABC):
         from xdem_tpu import examples
 
         cfg = dict(config_dem)
-        path = cfg["path_to_elev"]
-        if isinstance(path, str) and path in examples.available:
-            cfg["path_to_elev"] = examples.get_path(path)
+        for key in ("path_to_elev", "path_to_mask"):
+            path = cfg.get(key)
+            if isinstance(path, str) and path in examples.available:
+                cfg[key] = examples.get_path(path)
         # Reuse the instance loader's nodata/downsample/vcrs handling without an instance.
         dem = Workflows._load_dem(None, cfg)  # type: ignore[arg-type]
         inlier_mask = None
