@@ -104,12 +104,16 @@ class TestMatmulPrecisionPins:
         assert all(p == (Precision.HIGHEST, Precision.HIGHEST) for p in precs), precs
 
     def test_icp_brute_and_solver(self):
+        import jax as _jax
         import jax.numpy as jnp
         from xdem_tpu.coreg.affine import _brute_nearest, _icp_solve_device
 
         ref = jnp.zeros((64, 3))
         q = jnp.zeros((32, 3))
-        self._assert_all_highest(lambda r, qq: _brute_nearest(r, qq, chunk=16), ref, q)
+        # The NN kernel is deliberately matmul-FREE (direct differences, like the
+        # variogram kernels): no dot_general means no bf16 multiplicand risk at all.
+        jx = _jax.make_jaxpr(lambda r, qq: _brute_nearest(r, qq, chunk=16))(ref, q)
+        assert not self._dot_precisions(jx.jaxpr), "NN kernel should not contain matmuls"
         norms = jnp.zeros((64, 3))
         self._assert_all_highest(
             lambda r, t, n: _icp_solve_device(r, t, n, 0.01, 3), ref, ref, norms

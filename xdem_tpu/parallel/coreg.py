@@ -434,11 +434,14 @@ def icp_solve_sharded(
     m = tba.shape[0]
     n_pad = -(-n // n_dev) * n_dev
     shard = n_pad // n_dev
-    # Sentinel-pad the reference cloud to a shard multiple: 1e15 coordinates keep the
-    # |a|^2+|b|^2-2ab expansion finite (~3e30, no inf-inf=NaN) yet never win an argmin
-    # against any real point, so padded indices are unreachable.
+    # Sentinel-pad the reference cloud to a shard multiple: _NN_PAD_COORD coordinates
+    # square to ~3e30 (finite, no inf-inf=NaN) yet never win an argmin against any real
+    # point, so padded indices are unreachable. Same sentinel as _nn_planes_scan's own
+    # block padding, so per-pair d2 values match the single-device program exactly.
     if n_pad > n:
-        ref_p = jnp.concatenate([ref, jnp.full((n_pad - n, 3), 1e15, ref.dtype)])
+        from xdem_tpu.coreg.affine import _NN_PAD_COORD
+
+        ref_p = jnp.concatenate([ref, jnp.full((n_pad - n, 3), _NN_PAD_COORD, ref.dtype)])
         norms_p = jnp.concatenate([norms, jnp.zeros((n_pad - n, 3), norms.dtype)])
     else:
         ref_p, norms_p = ref, norms
@@ -447,27 +450,19 @@ def icp_solve_sharded(
              in_specs=(P(None, None), P(None, None), P(None, None)),
              out_specs=(P(None, None), P(), P()))
     def run(refl, tbal, normsl):
+        from xdem_tpu.coreg.affine import _nn_planes_scan
+
         i = jax.lax.axis_index(axis)
         ref_shard = jax.lax.dynamic_slice_in_dim(refl, i * shard, shard)
-        ref_sq = jnp.sum(ref_shard * ref_shard, axis=1)  # (shard,)
+        nn_local = _nn_planes_scan(ref_shard, rblk=min(chunk, shard))
 
         def nn(q):
-            padq = (-m) % chunk
-            qp = jnp.pad(q, ((0, padq), (0, 0)))
-            qc = qp.reshape(-1, chunk, 3)
-
-            def one_chunk(c):
-                d2 = jnp.sum(c * c, axis=1)[:, None] + ref_sq[None, :] - 2.0 * c @ ref_shard.T
-                idx = jnp.argmin(d2, axis=1)
-                return idx, jnp.take_along_axis(d2, idx[:, None], axis=1)[:, 0]
-
-            idxs, d2s = jax.lax.map(one_chunk, qc)
-            li = idxs.reshape(-1)[:m] + i * shard  # global reference indices
-            ld = d2s.reshape(-1)[:m]
-            d2g = jax.lax.pmin(ld, axis)  # global nearest distance per query
+            idxs, d2s = nn_local(q)
+            li = idxs + i * shard  # global reference indices
+            d2g = jax.lax.pmin(d2s, axis)  # global nearest distance per query
             # Lowest global index among the (possibly tied) global minima — the identical
             # tie-break to a single-device argmin over the full cloud
-            ind = jax.lax.pmin(jnp.where(ld == d2g, li, n_pad), axis)
+            ind = jax.lax.pmin(jnp.where(d2s == d2g, li, n_pad), axis)
             return ind, d2g
 
         return _icp_while_loop(refl, tbal, normsl, nn, tolerance, max_iterations, method,
