@@ -142,12 +142,16 @@ class TestMatmulPrecisionPins:
             z, rc, rc, raster, jnp.ones(n), jnp.zeros(n),
         )
 
-    def test_pairwise_sq_dists(self):
+    def test_pairwise_sq_dists_matmul_free(self):
+        """The pairwise-distance kernel is deliberately matmul-free (direct differences):
+        no dot_general means no bf16 multiplicand risk and no HBM materialization."""
+        import jax as _jax
         import jax.numpy as jnp
         from xdem_tpu.spatialstats import _pairwise_sq_dists
 
         c = jnp.zeros((32, 2))
-        self._assert_all_highest(_pairwise_sq_dists, c, c)
+        jx = _jax.make_jaxpr(_pairwise_sq_dists)(c, c)
+        assert not self._dot_precisions(jx.jaxpr)
 
     def test_lzd_solver(self):
         import jax.numpy as jnp

@@ -2186,15 +2186,22 @@ def neff_circular_approx_numerical(area: float, params_variogram_model: pd.DataF
 @partial(jax.jit, static_argnames=())
 @pin_f32_matmuls
 def _pairwise_sq_dists(c1: jnp.ndarray, c2: jnp.ndarray) -> jnp.ndarray:
-    """(N, M) squared euclidean distances via the matmul expansion (MXU-shaped).
+    """(N, M) squared euclidean distances by direct per-coordinate differences.
 
-    Full-f32 matmul precision (TPU defaults to bf16 multiplicands, which at km-scale
-    centered coordinates puts ~1e5-m^2 errors on short-lag squared distances). Callers must
-    mean-center coordinates first: the expansion is catastrophically ill-conditioned at raw
-    UTM magnitudes (|c|~8e6 squares to ~6e13, where even f32 rounding is ~4e6 m^2)."""
-    n1 = jnp.sum(c1 * c1, axis=1)[:, None]
-    n2 = jnp.sum(c2 * c2, axis=1)[None, :]
-    return jnp.maximum(n1 + n2 - 2.0 * c1 @ c2.T, 0.0)
+    TPU-shaped deliberately as VPU work, NOT a matmul: at K=2-3 coordinates the
+    ``|a|^2 + |b|^2 - 2 a.b`` MXU expansion pads the contraction to 128 lanes, forces the
+    (N, M) product through HBM before the caller's elementwise rho/reduce can fuse, needs
+    a full-f32 precision pin against TPU's bf16 multiplicand default, and is
+    catastrophically ill-conditioned at raw UTM magnitudes (|c|~8e6 squares to ~6e13,
+    where f32 rounding is ~4e6 m^2). Direct differences fuse straight into the consumer,
+    never square an absolute coordinate, and are exactly translation-invariant — same
+    design as coreg.affine._nn_planes_scan (measured 3.5x there). Callers still
+    mean-center in f64 for f32 representation headroom (see neff_exact)."""
+    d2 = None
+    for k in range(c1.shape[1]):
+        d = c1[:, k][:, None] - c2[:, k][None, :]
+        d2 = d * d if d2 is None else d2 + d * d
+    return d2
 
 
 def _rho_device(h: jnp.ndarray, params_variogram_model: pd.DataFrame) -> jnp.ndarray:
