@@ -1427,11 +1427,13 @@ class TestMeshCoregFits:
 
         mesh = Mesh(np.asarray(jax.devices()[:8]), ("p",))
         tba = _shifted(ref_tba, 5.0, -3.0, 1.0)
-        c_m = coreg.ICP(subsample=5000)
-        c_m.fit(ref_tba, tba, mesh=mesh, random_state=7)
-        c_1 = coreg.ICP(subsample=5000, nn_method="brute")
-        c_1.fit(ref_tba, tba, random_state=7)
-        np.testing.assert_array_equal(c_m.to_matrix(), c_1.to_matrix())
+        # 5001 % 8 != 0: the reference cloud gets sentinel-padded to a shard multiple
+        for sub in (5000, 5001):
+            c_m = coreg.ICP(subsample=sub)
+            c_m.fit(ref_tba, tba, mesh=mesh, random_state=7)
+            c_1 = coreg.ICP(subsample=sub, nn_method="brute")
+            c_1.fit(ref_tba, tba, random_state=7)
+            np.testing.assert_array_equal(c_m.to_matrix(), c_1.to_matrix())
         with pytest.raises(ValueError, match="custom fit_minimizer"):
             coreg.ICP(subsample=5000, fit_minimizer=least_squares).fit(
                 ref_tba, tba, mesh=mesh, random_state=7)
